@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline registry queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "scan_checksum",
+    "agg_pricing_summary",
+    "agg_distinct",
+    "join_inner_revenue",
+    "join_left_counts",
+    "join_star_dims",
+    "join_asof_last_order",
+    "window_running_total",
+    "window_topk_per_group",
+    "dedup_keep_first",
+    "window_tumbling_1h",
+    "window_session_30m",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "embedding_near_dups",
+    "text_quality",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_mini_spark.queries import QUERIES
+    from etl_mini_spark.session import get_spark
+
+    spark = get_spark("etl-mini-spark-bench")
+
+    # Warm the JVM/parquet footers once so timings measure the queries.
+    QUERIES["scan_checksum"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        dt = round(time.perf_counter() - t0, 4)
+        timings[name] = dt
+        total += dt
+
+    sf = float(Path(sf_dir).name.replace("sf", "")) if "sf" in Path(sf_dir).name else None
+    print(
+        json.dumps(
+            {
+                "metric": "dq_suite_wallclock",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,16 @@
+from etl_mini_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    near_dup_pairs_minhash_lsh,
+    near_dup_pairs_ngram_jaccard,
+    ordered_dedup,
+    simhash,
+)
+from etl_mini_spark.operators.joins import asof_join, range_join  # noqa: F401
+from etl_mini_spark.operators.similarity import (  # noqa: F401
+    cosine_similarity_col,
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    embedding_near_dup_pairs,
+)
+from etl_mini_spark.operators.upsert import merge_upsert  # noqa: F401

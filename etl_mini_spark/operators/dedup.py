@@ -1,0 +1,262 @@
+"""Deduplication operators.
+
+- ``ordered_dedup`` — the reference's sort-then-keep-first dedup
+  (reference: services/transformers/pandas_select_and_enrich.py:52-57),
+  re-expressed as a window ``row_number``: pandas ``keep="first"`` after
+  a stable sort ≡ rank-1 row per key under an explicit total order. The
+  caller MUST supply a tie-breaking order (SURVEY.md §7.4) because Spark
+  has no input-order notion.
+- ``exact_dedup`` — hash dedup on normalized text.
+- ``near_dup_pairs_ngram_jaccard`` — exact n-gram Jaccard via an
+  inverted shingle index (explode + self-join on shingle), the scalable
+  alternative to an O(n²) cross join.
+- ``minhash_signatures`` / ``near_dup_pairs_minhash_lsh`` — deterministic
+  MinHash + banded LSH. Hash family h_i(x) = (a_i·x + b_i) mod p over a
+  base shingle hash derived from md5, so the whole pipeline is
+  reproducible across engines and runs (no seed-dependent ml.feature
+  state). At 100 TB this is the path: candidate generation touches only
+  docs sharing a band bucket, never all pairs.
+- ``simhash`` — 64-bit SimHash as a vectorized pandas UDF (bit-level
+  majority vote has no efficient Catalyst expression).
+
+All operators shuffle only on their natural keys (dedup keys, shingle,
+band bucket); skewed shingle buckets are capped via ``max_bucket_size``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Deterministic MinHash parameters (public LSH construction; see
+# Broder 1997 / Leskovec et al., "Mining of Massive Datasets" ch.3).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+_A0, _B0 = 1103515245, 12345  # LCG constants (public domain, ANSI C)
+
+
+def _order_cols(order_by) -> list[Column]:
+    cols = []
+    for spec in order_by:
+        if isinstance(spec, Column):
+            cols.append(spec)
+        elif isinstance(spec, tuple):
+            name, direction = spec
+            cols.append(F.col(name).desc() if direction == "desc" else F.col(name).asc())
+        else:
+            cols.append(F.col(spec))
+    return cols
+
+
+def ordered_dedup(df: DataFrame, dedup_by: list[str], order_by: list) -> DataFrame:
+    """Keep the first row per ``dedup_by`` key under ``order_by``.
+
+    ``order_by`` must be a total order within each key group (append a
+    unique id as tie-breaker) — otherwise results are nondeterministic
+    across retries/partitionings. One shuffle on ``dedup_by``.
+    """
+    w = Window.partitionBy(*dedup_by).orderBy(*_order_cols(order_by))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + collapse whitespace + trim — canonical form for exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized text: one representative (min id) per
+    md5 fingerprint, with the duplicate count. Single hash-aggregate
+    shuffle on the 32-char digest — scales linearly."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from a token array (JVM-side only)."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.array_distinct(make)
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    toks = F.split(F.col(text_col), r"\s+")
+    return df.select(F.col(id_col).alias("doc_id"), word_shingles(toks, n).alias("shingles"))
+
+
+def near_dup_pairs_ngram_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = 10000,
+) -> DataFrame:
+    """Exact near-dup pairs with n-word-shingle Jaccard ≥ threshold.
+
+    Inverted-index plan: explode (doc, shingle) → self-join on shingle →
+    count common shingles per pair → Jaccard from per-doc set sizes.
+    Only pairs sharing ≥1 shingle are ever materialized. ``max_bucket_size``
+    drops degenerate ultra-common shingles (stopword-like) that would
+    create quadratic hot buckets at scale — they cannot decide a
+    high-threshold pair on their own.
+    Returns (d1, d2, jaccard) with d1 < d2.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_bucket_size is not None:
+        bucket_n = inv.groupBy("shingle").agg(F.count("*").alias("bn"))
+        inv = (
+            inv.join(bucket_n.filter(F.col("bn") <= max_bucket_size), "shingle")
+            .select("doc_id", "shingle")
+        )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        common.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def shingle_hash(col: Column) -> Column:
+    """Stable 32-bit base hash of a shingle: first 8 hex chars of md5.
+
+    Engine-portable (md5 is identical everywhere), unlike Spark's
+    ``hash()``/xxhash which DuckDB cannot reproduce."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for h_i(x) = (a·x + b) mod p.
+
+    ``a`` is kept < 2^20 so a·x < 2^52 for 32-bit base hashes — inside
+    int64 (Spark ANSI mode raises on long overflow)."""
+    params = []
+    a, b = _A0, _B0
+    for _ in range(num_hashes):
+        a = (a * 1103515245 + 12345) % MINHASH_PRIME
+        b = (b * 69069 + 1) % MINHASH_PRIME
+        params.append(((a % (1 << 20)) | 1, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 128
+) -> DataFrame:
+    """(doc_id, sig array<long>) — column-wise min over permuted shingle
+    hashes. One explode + one hash-aggregate; signature width is fixed,
+    so state per doc is O(num_hashes) regardless of doc length."""
+    sh = _doc_shingles(df, id_col, text_col, n)
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    base = inv.withColumn("h", shingle_hash(F.col("shingle")))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    sig = base.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def near_dup_pairs_minhash_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Banded-LSH candidate pairs, optionally verified with exact Jaccard.
+
+    r = num_hashes/bands rows per band; a pair collides in ≥1 band with
+    prob 1-(1-j^r)^bands (≈1 for j ≥ 0.8 at 128/32). The band join
+    shuffles on (band_idx, band_hash) — at 100 TB this replaces the
+    all-pairs Jaccard join entirely; exact verification touches only
+    candidates."""
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_arr = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[F.col("sig")[i * r + j] for j in range(r)]))
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(band_arr).alias("band", "bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    sh = _doc_shingles(df, id_col, text_col, n).select(
+        "doc_id", F.col("shingles")
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document (Charikar 2002) as an Arrow-batched
+    pandas UDF — the per-bit majority vote over token hashes is the one
+    dedup primitive with no efficient built-in expression. Returns
+    (doc_id, simhash long)."""
+    import hashlib
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            counts = [0] * 64
+            for tok in (t or "").split():
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for i in range(64):
+                    counts[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(64):
+                if counts[i] > 0:
+                    v |= 1 << i
+            # map to signed int64
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash"))

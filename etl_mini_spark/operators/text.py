@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines (north star,
+SURVEY.md §2.11): language ID, quality scoring, token counting,
+document fingerprinting. All JVM-side built-ins — no Python in the hot
+path — so they whole-stage-codegen over billions of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# n-gram/stopword marker lists per language (tiny public stopword sets).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "es": ["el", "la", "de", "y", "los"],
+}
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-style pre-tokens (letter/digit/punct runs)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def _word_occurrences(col: Column, word: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(rf"\b{word}\b"), 0))
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    """Marker-word hit count for one language."""
+    s = F.lit(0)
+    for w in LANG_MARKERS[lang]:
+        s = s + _word_occurrences(col, w)
+    return s
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax of marker scores with fixed precedence en > fr > es.
+
+    Deliberately simple n-gram/marker heuristic (the container has no
+    fasttext/langdetect); precedence makes ties deterministic."""
+    s_en, s_fr, s_es = (lang_score(col, x) for x in ("en", "fr", "es"))
+    return (
+        F.when((s_en >= s_fr) & (s_en >= s_es), F.lit("en"))
+        .when(s_fr >= s_es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc quality features + a composite score.
+
+    n_tokens, avg token length, punctuation ratio, stopword ratio —
+    the standard cheap quality gates for LLM pre-training corpora."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    n_stop = F.lit(0)
+    for w in STOPWORDS:
+        n_stop = n_stop + _word_occurrences(t, w)
+    avg_len = (F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(n_tok, F.lit(1))).cast("double")
+    punct_ratio = (n_punct / F.greatest(n_chars, F.lit(1))).cast("double")
+    stop_ratio = (n_stop / F.greatest(n_tok, F.lit(1))).cast("double")
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set. Robust to token reordering; pair with
+    operators/dedup.simhash for near-dup-robust hashing."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(col)))), " "))

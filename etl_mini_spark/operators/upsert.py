@@ -1,0 +1,86 @@
+"""Keyed upsert (merge) — the reference's Postgres ``ON CONFLICT`` path
+re-expressed as a DataFrame merge.
+
+Reference semantics (services/sources/implementations/dwh/
+postgresql_service.py:181-239, conflict SQL at 213-229):
+- ``update``: source row wins on key collision (``DO UPDATE SET
+  col = excluded.col`` for the update columns)
+- ``nothing``: target row wins (``DO NOTHING``)
+
+``merge_upsert`` is the pure-DataFrame core (one shuffle on the keys);
+``upsert_parquet`` is the table-level sink: stage-then-swap so a failed
+write never corrupts the target (SURVEY.md §7.4 exactly-once note). On
+Delta-enabled clusters, swap the rewrite for ``MERGE INTO``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_columns: list[str] | None = None,
+    conflict_action: str = "update",
+) -> DataFrame:
+    """Return target merged with source on ``keys``.
+
+    conflict_action='update': colliding target rows are replaced —
+    entirely when update_columns is None, else only those columns are
+    taken from source. 'nothing': colliding source rows are dropped.
+    Plans as two hash joins on the same keys (one shuffle each side;
+    AQE broadcasts small sources automatically).
+    """
+    if conflict_action == "nothing":
+        new_rows = source.join(target.select(*keys), keys, "left_anti")
+        return target.unionByName(new_rows.select(*target.columns))
+
+    if update_columns is None:
+        kept = target.join(source.select(*keys), keys, "left_anti")
+        return kept.unionByName(source.select(*target.columns))
+
+    src = source.select(
+        *keys, *[F.col(c).alias(f"__src_{c}") for c in update_columns]
+    )
+    merged = target.join(src, keys, "left")
+    proj = []
+    for c in target.columns:
+        if c in update_columns:
+            proj.append(F.coalesce(F.col(f"__src_{c}"), F.col(c)).alias(c))
+        else:
+            proj.append(F.col(c))
+    updated = merged.select(*proj)
+    new_rows = source.join(target.select(*keys), keys, "left_anti")
+    return updated.unionByName(new_rows.select(*target.columns))
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    update_columns: list[str] | None = None,
+    conflict_action: str = "update",
+) -> None:
+    """Merge ``source`` into the parquet table at ``target_path``.
+
+    Write-stage-swap: the merge result lands in ``{path}__stage`` and is
+    only then moved over the target, so a mid-write failure leaves the
+    original intact and a retry is idempotent."""
+    import shutil
+    from pathlib import Path
+
+    tgt = Path(target_path)
+    if tgt.exists():
+        target = spark.read.parquet(target_path)
+        merged = merge_upsert(target, source, keys, update_columns, conflict_action)
+    else:
+        merged = source
+    stage = str(tgt) + "__stage"
+    merged.write.mode("overwrite").parquet(stage)
+    if tgt.exists():
+        shutil.rmtree(target_path)
+    shutil.move(stage, target_path)

@@ -1,0 +1,1042 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair. The driver (and tests/test_queries_oracle)
+runs the Spark side and the DuckDB oracle on the same parquet and
+hash-compares values — names here ARE the correctness surface.
+
+Conventions (hash-parity rules, FIXTURES.md §C):
+- every computed column aliased identically in Spark and SQL
+- timestamps/dates stringified ('yyyy-MM-dd[ HH:mm:ss]'), UTC session
+- float aggregates rounded (2 for big sums, 6 for ratios/averages)
+- integer aggregates cast to BIGINT in DuckDB (sum() is HUGEINT there)
+- deterministic tie-breakers on every top-k / rank / limit
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_mini_spark.functions.registry import AdditionalField, default_registry, apply_additional_fields
+from etl_mini_spark.functions.sanitize import sanitize_scalar
+from etl_mini_spark.functions.time_fns import normalize_iso_col
+from etl_mini_spark.operators import (
+    asof_join,
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    merge_upsert,
+    near_dup_pairs_minhash_lsh,
+    near_dup_pairs_ngram_jaccard,
+    ordered_dedup,
+    simhash,
+)
+from etl_mini_spark.operators import text as TX
+from etl_mini_spark.operators.multimodal import attach_binary_payload, decode_media
+from etl_mini_spark.session import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# Scans / projections / filters (SURVEY §2.1-2.2: DQ-1, DQ-7…DQ-12)
+# =========================================================================
+
+@q(
+    "scan_checksum",
+    """SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+              round(sum(value), 2) AS sum_value
+       FROM events""",
+)
+def scan_checksum(spark, sf_dir):
+    """DQ-1: full scan, count + checksum (reference S1 scan parity)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.count("*").alias("cnt"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@q(
+    "project_select",
+    """SELECT event_id, event_type, strftime(ts, '%Y-%m-%d') AS ts_date
+       FROM events""",
+)
+def project_select(spark, sf_dir):
+    """DQ-7: projection pushed to the parquet scan (P1)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.date_format("ts", "yyyy-MM-dd").alias("ts_date")
+    )
+
+
+@q(
+    "filter_time_range",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+       GROUP BY event_type""",
+)
+def filter_time_range(spark, sf_dir):
+    """DQ-10: half-open time-range predicate (P5) — pushed to the scan."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("ts") >= "2024-01-10 00:00:00") & (F.col("ts") < "2024-01-20 00:00:00"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@q(
+    "filter_term",
+    """SELECT event_id, user_id, value FROM events
+       WHERE event_type = 'click' AND user_id % 3 = 0""",
+)
+def filter_term(spark, sf_dir):
+    """DQ-11: conjunctive term-equality filters (P6)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter((F.col("event_type") == "click") & (F.col("user_id") % 3 == 0)).select(
+        "event_id", "user_id", "value"
+    )
+
+
+@q(
+    "nested_json_extract",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+              CAST(coalesce(json_extract_string(props, '$.missing'), 'dflt') AS VARCHAR) AS m
+       FROM events""",
+)
+def nested_json_extract(spark, sf_dir):
+    """DQ-8: nested-path extraction with default (P2/F4) from the JSON
+    props column — ≡ the reference's nested_key walk
+    (tsv_converter.py:169-177, data_processing.py:8-15)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.coalesce(F.get_json_object("props", "$.missing"), F.lit("dflt")).alias("m"),
+    )
+
+
+@q("tolerant_select", "SELECT c_custkey, c_name FROM customer")
+def tolerant_select(spark, sf_dir):
+    """DQ-9: tolerant column-subset select (P4) — requested columns that
+    don't exist are skipped (require_all_columns=False semantics,
+    pandas_select_and_enrich.py:60-69)."""
+    c = _t(spark, sf_dir, "customer")
+    wanted = ["c_custkey", "c_name", "bogus_column"]
+    present = [x for x in wanted if x in c.columns]
+    return c.select(*present)
+
+
+@q(
+    "drop_null_required",
+    """SELECT count(*) AS cnt, round(sum(v2), 2) AS sum_v2 FROM (
+         SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v2 FROM events
+       ) WHERE v2 IS NOT NULL""",
+)
+def drop_null_required(spark, sf_dir):
+    """DQ-12: not-null constraint as tolerant na.drop (P7/P8)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "v2", F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    return e.na.drop(subset=["v2"]).agg(
+        F.count("*").alias("cnt"), F.round(F.sum("v2"), 2).alias("sum_v2")
+    )
+
+
+# =========================================================================
+# Joins (SURVEY §2.3: DQ-13…DQ-17)
+# =========================================================================
+
+@q(
+    "join_inner_revenue",
+    """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def join_inner_revenue(spark, sf_dir):
+    """DQ-13 (J1): equi inner join + aggregation; customer side is
+    broadcast (dimension ≪ fact)."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@q(
+    "join_left_counts",
+    """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey""",
+)
+def join_left_counts(spark, sf_dir):
+    """DQ-14 (J2): left outer join keeping zero-order customers."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@q(
+    "join_anti_no_orders",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def join_anti_no_orders(spark, sf_dir):
+    """DQ-15 (J3): anti join — customers with no orders."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "join_semi_active",
+    """SELECT c_custkey, c_mktsegment FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 150000)""",
+)
+def join_semi_active(spark, sf_dir):
+    """J3 semi: customers having a big order."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@q(
+    "join_star_dims",
+    """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name""",
+)
+def join_star_dims(spark, sf_dir):
+    """DQ-13 fold (J4): two broadcast dimension hops up the star."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+@q(
+    "join_range_followups",
+    """SELECT s.event_id AS signup_id, count(*) AS n_follow,
+              CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+       FROM events s JOIN events e
+         ON s.user_id = e.user_id
+        AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+       WHERE s.event_type = 'signup'
+       GROUP BY s.event_id""",
+)
+def join_range_followups(spark, sf_dir):
+    """DQ-16 (J5): interval join — events within 1h after each signup of
+    the same user. Equi key (user_id) keeps it a hash join; the range is
+    a post-join predicate, never a cross join."""
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id").alias("s_uid"), F.col("ts").alias("s_ts")
+    )
+    joined = s.join(
+        e,
+        (F.col("s_uid") == e.user_id)
+        & (e.ts > F.col("s_ts"))
+        & (e.ts <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.groupBy("signup_id").agg(
+        F.count("*").alias("n_follow"), F.countDistinct("event_type").alias("n_types")
+    )
+
+
+@q(
+    "join_asof_last_order",
+    """SELECT event_id, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+       FROM (
+         SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                row_number() OVER (PARTITION BY e.event_id
+                                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+         FROM events e LEFT JOIN orders o
+           ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+       ) WHERE rn = 1""",
+)
+def join_asof_last_order(spark, sf_dir):
+    """DQ-17 (J6): as-of join — latest order at-or-before each event for
+    the same user, via the single-shuffle union-sort operator (NOT the
+    oracle's quadratic join+rank plan)."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    res = asof_join(
+        e.withColumnRenamed("user_id", "o_custkey"),
+        o,
+        on=["o_custkey"],
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return res.select("event_id", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+# =========================================================================
+# Aggregations (SURVEY §2.4: DQ-6, DQ-18…DQ-20)
+# =========================================================================
+
+@q(
+    "agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              round(avg(l_quantity), 6) AS avg_qty,
+              round(avg(l_extendedprice), 6) AS avg_price,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_pricing_summary(spark, sf_dir):
+    """DQ-18 (A2): TPC-H Q1-style pricing summary — partial (map-side)
+    aggregation then one shuffle on the 2-key group."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "agg_distinct",
+    """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+              count(*) AS n_rows
+       FROM events""",
+)
+def agg_distinct(spark, sf_dir):
+    """DQ-19 (A3): exact distinct counts (approx_count_distinct is the
+    scale path — benchmarked, not hash-compared)."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@q(
+    "agg_rollup",
+    """SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)""",
+)
+def agg_rollup(spark, sf_dir):
+    """DQ-20 (A4): rollup over the joined star."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+@q(
+    "groupby_date_type",
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, count(*) AS n,
+              CAST(min(event_id) AS BIGINT) AS min_id, CAST(max(event_id) AS BIGINT) AS max_id
+       FROM events GROUP BY 1, 2""",
+)
+def groupby_date_type(spark, sf_dir):
+    """DQ-6 (A1/S11): group-by (type, date) — ≡ parse_json_lines'
+    {type: {date: [records]}} grouping (data_processing.py:18-60);
+    the record lists become write.partitionBy in production."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+# =========================================================================
+# Windows (SURVEY §2.5: DQ-21, DQ-22)
+# =========================================================================
+
+@q(
+    "window_running_total",
+    """SELECT o_custkey, o_orderkey,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+       FROM orders""",
+)
+def window_running_total(spark, sf_dir):
+    """DQ-21: running revenue per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+@q(
+    "window_topk_per_group",
+    """SELECT o_custkey, o_orderkey, rn, round(o_totalprice, 2) AS o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 3""",
+)
+def window_topk_per_group(spark, sf_dir):
+    """DQ-22: top-3 orders per customer by row_number."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@q(
+    "window_lag_lead",
+    """SELECT event_id,
+              lag(event_id)  OVER w AS prev_event_id,
+              lead(event_id) OVER w AS next_event_id,
+              epoch_us(ts) - epoch_us(lag(ts) OVER w) AS micros_since_prev
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def window_lag_lead(spark, sf_dir):
+    """§2.5: lag/lead + event-time deltas per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("micros_since_prev"),
+    )
+
+
+# =========================================================================
+# Sort / limit / dedup / set ops (SURVEY §2.6: DQ-23…DQ-26)
+# =========================================================================
+
+@q(
+    "order_by_hash",
+    """SELECT md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)) AS ordered_hash,
+              count(*) AS cnt
+       FROM events WHERE event_type = 'purchase'""",
+)
+def order_by_hash(spark, sf_dir):
+    """DQ-23 (O1): consumer-visible total order — hash of the id stream
+    in (ts, event_id) order proves ordering parity."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    agg = e.agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id"))
+                    ),
+                    lambda s: s.getField("event_id").cast("string"),
+                ),
+                ",",
+            )
+        ).alias("ordered_hash"),
+        F.count("*").alias("cnt"),
+    )
+    return agg
+
+
+@q(
+    "dedup_keep_first",
+    """SELECT user_id, event_type, event_id, value FROM (
+         SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+         FROM events) WHERE rn = 1""",
+)
+def dedup_keep_first(spark, sf_dir):
+    """DQ-24 (D1): ordered keep-first dedup — the reference's
+    sort+drop_duplicates(keep='first') (pandas_select_and_enrich.py:52-57)
+    with an explicit event_id tie-breaker for determinism."""
+    e = _t(spark, sf_dir, "events")
+    return ordered_dedup(e, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+
+
+@q(
+    "topk_limit",
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+       FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+)
+def topk_limit(spark, sf_dir):
+    """DQ-25 (O3): global top-k — Spark plans TakeOrderedAndProject
+    (per-partition heap + driver merge), no full sort."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("l_extendedprice"))
+    )
+
+
+@q(
+    "set_union_halves",
+    """SELECT event_type, count(*) AS n FROM (
+         SELECT * FROM events WHERE ts <  TIMESTAMP '2024-01-15 00:00:00'
+         UNION ALL
+         SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+       ) GROUP BY event_type""",
+)
+def set_union_halves(spark, sf_dir):
+    """DQ-26 (U1): union of two half-open slices == full table."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("ts") < "2024-01-15 00:00:00")
+    b = e.filter(F.col("ts") >= "2024-01-15 00:00:00")
+    return a.unionByName(b).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@q(
+    "set_intersect",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+def set_intersect(spark, sf_dir):
+    """U1: users who both clicked and purchased."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@q(
+    "set_except",
+    """SELECT user_id FROM events WHERE event_type = 'view'
+       EXCEPT
+       SELECT user_id FROM events WHERE event_type = 'error'""",
+)
+def set_except(spark, sf_dir):
+    """U1: viewers who never hit an error."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "view").select("user_id")
+    b = e.filter(F.col("event_type") == "error").select("user_id")
+    return a.subtract(b)  # EXCEPT (set) semantics, matching the SQL oracle
+
+
+# =========================================================================
+# Scalar functions (SURVEY §2.7: DQ-27…DQ-31) + UDF registry (DQ-32)
+# =========================================================================
+
+@q(
+    "time_derive_parts",
+    """SELECT event_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS datetime_s,
+              CAST(epoch_us(ts) % 1000000 AS BIGINT) AS time_mcs,
+              strftime(date_trunc('month', ts), '%Y-%m-%d') AS month_
+       FROM events""",
+)
+def time_derive_parts(spark, sf_dir):
+    """DQ-28 (F2): the flagship derived-time columns, all native."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("datetime_s"),
+        (F.unix_micros("ts") % 1000000).alias("time_mcs"),
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd").alias("month_"),
+    )
+
+
+@q(
+    "iso_normalize",
+    """WITH raw AS (
+         SELECT event_id,
+                CASE WHEN event_id % 7 = 0
+                     THEN substr(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), 1, 19)
+                     ELSE substr(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), 1, 20 + event_id % 7)
+                END AS iso
+         FROM events)
+       SELECT event_id,
+              CASE WHEN strpos(iso, '.') = 0 THEN iso || '.000000'
+                   ELSE rpad(iso, 26, '0') END AS iso_norm
+       FROM raw""",
+)
+def iso_normalize(spark, sf_dir):
+    """DQ-27 (F1): ISO fractional-second normalization to 6 digits over
+    a corpus with 0-6 fraction digits (rounding/clamp cases unit-tested
+    in tests/test_time_fns.py)."""
+    e = _t(spark, sf_dir, "events")
+    full = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    d = F.col("event_id") % 7
+    raw = F.when(d == 0, F.substring(full, 1, 19)).otherwise(
+        full.substr(F.lit(1), (d + 20).cast("int"))
+    )
+    return e.select(
+        "event_id", normalize_iso_col(raw).alias("iso_norm")
+    )
+
+
+@q(
+    "sanitize_values",
+    """SELECT doc_id,
+              md5(regexp_replace(text || chr(9) || lang, '[' || chr(9) || chr(10) || ']', ' ', 'g')) AS clean_md5,
+              (n_chars > 400) AS is_long
+       FROM documents""",
+)
+def sanitize_values(spark, sf_dir):
+    """DQ-29 (F3): tab/newline sanitization + over-length flag."""
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat_ws("\t", F.col("text"), F.col("lang"))
+    return d.select(
+        "doc_id",
+        F.md5(sanitize_scalar(dirty)).alias("clean_md5"),
+        (F.col("n_chars") > 400).alias("is_long"),
+    )
+
+
+@q(
+    "placeholder_extract",
+    """SELECT doc_id,
+              array_to_string(regexp_extract_all('{' || lang || '} text {' || source || '}',
+                                                 '\\{(.*?)\\}', 1), ',') AS placeholders
+       FROM documents""",
+)
+def placeholder_extract(spark, sf_dir):
+    """DQ-30 (F5): `{placeholder}` extraction (string_utils.py:5-26)."""
+    d = _t(spark, sf_dir, "documents")
+    tmpl = F.concat(F.lit("{"), F.col("lang"), F.lit("} text {"), F.col("source"), F.lit("}"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.regexp_extract_all(tmpl, F.lit(r"\{(.*?)\}"), 1), ",").alias("placeholders"),
+    )
+
+
+@q(
+    "constant_columns",
+    """SELECT p_partkey, 's3' AS source, 'v1' AS version, round(p_retailprice, 2) AS p_retailprice
+       FROM part""",
+)
+def constant_columns(spark, sf_dir):
+    """DQ-31 (F7): constant column injection via the additional_fields
+    constant mode (tsv_converter.py:149-152)."""
+    p = _t(spark, sf_dir, "part")
+    specs = [AdditionalField(value="s3", output_fields=["source"]),
+             AdditionalField(value="v1", output_fields=["version"])]
+    out = apply_additional_fields(p, specs, default_registry())
+    return out.select("p_partkey", "source", "version", F.round("p_retailprice", 2).alias("p_retailprice"))
+
+
+@q(
+    "udf_registry_iso_parts",
+    """SELECT event_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt,
+              CAST(epoch_us(ts) % 1000000 AS BIGINT) AS mcs,
+              strftime(date_trunc('month', ts), '%Y-%m-%d') AS mon
+       FROM events""",
+)
+def udf_registry_iso_parts(spark, sf_dir):
+    """DQ-32 (§2.8): the registered iso_to_parts function applied through
+    the closed UDF registry on the *pandas_udf* path (use_native=False) —
+    proving the slow path computes exactly what the native rewrite does."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "iso", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    )
+    spec = AdditionalField(
+        value="iso_to_parts",
+        input_mapping={"iso": "iso"},
+        output_mapping={"datetime": "dt", "microseconds": "mcs", "month": "mon"},
+        use_native=False,
+    )
+    out = apply_additional_fields(e, [spec], default_registry())
+    return out.select("event_id", "dt", "mcs", "mon")
+
+
+# =========================================================================
+# Upsert (SURVEY §2.1 S9: DQ-5)
+# =========================================================================
+
+@q(
+    "upsert_keyed",
+    """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 4 <> 0),
+            upd AS (SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, 'U' AS o_orderstatus
+                    FROM orders WHERE o_orderkey % 2 = 0)
+       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus FROM upd
+       UNION ALL
+       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus FROM base
+       WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = base.o_orderkey)""",
+)
+def upsert_keyed(spark, sf_dir):
+    """DQ-5 (S9): keyed upsert — batch2 overrides batch1 on o_orderkey
+    (ON CONFLICT DO UPDATE semantics, postgresql_service.py:213-229)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    base = o.filter(F.col("o_orderkey") % 4 != 0)
+    upd = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    merged = merge_upsert(base, upd, keys=["o_orderkey"])
+    return merged.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderstatus"
+    )
+
+
+# =========================================================================
+# Streaming-window batch equivalents (SURVEY §2.9: DQ-33)
+# =========================================================================
+
+@q(
+    "window_tumbling_1h",
+    """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def window_tumbling_1h(spark, sf_dir):
+    """DQ-33: tumbling 1h window per event_type — identical groupBy
+    works under readStream+watermark (streaming/windows.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "window_session_30m",
+    """WITH x AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), y AS (
+         SELECT user_id, ts,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+         FROM x)
+       SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              count(*) AS n_events
+       FROM y GROUP BY user_id, sess""",
+)
+def window_session_30m(spark, sf_dir):
+    """DQ-33b: session windows (30-min gap) in batch via
+    F.session_window — same expression streams with a watermark."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("mn"))
+        .select(
+            "user_id",
+            F.date_format("mn", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# =========================================================================
+# North-star LLM-pipeline ops (SURVEY §2.11: DQ-34, DQ-35, dedup/text/ANN)
+# =========================================================================
+
+@q(
+    "dedup_exact_docs",
+    """SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+              CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
+       FROM documents GROUP BY 1""",
+)
+def dedup_exact_docs(spark, sf_dir):
+    """DQ-34: exact dedup on normalized text."""
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+     sh AS (SELECT doc_id,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)]) AS shingles
+            FROM toks)
+SELECT d1, d2, round(j, 6) AS jaccard FROM (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.shingles, b.shingles))::DOUBLE
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8
+"""
+
+
+@q("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs, exact 3-word-shingle Jaccard ≥ 0.8 via inverted
+    shingle index (the oracle brute-forces all pairs — deliberately a
+    different plan shape for a stronger differential check)."""
+    return near_dup_pairs_ngram_jaccard(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q("dedup_minhash_lsh", _JACCARD_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(128)+LSH(32 bands) candidates, exact-verified at 0.8 —
+    recall vs. ground truth ≈ 1-25·(1-0.8⁴)³² ≈ 1-5e-8, so the oracle is
+    the exact pair set. This is the 100 TB dedup path."""
+    return near_dup_pairs_minhash_lsh(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q("dedup_simhash")  # bit-level python kernel — rows-only check
+def dedup_simhash(spark, sf_dir):
+    """SimHash per doc + pairs within hamming distance 3."""
+    sh = simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    a = sh.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("d1", "d2", "hamming")
+    )
+
+
+@q(
+    "similarity_topk",
+    """SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+              round(list_cosine_similarity(c.embedding::DOUBLE[], p.embedding::DOUBLE[]), 6) AS cosine
+       FROM embeddings c JOIN embeddings p
+         ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id
+       QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY cosine DESC, c.vec_id) <= 5""",
+)
+def similarity_topk(spark, sf_dir):
+    """DQ-35: exact top-5 cosine neighbors for probe vectors
+    (vec_id % 50 = 0), brute force, JVM-side arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_bruteforce(emb, probes, k=5)
+
+
+@q("similarity_ivf")  # recall<1 by design — rows-only check
+def similarity_ivf(spark, sf_dir):
+    """IVF ANN over label-cells, nprobe=2 — the pruned scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivf(emb, probes, k=5, nprobe=2, cell_col="label")
+
+
+@q(
+    "embedding_near_dups",
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""",
+)
+def embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (≥0.95)."""
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.95)
+
+
+@q(
+    "text_quality",
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT) AS n_tokens,
+              round(len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                    / greatest(len(regexp_extract_all(trim(text), '\\S+')), 1), 6) AS avg_token_len,
+              round(len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                    / greatest(len(text), 1), 6) AS punct_ratio,
+              round((len(regexp_extract_all(text, '\\bthe\\b')) + len(regexp_extract_all(text, '\\ba\\b'))
+                     + len(regexp_extract_all(text, '\\bof\\b')) + len(regexp_extract_all(text, '\\band\\b'))
+                     + len(regexp_extract_all(text, '\\bto\\b')) + len(regexp_extract_all(text, '\\bin\\b'))
+                     + len(regexp_extract_all(text, '\\bis\\b')))::DOUBLE
+                    / greatest(len(regexp_extract_all(trim(text), '\\S+')), 1), 6) AS stopword_ratio
+       FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    """Quality features for corpus filtering (north star)."""
+    d = _t(spark, sf_dir, "documents")
+    out = TX.quality_features(d, "text", "doc_id")
+    return out.select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio")
+
+
+@q(
+    "text_token_counts",
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT) AS n_ws_tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+       FROM documents""",
+)
+def text_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pre-tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        TX.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@q(
+    "text_lang_id",
+    """SELECT doc_id,
+              CASE WHEN s_en >= s_fr AND s_en >= s_es THEN 'en'
+                   WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+       FROM (SELECT doc_id,
+                    len(regexp_extract_all(text, '\\bthe\\b')) + len(regexp_extract_all(text, '\\ba\\b'))
+                      + len(regexp_extract_all(text, '\\bof\\b')) + len(regexp_extract_all(text, '\\band\\b'))
+                      + len(regexp_extract_all(text, '\\bto\\b')) AS s_en,
+                    len(regexp_extract_all(text, '\\ble\\b')) + len(regexp_extract_all(text, '\\bla\\b'))
+                      + len(regexp_extract_all(text, '\\bde\\b')) + len(regexp_extract_all(text, '\\bet\\b'))
+                      + len(regexp_extract_all(text, '\\bles\\b')) AS s_fr,
+                    len(regexp_extract_all(text, '\\bel\\b')) + len(regexp_extract_all(text, '\\bla\\b'))
+                      + len(regexp_extract_all(text, '\\bde\\b')) + len(regexp_extract_all(text, '\\by\\b'))
+                      + len(regexp_extract_all(text, '\\blos\\b')) AS s_es
+             FROM documents)""",
+)
+def text_lang_id(spark, sf_dir):
+    """Marker-word language ID heuristic (deterministic precedence)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@q(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(
+                    regexp_extract_all(trim(lower(text)), '\\S+'))), ' ')) AS fp
+       FROM documents""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-insensitive doc fingerprint (sorted distinct token set)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "multimodal_decode",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              sha256(text) AS sha256,
+              CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+              CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+              CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
+       FROM documents""",
+)
+def multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → mapInPandas decode
+    (deterministic stub kernel; real batch/schema/Arrow path)."""
+    d = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return decode_media(d, "doc_id")
+
+
+# =========================================================================
+# File-format roundtrips (SURVEY §2.1 S3/S5: DQ-2, DQ-3)
+# =========================================================================
+
+_TMP = Path("/root/repo/tmp")
+
+
+@q(
+    "csv_roundtrip",
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
+              CAST(min(strftime(l_shipdate, '%Y-%m-%d')) AS VARCHAR) AS min_ship
+       FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY l_returnflag""",
+)
+def csv_roundtrip(spark, sf_dir):
+    """DQ-2 (S3/F6): export→CSV→re-read with explicit schema + renames +
+    coercing casts (≡ the S3 chunked CSV scan, s3_service.py:155-184),
+    then checksum."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    path = str(_TMP / f"csv_roundtrip_{Path(sf_dir).name}")
+    (
+        l.select(
+            F.col("l_orderkey").alias("Order Key"),
+            F.col("l_returnflag").alias("Return Flag"),
+            F.col("l_extendedprice").alias("Extended Price"),
+            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("Ship Date"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("Order Key", T.LongType()),
+            T.StructField("Return Flag", T.StringType()),
+            T.StructField("Extended Price", T.DoubleType()),
+            T.StructField("Ship Date", T.StringType()),
+        ]
+    )
+    rename = {"Order Key": "l_orderkey", "Return Flag": "l_returnflag",
+              "Extended Price": "l_extendedprice", "Ship Date": "l_shipdate"}
+    back = spark.read.option("header", True).schema(schema).csv(path).withColumnsRenamed(rename)
+    back = back.withColumn("l_shipdate", F.try_to_timestamp("l_shipdate"))
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.min(F.date_format("l_shipdate", "yyyy-MM-dd")).alias("min_ship"),
+    )
+
+
+@q(
+    "ndjson_roundtrip",
+    """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+       FROM events WHERE user_id % 5 = 0 GROUP BY event_type""",
+)
+def ndjson_roundtrip(spark, sf_dir):
+    """DQ-3 (S5/F9): events subset → JSON-Lines → re-read → checksum."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    path = str(_TMP / f"ndjson_roundtrip_{Path(sf_dir).name}")
+    e.select("event_id", "event_type", "user_id").write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("sum_id")
+    )

@@ -1,0 +1,97 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local test profile: ``local[$SPARK_GRAFT_CPUS]`` single-JVM. Cluster
+profile: the same builder settings hold — AQE, UTC session timezone,
+Arrow transfers — only master/memory change. Session timezone is pinned
+to UTC because timestamp-derivation operators (functions/time_fns.py)
+must be deterministic regardless of host TZ (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl-mini-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    At 100 TB the same logical plans run unchanged; only
+    ``master``/``spark.executor.*`` differ. ``spark.sql.shuffle.partitions``
+    defaults to max(2×cores, 32) locally; on a real cluster AQE coalesces
+    post-shuffle partitions at runtime so an over-estimate is safe.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n_cores = os.cpu_count() or 8 if cpus in ("*", None) else int(cpus)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(32, 2 * n_cores)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+_NS_COLS_CACHE: dict[str, list[str]] = {}
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — Spark cannot
+    read those natively (PARQUET_TYPE_ILLEGAL); we read them as long
+    via the legacy conf and convert to µs timestamps ourselves."""
+    if path not in _NS_COLS_CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        _NS_COLS_CACHE[path] = [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    return _NS_COLS_CACHE[path]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the driver-provided parquet tables (TESTDATA.md).
+
+    Handles nanosecond-timestamp columns (events.ts) regardless of how
+    the calling SparkSession was configured: integer ns→µs conversion
+    (DIV, not double division — ns epochs overflow double mantissa)."""
+    from pyspark.sql import functions as F
+
+    # Timestamp-derivation parity requires a pinned session TZ even when
+    # the caller built its own SparkSession (SURVEY.md §7.4).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
