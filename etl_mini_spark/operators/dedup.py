@@ -73,27 +73,49 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup on normalized text: one representative (min id) per
     md5 fingerprint, with the duplicate count. Single hash-aggregate
     shuffle on the 32-char digest — scales linearly."""
+    from etl_mini_spark.session import spread
+
     h = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
     return (
-        df.select(F.col(id_col), h)
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), h)
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
     )
 
 
-def word_shingles(tokens: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles from a token array (JVM-side only)."""
-    idx = F.sequence(F.lit(0), F.size(tokens) - n)
-    make = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    return F.array_distinct(make)
+def _shingle_hashes_udf(n: int):
+    """pandas_udf: text → distinct n-word shingle hashes (array<long>).
+
+    Whitespace-split shingling + 60-bit md5-derived hashes in one
+    Arrow-batched pass. A pure-Column version (sequence + transform +
+    element_at) exists but Spark evaluates higher-order-function lambdas
+    interpreted PER ELEMENT — measured ~10× slower at 2.5M shingles.
+    60-bit hashes: E[global collisions] ≈ (#shingles)²/2⁶¹ — ~3e-6 at
+    2.5M distinct shingles, so hash-set Jaccard ≡ string-set Jaccard."""
+    import hashlib
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def make(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            seen = {
+                int(hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()[:15], 16)
+                for i in range(len(toks) - n + 1)
+            }
+            out.append(list(seen))
+        return pd.Series(out)
+
+    return make
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    toks = F.split(F.col(text_col), r"\s+")
-    return df.select(F.col(id_col).alias("doc_id"), word_shingles(toks, n).alias("shingles"))
+    from etl_mini_spark.session import spread
+
+    return spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("doc_id"), _shingle_hashes_udf(n)(F.col(text_col)).alias("shingles")
+    )
 
 
 def near_dup_pairs_ngram_jaccard(
@@ -167,17 +189,44 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 128
 ) -> DataFrame:
     """(doc_id, sig array<long>) — column-wise min over permuted shingle
-    hashes. One explode + one hash-aggregate; signature width is fixed,
-    so state per doc is O(num_hashes) regardless of doc length."""
-    sh = _doc_shingles(df, id_col, text_col, n)
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    base = inv.withColumn("h", shingle_hash(F.col("shingle")))
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_params(num_hashes))
-    ]
-    sig = base.groupBy("doc_id").agg(*aggs)
-    return sig.select("doc_id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig"))
+    hashes.
+
+    Base shingle hashing stays JVM-side (md5/conv); the 128-way
+    permute-and-min runs as ONE vectorized numpy kernel per doc batch
+    (Arrow pandas_udf). 128 separate min() aggregate expressions
+    overflow whole-stage-codegen limits and fall back to interpreted
+    eval — ~20× slower (measured). State per doc is O(num_hashes + doc
+    shingles), aggregated on the doc key: scales linearly."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_mini_spark.session import spread
+
+    params = minhash_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            if not sh:
+                out.append(np.full(num_hashes, MINHASH_PRIME - 1, dtype=np.int64))
+                continue
+            # same base hash as shingle_hash(): first 8 hex chars of md5
+            H = np.fromiter(
+                (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh),
+                dtype=np.int64,
+                count=len(sh),
+            )[None, :]
+            out.append(((A * H + B) % MINHASH_PRIME).min(axis=1))  # a<2^20, H<2^32 → <2^52
+        return pd.Series(out)
+
+    base = spread(df.select(F.col(id_col), F.col(text_col)))
+    return base.select(F.col(id_col).alias("doc_id"), sig_udf(F.col(text_col)).alias("sig"))
 
 
 def near_dup_pairs_minhash_lsh(
@@ -206,30 +255,50 @@ def near_dup_pairs_minhash_lsh(
         ]
     )
     banded = sig.select("doc_id", F.posexplode(band_arr).alias("band", "bh"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # One shuffle on (band, bucket-hash), pairs expanded inside each
+    # bucket — avoids a self-join that would recompute the signature
+    # lineage twice and shuffle both sides.
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))), lambda y: F.array(x, y)
+            ),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
+    cand = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p")[0].alias("d1"), F.col("p")[1].alias("d2"))
         .distinct()
     )
     if not verify:
         return cand
-    sh = _doc_shingles(df, id_col, text_col, n).select(
-        "doc_id", F.col("shingles")
-    )
-    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size("sh1") + F.size("sh2") - inter
+    # Exact verification only touches candidate pairs: join their texts
+    # back (broadcast — candidates ≪ corpus) and shingle-Jaccard in one
+    # vectorized pass.
+    t1 = df.select(F.col(id_col).alias("d1"), F.col(text_col).alias("__t1"))
+    t2 = df.select(F.col(id_col).alias("d2"), F.col(text_col).alias("__t2"))
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            tx, ty = (x or "").split(), (y or "").split()
+            sx = {" ".join(tx[i : i + n]) for i in range(len(tx) - n + 1)}
+            sy = {" ".join(ty[i : i + n]) for i in range(len(ty) - n + 1)}
+            u = len(sx | sy)
+            out.append(len(sx & sy) / u if u else 0.0)
+        return pd.Series(out, dtype="float64")
+
     return (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("jaccard", inter / union)
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .withColumn("jaccard", jac(F.col("__t1"), F.col("__t2")))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -242,21 +311,30 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (doc_id, simhash long)."""
     import hashlib
 
+    from etl_mini_spark.session import spread
+
+    df = spread(df)
+
+    import numpy as np
+
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
         out = []
+        bitpos = np.arange(64, dtype=np.uint64)
         for t in texts:
-            counts = [0] * 64
-            for tok in (t or "").split():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for i in range(64):
-                    counts[i] += 1 if (h >> i) & 1 else -1
-            v = 0
-            for i in range(64):
-                if counts[i] > 0:
-                    v |= 1 << i
-            # map to signed int64
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+            toks = (t or "").split()
+            if not toks:
+                out.append(0)
+                continue
+            H = np.fromiter(
+                (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") for tok in toks),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = (H[:, None] >> bitpos[None, :]) & np.uint64(1)  # [ntok, 64]
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
+            v = int(np.bitwise_or.reduce(np.where(votes > 0, np.uint64(1) << bitpos, np.uint64(0))))
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)  # map to signed int64
         return pd.Series(out, dtype="int64")
 
     return df.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash"))

@@ -52,9 +52,12 @@ def decode_media(df: DataFrame, id_col: str, payload_col: str = "payload") -> Da
     """mapInPandas media decode: (id, n_bytes, sha256, width, height,
     n_frames). Batches arrive as Arrow; one Python roundtrip per batch,
     not per row."""
+    from etl_mini_spark.session import spread
+
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType())] + list(MEDIA_META_SCHEMA.fields)
     )
+    df = spread(df)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,24 +1,28 @@
 """Vector-similarity operators over ``array<float>`` embedding columns.
 
-- ``cosine_topk_bruteforce`` — exact top-k: broadcast the (small) probe
-  set against the corpus; the dot product stays JVM-side via
-  ``zip_with`` + ``aggregate`` (no Python in the hot path). On a
-  cluster, the corpus scan is embarrassingly parallel; the only shuffle
-  is the final per-probe top-k (tiny).
-- ``cosine_topk_ivf`` — IVF-style scale path: partition the corpus into
-  coarse cells (deterministic centroids from a labeled/bucketed
-  column), search only the ``nprobe`` closest cells. At 100 TB this
-  turns a full-corpus scan per probe into a cell-pruned scan.
-- ``embedding_near_dup_pairs`` — all-pairs cosine ≥ threshold;
-  blocked self-join (broadcast one side when small; at scale swap in
-  the LSH band join from operators/dedup.py on sign-random-projection
-  sketches).
+Execution strategy: the probe/reference side is gathered to a dense
+numpy matrix and broadcast; the corpus streams through ``mapInPandas``
+where each Arrow batch is scored with one BLAS GEMM (batch @ refᵀ).
+That keeps the corpus scan embarrassingly parallel and replaces
+per-pair interpreted arithmetic with vectorized kernels — the standard
+brute-force layout for probes ≪ corpus. The broadcast side must fit in
+executor memory; when it can't (corpus-vs-corpus at 100 TB), the LSH
+band join (operators/dedup.py) or the IVF cell-pruned path below is
+the scale route.
+
+``cosine_similarity_col`` stays as a pure-Column (JVM) implementation
+for expression-level use.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -38,6 +42,16 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _gather_unit_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """(ids int64[n], row-normalized float64[n,d]) on the driver."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     probes: DataFrame,
@@ -48,20 +62,54 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe vector.
 
-    Rank on the 6-decimal-rounded similarity with the neighbor id as
-    tie-breaker so results are deterministic across partitionings and
-    engines. Returns (probe_id, neighbor_id, cosine)."""
-    p = probes.select(
-        F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("__pvec")
+    Per corpus batch: GEMM against the broadcast probe matrix, keep the
+    per-batch top-k per probe (argpartition), then one tiny global
+    window resolves the true top-k. Rank on the 6-decimal-rounded
+    similarity with neighbor id tie-break — deterministic across
+    partitionings and engines. Returns (probe_id, neighbor_id, cosine).
+    """
+    from etl_mini_spark.session import spread
+
+    spark = corpus.sparkSession
+    p_ids, p_mat = _gather_unit_matrix(probes, id_col, vec_col)
+    b = spark.sparkContext.broadcast((p_ids, p_mat))
+    out_schema = T.StructType(
+        [
+            T.StructField(probe_id_col, T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-    scored = (
-        c.join(F.broadcast(p), F.col("neighbor_id") != F.col(probe_id_col))
-        .withColumn("cosine", F.round(cosine_similarity_col(F.col("__cvec"), F.col("__pvec")), 6))
-    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pids, pmat = b.value
+        for pdf in batches:
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            norms = np.linalg.norm(cmat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (cmat / norms[:, None]) @ pmat.T  # [batch, n_probes]
+            sims = np.round(sims, 6)
+            mask = cids[:, None] == pids[None, :]
+            sims[mask] = -np.inf  # exclude self
+            kk = min(k, sims.shape[0])
+            # per-probe top-k within this batch
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # [kk, n_probes]
+            probe_rep = np.broadcast_to(pids, top.shape)
+            flat_sims = np.take_along_axis(sims, top, axis=0)
+            keep = np.isfinite(flat_sims.ravel())
+            yield pd.DataFrame(
+                {
+                    probe_id_col: probe_rep.ravel()[keep],
+                    "neighbor_id": cids[top.ravel()][keep],
+                    "cosine": flat_sims.ravel()[keep],
+                }
+            )
+
+    cand = spread(corpus.select(id_col, vec_col)).mapInPandas(score, out_schema)
     w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(probe_id_col, "neighbor_id", "cosine")
     )
@@ -93,8 +141,9 @@ def cosine_topk_ivf(
     probe_id_col: str = "probe_id",
 ) -> DataFrame:
     """IVF ANN: route each probe to its ``nprobe`` nearest cell
-    centroids, brute-force only inside those cells. Recall < 1 by
-    design; rank determinism as in the brute-force path."""
+    centroids, brute-force only inside those cells — the corpus scan is
+    pruned to nprobe/n_cells of the data, which is the point at 100 TB.
+    Recall < 1 by design."""
     cents = centroids_by(corpus, cell_col, vec_col)
     p = probes.select(F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("__pvec"))
     routed = p.join(F.broadcast(cents)).withColumn(
@@ -128,14 +177,41 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold, id1 < id2. Broadcast
-    self-join; for corpora too large to broadcast, block by an LSH
-    sketch first (see operators/dedup.py banding)."""
-    a = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
-    b = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
-    return (
-        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
-        .withColumn("cosine", F.round(cosine_similarity_col(F.col("__v1"), F.col("__v2")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id1", "id2", "cosine")
+    """All pairs with cosine ≥ threshold, id1 < id2.
+
+    Corpus broadcast as one unit-normalized matrix; each partition GEMMs
+    its batch against it and emits only ≥-threshold pairs. Threshold is
+    applied to the UNROUNDED similarity (output rounded to 6) — matching
+    SQL `WHERE cos >= t` semantics. For corpora beyond broadcast reach,
+    sketch+band first (operators/dedup.py)."""
+    from etl_mini_spark.session import spread
+
+    spark = corpus.sparkSession
+    ids, mat = _gather_unit_matrix(corpus, id_col, vec_col)
+    b = spark.sparkContext.broadcast((ids, mat))
+    out_schema = T.StructType(
+        [
+            T.StructField("id1", T.LongType()),
+            T.StructField("id2", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        aids, amat = b.value
+        for pdf in batches:
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            norms = np.linalg.norm(cmat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (cmat / norms[:, None]) @ amat.T
+            ii, jj = np.nonzero((sims >= threshold) & (cids[:, None] < aids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id1": cids[ii],
+                    "id2": aids[jj],
+                    "cosine": np.round(sims[ii, jj], 6),
+                }
+            )
+
+    return spread(corpus.select(id_col, vec_col)).mapInPandas(score, out_schema)

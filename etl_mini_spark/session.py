@@ -55,6 +55,18 @@ def get_spark(
     return spark
 
 
+def spread(df, min_partitions: int | None = None):
+    """Repartition a DataFrame whose scan produced fewer partitions than
+    cores (single-row-group parquet files are unsplittable) so heavy
+    per-row work parallelizes. No-op when the scan is already wide —
+    i.e. free on a real cluster reading many files, essential on
+    local bench data."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 _NS_COLS_CACHE: dict[str, list[str]] = {}
 
 
