@@ -115,48 +115,90 @@ def cosine_topk_bruteforce(
     )
 
 
-def centroids_by(corpus: DataFrame, cell_col: str, vec_col: str = "embedding") -> DataFrame:
-    """Deterministic per-cell centroids: posexplode → avg per (cell, dim)
-    → re-assemble. (cell, centroid array<double>)."""
-    dims = (
-        corpus.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("dim", "v"))
-        .groupBy("cell", "dim")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
-    )
-    return (
-        dims.groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
-        .select("cell", F.transform("dc", lambda s: s.getField("c")).alias("centroid"))
-    )
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    sample_n: int = 8192,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids, trained driver-side on a
+    deterministic sample (lowest ids). unit-normalized float64
+    [n_cells, d].
+
+    The sample is bounded (``sample_n``) so training cost is constant
+    regardless of corpus size — the 100 TB path trains on the same few
+    thousand vectors and only the *assignment* pass scans the corpus.
+    Seeded RandomState keeps centroids reproducible across runs.
+    """
+    pdf = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).toPandas()
+    X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    X = X / norms[:, None]
+    n_cells = min(n_cells, len(X))
+    rs = np.random.RandomState(0)
+    C = X[rs.choice(len(X), n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return C
 
 
 def cosine_topk_ivf(
     corpus: DataFrame,
     probes: DataFrame,
     k: int = 5,
-    nprobe: int = 2,
-    cell_col: str = "label",
+    nprobe: int = 4,
+    n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF ANN: route each probe to its ``nprobe`` nearest cell
-    centroids, brute-force only inside those cells — the corpus scan is
-    pruned to nprobe/n_cells of the data, which is the point at 100 TB.
-    Recall < 1 by design."""
-    cents = centroids_by(corpus, cell_col, vec_col)
-    p = probes.select(F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("__pvec"))
-    routed = p.join(F.broadcast(cents)).withColumn(
-        "__csim", F.round(cosine_similarity_col(F.col("__pvec"), F.col("centroid")), 6)
-    )
-    wr = Window.partitionBy(probe_id_col).orderBy(F.col("__csim").desc(), F.col("cell"))
-    probe_cells = (
-        routed.withColumn("__cr", F.row_number().over(wr))
-        .filter(F.col("__cr") <= nprobe)
-        .select(probe_id_col, "__pvec", "cell")
+    """IVF ANN: assign every corpus vector to its nearest trained
+    centroid (one distributed GEMM pass over broadcast centroids), route
+    each probe to its ``nprobe`` nearest centroids, and brute-force only
+    inside those cells — the corpus scan is pruned to ~nprobe/n_cells of
+    the data, which is the point at 100 TB. Recall < 1 by design."""
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_cell(v: pd.Series) -> pd.Series:
+        C = bc.value
+        M = np.asarray(v.to_list(), dtype=np.float64)
+        n = np.linalg.norm(M, axis=1)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((M / n[:, None]) @ C.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def route_cells(v: pd.Series) -> pd.Series:
+        C = bc.value
+        M = np.asarray(v.to_list(), dtype=np.float64)
+        n = np.linalg.norm(M, axis=1)
+        n[n == 0] = 1.0
+        order = np.argsort(-((M / n[:, None]) @ C.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    probe_cells = probes.select(
+        F.col(id_col).alias(probe_id_col),
+        F.col(vec_col).alias("__pvec"),
+        F.explode(route_cells(F.col(vec_col))).alias("cell"),
     )
     c = corpus.select(
-        F.col(cell_col).alias("cell"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        nearest_cell(F.col(vec_col)).alias("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
     )
     scored = (
         c.join(F.broadcast(probe_cells), "cell")

@@ -867,10 +867,11 @@ def similarity_topk(spark, sf_dir):
 
 @q("similarity_ivf")  # recall<1 by design — rows-only check
 def similarity_ivf(spark, sf_dir):
-    """IVF ANN over label-cells, nprobe=2 — the pruned scale path."""
+    """IVF ANN over trained spherical-k-means cells, nprobe=4/16 —
+    the pruned scale path (scan ~25% of the corpus per probe)."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
-    return cosine_topk_ivf(emb, probes, k=5, nprobe=2, cell_col="label")
+    return cosine_topk_ivf(emb, probes, k=5, nprobe=4, n_cells=16)
 
 
 @q(

@@ -67,43 +67,14 @@ def spread(df, min_partitions: int | None = None):
     return df.repartition(target)
 
 
-_NS_COLS_CACHE: dict[str, list[str]] = {}
-
-
-def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Column names stored as parquet TIMESTAMP(NANOS) — Spark cannot
-    read those natively (PARQUET_TYPE_ILLEGAL); we read them as long
-    via the legacy conf and convert to µs timestamps ourselves."""
-    if path not in _NS_COLS_CACHE:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        schema = pq.read_schema(path)
-        _NS_COLS_CACHE[path] = [
-            f.name
-            for f in schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-        ]
-    return _NS_COLS_CACHE[path]
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-provided parquet tables (TESTDATA.md).
 
     Handles nanosecond-timestamp columns (events.ts) regardless of how
-    the calling SparkSession was configured: integer ns→µs conversion
-    (DIV, not double division — ns epochs overflow double mantissa)."""
-    from pyspark.sql import functions as F
+    the calling SparkSession was configured — see sources/readers.py."""
+    from etl_mini_spark.sources.readers import read_parquet
 
     # Timestamp-derivation parity requires a pinned session TZ even when
     # the caller built its own SparkSession (SURVEY.md §7.4).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = f"{sf_dir}/{name}.parquet"
-    ns_cols = _nanos_timestamp_cols(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
-    return df
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")

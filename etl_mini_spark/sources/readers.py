@@ -1,0 +1,136 @@
+"""Source readers — the reference's extraction services re-expressed as
+schema-explicit Spark reads.
+
+- ``source_exists`` ≡ the existence gates (reference:
+  elasticsearch_service.py:89-96, s3_service.py:79-92, and the
+  warn-or-fail wiring in both standard pipelines).
+- ``read_csv`` ≡ the S3 chunked CSV scan with rename/type maps
+  (s3_service.py:155-184): chunks become partitions, rename maps become
+  aliased selects, ``errors="coerce"`` casts become try_* functions.
+  UTF-8 BOM is handled by the reader (≡ _process_csv_binary,
+  s3_service.py:133-144).
+- ``read_ndjson`` ≡ parse_json_lines input (data_processing.py:18-60).
+
+Explicit schemas everywhere: schema inference is a full extra pass over
+the data at 100 TB and can silently drift between runs.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class SourceMissingError(Exception):
+    """≡ the reference's fail_on_missing pipeline gate."""
+
+
+def source_exists(spark: SparkSession, path: str) -> bool:
+    """Driver-side existence probe — cheap, runs before any job."""
+    if "://" not in path or path.startswith("file://"):
+        return Path(path.removeprefix("file://")).exists()
+    # Generic Hadoop FS probe for object stores / HDFS.
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def require_source(spark: SparkSession, path: str, fail_on_missing: bool = True) -> bool:
+    """Existence gate: raise (fail_on_missing) or report False so the
+    pipeline can skip WITHOUT advancing its checkpoint (see
+    plans/checkpoint.py — reference standard_pipeline.py:20-23,73-79)."""
+    if source_exists(spark, path):
+        return True
+    if fail_on_missing:
+        raise SourceMissingError(f"source not found: {path}")
+    return False
+
+
+def _apply_type_map(df: DataFrame, type_map: dict[str, str]) -> DataFrame:
+    """Coercing casts: unparseable values become NULL, not errors
+    (≡ pd.to_datetime(..., errors='coerce') + nullable-string handling,
+    s3_service.py:171-182)."""
+    for col, typ in type_map.items():
+        if col not in df.columns:
+            continue
+        if typ in ("timestamp", "datetime64[ns]"):
+            df = df.withColumn(col, F.try_to_timestamp(F.col(col)))
+        elif typ in ("bool", "boolean"):
+            df = df.withColumn(col, F.lower(F.col(col)).cast("boolean"))
+        elif typ == "str":
+            # empty string → NULL (s3_service.py:179-180)
+            df = df.withColumn(col, F.nullif(F.col(col).cast("string"), F.lit("")))
+        else:
+            df = df.withColumn(col, F.expr(f"try_cast({col} AS {typ})"))
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    rename_map: dict[str, str] | None = None,
+    type_map: dict[str, str] | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with rename + coercing-cast maps. The reader consumes
+    UTF-8 BOM when present; partitions replace the reference's 10k-row
+    chunks and Catalyst prunes/pushes into the scan."""
+    reader = spark.read.option("header", header).option("encoding", "UTF-8")
+    df = reader.schema(schema).csv(path) if schema is not None else reader.csv(path)
+    if rename_map:
+        df = df.withColumnsRenamed(rename_map)
+    if type_map:
+        df = _apply_type_map(df, type_map)
+    return df
+
+
+def read_ndjson(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """JSON-Lines reader (schema strongly recommended at scale)."""
+    reader = spark.read
+    return reader.schema(schema).json(path) if schema is not None else reader.json(path)
+
+
+_NS_COLS_CACHE: dict[str, list[str]] = {}
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — Spark cannot
+    read those natively (PARQUET_TYPE_ILLEGAL); we read them as long
+    via the legacy conf and convert to µs timestamps ourselves."""
+    if path not in _NS_COLS_CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        probe = Path(path.removeprefix("file://"))
+        if probe.is_dir():
+            parts = sorted(probe.glob("*.parquet")) or sorted(probe.rglob("*.parquet"))
+            if not parts:
+                _NS_COLS_CACHE[path] = []
+                return _NS_COLS_CACHE[path]
+            probe = parts[0]
+        schema = pq.read_schema(probe)
+        _NS_COLS_CACHE[path] = [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    return _NS_COLS_CACHE[path]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan, tolerant of TIMESTAMP(NANOS) columns: those are
+    read as long (legacy conf) and converted to µs timestamps with
+    integer DIV (ns epochs overflow a double mantissa)."""
+    ns_cols = _nanos_timestamp_cols(path) if "://" not in path or path.startswith("file://") else []
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df

@@ -1,0 +1,69 @@
+"""Sink writers.
+
+- ``write_run_layout`` ≡ the reference's timestamped put + ``latest``
+  pointer (s3_service.py:44-61): each run lands in an immutable
+  ``{base}/{epoch}`` directory and ``latest`` is repointed atomically
+  via a tiny manifest file — readers resolve the manifest, never a
+  half-written directory.
+- ``write_partitioned_by_type_date`` ≡ parse_json_lines' grouping
+  ``{type: {date: [records]}}`` (data_processing.py:18-60) as a
+  partitioned layout: partition pruning makes per-(type, date) access
+  O(selected partitions) instead of a full scan.
+- ``write_ndjson`` ≡ the NDJSON writer (s3_service.py:146-153).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_run_layout(df: DataFrame, base_path: str, fmt: str = "parquet") -> str:
+    """Write an immutable run directory + repoint ``latest``.
+
+    Returns the run path. The pointer is a one-line JSON manifest
+    (rename-atomic on any filesystem) rather than a copied dataset —
+    copying the data (what the reference does) doubles write volume,
+    which matters at TB-scale sinks."""
+    run_id = str(int(time.time() * 1000))
+    run_path = f"{base_path}/{run_id}"
+    df.write.mode("error").format(fmt).save(run_path)
+    manifest = Path(base_path) / "latest.json"
+    tmp = manifest.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"latest": run_path, "format": fmt, "run_id": run_id}))
+    tmp.replace(manifest)
+    return run_path
+
+
+def resolve_latest(spark, base_path: str) -> DataFrame:
+    """Read the dataset the ``latest`` manifest points at."""
+    m = json.loads((Path(base_path) / "latest.json").read_text())
+    return spark.read.format(m["format"]).load(m["latest"])
+
+
+def write_partitioned_by_type_date(
+    df: DataFrame,
+    path: str,
+    type_col: str,
+    ts_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """Partition by (type, date(ts)) — the grouped-file layout. Sized
+    for scale: one directory per (type, day); writers per partition are
+    bounded by repartitioning on the partition keys first so each task
+    writes one file per partition instead of cores × partitions files."""
+    out = df.withColumn("__date", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+    (
+        out.repartition(F.col(type_col), F.col("__date"))
+        .write.mode(mode)
+        .partitionBy(type_col, "__date")
+        .parquet(path)
+    )

@@ -1,0 +1,66 @@
+"""Structured-Streaming wiring: sources, foreachBatch sinks, and a
+run-to-completion helper for incremental batch (Trigger.AvailableNow).
+
+The reference's batch loop (extract scroll batch → transform → COPY →
+repeat, internal_raw_to_dwh/standard_pipeline.py:92-113) is exactly
+``readStream → foreachBatch(sink)``: micro-batches replace scroll
+pages, the checkpoint dir replaces the metadata table's high-water
+mark, and restart-safety comes from Spark's offset log instead of
+hand-rolled window arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from etl_mini_spark.operators.upsert import upsert_parquet
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """File-source stream over a parquet directory (new files become
+    micro-batches). Schema is mandatory for streaming file sources."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def read_stream_ndjson(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.readStream.schema(schema).json(path)
+
+
+def foreach_batch_upsert(target_path: str, keys: list[str]) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: keyed upsert per micro-batch. Combined with
+    the streaming checkpoint this is effectively exactly-once: a
+    replayed batch upserts the same keys idempotently."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(batch_df.sparkSession, target_path, batch_df, keys=keys)
+
+    return sink
+
+
+def run_to_completion(
+    df: DataFrame,
+    checkpoint_dir: str,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    output_path: str | None = None,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> None:
+    """Process everything currently available, then stop
+    (Trigger.AvailableNow) — incremental batch with streaming
+    restart-safety. Either a foreachBatch ``sink`` or a parquet
+    ``output_path``."""
+    writer = df.writeStream.option("checkpointLocation", checkpoint_dir).trigger(availableNow=True)
+    if sink is not None:
+        q = writer.foreachBatch(sink).outputMode(output_mode).start()
+    else:
+        q = writer.format("parquet").option("path", output_path).outputMode(output_mode).start()
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()

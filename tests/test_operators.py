@@ -1,0 +1,139 @@
+"""Unit tests for operator edge cases the oracle suite can't reach."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_ordered_dedup_keeps_first_in_order(spark):
+    from etl_mini_spark.operators.dedup import ordered_dedup
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ord=2, id=1, v="late"),
+            Row(k="a", ord=1, id=2, v="early"),
+            Row(k="b", ord=1, id=3, v="only"),
+            Row(k="a", ord=1, id=1, v="early-tiebreak"),
+        ]
+    )
+    out = {r["k"]: r["v"] for r in ordered_dedup(df, ["k"], ["ord", "id"]).collect()}
+    assert out == {"a": "early-tiebreak", "b": "only"}
+
+
+def test_ordered_dedup_desc_order(spark):
+    from etl_mini_spark.operators.dedup import ordered_dedup
+
+    df = spark.createDataFrame([Row(k="a", ord=1, v="lo"), Row(k="a", ord=9, v="hi")])
+    out = ordered_dedup(df, ["k"], [("ord", "desc")]).collect()
+    assert out[0]["v"] == "hi"
+
+
+def test_asof_join_no_match_is_null(spark):
+    from etl_mini_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([Row(k=1, t=10, lv="x"), Row(k=2, t=5, lv="y")])
+    right = spark.createDataFrame([Row(k=1, rt=8, rv="r1"), Row(k=2, rt=7, rv="r2")])
+    out = {
+        r["lv"]: r["rv"]
+        for r in asof_join(left, right, on=["k"], left_time="t", right_time="rt").collect()
+    }
+    assert out == {"x": "r1", "y": None}  # k=2: right at 7 > left 5 → no earlier row
+
+
+def test_asof_join_exact_and_tiebreak(spark):
+    from etl_mini_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([Row(k=1, t=10, lv="x")])
+    right = spark.createDataFrame(
+        [Row(k=1, rt=10, rid=1, rv="a"), Row(k=1, rt=10, rid=2, rv="b")]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        right_cols=["rv"], tiebreak="rid",
+    ).collect()
+    assert out[0]["rv"] == "b"  # exact-time match allowed, max tiebreak wins
+    out2 = asof_join(
+        left, right, on=["k"], left_time="t", right_time="rt",
+        right_cols=["rv"], tiebreak="rid", allow_exact=False,
+    ).collect()
+    assert out2[0]["rv"] is None  # strict inequality → no earlier row
+
+
+def test_normalize_iso_rounding_and_clamp(spark):
+    from etl_mini_spark.functions.time_fns import normalize_iso_col
+
+    cases = [
+        ("2024-01-01T00:00:00", "2024-01-01T00:00:00.000000"),
+        ("2024-01-01T00:00:00.123", "2024-01-01T00:00:00.123000"),
+        ("2024-01-01T00:00:00.1234567", "2024-01-01T00:00:00.123457"),  # round half-up
+        ("2024-01-01T00:00:00.9999999", "2024-01-01T00:00:00.999999"),  # clamp (ref :36-37)
+        ("2024-01-01T00:00:00.123456789", "2024-01-01T00:00:00.123457"),
+        ("2024-01-01T00:00:00.123Z", "2024-01-01T00:00:00.123000Z"),
+        ("2024-01-01T00:00:00.1234567890", None),  # >9 digits → null
+    ]
+    df = spark.createDataFrame([Row(iso=i) for i, _ in cases])
+    out = [r["n"] for r in df.select(normalize_iso_col(F.col("iso")).alias("n")).collect()]
+    assert out == [e for _, e in cases]
+
+
+def test_merge_upsert_update_columns_only(spark):
+    from etl_mini_spark.operators.upsert import merge_upsert
+
+    tgt = spark.createDataFrame([Row(k=1, a="A1", b="B1"), Row(k=2, a="A2", b="B2")])
+    src = spark.createDataFrame([Row(k=2, a="A2x", b="B2x"), Row(k=3, a="A3", b="B3")])
+    out = {r["k"]: (r["a"], r["b"]) for r in
+           merge_upsert(tgt, src, keys=["k"], update_columns=["a"]).collect()}
+    assert out == {1: ("A1", "B1"), 2: ("A2x", "B2"), 3: ("A3", "B3")}
+
+
+def test_merge_upsert_do_nothing(spark):
+    from etl_mini_spark.operators.upsert import merge_upsert
+
+    tgt = spark.createDataFrame([Row(k=1, v="old")])
+    src = spark.createDataFrame([Row(k=1, v="new"), Row(k=2, v="n2")])
+    out = {r["k"]: r["v"] for r in
+           merge_upsert(tgt, src, keys=["k"], conflict_action="nothing").collect()}
+    assert out == {1: "old", 2: "n2"}
+
+
+def test_udf_registry_is_closed(spark):
+    from etl_mini_spark.functions.registry import default_registry
+
+    with pytest.raises(KeyError, match="not registered"):
+        default_registry().get("os_system")
+
+
+def test_udf_native_and_pandas_paths_agree(spark):
+    from etl_mini_spark.functions.registry import AdditionalField, apply_additional_fields, default_registry
+    from etl_mini_spark.session import load_table
+
+    e = load_table(spark, SF_SMOKE, "events").limit(200).withColumn(
+        "iso", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    )
+    reg = default_registry()
+    spec = dict(value="iso_to_parts", input_mapping={"iso": "iso"},
+                output_mapping={"datetime": "dt", "microseconds": "mcs", "month": "mon"})
+    nat = apply_additional_fields(e, [AdditionalField(**spec, use_native=True)], reg)
+    udf = apply_additional_fields(e, [AdditionalField(**spec, use_native=False)], reg)
+    cols = ["event_id", "dt", "mcs", "mon"]
+    a = sorted(map(tuple, nat.select(*cols).collect()))
+    b = sorted(map(tuple, udf.select(*cols).collect()))
+    assert a == b
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    from etl_mini_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+    from etl_mini_spark.session import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk_bruteforce(emb, probes, k=5)
+    approx = cosine_topk_ivf(emb, probes, k=5, nprobe=6, n_cells=16)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall suspiciously low: {recall}"

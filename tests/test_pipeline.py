@@ -1,0 +1,160 @@
+"""Pipeline/config layer + sources/sinks + checkpoint semantics."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+TMP = Path("/root/repo/tmp/testruns")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _tmpdir():
+    import shutil
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    TMP.mkdir(parents=True, exist_ok=True)
+    yield
+
+
+def test_flagship_pipeline_spec(spark, tmp_path_factory):
+    from etl_mini_spark.plans.pipeline import PipelineSpec, SinkSpec, SourceSpec, run_pipeline
+
+    out = str(TMP / "flagship_out")
+    spec = PipelineSpec(
+        name="events_to_dwh",
+        source=SourceSpec(path=f"{SF_SMOKE}/events.parquet"),
+        transforms=[
+            {"op": "filter", "expr": "event_type <> 'error'"},
+            {"op": "time_derive", "ts_col": "ts"},
+            {"op": "constants", "values": {"version_": "v1"}},
+            {"op": "ordered_dedup", "dedup_by": ["user_id", "event_type"], "order_by": ["ts", "event_id"]},
+            {"op": "select", "columns": ["event_id", "user_id", "event_type", "datetime_s", "month_", "version_"]},
+        ],
+        sink=SinkSpec(path=out, format="parquet"),
+    )
+    report = run_pipeline(spark, spec)
+    assert report["status"] == "ok"
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert set(back.columns) == {"event_id", "user_id", "event_type", "datetime_s", "month_", "version_"}
+    # dedup really applied
+    assert back.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
+
+
+def test_pipeline_missing_source_gate(spark):
+    from etl_mini_spark.plans.pipeline import PipelineSpec, SinkSpec, SourceSpec, run_pipeline
+    from etl_mini_spark.sources.readers import SourceMissingError
+
+    spec = PipelineSpec(
+        name="missing",
+        source=SourceSpec(path="/root/repo/tmp/nope.parquet"),
+        sink=SinkSpec(path=str(TMP / "never")),
+    )
+    with pytest.raises(SourceMissingError):
+        run_pipeline(spark, spec)
+    spec.source.fail_on_missing = False
+    assert run_pipeline(spark, spec)["status"] == "skipped"
+
+
+def test_checkpoint_advances_only_on_success(spark):
+    from datetime import datetime
+
+    from etl_mini_spark.plans.checkpoint import CheckpointTable
+    from etl_mini_spark.plans.pipeline import PipelineSpec, SinkSpec, SourceSpec, run_pipeline
+
+    ckpt_path = str(TMP / "ckpt_tbl")
+    out = str(TMP / "incr_out")
+    spec = PipelineSpec(
+        name="incr",
+        source=SourceSpec(path=f"{SF_SMOKE}/events.parquet"),
+        sink=SinkSpec(path=out),
+        incremental_ts_col="ts",
+        window_end=datetime(2024, 1, 15),
+        checkpoint_path=ckpt_path,
+    )
+    r1 = run_pipeline(spark, spec)
+    assert r1["status"] == "ok" and r1["window_start"] is None
+    ck = CheckpointTable(spark, ckpt_path)
+    assert ck.last_window_end("incr") == datetime(2024, 1, 15)
+
+    # second window starts where the first committed
+    spec.window_end = datetime(2024, 2, 1)
+    spec.sink.mode = "append"
+    r2 = run_pipeline(spark, spec)
+    assert r2["window_start"] == datetime(2024, 1, 15)
+
+    # a skipped run must NOT advance the checkpoint
+    spec.source = SourceSpec(path="/root/repo/tmp/gone.parquet", fail_on_missing=False)
+    spec.window_end = datetime(2024, 3, 1)
+    assert run_pipeline(spark, spec)["status"] == "skipped"
+    assert ck.last_window_end("incr") == datetime(2024, 2, 1)
+
+
+def test_upsert_parquet_roundtrip(spark):
+    import shutil
+
+    from pyspark.sql import Row
+
+    from etl_mini_spark.operators.upsert import upsert_parquet
+
+    path = str(TMP / "upsert_tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    b1 = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    upsert_parquet(spark, path, b1, keys=["k"])
+    b2 = spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")])
+    upsert_parquet(spark, path, b2, keys=["k"])
+    out = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_run_layout_latest_pointer(spark):
+    from etl_mini_spark.session import load_table
+    from etl_mini_spark.sources.writers import resolve_latest, write_run_layout
+
+    base = str(TMP / "runlayout")
+    df = load_table(spark, SF_SMOKE, "region")
+    p1 = write_run_layout(df, base)
+    p2 = write_run_layout(df.limit(3), base)
+    assert p1 != p2
+    latest = resolve_latest(spark, base)
+    assert latest.count() == 3
+    assert json.loads((Path(base) / "latest.json").read_text())["latest"] == p2
+
+
+def test_partitioned_writer_prunes(spark):
+    from etl_mini_spark.session import load_table
+    from etl_mini_spark.sources.writers import write_partitioned_by_type_date
+
+    path = str(TMP / "events_partitioned")
+    e = load_table(spark, SF_SMOKE, "events")
+    write_partitioned_by_type_date(e, path, "event_type", "ts")
+    back = spark.read.parquet(path)
+    assert back.count() == e.count()
+    one = back.filter("event_type = 'click' AND __date = '2024-01-05'")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() > 0
+    # partition filters must prune, not post-filter the full scan
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_csv_reader_bom_and_coerce(spark):
+    from etl_mini_spark.sources.readers import read_csv
+
+    p = TMP / "bom.csv"
+    p.write_bytes("﻿Name Col,When\nx,2024-01-01 00:00:00\ny,not-a-date\n".encode("utf-8"))
+    df = read_csv(
+        spark,
+        str(p),
+        rename_map={"Name Col": "name", "When": "when_ts"},
+        type_map={"when_ts": "timestamp"},
+    )
+    rows = {r["name"]: r["when_ts"] for r in df.collect()}
+    assert set(rows) == {"x", "y"}, f"BOM not stripped: {set(rows)}"
+    assert rows["y"] is None  # coerce, not raise
+    assert rows["x"] is not None

@@ -1,0 +1,125 @@
+"""Structured Streaming tier: the same window functions run as a real
+stream (file source + AvailableNow) and match their batch results."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+TMP = Path("/root/repo/tmp/streamruns")
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    shutil.rmtree(TMP, ignore_errors=True)
+    TMP.mkdir(parents=True)
+    yield
+
+
+def _events_stream(spark):
+    from etl_mini_spark.session import load_table
+    from etl_mini_spark.streaming.stream import read_stream_parquet
+
+    src_dir = str(TMP / "src")
+    batch = load_table(spark, SF_SMOKE, "events")
+    batch.write.mode("overwrite").parquet(src_dir)
+    stream = read_stream_parquet(spark, src_dir, spark.read.parquet(src_dir).schema)
+    return batch, stream
+
+
+def test_tumbling_stream_matches_batch(spark):
+    from datetime import timedelta
+
+    from etl_mini_spark.streaming.stream import foreach_batch_upsert, run_to_completion
+    from etl_mini_spark.streaming.windows import tumbling_counts
+
+    batch, stream = _events_stream(spark)
+    want = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in tumbling_counts(batch, "ts", ["event_type"]).collect()
+    }
+
+    # Append mode emits each window exactly once, when the watermark
+    # passes its end — windows still above the final watermark stay in
+    # state. That is the contract, so compare against the finalized set.
+    out_dir, ckpt = str(TMP / "out"), str(TMP / "ckpt")
+    run_to_completion(
+        tumbling_counts(stream, "ts", ["event_type"]),
+        checkpoint_dir=ckpt,
+        output_path=out_dir,
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    wm = batch.agg(F.max("ts")).collect()[0][0] - timedelta(hours=1)
+    finalized = {k: n for k, n in want.items() if (k[0] + timedelta(hours=1)) <= wm}
+    assert got == finalized and len(got) > 0
+
+    # Update mode + keyed upsert sink re-emits in-state windows every
+    # trigger, so the sink converges to FULL batch parity.
+    tgt, ckpt2 = str(TMP / "out_upsert"), str(TMP / "ckpt_upsert")
+    run_to_completion(
+        tumbling_counts(stream, "ts", ["event_type"]),
+        checkpoint_dir=ckpt2,
+        sink=foreach_batch_upsert(tgt, keys=["window_start", "event_type"]),
+        output_mode="update",
+    )
+    got_full = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert got_full == want
+
+
+def test_streaming_dedup_and_upsert_sink(spark):
+    from etl_mini_spark.streaming.stream import foreach_batch_upsert, run_to_completion
+    from etl_mini_spark.streaming.windows import streaming_dedup
+
+    batch, stream = _events_stream(spark)
+    tgt, ckpt = str(TMP / "dedup_tbl"), str(TMP / "ckpt2")
+    deduped = streaming_dedup(stream, ["user_id", "event_type"], "ts")
+    run_to_completion(
+        deduped,
+        checkpoint_dir=ckpt,
+        sink=foreach_batch_upsert(tgt, keys=["user_id", "event_type"]),
+        output_mode="update",
+    )
+    out = spark.read.parquet(tgt)
+    n_keys = batch.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_keys
+    assert out.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
+
+
+def test_session_window_streams(spark):
+    from etl_mini_spark.streaming.stream import run_to_completion
+    from etl_mini_spark.streaming.windows import sessionized
+
+    from datetime import timedelta
+
+    batch, stream = _events_stream(spark)
+    out_dir, ckpt = str(TMP / "sess_out"), str(TMP / "sess_ckpt")
+    run_to_completion(
+        sessionized(stream, "ts", ["user_id"]),
+        checkpoint_dir=ckpt,
+        output_path=out_dir,
+    )
+    got = {
+        (r["session_start"], r["user_id"]): r["n"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # Append emits a session once the watermark passes its END (last
+    # event + gap); sessions still open at end-of-stream stay in state.
+    wm = batch.agg(F.max("ts")).collect()[0][0] - timedelta(hours=1)
+    closed = (
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("w.end") <= F.lit(wm))
+    )
+    want = {(r["w"]["start"], r["user_id"]): r["n"] for r in closed.collect()}
+    assert got == want and len(got) > 0
