@@ -73,12 +73,9 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup on normalized text: one representative (min id) per
     md5 fingerprint, with the duplicate count. Single hash-aggregate
     shuffle on the 32-char digest — scales linearly."""
-    from etl_mini_spark.session import spread
-
     h = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
     return (
-        spread(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), h)
+        df.select(F.col(id_col), h)
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
     )

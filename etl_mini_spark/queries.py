@@ -827,10 +827,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @q("dedup_minhash_lsh", _JACCARD_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(128)+LSH(32 bands) candidates, exact-verified at 0.8 —
-    recall vs. ground truth ≈ 1-25·(1-0.8⁴)³² ≈ 1-5e-8, so the oracle is
-    the exact pair set. This is the 100 TB dedup path."""
-    return near_dup_pairs_minhash_lsh(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    """MinHash(64)+LSH(16 bands, r=4) candidates, exact-verified at
+    0.8 — per-pair miss prob (1-j⁴)¹⁶ ≈ 2e-4 at j=0.8, 4e-8 at j=0.9,
+    so the oracle is the exact pair set. This is the 100 TB dedup path:
+    candidate generation shuffles only (band, bucket) keys."""
+    return near_dup_pairs_minhash_lsh(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=64, bands=16
+    )
 
 
 @q("dedup_simhash")  # bit-level python kernel — rows-only check
