@@ -37,18 +37,27 @@ def asof_join(
     ``tiebreak``: right column ordering ties on right_time (ascending;
     the LAST one wins) — supply a unique right id for determinism.
     """
+    import pyspark.sql.types as T
+
     right_cols = right_cols or [c for c in right.columns if c not in on]
     key_cols = list(on)
 
     r_payload = F.struct(*[F.col(c) for c in right_cols]).alias("__r")
-    r_order = [F.col(right_time).alias("__t"), F.lit(0).alias("__tag")]
+    l_payload = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
+    l_type = T.StructType([left.schema[c] for c in left.columns])
     r_tb = (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb")
-    r = right.select(*key_cols, *r_order, r_tb, r_payload, F.lit(None).cast("long").alias("__lid"))
 
-    l_tagged = left.withColumn("__lid", F.monotonically_increasing_id())
-    l_order = [F.col(left_time).alias("__t"), F.lit(1).alias("__tag")]
-    l = l_tagged.select(*key_cols, *l_order, F.lit(None).alias("__tb"),
-                        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"), "__lid")
+    # Both sides carry their payload through ONE union-sort shuffle —
+    # no id-tagging, no join-back (which would shuffle the left twice).
+    r = right.select(
+        *key_cols, F.col(right_time).alias("__t"), F.lit(0).alias("__tag"),
+        r_tb, r_payload, F.lit(None).cast(l_type).alias("__l"),
+    )
+    l = left.select(
+        *key_cols, F.col(left_time).alias("__t"), F.lit(1).alias("__tag"),
+        F.lit(0).alias("__tb"), F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        l_payload,
+    )
 
     # On equal times: right rows sort before left when allow_exact (tag 0<1),
     # after left otherwise (flip the tag).
@@ -63,15 +72,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
-    out = matched.filter(F.col("__lid").isNotNull()).select(*key_cols, "__lid", "__match")
+    out = matched.filter(F.col("__l").isNotNull())
 
-    joined = l_tagged.join(out.select("__lid", "__match"), "__lid", "left")
     left_names = set(left.columns)
-    proj = [F.col(c) for c in left.columns]
+    proj = [F.col("__l").getField(c).alias(c) for c in left.columns]
     for c in right_cols:
         name = c + suffix if c in left_names else c
         proj.append(F.col("__match").getField(c).alias(name))
-    return joined.select(*proj)
+    return out.select(*proj)
 
 
 def range_join(

@@ -128,8 +128,20 @@ def build_plan(
 ) -> DataFrame:
     """Source + transforms as one lazy plan (no execution)."""
     src = spec.source
+    incremental = spec.incremental_ts_col and spec.window_end is not None
     if src.format == "parquet":
-        df = read_parquet(spark, src.path)
+        if incremental:
+            # Bounds applied inside the reader so they reach the parquet
+            # scan even for TIMESTAMP(NANOS) columns (row-group pruning).
+            from etl_mini_spark.sources.readers import read_parquet_ts_range
+
+            df = read_parquet_ts_range(
+                spark, src.path, spec.incremental_ts_col,
+                start=window_start, end=spec.window_end,
+            )
+            incremental = False
+        else:
+            df = read_parquet(spark, src.path)
     elif src.format == "csv":
         df = read_csv(spark, src.path, src.schema, src.rename_map, src.type_map)
     elif src.format == "ndjson":
@@ -137,7 +149,7 @@ def build_plan(
     else:
         raise ValueError(f"unknown source format: {src.format}")
 
-    if spec.incremental_ts_col and spec.window_end is not None:
+    if incremental:
         c = F.col(spec.incremental_ts_col)
         cond = c < F.lit(spec.window_end)
         if window_start is not None:

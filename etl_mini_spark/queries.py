@@ -96,12 +96,22 @@ def project_select(spark, sf_dir):
        GROUP BY event_type""",
 )
 def filter_time_range(spark, sf_dir):
-    """DQ-10: half-open time-range predicate (P5) — pushed to the scan."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.filter((F.col("ts") >= "2024-01-10 00:00:00") & (F.col("ts") < "2024-01-20 00:00:00"))
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    """DQ-10: half-open time-range predicate (P5), PUSHED to the parquet
+    scan — the bound is applied to the raw ns value before conversion so
+    row-group min/max stats prune (sources/readers.py)."""
+    from datetime import datetime
+
+    from etl_mini_spark.sources.readers import read_parquet_ts_range
+
+    e = read_parquet_ts_range(
+        spark,
+        f"{sf_dir}/events.parquet",
+        "ts",
+        start=datetime(2024, 1, 10),
+        end=datetime(2024, 1, 20),
+    )
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
 
 
