@@ -76,6 +76,38 @@ def iso_to_parts_cols(
     return parts
 
 
+class UnexpectedOffsetError(ValueError):
+    """≡ the reference's UnexpectedTimezoneError (time_converter.py:105-120)."""
+
+
+def check_expected_offset(
+    df: DataFrame, iso_col: str, expected_offset: str, mode: str = "error"
+) -> DataFrame:
+    """The reference's timezone-expectation tri-mode
+    (time_converter.py:105-120) at DataFrame scope:
+
+    - ``error``   — raise UnexpectedOffsetError if ANY row's UTC-offset
+      suffix differs from ``expected_offset`` (one count aggregate —
+      a full-plan action, so run it before the main write);
+    - ``warning`` — attach a boolean ``offset_ok`` column and leave
+      filtering to the caller;
+    - ``ignore``  — return the input unchanged.
+    """
+    if mode == "ignore":
+        return df
+    ok = extract_offset(F.col(iso_col)) == F.lit(expected_offset)
+    if mode == "warning":
+        return df.withColumn("offset_ok", ok)
+    if mode == "error":
+        bad = df.filter(~ok).count()
+        if bad:
+            raise UnexpectedOffsetError(
+                f"{bad} rows of {iso_col!r} have an offset != {expected_offset!r}"
+            )
+        return df
+    raise ValueError(f"unknown mode {mode!r} (error|warning|ignore)")
+
+
 def derive_time_parts(df: DataFrame, ts_col: str, prefix: str = "") -> DataFrame:
     """Attach (datetime_s, time_mcs, month_) derived from a timestamp
     column — the native rewrite of the flagship pipeline's

@@ -82,6 +82,30 @@ def asof_join(
     return out.select(*proj)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: the left side gets a deterministic salt
+    (xxhash64 of the whole row, mod ``salts``), the right side is
+    replicated ``salts`` times, and the join key becomes
+    (key..., salt) — a single hot key now spreads over ``salts``
+    reducers instead of melting one. Result is row-identical to the
+    plain join.
+
+    Use when one side has pathological key skew AQE's skew-join split
+    can't fix (e.g. a null-heavy or celebrity key). Replication
+    multiplies the right side — keep it the smaller input."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts)).cast("int")
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    out = l.join(r, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

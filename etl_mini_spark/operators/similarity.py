@@ -213,6 +213,75 @@ def cosine_topk_ivf(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 32,
+    n_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs (cosine ≥ threshold) via random-hyperplane LSH —
+    the NON-broadcast scale path: no side ever has to fit in memory.
+
+    Sign-bit signatures per table (Charikar 2002): two vectors at angle
+    θ agree on one bit with prob 1-θ/π; at cos=0.95 (θ≈18°), a 12-bit
+    bucket collides with p≈0.28 per table, so 32 tables find a true
+    pair with prob 1-(1-0.28)³² ≈ 1-3e-5. Candidates = bucket
+    cohabitants only; exact JVM-side cosine verifies, so precision is
+    exact and the output is the true pair set minus ~3e-5 recall loss.
+    Shuffles on (table, bucket) and the candidate join keys — both
+    bounded, never all-pairs. Hyperplanes are seeded → fully
+    deterministic."""
+    spark = corpus.sparkSession
+    dim = corpus.select(F.size(vec_col)).first()[0]
+    rs = np.random.RandomState(0)
+    planes = rs.randn(n_tables * n_bits, dim)
+    bp = spark.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_sig(v: pd.Series) -> pd.Series:
+        P = bp.value
+        M = np.asarray(v.to_list(), dtype=np.float64)
+        bits = (M @ P.T) > 0  # [batch, n_tables*n_bits]
+        bits = bits.reshape(len(M), n_tables, n_bits)
+        buckets = (bits * weights[None, None, :]).sum(axis=2)  # [batch, n_tables]
+        return pd.Series(list(buckets.astype(np.int64)))
+
+    sig = corpus.select(
+        F.col(id_col).alias("doc_id"), bucket_sig(F.col(vec_col)).alias("sig")
+    )
+    banded = sig.select("doc_id", F.posexplode("sig").alias("table", "bucket"))
+    buckets = (
+        banded.groupBy("table", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))), lambda y: F.array(x, y)
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p")[0].alias("id1"), F.col("p")[1].alias("id2"))
+        .distinct()
+    )
+    v1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
+    v2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("__cos", cosine_similarity_col(F.col("__v1"), F.col("__v2")))
+        .filter(F.col("__cos") >= threshold)
+        .select("id1", "id2", F.round("__cos", 6).alias("cosine"))
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -900,6 +900,47 @@ def embedding_near_dups(spark, sf_dir):
 
 
 @q(
+    "embedding_near_dups_lsh",
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""",
+)
+def embedding_near_dups_lsh(spark, sf_dir):
+    """Embedding near-dups via random-hyperplane LSH + exact verify —
+    the non-broadcast 100 TB path (no side held in memory). Candidates
+    are bucket cohabitants only; exact cosine verification makes the
+    output the true pair set (per-pair miss prob ~3e-5), so the oracle
+    is the exact all-pairs query."""
+    from etl_mini_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    return embedding_near_dup_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.95)
+
+
+@q(
+    "join_salted_skew",
+    """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-resistant salted join (deterministic salt, right side
+    replicated) — row-identical to the plain join, so the oracle is the
+    plain SQL join. The forced shuffle join shows the salt spreading
+    one hot key over N reducers."""
+    from etl_mini_spark.operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(o, c.hint("shuffle_hash"), on=["o_custkey"], salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+
+
+@q(
     "text_quality",
     """SELECT doc_id,
               CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT) AS n_tokens,

@@ -137,3 +137,58 @@ def test_ivf_recall_against_bruteforce(spark):
     a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF recall suspiciously low: {recall}"
+
+
+def test_salted_join_identical_to_plain(spark):
+    from etl_mini_spark.operators.joins import salted_join
+    from etl_mini_spark.session import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = sorted(map(tuple, o.join(c, "o_custkey").collect()))
+    salted = sorted(map(tuple, salted_join(o, c, on=["o_custkey"], salts=4).collect()))
+    assert plain == salted and len(plain) > 0
+
+
+def test_embedding_lsh_matches_bruteforce_pairs(spark):
+    # The driver testdata has no ≥0.95 pairs at any SF (checked), so
+    # plant near-dups: 50 base vectors, each with a tiny-noise twin.
+    import numpy as np
+
+    from etl_mini_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rs = np.random.RandomState(7)
+    base = rs.randn(50, 64)
+    twins = base + 0.05 * rs.randn(50, 64)
+    rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in enumerate(np.vstack([base, twins, rs.randn(100, 64)]))
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r["id1"], r["id2"]) for r in embedding_near_dup_pairs(emb, 0.95).collect()}
+    lsh = {(r["id1"], r["id2"]) for r in embedding_near_dup_pairs_lsh(emb, 0.95).collect()}
+    assert len(exact) >= 40  # noise twins land ≥.95 with overwhelming prob
+    assert lsh == exact
+
+
+def test_check_expected_offset_tri_mode(spark):
+    import pytest as _pytest
+
+    from etl_mini_spark.functions.time_fns import UnexpectedOffsetError, check_expected_offset
+
+    df = spark.createDataFrame(
+        [("2024-01-01T00:00:00.000000Z",), ("2024-01-01T00:00:00.000000+03:00",)],
+        ["iso"],
+    )
+    assert check_expected_offset(df, "iso", "Z", mode="ignore") is df
+    warned = check_expected_offset(df, "iso", "Z", mode="warning")
+    assert [r["offset_ok"] for r in warned.orderBy("iso").collect()] == [False, True]
+    with _pytest.raises(UnexpectedOffsetError):
+        check_expected_offset(df, "iso", "Z", mode="error")
+    ok_only = df.filter(F.col("iso").endswith("Z"))
+    assert check_expected_offset(ok_only, "iso", "Z", mode="error") is ok_only
