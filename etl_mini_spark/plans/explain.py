@@ -1,0 +1,56 @@
+"""Physical-plan introspection: a structured summary of the executed
+plan so scale properties (pushdown, broadcast choice, shuffle count)
+are ASSERTABLE in tests instead of eyeballed in .explain() output.
+
+The reference has no optimizer to audit; here the optimizer is
+Catalyst, and this is the feedback loop the build process runs after
+every operator: is the filter in the scan? is the dim broadcast? how
+many Exchanges does this plan pay for?
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanSummary:
+    scans: list[dict] = field(default_factory=list)  # {path, read_schema, pushed_filters}
+    joins: list[str] = field(default_factory=list)  # BroadcastHashJoin / SortMergeJoin / ...
+    n_exchanges: int = 0
+    n_broadcast_exchanges: int = 0
+    has_codegen: bool = False
+    text: str = ""
+
+
+def plan_summary(df: DataFrame) -> PlanSummary:
+    """Parse the executed (post-AQE-planning) physical plan."""
+    text = df._jdf.queryExecution().executedPlan().toString()
+    s = PlanSummary(text=text)
+    for line in text.splitlines():
+        line = line.strip()
+        if "FileScan" in line:
+            path = re.search(r"Location: \w+\(\d+ paths?\)\[([^\],]+)", line)
+            pushed = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+            schema = re.search(r"ReadSchema: struct<([^>]*)", line)
+            s.scans.append(
+                {
+                    "path": path.group(1) if path else None,
+                    "pushed_filters": pushed.group(1) if pushed else "",
+                    "read_schema": schema.group(1) if schema else "",
+                }
+            )
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                  "BroadcastNestedLoopJoin", "CartesianProduct"):
+            if line.startswith(j) or f" {j} " in f" {line} ":
+                s.joins.append(j)
+        if line.startswith("Exchange") or " Exchange " in f" {line} ":
+            s.n_exchanges += 1
+        if "BroadcastExchange" in line:
+            s.n_broadcast_exchanges += 1
+        if "WholeStageCodegen" in line:
+            s.has_codegen = True
+    return s

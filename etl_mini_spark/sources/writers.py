@@ -49,6 +49,28 @@ def resolve_latest(spark, base_path: str) -> DataFrame:
     return spark.read.format(m["format"]).load(m["latest"])
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle — the per-bucket co-location replaces the
+    Exchange. At 100 TB this turns the nightly fact⋈dim or fact⋈fact
+    join from the dominant shuffle into a local zip per bucket; the
+    one-time bucketing cost amortizes over every downstream join/agg on
+    that key."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_partitioned_by_type_date(
     df: DataFrame,
     path: str,
