@@ -67,6 +67,20 @@ def spread(df, min_partitions: int | None = None):
     return df.repartition(target)
 
 
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_tables(spark: SparkSession, sf_dir: str, tables=None) -> None:
+    """Register the testdata parquet tables as temp views so the full
+    ANSI-SQL surface (`spark.sql`) works against them — the engine's
+    query API is DataFrame AND SQL; both compile to the same plans."""
+    for t in tables or TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-provided parquet tables (TESTDATA.md).
 

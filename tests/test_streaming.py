@@ -123,3 +123,26 @@ def test_session_window_streams(spark):
     )
     want = {(r["w"]["start"], r["user_id"]): r["n"] for r in closed.collect()}
     assert got == want and len(got) > 0
+
+
+def test_sliding_stream_matches_batch_via_upsert(spark):
+    from etl_mini_spark.streaming.stream import foreach_batch_upsert, run_to_completion
+    from etl_mini_spark.streaming.windows import sliding_counts
+
+    batch, stream = _events_stream(spark)
+    want = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in sliding_counts(batch, "ts", ["event_type"]).collect()
+    }
+    tgt, ckpt = str(TMP / "slide_upsert"), str(TMP / "slide_ckpt")
+    run_to_completion(
+        sliding_counts(stream, "ts", ["event_type"]),
+        checkpoint_dir=ckpt,
+        sink=foreach_batch_upsert(tgt, keys=["window_start", "event_type"]),
+        output_mode="update",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert got == want and len(got) > 0
