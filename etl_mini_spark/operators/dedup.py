@@ -81,27 +81,65 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+_MIX = 0x9E3779B97F4A7C15  # splitmix64 / golden-ratio odd constant (public)
+
+
+def _token_hasher():
+    """Per-batch memoized token → 64-bit md5 hash.
+
+    Natural-language token vocabularies are tiny relative to token
+    occurrences (Zipf), so hashing each DISTINCT token once and reusing
+    it across all shingles cuts the md5 count by ~50× vs hashing every
+    shingle string."""
+    import hashlib
+
+    cache: dict[str, int] = {}
+
+    def th(tok: str) -> int:
+        h = cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            cache[tok] = h
+        return h
+
+    return th
+
+
+def _shingle_hash_array(toks, th, n: int, bits: int):
+    """Distinct ``bits``-wide hashes of the n-token shingles of ``toks``
+    as an int64 numpy array — one vectorized polynomial-mix pass over
+    the token-hash array instead of a Python loop building shingle
+    strings. Deterministic (md5 token hashes + fixed constant)."""
+    import numpy as np
+
+    if len(toks) < n:
+        return np.empty(0, dtype=np.int64)
+    hh = np.fromiter((th(x) for x in toks), dtype=np.uint64, count=len(toks))
+    m = len(toks) - n + 1
+    H = np.zeros(m, dtype=np.uint64)
+    for j in range(n):  # position-sensitive: H = H*K + h_j (uint64 wraps)
+        H = H * np.uint64(_MIX) + hh[j : m + j]
+    H ^= H >> np.uint64(33)
+    return np.unique(H >> np.uint64(64 - bits)).astype(np.int64)
+
+
 def _shingle_hashes_udf(n: int):
     """pandas_udf: text → distinct n-word shingle hashes (array<long>).
 
-    Whitespace-split shingling + 60-bit md5-derived hashes in one
-    Arrow-batched pass. A pure-Column version (sequence + transform +
-    element_at) exists but Spark evaluates higher-order-function lambdas
-    interpreted PER ELEMENT — measured ~10× slower at 2.5M shingles.
-    60-bit hashes: E[global collisions] ≈ (#shingles)²/2⁶¹ — ~3e-6 at
-    2.5M distinct shingles, so hash-set Jaccard ≡ string-set Jaccard."""
-    import hashlib
+    Arrow-batched; md5 per DISTINCT token + vectorized n-gram combine
+    (``_shingle_hash_array``). A pure-Column version (sequence +
+    transform + element_at) exists but Spark evaluates
+    higher-order-function lambdas interpreted PER ELEMENT — measured
+    ~10× slower at 2.5M shingles. 62-bit hashes: E[global collisions] ≈
+    (#shingles)²/2⁶³ — ~7e-7 at 2.5M distinct shingles, so hash-set
+    Jaccard ≡ string-set Jaccard."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def make(texts: pd.Series) -> pd.Series:
+        th = _token_hasher()
         out = []
         for t in texts:
-            toks = (t or "").split()
-            seen = {
-                int(hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()[:15], 16)
-                for i in range(len(toks) - n + 1)
-            }
-            out.append(list(seen))
+            out.append(_shingle_hash_array((t or "").split(), th, n, 62).tolist())
         return pd.Series(out)
 
     return make
@@ -188,14 +226,16 @@ def minhash_signatures(
     """(doc_id, sig array<long>) — column-wise min over permuted shingle
     hashes.
 
-    Base shingle hashing stays JVM-side (md5/conv); the 128-way
+    Shingle hashing is md5-per-DISTINCT-token + a vectorized n-gram
+    polynomial combine (``_shingle_hash_array``, 32-bit here so
+    a·x < 2^52 stays inside int64 under ANSI mode); the num_hashes-way
     permute-and-min runs as ONE vectorized numpy kernel per doc batch
     (Arrow pandas_udf). 128 separate min() aggregate expressions
     overflow whole-stage-codegen limits and fall back to interpreted
-    eval — ~20× slower (measured). State per doc is O(num_hashes + doc
-    shingles), aggregated on the doc key: scales linearly."""
-    import hashlib
-
+    eval — ~20× slower (measured). 32-bit base hashes only steer
+    CANDIDATE generation — collisions cannot corrupt output because
+    every candidate is exact-verified downstream. State per doc is
+    O(num_hashes + doc shingles): scales linearly."""
     import numpy as np
 
     from etl_mini_spark.session import spread
@@ -206,20 +246,14 @@ def minhash_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
+        th = _token_hasher()
         out = []
         for t in texts:
-            toks = (t or "").split()
-            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            if not sh:
+            H = _shingle_hash_array((t or "").split(), th, n, 32)
+            if not len(H):
                 out.append(np.full(num_hashes, MINHASH_PRIME - 1, dtype=np.int64))
                 continue
-            # same base hash as shingle_hash(): first 8 hex chars of md5
-            H = np.fromiter(
-                (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh),
-                dtype=np.int64,
-                count=len(sh),
-            )[None, :]
-            out.append(((A * H + B) % MINHASH_PRIME).min(axis=1))  # a<2^20, H<2^32 → <2^52
+            out.append(((A * H[None, :] + B) % MINHASH_PRIME).min(axis=1))
         return pd.Series(out)
 
     base = spread(df.select(F.col(id_col), F.col(text_col)))
@@ -306,8 +340,6 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     pandas UDF — the per-bit majority vote over token hashes is the one
     dedup primitive with no efficient built-in expression. Returns
     (doc_id, simhash long)."""
-    import hashlib
-
     from etl_mini_spark.session import spread
 
     df = spread(df)
@@ -316,6 +348,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
+        th = _token_hasher()
         out = []
         bitpos = np.arange(64, dtype=np.uint64)
         for t in texts:
@@ -323,11 +356,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             if not toks:
                 out.append(0)
                 continue
-            H = np.fromiter(
-                (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") for tok in toks),
-                dtype=np.uint64,
-                count=len(toks),
-            )
+            H = np.fromiter((th(tok) for tok in toks), dtype=np.uint64, count=len(toks))
             bits = (H[:, None] >> bitpos[None, :]) & np.uint64(1)  # [ntok, 64]
             votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
             v = int(np.bitwise_or.reduce(np.where(votes > 0, np.uint64(1) << bitpos, np.uint64(0))))
