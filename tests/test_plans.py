@@ -75,3 +75,40 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_agg_does_partial_aggregation(spark):
+    """Moment/histogram aggregates must map-side combine: two
+    HashAggregate levels around exactly one shuffle, so the exchange
+    carries #groups rows, not #input rows — the property that keeps
+    these scan-bound at 100 TB."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    for name in ("agg_histogram", "agg_stats_suite"):
+        s = plan_summary(QUERIES[name](spark, SF_SMOKE))
+        assert s.text.count("HashAggregate") >= 2, (name, s.text)
+        assert s.n_exchanges - s.n_broadcast_exchanges == 1, (name, s.text)
+
+
+def test_near_dup_plans_never_cross_join(spark):
+    """The LSH/inverted-index dedup paths exist to avoid the O(n²)
+    pair join — assert no plan ever falls back to a cartesian or
+    nested-loop join (which would OOM at corpus scale)."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "embedding_near_dups_lsh"):
+        s = plan_summary(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_percentile_scan_prunes_to_two_columns(spark):
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["agg_percentiles"](spark, SF_SMOKE))
+    schema = s.scans[0]["read_schema"]
+    assert "event_type" in schema and "value" in schema, schema
+    assert "props" not in schema and "user_id" not in schema, schema
