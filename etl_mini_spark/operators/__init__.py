@@ -16,3 +16,9 @@ from etl_mini_spark.operators.similarity import (  # noqa: F401
     train_ivf_centroids,
 )
 from etl_mini_spark.operators.upsert import merge_upsert  # noqa: F401
+from etl_mini_spark.operators.sampling import (  # noqa: F401
+    deterministic_sample,
+    hash_bucket,
+    split_assign,
+    stratified_take,
+)

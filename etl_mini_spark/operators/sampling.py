@@ -1,0 +1,87 @@
+"""Deterministic sampling and dataset splitting.
+
+The reference has no sampling surface (SURVEY.md §2.11); a
+training-data pipeline cannot live without one, and the industry idiom
+at scale is HASH-based selection, not random(): membership of a row in
+a sample/split is a pure function of its key, so
+
+- the same row lands in the same split on every engine, every run,
+  every partitioning (Spark's ``df.sample`` is seed+partition
+  dependent — useless for reproducible train/val/test splits);
+- sampling is a narrow map + filter: no shuffle, fully pushdown-
+  friendly, embarrassingly parallel at 100 TB;
+- splits are disjoint and exhaustive by construction.
+
+Buckets come from the first 15 hex chars of md5(key || ':' || salt)
+(60 bits — bucket skew from the modulo is < 2^-40 for ≤10^6 buckets),
+portable to any engine with md5 (DuckDB oracle:
+``CAST(concat('0x', substr(md5(..), 1, 15)) AS BIGINT)``).
+
+``stratified_take`` gives exactly-k-per-stratum sampling (class
+balancing): rows are ranked inside each stratum by their key hash —
+i.e. a uniform random-but-deterministic order — and the top k kept.
+One shuffle on the strata key; k rows of state per stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 100_000
+
+
+def hash_bucket(key: Column, salt: str = "", buckets: int = N_BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from a key column."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", key.cast("string"), F.lit(salt))), 1, 15), 16, 10)
+    return (h.cast("long") % F.lit(buckets)).alias("bucket")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "", buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash. Narrow op (no
+    shuffle); complementary salts give disjoint samples."""
+    return df.filter(hash_bucket(F.col(key_col), salt, buckets) < int(round(fraction * buckets)))
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/'test'/...) by cumulative
+    hash-bucket ranges. Disjoint + exhaustive; weights must sum to 1."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(F.col(key_col), salt, buckets)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def stratified_take(
+    df: DataFrame, strata_cols: list[str], k: int, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically
+    pseudo-random: rank by md5(key||salt) inside each stratum (key as
+    tie-breaker), keep rank ≤ k. The per-stratum top-k is a window on
+    the strata shuffle — no global sort."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*strata_cols).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -192,3 +192,53 @@ def test_check_expected_offset_tri_mode(spark):
         check_expected_offset(df, "iso", "Z", mode="error")
     ok_only = df.filter(F.col("iso").endswith("Z"))
     assert check_expected_offset(ok_only, "iso", "Z", mode="error") is ok_only
+
+
+def test_split_assign_disjoint_exhaustive_stable(spark):
+    """Hash splits must cover every row exactly once, reproduce across
+    repartitionings (df.sample cannot), and approximate the weights."""
+    from etl_mini_spark.operators.sampling import split_assign
+    from etl_mini_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events")
+    total = e.count()
+    s = split_assign(e, "event_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = dict(s.groupBy("split").count().collect())
+    assert sum(counts.values()) == total  # exhaustive + disjoint (one split col per row)
+    assert 0.6 * total < counts["train"] < 0.95 * total
+    a = {r["event_id"]: r["split"] for r in s.select("event_id", "split").collect()}
+    s2 = split_assign(e.repartition(7), "event_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    b = {r["event_id"]: r["split"] for r in s2.select("event_id", "split").collect()}
+    assert a == b  # partitioning-independent membership
+
+
+def test_deterministic_sample_is_subset_semijoin_free(spark):
+    """Sampling is a narrow filter: same fraction twice → identical row
+    set; disjoint salts → disjoint row sets."""
+    from etl_mini_spark.operators.sampling import deterministic_sample
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events")
+    s1 = {r[0] for r in deterministic_sample(e, "event_id", 0.2).select("event_id").collect()}
+    s2 = {r[0] for r in deterministic_sample(e, "event_id", 0.2).select("event_id").collect()}
+    assert s1 == s2 and s1
+    other = {r[0] for r in deterministic_sample(e, "event_id", 0.2, salt="v2").select("event_id").collect()}
+    assert s1 != other  # different salt, different (overlapping-by-chance) sample
+    p = plan_summary(deterministic_sample(e, "event_id", 0.2))
+    assert p.n_exchanges == 0, p.text  # narrow: no shuffle
+
+
+def test_stratified_take_exact_k(spark):
+    from etl_mini_spark.operators.sampling import stratified_take
+    from etl_mini_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = stratified_take(d, ["lang"], 5, "doc_id")
+    per = dict(out.groupBy("lang").count().collect())
+    sizes = dict(d.groupBy("lang").count().collect())
+    for lang, n in per.items():
+        assert n == min(5, sizes[lang]), (lang, n, sizes[lang])
