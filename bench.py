@@ -35,6 +35,9 @@ HEADLINE = [
     "embedding_near_dups",
     "text_quality",
     "multimodal_decode",
+    "agg_stats_suite",
+    "agg_percentiles",
+    "sample_split_counts",
 ]
 
 
