@@ -1489,3 +1489,105 @@ def sample_stratified_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return stratified_take(d, ["lang"], 20, "doc_id").select("lang", "doc_id")
+
+
+# =========================================================================
+# Extended SQL surface: multi-way joins + subqueries as ANSI-SQL strings.
+# The engine's SQL entry point is spark.sql over registered views; the
+# oracle is the identical string on duckdb (dialect-portable SQL).
+# =========================================================================
+
+_Q5_SQL = """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+@q("sql_q5_local_volume", _Q5_SQL)
+def sql_q5_local_volume(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): 6-way join with a same-nation
+    theta condition, submitted as plain SQL. Catalyst broadcast-joins the
+    three dims and reorders the fact joins; at cluster scale the
+    customer/orders/lineitem joins shuffle on their keys while
+    supplier/nation/region stay broadcast."""
+    from etl_mini_spark.session import register_tables
+
+    register_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
+    )
+    return spark.sql(_Q5_SQL)
+
+
+_Q10_SQL = """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@q("sql_q10_returned", _Q10_SQL)
+def sql_q10_returned(spark, sf_dir):
+    """TPC-H Q10 (returned-item report): fact-fact join + top-20 by
+    aggregated revenue. The ORDER BY ... LIMIT compiles to TakeOrderedAndProject
+    (per-partition top-k, no global sort) — the plan that survives 100 TB."""
+    from etl_mini_spark.session import register_tables
+
+    register_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
+    return spark.sql(_Q10_SQL)
+
+
+_EXISTS_SQL = """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+"""
+
+
+@q("sql_exists_urgent", _EXISTS_SQL)
+def sql_exists_urgent(spark, sf_dir):
+    """Correlated EXISTS subquery — Catalyst rewrites it to a left-semi
+    join on o_custkey (no per-row subquery execution)."""
+    from etl_mini_spark.session import register_tables
+
+    register_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_EXISTS_SQL)
+
+
+_SCALAR_SQL = """
+    SELECT p_brand, count(*) AS n, round(min(p_retailprice), 2) AS min_price
+    FROM part
+    WHERE p_retailprice > (SELECT round(avg(p_retailprice), 0) FROM part)
+    GROUP BY p_brand
+"""
+
+
+@q("sql_scalar_above_avg", _SCALAR_SQL)
+def sql_scalar_above_avg(spark, sf_dir):
+    """Uncorrelated scalar subquery in a predicate — executed once,
+    result broadcast into the filter (the avg is rounded to a whole unit
+    so the float boundary cannot flip rows between engines)."""
+    from etl_mini_spark.session import register_tables
+
+    register_tables(spark, sf_dir, ["part"])
+    return spark.sql(_SCALAR_SQL)
