@@ -112,3 +112,36 @@ def test_percentile_scan_prunes_to_two_columns(spark):
     schema = s.scans[0]["read_schema"]
     assert "event_type" in schema and "value" in schema, schema
     assert "props" not in schema and "user_id" not in schema, schema
+
+
+def test_sql_q10_topk_avoids_global_sort(spark):
+    """ORDER BY ... LIMIT must compile to TakeOrderedAndProject
+    (per-partition top-k + merge), never a full global Sort."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["sql_q10_returned"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in s.text, s.text
+    assert "CartesianProduct" not in s.joins
+
+
+def test_sql_q5_no_cartesian_dims_broadcast(spark):
+    """The 6-way Q5 join must resolve every edge as a hash join (the
+    same-nation condition rides the supplier join, it must not fall
+    back to a nested-loop/cartesian plan)."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["sql_q5_local_volume"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in s.joins and "BroadcastNestedLoopJoin" not in s.joins
+    assert s.joins.count("BroadcastHashJoin") >= 3, s.joins
+
+
+def test_sql_exists_compiles_to_semi_join(spark):
+    """Correlated EXISTS must be decorrelated into a left-semi hash
+    join, not executed per-row."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["sql_exists_urgent"](spark, SF_SMOKE))
+    assert "LeftSemi" in s.text, s.text
