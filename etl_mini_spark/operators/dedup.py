@@ -364,3 +364,55 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return pd.Series(out, dtype="int64")
 
     return df.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25
+) -> DataFrame:
+    """Connected components of an undirected edge list → (node, comp),
+    where ``comp`` is the minimum node id reachable from ``node``.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one shuffle-join + one
+    aggregate per round), with ``localCheckpoint`` truncating the plan
+    lineage so the DAG stays flat across rounds, and an early exit when
+    a round changes nothing. Rounds needed = graph diameter; near-dup
+    graphs are unions of small dense cliques (diameter ~2-3), so this
+    settles in a handful of rounds even at corpus scale. For adversarial
+    long-chain graphs the published O(log n)-round alternation
+    (large-star/small-star, Kiveris et al. 2014 "Connected Components in
+    MapReduce and Beyond") drops in behind the same signature.
+
+    Used for near-dup CLUSTER assignment: pairs from MinHash-LSH or
+    shingle-Jaccard rarely form clean pairs — transitive closure turns
+    them into keep-one-per-cluster decisions.
+    """
+    e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint()  # reused every round — pin, don't recompute
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("b"), F.col("comp").alias("nc")), "b")
+            .groupBy("a")
+            .agg(F.min("nc").alias("nbr_comp"))
+            .withColumnRenamed("a", "node")
+        )
+        new = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -1591,3 +1591,49 @@ def sql_scalar_above_avg(spark, sf_dir):
 
     register_tables(spark, sf_dir, ["part"])
     return spark.sql(_SCALAR_SQL)
+
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w) - 1)]) AS shingles
+       FROM toks),
+pairs AS (
+  SELECT d1, d2 FROM (
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach(node, lbl) AS (
+    SELECT a, a FROM edges
+  UNION
+    SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY node)
+SELECT doc_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM comp
+"""
+
+
+@q("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment: shingle-Jaccard pairs (≥0.8) →
+    transitive closure via iterative min-label propagation → one
+    representative (min doc_id) per component plus the component size.
+    The keep/drop decision a dedup pipeline actually needs — pairs alone
+    under-delete when A~B and B~C but A~C is below threshold. The oracle
+    recomputes the closure with a recursive CTE (a completely different
+    evaluation strategy — strong differential check)."""
+    from etl_mini_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_ngram_jaccard(d, "doc_id", "text")
+    comp = connected_components(pairs)
+    w = Window.partitionBy("cluster_rep")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_rep")
+    ).withColumn("cluster_size", F.count("*").over(w))

@@ -242,3 +242,19 @@ def test_stratified_take_exact_k(spark):
     sizes = dict(d.groupBy("lang").count().collect())
     for lang, n in per.items():
         assert n == min(5, sizes[lang]), (lang, n, sizes[lang])
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation must close a 6-hop chain (worst case for
+    per-hop propagation) and keep disjoint cliques separate."""
+    from etl_mini_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # chain 1..7
+             (10, 11), (11, 12), (10, 12),                     # triangle 10..12
+             (20, 21)]                                          # pair
+    df = spark.createDataFrame(edges, ["d1", "d2"])
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert all(got[n] == 1 for n in range(1, 8))
+    assert all(got[n] == 10 for n in (10, 11, 12))
+    assert got[20] == got[21] == 20
+    assert len(got) == 12
