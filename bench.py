@@ -38,6 +38,8 @@ HEADLINE = [
     "agg_stats_suite",
     "agg_percentiles",
     "sample_split_counts",
+    "sql_q5_local_volume",
+    "sql_q10_returned",
 ]
 
 
