@@ -214,12 +214,20 @@ def join_left_counts(spark, sf_dir):
 @q(
     "join_anti_no_orders",
     """SELECT c_custkey, c_name FROM customer
-       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')""",
 )
 def join_anti_no_orders(spark, sf_dir):
-    """DQ-15 (J3): anti join — customers with no orders."""
+    """DQ-15 (J3): anti join — customers with no URGENT order. (Every
+    customer has *some* order in the testdata, so the anti-join is run
+    against the urgent subset to keep the expected result non-empty —
+    a 0-row match proves nothing.)"""
     o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
 
 
 @q(
@@ -480,29 +488,53 @@ def window_lag_lead(spark, sf_dir):
 
 @q(
     "order_by_hash",
-    """SELECT md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)) AS ordered_hash,
-              count(*) AS cnt
-       FROM events WHERE event_type = 'purchase'""",
+    """WITH per_day AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS day,
+                md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)) AS day_hash,
+                count(*) AS cnt
+         FROM events WHERE event_type = 'purchase' GROUP BY 1
+       )
+       SELECT md5(string_agg(day_hash, ',' ORDER BY day)) AS ordered_hash,
+              CAST(sum(cnt) AS BIGINT) AS cnt
+       FROM per_day""",
 )
 def order_by_hash(spark, sf_dir):
-    """DQ-23 (O1): consumer-visible total order — hash of the id stream
-    in (ts, event_id) order proves ordering parity."""
+    """DQ-23 (O1): consumer-visible total order, checked scalably.
+
+    Hash-of-the-ordered-id-stream as a SEGMENTED checksum: the sort-key
+    space is partitioned deterministically (by day — a data-derived
+    range, not Spark's partitioner, so both engines agree), each
+    segment hashes its ids in (ts, event_id) order, and the final
+    checksum hashes the segment hashes in segment order. Equal final
+    hash ⇔ both engines agree on the total order. No group ever holds
+    more than one segment's ids — unlike a global collect_list, which
+    funnels every row through one task (the r01 version; VERDICT §wrong
+    item 4). At finer scale, swap day → hour for smaller segments."""
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    agg = e.agg(
+    per_day = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.md5(
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id"))
-                    ),
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id"))),
                     lambda s: s.getField("event_id").cast("string"),
                 ),
                 ",",
             )
-        ).alias("ordered_hash"),
+        ).alias("day_hash"),
         F.count("*").alias("cnt"),
     )
-    return agg
+    return per_day.agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("day", "day_hash"))),
+                    lambda s: s.getField("day_hash"),
+                ),
+                ",",
+            )
+        ).alias("ordered_hash"),
+        F.sum("cnt").alias("cnt"),
+    )
 
 
 @q(
@@ -571,15 +603,19 @@ def set_intersect(spark, sf_dir):
 
 @q(
     "set_except",
-    """SELECT user_id FROM events WHERE event_type = 'view'
+    """SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'view'
        EXCEPT
-       SELECT user_id FROM events WHERE event_type = 'error'""",
+       SELECT user_id, strftime(ts, '%Y-%m-%d') FROM events WHERE event_type = 'purchase'""",
 )
 def set_except(spark, sf_dir):
-    """U1: viewers who never hit an error."""
+    """U1: (user, day) pairs that viewed but did not purchase that day.
+    Keyed on (user_id, day) — per-user-only EXCEPT is empty in the
+    testdata (every user hits every event type), and a 0-row = 0-row
+    match is vacuous."""
     e = _t(spark, sf_dir, "events")
-    a = e.filter(F.col("event_type") == "view").select("user_id")
-    b = e.filter(F.col("event_type") == "error").select("user_id")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    a = e.filter(F.col("event_type") == "view").select("user_id", day)
+    b = e.filter(F.col("event_type") == "purchase").select("user_id", day)
     return a.subtract(b)  # EXCEPT (set) semantics, matching the SQL oracle
 
 
@@ -632,6 +668,54 @@ def iso_normalize(spark, sf_dir):
     )
     return e.select(
         "event_id", normalize_iso_col(raw).alias("iso_norm")
+    )
+
+
+@q(
+    "time_tz_trimode",
+    """WITH src AS (
+         SELECT event_id,
+                strftime(ts, '%Y-%m-%dT%H:%M:%S') ||
+                  CASE user_id % 3 WHEN 0 THEN 'Z' WHEN 1 THEN '+02:00' ELSE '' END AS iso,
+                CASE user_id % 3 WHEN 1 THEN 120 ELSE 0 END AS off_min,
+                CASE user_id % 3 WHEN 0 THEN 'Z' WHEN 1 THEN '+02:00' ELSE '' END AS suffix
+         FROM events),
+       parsed AS (
+         SELECT event_id, suffix,
+                strptime(CASE WHEN suffix = '' THEN iso
+                              ELSE substr(iso, 1, 19) END, '%Y-%m-%dT%H:%M:%S')
+                  - to_minutes(off_min) AS utc_ts
+         FROM src)
+       SELECT event_id,
+              strftime(utc_ts, '%Y-%m-%d %H:%M:%S') AS datetime_s,
+              strftime(date_trunc('month', utc_ts), '%Y-%m-%d') AS month_,
+              (suffix = 'Z') AS offset_ok
+       FROM parsed""",
+)
+def time_tz_trimode(spark, sf_dir):
+    """DQ-29 (F2): the reference's timezone-expectation tri-mode
+    (time_converter.py:105-120) over an offset-bearing ISO corpus built
+    deterministically from events — a third each of 'Z', '+02:00' and
+    naive suffixes (user_id % 3). Warning mode attaches ``offset_ok``
+    (expected offset 'Z') and the parts extraction converts every
+    offset to the UTC instant, so '+02:00' rows land 2 h earlier.
+    Error/ignore modes are unit-tested (tests/test_time_fns.py); the
+    oracle does the offset arithmetic explicitly (strptime − offset) so
+    it is independent of DuckDB's session timezone."""
+    from etl_mini_spark.functions.time_fns import check_expected_offset, iso_to_parts_cols
+
+    e = _t(spark, sf_dir, "events")
+    m = F.col("user_id") % 3
+    suffix = F.when(m == 0, "Z").when(m == 1, "+02:00").otherwise("")
+    iso = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), suffix)
+    df = e.select("event_id", iso.alias("iso"))
+    df = check_expected_offset(df, "iso", "Z", mode="warning")
+    parts = iso_to_parts_cols(F.col("iso"))
+    return df.select(
+        "event_id",
+        parts["datetime_s"].alias("datetime_s"),
+        parts["month_s"].alias("month_"),
+        "offset_ok",
     )
 
 
@@ -846,18 +930,57 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@q("dedup_simhash")  # bit-level python kernel — rows-only check
+# SimHash oracle: DuckDB recomputes the exact 64-bit SimHash —
+# whitespace tokens, per-token hash = first 8 md5 bytes big-endian
+# (== python int.from_bytes(md5(tok).digest()[:8], 'big') ==
+# ('0x'||substr(md5(tok),1,16))::UBIGINT), per-bit majority vote —
+# then takes ALL pairs with bit_count(xor) <= 3. The Spark side must
+# reproduce this exact pair set through the block-bucket LSH path.
+_SIMHASH_BIT_SUMS = ",\n         ".join(
+    f"sum(CAST((hv >> {i}) & 1 AS BIGINT)) AS b{i}" for i in range(64)
+)
+# bit weights as decimal literals: DuckDB's << overflows at bit 63
+_SIMHASH_BIT_OR = " + ".join(
+    f"(CASE WHEN 2 * v.b{i} > v.ntok THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END)"
+    for i in range(64)
+)
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks
+),
+votes AS (
+  SELECT doc_id, count(*) AS ntok,
+         {_SIMHASH_BIT_SUMS}
+  FROM h GROUP BY doc_id
+),
+sh AS (
+  SELECT d.doc_id,
+         COALESCE(({_SIMHASH_BIT_OR}), 0::UBIGINT) AS hv
+  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.hv, b.hv)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hv, b.hv)) <= 3
+"""
+
+
+@q("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
-    """SimHash per doc + pairs within hamming distance 3."""
-    sh = simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    a = sh.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
-    b = sh.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
-    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (
-        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= 3)
-        .select("d1", "d2", "hamming")
+    """SimHash near-dup pairs within hamming distance 3 via 4×16-bit
+    block-bucket LSH (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4 blocks equal,
+    so recall is exactly 1) + exact bit_count(xor) verify. No all-pairs
+    join anywhere — candidate volume is bounded by 16-bit block-bucket
+    collisions. Differential oracle: DuckDB recomputes SimHash from
+    scratch (same md5 token hash, same majority vote) and enumerates
+    the exact pair set."""
+    from etl_mini_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, n_blocks=4
     )
 
 
@@ -892,29 +1015,53 @@ def similarity_ivf(spark, sf_dir):
     """SELECT a.vec_id AS id1, b.vec_id AS id2,
               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""",
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""",
 )
 def embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (≥0.95)."""
-    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.95)
+    """Embedding-cosine near-dup pairs (exact scoring). Threshold 0.45:
+    the synthetic embeddings are near-orthogonal (max natural cosine
+    ~0.51 at sf0.01), so 0.95 yields an empty — vacuous — result;
+    0.45 keeps a small non-empty pair set at every test SF."""
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 @q(
     "embedding_near_dups_lsh",
-    """SELECT a.vec_id AS id1, b.vec_id AS id2,
-              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""",
+    """WITH aug AS (
+         SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000,
+                list_transform(embedding::DOUBLE[], x -> x + 0.02)
+         FROM embeddings WHERE vec_id % 25 = 0
+       )
+       SELECT a.vec_id AS id1, b.vec_id AS id2,
+              round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+       FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""",
 )
 def embedding_near_dups_lsh(spark, sf_dir):
     """Embedding near-dups via random-hyperplane LSH + exact verify —
     the non-broadcast 100 TB path (no side held in memory). Candidates
     are bucket cohabitants only; exact cosine verification makes the
-    output the true pair set (per-pair miss prob ~3e-5), so the oracle
-    is the exact all-pairs query."""
+    output the true pair set (per-pair miss prob ~3e-11 at cos≈0.987),
+    so the oracle is the exact all-pairs query.
+
+    The corpus is augmented with PLANTED near-dups (every 25th vector,
+    re-inserted at vec_id+1e6 with +0.02 added to each component →
+    cosine ≈ 0.987 to its source, ≤0.49 to everything else): the
+    synthetic embeddings have no natural pairs above ~0.51, so without
+    planting the ≥0.95 check is vacuously 0 = 0. Both engines build the
+    same augmented corpus, so the oracle stays exact."""
     from etl_mini_spark.operators.similarity import embedding_near_dup_pairs_lsh
 
-    return embedding_near_dup_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.95)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    return embedding_near_dup_pairs_lsh(emb.unionByName(planted), threshold=0.95)
 
 
 @q(
