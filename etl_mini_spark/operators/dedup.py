@@ -457,10 +457,18 @@ def connected_components(
     shingle-Jaccard rarely form clean pairs — transitive closure turns
     them into keep-one-per-cluster decisions.
     """
+    for c in (src, dst):  # loud failure beats silently NULLed-out edges
+        dt = dict(edges.dtypes)[c]
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"connected_components needs integral node ids; {c!r} is {dt}. "
+                "Map string/UUID ids to dense longs first (e.g. hash or zipWithIndex)."
+            )
     e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint()  # reused every round — pin, don't recompute
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.select(F.col("node").alias("b"), F.col("comp").alias("nc")), "b")
@@ -485,4 +493,14 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # Returning unconverged labels would silently under-merge
+        # components (long chains > max_iter hops keep distinct reps and
+        # dedup keeps rows it should drop) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "the graph has a component with diameter > max_iter. Raise "
+            "max_iter, or use the O(log n) large-star/small-star "
+            "alternation (Kiveris et al. 2014) for long-chain graphs."
+        )
     return labels

@@ -41,7 +41,9 @@ def deterministic_sample(
     df: DataFrame, key_col: str, fraction: float, salt: str = "", buckets: int = N_BUCKETS
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash. Narrow op (no
-    shuffle); complementary salts give disjoint samples."""
+    shuffle). Different salts give INDEPENDENT resamples (which overlap
+    by chance); disjoint samples come from non-overlapping bucket
+    ranges under ONE salt — that's what ``split_assign`` does."""
     return df.filter(hash_bucket(F.col(key_col), salt, buckets) < int(round(fraction * buckets)))
 
 

@@ -39,8 +39,12 @@ def _wordlist_occurrences(col: Column, words: list[str]) -> Column:
     """Total occurrences of any word in ``words``, counted in ONE regex
     scan via alternation — \\b-delimited whole words never overlap, so
     this equals the sum of per-word counts while paying a single pass
-    over the text instead of len(words) passes."""
-    return F.size(F.regexp_extract_all(col, F.lit(rf"\b(?:{'|'.join(words)})\b"), 0))
+    over the text instead of len(words) passes. Words are regex-escaped
+    so entries like "c++" or "don't" can't warp the pattern."""
+    import re as _re
+
+    escaped = (_re.escape(w) for w in words)
+    return F.size(F.regexp_extract_all(col, F.lit(rf"\b(?:{'|'.join(escaped)})\b"), 0))
 
 
 def lang_score(col: Column, lang: str) -> Column:

@@ -68,19 +68,23 @@ def upsert_parquet(
     """Merge ``source`` into the parquet table at ``target_path``.
 
     Write-stage-swap: the merge result lands in ``{path}__stage`` and is
-    only then moved over the target, so a mid-write failure leaves the
-    original intact and a retry is idempotent."""
-    import shutil
-    from pathlib import Path
+    only then swapped over the target, so a mid-write failure leaves the
+    original intact and a retry is idempotent. All path operations go
+    through the Hadoop FileSystem API (sources/fs.py) — the same code
+    path works on file://, hdfs://, and s3a:// targets, not just local
+    disk. The crash window between delete and rename is recoverable
+    (the stage dir holds the full merged result); a transactional
+    format (Delta/Iceberg MERGE) removes the window entirely."""
+    from etl_mini_spark.sources.fs import fs_delete, fs_exists, fs_rename
 
-    tgt = Path(target_path)
-    if tgt.exists():
+    existed = fs_exists(spark, target_path)
+    if existed:
         target = spark.read.parquet(target_path)
         merged = merge_upsert(target, source, keys, update_columns, conflict_action)
     else:
         merged = source
-    stage = str(tgt) + "__stage"
+    stage = target_path.rstrip("/") + "__stage"
     merged.write.mode("overwrite").parquet(stage)
-    if tgt.exists():
-        shutil.rmtree(target_path)
-    shutil.move(stage, target_path)
+    if existed:
+        fs_delete(spark, target_path)
+    fs_rename(spark, stage, target_path)

@@ -40,19 +40,35 @@ def write_jdbc_append(
     )
 
 
+def _sanitize_tsv_value(v) -> str:
+    """COPY-text rendering of one value ≡ the reference's
+    ``_sanitize_value`` (tsv_converter.py:83-94): nested dict/list →
+    ``json.dumps``, then tab/newline/CR collapsed to spaces. SQL NULL
+    renders as the COPY NULL token (postgresql_service.py:168 uses
+    NULL '' — we pin the unambiguous \\N so empty strings stay
+    distinguishable from NULL)."""
+    import json
+
+    if v is None:
+        return TSV_NULL
+    try:  # Spark Row → plain dict before JSON encoding
+        from pyspark.sql import Row
+
+        if isinstance(v, Row):
+            v = v.asDict(recursive=True)
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(v, (dict, list)):
+        v = json.dumps(v)
+    return str(v).replace("\t", " ").replace("\n", " ").replace("\r", " ")
+
+
 def _partition_to_tsv(rows, columns: list[str]):
     """Render a partition as COPY-ready TSV lines (tab/newline-safe,
     NULL → \\N — the normalization the reference does at
     tsv_converter.py:83-94 + postgresql_service.py:168)."""
     for row in rows:
-        vals = []
-        for c in columns:
-            v = row[c]
-            if v is None:
-                vals.append(TSV_NULL)
-            else:
-                vals.append(str(v).replace("\t", " ").replace("\n", " ").replace("\r", " "))
-        yield "\t".join(vals) + "\n"
+        yield "\t".join(_sanitize_tsv_value(row[c]) for c in columns) + "\n"
 
 
 def copy_into_postgres(

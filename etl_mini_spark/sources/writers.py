@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import json
 import time
-from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,19 +32,24 @@ def write_run_layout(df: DataFrame, base_path: str, fmt: str = "parquet") -> str
     (rename-atomic on any filesystem) rather than a copied dataset —
     copying the data (what the reference does) doubles write volume,
     which matters at TB-scale sinks."""
+    from etl_mini_spark.sources.fs import fs_write_text
+
     run_id = str(int(time.time() * 1000))
     run_path = f"{base_path}/{run_id}"
     df.write.mode("error").format(fmt).save(run_path)
-    manifest = Path(base_path) / "latest.json"
-    tmp = manifest.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"latest": run_path, "format": fmt, "run_id": run_id}))
-    tmp.replace(manifest)
+    fs_write_text(  # Hadoop FS API: works on file://, hdfs://, s3a://
+        df.sparkSession,
+        f"{base_path}/latest.json",
+        json.dumps({"latest": run_path, "format": fmt, "run_id": run_id}),
+    )
     return run_path
 
 
 def resolve_latest(spark, base_path: str) -> DataFrame:
     """Read the dataset the ``latest`` manifest points at."""
-    m = json.loads((Path(base_path) / "latest.json").read_text())
+    from etl_mini_spark.sources.fs import fs_read_text
+
+    m = json.loads(fs_read_text(spark, f"{base_path}/latest.json"))
     return spark.read.format(m["format"]).load(m["latest"])
 
 

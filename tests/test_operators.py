@@ -125,18 +125,49 @@ def test_udf_native_and_pandas_paths_agree(spark):
     assert a == b
 
 
-def test_ivf_recall_against_bruteforce(spark):
+def _recall_at_5(exact_df, approx_df) -> float:
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact_df.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx_df.collect()}
+    return len(e & a) / len(e)
+
+
+def test_ivf_recall_clustered(spark):
+    """recall@5 ≥ 0.9 at nprobe=4/16 (25% scan) on a corpus with real
+    cluster structure — IVF's operating regime. Deterministic seed."""
+    import numpy as np
+
+    from etl_mini_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+
+    rs = np.random.RandomState(7)
+    centers = rs.randn(8, 64)
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + 0.15 * rs.randn(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    cdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = cdf.filter(F.col("vec_id") % 40 == 0)
+    exact = cosine_topk_bruteforce(cdf, probes, k=5)
+    approx = cosine_topk_ivf(cdf, probes, k=5, nprobe=4, n_cells=16)
+    recall = _recall_at_5(exact, approx)
+    assert recall >= 0.9, f"IVF recall@5 on clustered corpus: {recall}"
+
+
+def test_ivf_recall_natural_corpus(spark):
+    """recall@5 ≥ 0.9 on the driver testdata. The synthetic embeddings
+    are near-orthogonal (no cluster structure → cell routing carries
+    little signal — worst case for ANY pruned ANN), so nprobe must be
+    wide (12/16) to clear 0.9; with clusterable data nprobe=4 suffices
+    (test above)."""
     from etl_mini_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf
     from etl_mini_spark.session import load_table
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
     exact = cosine_topk_bruteforce(emb, probes, k=5)
-    approx = cosine_topk_ivf(emb, probes, k=5, nprobe=6, n_cells=16)
-    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
-    a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
-    recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"IVF recall suspiciously low: {recall}"
+    approx = cosine_topk_ivf(emb, probes, k=5, nprobe=12, n_cells=16)
+    recall = _recall_at_5(exact, approx)
+    assert recall >= 0.9, f"IVF recall@5 on natural corpus: {recall}"
 
 
 def test_salted_join_identical_to_plain(spark):

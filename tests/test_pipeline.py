@@ -113,6 +113,44 @@ def test_upsert_parquet_roundtrip(spark):
     assert out == {1: "a", 2: "B", 3: "c"}
 
 
+def test_upsert_parquet_file_uri(spark):
+    """The stage-swap must go through the Hadoop FileSystem API — an
+    explicit file:// URI (which pathlib/shutil can't handle) proves the
+    FS-API path end-to-end."""
+    import shutil
+
+    from pyspark.sql import Row
+
+    from etl_mini_spark.operators.upsert import upsert_parquet
+
+    local = TMP / "upsert_uri_tbl"
+    shutil.rmtree(local, ignore_errors=True)
+    uri = f"file://{local}"
+    upsert_parquet(spark, uri, spark.createDataFrame([Row(k=1, v="a")]), keys=["k"])
+    upsert_parquet(
+        spark, uri, spark.createDataFrame([Row(k=1, v="A"), Row(k=2, v="b")]), keys=["k"]
+    )
+    out = {r["k"]: r["v"] for r in spark.read.parquet(uri).collect()}
+    assert out == {1: "A", 2: "b"}
+    assert not (TMP / "upsert_uri_tbl__stage").exists()  # swap completed
+
+
+def test_run_layout_file_uri(spark):
+    from etl_mini_spark.session import load_table
+    from etl_mini_spark.sources.writers import resolve_latest, write_run_layout
+
+    import shutil
+
+    local = TMP / "runlayout_uri"
+    shutil.rmtree(local, ignore_errors=True)
+    base = f"file://{local}"
+    df = load_table(spark, SF_SMOKE, "region")
+    write_run_layout(df, base)
+    assert resolve_latest(spark, base).count() == df.count()
+    assert (local / "latest.json").exists()
+    assert not (local / "latest.json.tmp").exists()
+
+
 def test_run_layout_latest_pointer(spark):
     from etl_mini_spark.session import load_table
     from etl_mini_spark.sources.writers import resolve_latest, write_run_layout

@@ -1,0 +1,87 @@
+"""S6 (BOM-tolerant CSV scan) + S8 (COPY/TSV sink rendering) — the
+file-level parity tests the container can run without S3 or Postgres.
+
+- BOM: the reference decodes S3 CSV bytes as utf-8-sig
+  (s3_service.py:133-144); our `read_csv` must yield clean header
+  names and values from a BOM-prefixed file.
+- TSV: the COPY wire format (`_partition_to_tsv`) is pinned by a
+  committed golden file covering tabs, newlines, CRs, SQL NULLs,
+  empty strings, and nested struct/array values
+  (≡ tsv_converter.py:83-94 + postgresql_service.py:166-170).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_mini_spark.sources.jdbc import _partition_to_tsv
+from etl_mini_spark.sources.readers import read_csv
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def test_bom_csv_header_and_values(spark):
+    df = read_csv(spark, str(FIXTURES / "bom.csv"))
+    assert df.columns == ["id", "name", "amount"]  # no ﻿ prefix
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert rows[0]["id"] == "1" and rows[0]["name"] == "alpha"
+    assert rows[2]["amount"] is None  # trailing empty field → NULL
+
+
+def test_bom_csv_with_schema_and_typemap(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, str(FIXTURES / "bom.csv"), schema=schema)
+    got = {r["id"]: (r["name"], r["amount"]) for r in df.collect()}
+    assert got == {1: ("alpha", 10.5), 2: ("beta", 20.25), 3: ("gamma", None)}
+
+
+def _tsv_fixture_df(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("label", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("k", T.StringType()),
+                        T.StructField("ns", T.ArrayType(T.LongType())),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows = [
+        (1, "plain", 1.5, {"k": "v1", "ns": [1, 2]}),
+        (2, "tab\there", 2.0, {"k": "v2", "ns": []}),
+        (3, "line\nbreak\rcr", None, None),
+        (4, None, 0.25, {"k": None, "ns": [7]}),
+        (5, "", 3.0, {"k": "empty-string-above", "ns": None}),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_tsv_golden(spark):
+    df = _tsv_fixture_df(spark)
+    lines = list(_partition_to_tsv(df.collect(), df.columns))
+    golden = (FIXTURES / "tsv_sink.golden.tsv").read_text()
+    assert "".join(lines) == golden
+
+
+def test_tsv_null_vs_empty_distinct(spark):
+    df = _tsv_fixture_df(spark)
+    lines = {r[0]: r for r in (l.rstrip("\n").split("\t") for l in _partition_to_tsv(df.collect(), df.columns))}
+    assert lines["4"][1] == "\\N"  # SQL NULL → COPY token
+    assert lines["5"][1] == ""  # empty string stays empty
+    assert "\t" not in lines["2"][1] and "\n" not in lines["3"][1]
+    assert lines["1"][3] == '{"k": "v1", "ns": [1, 2]}'  # nested → JSON
