@@ -35,6 +35,10 @@ class RegisteredFunction:
     fn: Callable[..., dict]  # scalar python impl: (*args, **static) -> dict
     output_schema: T.StructType
     native: Callable[..., dict[str, Column]] | None = None  # Column-expr twin
+    # Arrow-batch impl: (*pd.Series, **static) -> pd.DataFrame. Used by the
+    # UDF path when present, so a function without a Column-expression
+    # twin still avoids the per-row Python loop.
+    vectorized: Callable[..., pd.DataFrame] | None = None
 
 
 @dataclass
@@ -59,8 +63,9 @@ class FunctionRegistry:
         fn: Callable[..., dict],
         output_schema: T.StructType,
         native: Callable[..., dict[str, Column]] | None = None,
+        vectorized: Callable[..., pd.DataFrame] | None = None,
     ) -> None:
-        self._fns[name] = RegisteredFunction(name, fn, output_schema, native)
+        self._fns[name] = RegisteredFunction(name, fn, output_schema, native, vectorized)
 
     def get(self, name: str) -> RegisteredFunction:
         if name not in self._fns:  # closed registry — same gate as the reference
@@ -73,16 +78,21 @@ class FunctionRegistry:
 
 def _pandas_wrap(reg: RegisteredFunction, static_args: dict[str, Any], arg_names: list[str]):
     schema = reg.output_schema
-    fn = reg.fn
+    fn, vec = reg.fn, reg.vectorized
+    out_cols = [f.name for f in schema.fields]
 
     @F.pandas_udf(schema)
     def wrapped(*cols: pd.Series) -> pd.DataFrame:
-        n = len(cols[0]) if cols else 0
-        rows = []
-        for i in range(n):
-            kwargs = {name: cols[j].iloc[i] for j, name in enumerate(arg_names)}
-            rows.append(fn(**kwargs, **static_args))
-        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+        if vec is not None:  # whole-batch kernel: no per-row Python at all
+            out = vec(*cols, **static_args)
+            return out[out_cols]
+        # scalar fallback: one list-conversion per column up front, then a
+        # plain zip loop — ~10× faster than per-row .iloc indexing
+        vals = [c.tolist() for c in cols]
+        rows = [
+            fn(**dict(zip(arg_names, tup)), **static_args) for tup in zip(*vals)
+        ]
+        return pd.DataFrame(rows, columns=out_cols)
 
     return wrapped
 
@@ -150,7 +160,30 @@ def _iso_to_parts_native(col: Column) -> dict[str, Column]:
     }
 
 
+def _iso_to_parts_vec(iso: pd.Series) -> pd.DataFrame:
+    """Arrow-batch twin of ``_iso_to_parts_py``: one vectorized
+    to_datetime per batch instead of a Python loop. Naive inputs are
+    taken as UTC and offset-bearing ones converted — same contract as
+    the scalar and native twins."""
+    ts = pd.to_datetime(iso, format="ISO8601", utc=True).dt.tz_localize(None)
+    out = pd.DataFrame(
+        {
+            "datetime": ts.dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "microseconds": ts.dt.microsecond.astype("Int64"),
+            "month": ts.dt.strftime("%Y-%m-01"),
+        }
+    )
+    out.loc[ts.isna(), :] = None
+    return out
+
+
 def default_registry() -> FunctionRegistry:
     reg = FunctionRegistry()
-    reg.register("iso_to_parts", _iso_to_parts_py, _ISO_PARTS_SCHEMA, _iso_to_parts_native)
+    reg.register(
+        "iso_to_parts",
+        _iso_to_parts_py,
+        _ISO_PARTS_SCHEMA,
+        native=_iso_to_parts_native,
+        vectorized=_iso_to_parts_vec,
+    )
     return reg

@@ -119,10 +119,25 @@ def test_udf_native_and_pandas_paths_agree(spark):
                 output_mapping={"datetime": "dt", "microseconds": "mcs", "month": "mon"})
     nat = apply_additional_fields(e, [AdditionalField(**spec, use_native=True)], reg)
     udf = apply_additional_fields(e, [AdditionalField(**spec, use_native=False)], reg)
+    # scalar fallback: same function registered WITHOUT the vectorized
+    # kernel must agree too (it's the path any new registered function
+    # takes before a kernel is written)
+    from etl_mini_spark.functions.registry import (
+        _ISO_PARTS_SCHEMA,
+        _iso_to_parts_py,
+        FunctionRegistry,
+    )
+
+    scalar_reg = FunctionRegistry()
+    scalar_reg.register("iso_to_parts", _iso_to_parts_py, _ISO_PARTS_SCHEMA)
+    scal = apply_additional_fields(
+        e, [AdditionalField(**spec, use_native=False)], scalar_reg
+    )
     cols = ["event_id", "dt", "mcs", "mon"]
     a = sorted(map(tuple, nat.select(*cols).collect()))
     b = sorted(map(tuple, udf.select(*cols).collect()))
-    assert a == b
+    c = sorted(map(tuple, scal.select(*cols).collect()))
+    assert a == b == c
 
 
 def _recall_at_5(exact_df, approx_df) -> float:
@@ -289,3 +304,51 @@ def test_connected_components_chain_and_cliques(spark):
     assert all(got[n] == 10 for n in (10, 11, 12))
     assert got[20] == got[21] == 20
     assert len(got) == 12
+
+
+def test_connected_components_unconverged_raises(spark):
+    from etl_mini_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 30)]  # diameter 29 > max_iter 3
+    df = spark.createDataFrame(chain, ["d1", "d2"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=3)
+
+
+def test_connected_components_rejects_string_ids(spark):
+    from etl_mini_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([("a", "b")], ["d1", "d2"])
+    with pytest.raises(TypeError, match="integral node ids"):
+        connected_components(df)
+
+
+def test_star_components_long_chain(spark):
+    """The O(log n) alternation closes a 200-hop chain in ~log rounds —
+    the case where min-label propagation needs 200 rounds."""
+    from etl_mini_spark.operators.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(1, 200)]
+    df = spark.createDataFrame(chain, ["d1", "d2"])
+    got = {r["node"]: r["comp"] for r in connected_components_star(df, max_iter=20).collect()}
+    assert len(got) == 200
+    assert all(c == 1 for c in got.values())
+
+
+def test_star_components_match_label_propagation(spark):
+    """Differential: star alternation ≡ min-label propagation on a
+    seeded random graph (mixed cliques, chains, singleton pairs)."""
+    import random
+
+    from etl_mini_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    edges = {(rng.randrange(120), rng.randrange(120)) for _ in range(150)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["d1", "d2"])
+    a = {r["node"]: r["comp"] for r in connected_components(df, max_iter=60).collect()}
+    b = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
+    assert a == b
