@@ -98,3 +98,76 @@ def fingerprint(col: Column) -> Column:
     distinct token set. Robust to token reordering; pair with
     operators/dedup.simhash for near-dup-robust hashing."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(col)))), " "))
+
+
+# ---- PII redaction / chunking / corpus n-gram stats ----------------------
+# Standard LLM-pretraining corpus hygiene ops. All pure Column
+# expressions / narrow maps except the n-gram count (one hash-agg
+# shuffle) — codegen-friendly, linear at 100 TB.
+
+# Patterns valid and equivalent in both Java regex (Spark) and RE2
+# (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{13,16}\b", "<NUM>"),  # card-/account-shaped digit runs
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email / IPv4 / long-digit-run substrings with typed
+    tokens. Order matters (emails first — an address can contain
+    digits); each pattern is one JVM regexp_replace pass."""
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    tokenize-and-pack step before embedding/training. Emits
+    (id, chunk_id, chunk, n_tokens); the final chunk may be short.
+    Narrow per-row explode — no shuffle; output row count is
+    ~n_tokens/stride per doc."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    piece = F.slice(F.col("__toks"), F.col("start") + 1, window)
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(id_col, "__toks", F.explode(F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride))).alias("start"))
+        .select(
+            id_col,
+            (F.col("start") / stride).cast("long").alias("chunk_id"),
+            F.array_join(piece, " ").alias("chunk"),
+            F.size(piece).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def top_ngrams(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Corpus-level top-k bigrams by count (deterministic (count desc,
+    ngram) tie-break) — the cheap corpus-statistics pass used for
+    boilerplate detection and contamination checks. One explode + one
+    hash-agg shuffle + TakeOrdered; at 100 TB the agg is partial
+    (map-side combine) so the shuffle carries distinct ngrams, not
+    token occurrences."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
+    bigrams = F.expr(
+        "transform(sequence(0, size(__toks) - 2), i -> concat(__toks[i], ' ', __toks[i+1]))"
+    )
+    return (
+        df.select(toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(k)
+    )

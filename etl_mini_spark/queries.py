@@ -1830,6 +1830,84 @@ def dedup_clusters(spark, sf_dir):
     ).withColumn("cluster_size", F.count("*").over(w))
 
 
+@q(
+    "text_redact_pii",
+    r"""WITH src AS (
+         SELECT doc_id,
+                text || ' contact user' || doc_id || '@example.com or 10.0.0.' ||
+                (doc_id % 256) || ' card 4111111111111111' AS text
+         FROM documents)
+       SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                '\b\d{13,16}\b', '<NUM>', 'g') AS redacted
+       FROM src""",
+)
+def text_redact_pii(spark, sf_dir):
+    """PII redaction (email/IPv4/card-shaped digit runs → typed tokens)
+    over a corpus with deterministically INJECTED PII — the raw
+    documents contain none, so redacting them alone would be a no-op
+    check. Both engines build the same augmented text, redact, and
+    compare full output strings. Pure regexp_replace chain: whole-stage
+    codegen, linear scan at any scale."""
+    from etl_mini_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com or 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(" card 4111111111111111"),
+    )
+    return d.select("doc_id", redact_pii(injected).alias("redacted"))
+
+
+@q(
+    "doc_chunks",
+    r"""WITH t AS (
+         SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+       nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+       s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 64)) AS start FROM nz)
+       SELECT doc_id, CAST(start / 64 AS BIGINT) AS chunk_id,
+              array_to_string(toks[start+1:start+128], ' ') AS chunk,
+              CAST(len(toks[start+1:start+128]) AS BIGINT) AS n_tokens
+       FROM s""",
+)
+def doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (window 128, stride 64) — the
+    tokenize-and-pack step before embedding/training. Narrow explode,
+    no shuffle; chunk text compared verbatim against the oracle."""
+    from etl_mini_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window=128, stride=64
+    )
+
+
+@q(
+    "corpus_top_bigrams",
+    r"""WITH t AS (
+         SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+         ),
+       bg AS (
+         SELECT unnest(list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                                      p -> p[1] || ' ' || p[2])) AS ngram
+         FROM t WHERE len(toks) >= 2)
+       SELECT ngram, CAST(count(*) AS BIGINT) AS n
+       FROM bg GROUP BY ngram
+       ORDER BY n DESC, ngram LIMIT 20""",
+)
+def corpus_top_bigrams(spark, sf_dir):
+    """Corpus-level top-20 bigrams (count desc, ngram tie-break) —
+    boilerplate/contamination statistics. Map-side partial agg means
+    the shuffle carries distinct ngrams only."""
+    from etl_mini_spark.operators.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), "text", k=20)
+
+
 # =========================================================================
 # Registry ordering — the driver's CORRECTNESS gate records the FIRST 50
 # entries in registry order, so that window is curated explicitly:
@@ -1888,6 +1966,8 @@ _TAIL = [
     "text_token_counts", "text_lang_id", "text_fingerprint",
     "multimodal_decode", "multimodal_resize", "multimodal_features",
     "agg_approx_distinct",
+    # round-2 additions (corpus-hygiene ops)
+    "text_redact_pii", "doc_chunks", "corpus_top_bigrams",
 ]
 
 
