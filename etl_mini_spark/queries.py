@@ -1908,6 +1908,29 @@ def corpus_top_bigrams(spark, sf_dir):
     return top_ngrams(_t(spark, sf_dir, "documents"), "text", k=20)
 
 
+@q("stream_capped_sessions")  # custom stateful streaming — genuinely no SQL twin
+def stream_capped_sessions(spark, sf_dir):
+    """ST-custom: applyInPandasWithState capped sessionization run as a
+    real stream (file source, AvailableNow) and read back. The span-cap
+    rule is iterative per key (each split decision depends on the
+    previous one), so there is no window-function SQL twin — the
+    differential check lives in tests/test_streaming.py against a
+    pure-python reference. Output restricted to gap/cap-closed sessions
+    (timeout flushes depend on micro-batch boundaries)."""
+    import uuid
+
+    from etl_mini_spark.streaming.stateful import capped_sessions
+    from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
+
+    tmp = _TMP / f"capped_sessions_{uuid.uuid4().hex[:8]}"
+    src, out, ckpt = str(tmp / "src"), str(tmp / "out"), str(tmp / "ckpt")
+    batch = _t(spark, sf_dir, "events").select("user_id", "ts")
+    batch.write.mode("overwrite").parquet(src)
+    stream = read_stream_parquet(spark, src, spark.read.parquet(src).schema)
+    run_to_completion(capped_sessions(stream), checkpoint_dir=ckpt, output_path=out)
+    return spark.read.parquet(out).filter(F.col("closed_by").isin("gap", "cap"))
+
+
 # =========================================================================
 # Registry ordering — the driver's CORRECTNESS gate records the FIRST 50
 # entries in registry order, so that window is curated explicitly:
@@ -1966,8 +1989,9 @@ _TAIL = [
     "text_token_counts", "text_lang_id", "text_fingerprint",
     "multimodal_decode", "multimodal_resize", "multimodal_features",
     "agg_approx_distinct",
-    # round-2 additions (corpus-hygiene ops)
+    # round-2 additions (corpus-hygiene ops + custom stateful streaming)
     "text_redact_pii", "doc_chunks", "corpus_top_bigrams",
+    "stream_capped_sessions",
 ]
 
 

@@ -146,3 +146,55 @@ def test_sliding_stream_matches_batch_via_upsert(spark):
         for r in spark.read.parquet(tgt).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_capped_sessions_stateful(spark):
+    """applyInPandasWithState sessionizer: gap- and cap-closed sessions
+    must match a pure-python reference sessionization exactly; any
+    timeout-flushed session must equal the reference's final open
+    session for that user."""
+    from etl_mini_spark.streaming.stateful import capped_sessions
+    from etl_mini_spark.streaming.stream import run_to_completion
+
+    GAP_S, CAP_S = 1800, 7200
+    batch, stream = _events_stream(spark)
+
+    # reference: per-user ordered scan with the same gap/cap rules
+    rows = batch.select("user_id", "ts").collect()
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["ts"])
+    expected_closed, expected_open = set(), {}
+    for u, tss in per_user.items():
+        tss.sort()
+        start = last = tss[0]
+        n = 0
+        for t in tss:
+            if n > 0 and (t - last).total_seconds() > GAP_S:
+                expected_closed.add((u, start, last, n, "gap"))
+                start, n = t, 0
+            elif n > 0 and (t - start).total_seconds() > CAP_S:
+                expected_closed.add((u, start, last, n, "cap"))
+                start, n = t, 0
+            last = t
+            n += 1
+        expected_open[u] = (u, start, last, n)
+
+    out_dir, ckpt = str(TMP / "sess_out"), str(TMP / "sess_ckpt")
+    run_to_completion(
+        capped_sessions(stream, gap_s=GAP_S, max_len_s=CAP_S),
+        checkpoint_dir=ckpt,
+        output_path=out_dir,
+    )
+    got = spark.read.parquet(out_dir).collect()
+    got_closed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["closed_by"])
+        for r in got
+        if r["closed_by"] in ("gap", "cap")
+    }
+    assert got_closed == expected_closed
+    assert len(expected_closed) > 0  # non-vacuous: the data does close sessions
+    for r in got:
+        if r["closed_by"] == "timeout":
+            u = r["user_id"]
+            assert (u, r["session_start"], r["session_end"], r["n_events"]) == expected_open[u]
