@@ -1908,6 +1908,99 @@ def corpus_top_bigrams(spark, sf_dir):
     return top_ngrams(_t(spark, sf_dir, "documents"), "text", k=20)
 
 
+@q(
+    "join_full_outer",
+    """SELECT COALESCE(a.c_custkey, b.o_custkey) AS custkey,
+              a.c_acctbal, b.n_urgent
+       FROM (SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+             FROM customer WHERE c_acctbal > 9000) a
+       FULL OUTER JOIN
+            (SELECT o_custkey, count(*) AS n_urgent FROM orders
+             WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) b
+       ON a.c_custkey = b.o_custkey""",
+)
+def join_full_outer(spark, sf_dir):
+    """J2 full outer: rich customers ⟗ urgent-order counts — both sides
+    keep unmatched rows (high-balance customers with no urgent orders;
+    urgent-order customers below the balance cut)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"), "c_acctbal", "n_urgent"
+    )
+
+
+@q(
+    "window_rank_suite",
+    """SELECT l_orderkey, l_linenumber,
+              rank()         OVER w AS rnk,
+              dense_rank()   OVER w AS drnk,
+              round(percent_rank() OVER w, 6) AS prnk,
+              round(cume_dist()    OVER w, 6) AS cdist,
+              ntile(4)       OVER w AS quartile
+       FROM lineitem
+       WINDOW w AS (PARTITION BY l_returnflag
+                    ORDER BY round(l_extendedprice, 2) DESC, l_orderkey, l_linenumber)""",
+)
+def window_rank_suite(spark, sf_dir):
+    """W-suite: rank / dense_rank / percent_rank / cume_dist / ntile
+    under one deterministic total order per partition."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.round("l_extendedprice", 2).desc(), "l_orderkey", "l_linenumber"
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@q(
+    "string_fns_suite",
+    """SELECT p_partkey,
+              upper(p_brand) AS brand_u,
+              CAST(length(p_name) AS BIGINT) AS name_len,
+              substr(p_name, 1, 12) AS name_prefix,
+              replace(p_type, ' ', '_') AS type_snake,
+              lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+              reverse(p_brand) AS brand_rev,
+              CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+              CAST(levenshtein(p_brand, 'Brand#13') AS BIGINT) AS brand_dist,
+              concat_ws('|', p_brand, p_type) AS brand_type
+       FROM part""",
+)
+def string_fns_suite(spark, sf_dir):
+    """F-suite: the common string-function surface (case, length,
+    substring, replace, pad, reverse, find, edit distance, concat) —
+    all JVM built-ins, semantics pinned against DuckDB."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).cast("long").alias("brand_dist"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
 @q("stream_capped_sessions")  # custom stateful streaming — genuinely no SQL twin
 def stream_capped_sessions(spark, sf_dir):
     """ST-custom: applyInPandasWithState capped sessionization run as a
@@ -1989,9 +2082,11 @@ _TAIL = [
     "text_token_counts", "text_lang_id", "text_fingerprint",
     "multimodal_decode", "multimodal_resize", "multimodal_features",
     "agg_approx_distinct",
-    # round-2 additions (corpus-hygiene ops + custom stateful streaming)
+    # round-2 additions (corpus-hygiene ops + custom stateful streaming
+    # + coverage-depth suites)
     "text_redact_pii", "doc_chunks", "corpus_top_bigrams",
     "stream_capped_sessions",
+    "join_full_outer", "window_rank_suite", "string_fns_suite",
 ]
 
 
