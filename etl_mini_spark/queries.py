@@ -2010,11 +2010,14 @@ def stream_capped_sessions(spark, sf_dir):
     differential check lives in tests/test_streaming.py against a
     pure-python reference. Output restricted to gap/cap-closed sessions
     (timeout flushes depend on micro-batch boundaries)."""
+    import shutil
     import uuid
 
     from etl_mini_spark.streaming.stateful import capped_sessions
     from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
 
+    for old in _TMP.glob("capped_sessions_*"):  # drop previous runs' scratch
+        shutil.rmtree(old, ignore_errors=True)
     tmp = _TMP / f"capped_sessions_{uuid.uuid4().hex[:8]}"
     src, out, ckpt = str(tmp / "src"), str(tmp / "out"), str(tmp / "ckpt")
     batch = _t(spark, sf_dir, "events").select("user_id", "ts")
