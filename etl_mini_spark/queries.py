@@ -2001,6 +2001,32 @@ def string_fns_suite(spark, sf_dir):
     )
 
 
+@q(
+    "timeseries_resample_fill",
+    """WITH bounds AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+       grid AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+       types AS (SELECT DISTINCT event_type AS et FROM events),
+       cnt AS (SELECT ts::DATE AS day, event_type, count(*) AS n,
+                      round(avg(value), 6) AS avg_v
+               FROM events GROUP BY 1, 2)
+       SELECT strftime(g.day, '%Y-%m-%d') AS day, t.et AS event_type,
+              CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+              round(last_value(c.avg_v IGNORE NULLS) OVER (
+                PARTITION BY t.et ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS avg_value_locf
+       FROM grid g CROSS JOIN types t
+       LEFT JOIN cnt c ON c.day = g.day AND c.event_type = t.et""",
+)
+def timeseries_resample_fill(spark, sf_dir):
+    """Time-series regularization: daily grid per event_type over the
+    full span, counts zero-filled and mean value LOCF-filled — the
+    resample step before windowed features. Grid is days×types (tiny);
+    only the initial aggregate scales with event volume."""
+    from etl_mini_spark.operators.timeseries import resample_daily_fill
+
+    return resample_daily_fill(_t(spark, sf_dir, "events"), "ts", "event_type", "value")
+
+
 @q("stream_capped_sessions")  # custom stateful streaming — genuinely no SQL twin
 def stream_capped_sessions(spark, sf_dir):
     """ST-custom: applyInPandasWithState capped sessionization run as a
@@ -2090,6 +2116,7 @@ _TAIL = [
     "text_redact_pii", "doc_chunks", "corpus_top_bigrams",
     "stream_capped_sessions",
     "join_full_outer", "window_rank_suite", "string_fns_suite",
+    "timeseries_resample_fill",
 ]
 
 
