@@ -2002,6 +2002,56 @@ def string_fns_suite(spark, sf_dir):
 
 
 @q(
+    "funnel_conversion",
+    """WITH seq AS (
+         SELECT user_id, ts, event_id, event_type,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase
+         FROM events),
+       clicks AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS day,
+                (next_purchase IS NOT NULL AND next_purchase <= ts + INTERVAL 24 HOUR)
+                  AS converted
+         FROM seq WHERE event_type = 'click')
+       SELECT day, count(*) AS n_clicks,
+              CAST(count(*) FILTER (WHERE converted) AS BIGINT) AS n_converted,
+              round(count(*) FILTER (WHERE converted)::DOUBLE / count(*), 6) AS conv_rate
+       FROM clicks GROUP BY day""",
+)
+def funnel_conversion(spark, sf_dir):
+    """Funnel analysis: click→purchase conversion within 24 h, per
+    click day. The forward-looking 'next purchase after this event' is
+    one min-over-following-frame window per user — no self-join, one
+    shuffle on user_id, then a tiny day-level aggregate. (The backward
+    twin is operators/joins.asof_join.) Deterministic frame via the
+    (ts, event_id) total order in BOTH engines."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w)
+    clicks = (
+        e.withColumn("next_purchase", nxt)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            (
+                F.col("next_purchase").isNotNull()
+                & (F.col("next_purchase") <= F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+            ).alias("converted"),
+        )
+    )
+    return clicks.groupBy("day").agg(
+        F.count("*").alias("n_clicks"),
+        F.count_if("converted").alias("n_converted"),
+        F.round(F.count_if("converted") / F.count("*"), 6).alias("conv_rate"),
+    )
+
+
+@q(
     "timeseries_resample_fill",
     """WITH bounds AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
        grid AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
@@ -2116,7 +2166,7 @@ _TAIL = [
     "text_redact_pii", "doc_chunks", "corpus_top_bigrams",
     "stream_capped_sessions",
     "join_full_outer", "window_rank_suite", "string_fns_suite",
-    "timeseries_resample_fill",
+    "timeseries_resample_fill", "funnel_conversion",
 ]
 
 
