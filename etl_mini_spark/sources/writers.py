@@ -93,3 +93,58 @@ def write_partitioned_by_type_date(
         .partitionBy(type_col, "__date")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 256,
+    sort_col: str | None = None,
+) -> int:
+    """Compact a parquet dataset's small files into ~``target_mb``
+    outputs. Returns the new file count.
+
+    The small-files problem is THE operational failure mode of
+    long-running ingest at scale (every micro-batch/upsert leaves
+    files; scans then pay per-file open cost and lose row-group
+    pruning). Sizing comes from the Hadoop FS content summary (works on
+    file://, hdfs://, s3a://); the rewrite goes through the same
+    stage-swap as upsert_parquet so readers never see a half-compacted
+    dataset. With ``sort_col`` the rewrite also range-sorts (see
+    write_sorted_for_skipping) so compaction doubles as a clustering
+    pass."""
+    import math
+
+    from etl_mini_spark.sources.fs import _fs_and_path, fs_delete, fs_rename
+
+    fs, p = _fs_and_path(spark, path)
+    size_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(size_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(sort_col)
+    else:
+        out = df.repartition(n_files)
+    stage = path.rstrip("/") + "__compact"
+    out.write.mode("overwrite").parquet(stage)
+    fs_delete(spark, path)
+    fs_rename(spark, stage, path)
+    fs, p = _fs_and_path(spark, path)
+    return sum(
+        1 for s in fs.listStatus(p) if s.getPath().getName().startswith("part-")
+    )
+
+
+def write_sorted_for_skipping(
+    df: DataFrame, path: str, sort_col: str, num_files: int | None = None, mode: str = "overwrite"
+) -> None:
+    """Range-partition + sort-within-partitions on ``sort_col`` before
+    writing, so every file (and row group) covers a NARROW, disjoint
+    range of the column — parquet min/max stats then let any engine
+    skip whole files for selective predicates. The standard clustering
+    move for time- or key-ranged scans at 100 TB (single-column
+    Z-order degenerate case)."""
+    out = df.repartitionByRange(
+        *( [num_files] if num_files else [] ), F.col(sort_col)
+    ).sortWithinPartitions(sort_col)
+    out.write.mode(mode).parquet(path)

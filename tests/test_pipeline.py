@@ -196,3 +196,51 @@ def test_csv_reader_bom_and_coerce(spark):
     assert set(rows) == {"x", "y"}, f"BOM not stripped: {set(rows)}"
     assert rows["y"] is None  # coerce, not raise
     assert rows["x"] is not None
+
+
+def test_compact_parquet(spark):
+    import shutil
+
+    from etl_mini_spark.session import load_table
+    from etl_mini_spark.sources.writers import compact_parquet
+
+    local = TMP / "compact_tbl"
+    shutil.rmtree(local, ignore_errors=True)
+    src = load_table(spark, SF_SMOKE, "lineitem")
+    src.repartition(16).write.parquet(str(local))  # fragmented ingest
+    before_files = len(list(local.glob("part-*")))
+    before = src.count()
+    n_files = compact_parquet(spark, str(local), target_mb=256)
+    assert n_files < before_files and n_files >= 1
+    after = spark.read.parquet(str(local))
+    assert after.count() == before
+    assert not (TMP / "compact_tbl__compact").exists()
+
+
+def test_sorted_write_has_disjoint_file_ranges(spark):
+    """write_sorted_for_skipping must produce files whose parquet
+    min/max stats cover disjoint ranges of the sort column — the
+    property that makes file/row-group skipping work."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from etl_mini_spark.session import load_table
+    from etl_mini_spark.sources.writers import write_sorted_for_skipping
+
+    local = TMP / "sorted_tbl"
+    shutil.rmtree(local, ignore_errors=True)
+    src = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_sorted_for_skipping(src, str(local), "l_orderkey", num_files=4)
+    ranges = []
+    for f in sorted(local.glob("part-*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        col = [md.row_group(i).column(0) for i in range(md.num_row_groups)]
+        assert all(c.path_in_schema == "l_orderkey" for c in col)
+        lo = min(c.statistics.min for c in col)
+        hi = max(c.statistics.max for c in col)
+        ranges.append((lo, hi))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary key may repeat)
