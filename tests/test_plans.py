@@ -179,3 +179,38 @@ def test_driver_window_invariants():
     names = list(QUERIES)
     window = names[:50]
     assert all(n in ORACLE for n in window), [n for n in window if n not in ORACLE]
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """agg_approx_distinct is rows-only for the driver (HLL++ can't
+    hash-match an exact oracle) — pin its quality here instead:
+    relative error vs exact COUNT(DISTINCT) within 5% (rsd=0.02)."""
+    from etl_mini_spark.queries import QUERIES
+    from etl_mini_spark.session import load_table
+
+    approx = QUERIES["agg_approx_distinct"](spark, SF_SMOKE).collect()[0]
+    e = load_table(spark, SF_SMOKE, "events")
+    ex = e.agg(
+        F.countDistinct("user_id").alias("u"), F.countDistinct("event_type").alias("t")
+    ).collect()[0]
+    assert abs(approx["approx_users"] - ex["u"]) / ex["u"] <= 0.05
+    assert abs(approx["approx_types"] - ex["t"]) / ex["t"] <= 0.05
+
+
+def test_funnel_single_user_shuffle(spark):
+    """funnel_conversion must compute next-purchase with ONE window
+    pass (shuffle on user_id) — a self-join would show a second join
+    exchange."""
+    from etl_mini_spark.queries import QUERIES
+
+    plan = QUERIES["funnel_conversion"](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_resample_grid_join_broadcasts(spark):
+    """The resample grid (days × keys) is tiny — its join against the
+    per-day aggregate must broadcast, never sort-merge."""
+    from etl_mini_spark.queries import QUERIES
+
+    plan = QUERIES["timeseries_resample_fill"](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
