@@ -2002,6 +2002,58 @@ def string_fns_suite(spark, sf_dir):
 
 
 @q(
+    "window_time_range_7d",
+    """SELECT event_id, user_id,
+              round(avg(value) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 6)
+                AS avg_7d,
+              CAST(count(*) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS n_7d
+       FROM events""",
+)
+def window_time_range_7d(spark, sf_dir):
+    """W-range: trailing-7-day moving average per user — a true
+    time-RANGE frame (all rows within the interval, regardless of row
+    count), not a ROWS frame. Spark expresses interval ranges by
+    ordering on epoch seconds with a seconds-wide rangeBetween. Frames
+    are tie-safe by construction: every row with the same ts is in the
+    same frame, so no tie-breaker is needed."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7 * 24 * 3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_7d"),
+        F.count("*").over(w).alias("n_7d"),
+    )
+
+
+@q(
+    "groupwise_zscore",
+    """SELECT event_id, event_type,
+              round((value - avg(value) OVER (PARTITION BY event_type))
+                    / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+       FROM events""",
+)
+def groupwise_zscore(spark, sf_dir):
+    """Group-wise standardization (z-score per event_type) — the
+    feature-engineering normalization pass, done with whole-partition
+    window aggregates: ONE shuffle on the group key instead of an
+    aggregate + join-back two-pass plan."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return e.select("event_id", "event_type", F.round(z, 6).alias("z"))
+
+
+@q(
     "funnel_conversion",
     """WITH seq AS (
          SELECT user_id, ts, event_id, event_type,
@@ -2167,6 +2219,7 @@ _TAIL = [
     "stream_capped_sessions",
     "join_full_outer", "window_rank_suite", "string_fns_suite",
     "timeseries_resample_fill", "funnel_conversion",
+    "window_time_range_7d", "groupwise_zscore",
 ]
 
 
