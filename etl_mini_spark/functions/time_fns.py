@@ -108,6 +108,41 @@ def check_expected_offset(
     raise ValueError(f"unknown mode {mode!r} (error|warning|ignore)")
 
 
+def check_expected_offset_observed(
+    df: DataFrame, iso_col: str, expected_offset: str
+):
+    """Single-pass variant of ``mode='error'``: instead of a dedicated
+    count() action BEFORE the main write (two full scans), piggyback the
+    offset validation on whatever action the caller runs next via
+    ``df.observe`` — the metric is computed inside the same job at zero
+    extra scan cost.
+
+    Returns ``(observed_df, raise_if_bad)``: run your action on
+    ``observed_df`` (write, count, collect, …), then call
+    ``raise_if_bad()`` — it raises :class:`UnexpectedOffsetError` with
+    the offending row count if any row's offset differed. Note the
+    inversion vs mode='error': the data has already landed when the
+    check fires, so use this where the sink is staged/atomic (e.g. the
+    stage-then-swap writers) and the swap can be skipped on failure.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ok = extract_offset(F.col(iso_col)) == F.lit(expected_offset)
+    observed = df.observe(
+        obs, F.sum((~ok).cast("long")).alias("bad_offsets")
+    )
+
+    def raise_if_bad() -> None:
+        bad = obs.get["bad_offsets"] or 0
+        if bad:
+            raise UnexpectedOffsetError(
+                f"{bad} rows of {iso_col!r} have an offset != {expected_offset!r}"
+            )
+
+    return observed, raise_if_bad
+
+
 def derive_time_parts(df: DataFrame, ts_col: str, prefix: str = "") -> DataFrame:
     """Attach (datetime_s, time_mcs, month_) derived from a timestamp
     column — the native rewrite of the flagship pipeline's

@@ -163,36 +163,48 @@ def near_dup_pairs_ngram_jaccard(
 ) -> DataFrame:
     """Exact near-dup pairs with n-word-shingle Jaccard ≥ threshold.
 
-    Inverted-index plan: explode (doc, shingle) → self-join on shingle →
-    count common shingles per pair → Jaccard from per-doc set sizes.
-    Only pairs sharing ≥1 shingle are ever materialized. ``max_bucket_size``
+    Inverted-index plan: explode (doc, sz, shingle) → self-join on
+    shingle → count common shingles per pair → Jaccard directly from
+    the carried set sizes. The per-doc set size rides along on every
+    inverted-index row (one extra int per posting), so there is NO
+    join-back against an O(corpus) per-doc table — at billions of docs
+    a forced broadcast of that table would be a scale-killer, and even
+    a shuffled join-back is a shuffle this plan doesn't need. Only
+    pairs sharing ≥1 shingle are ever materialized. ``max_bucket_size``
     drops degenerate ultra-common shingles (stopword-like) that would
     create quadratic hot buckets at scale — they cannot decide a
     high-threshold pair on their own.
     Returns (d1, d2, jaccard) with d1 < d2.
     """
     sh = _doc_shingles(df, id_col, text_col, n)
-    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inv = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
+    )
     if max_bucket_size is not None:
         bucket_n = inv.groupBy("shingle").agg(F.count("*").alias("bn"))
         inv = (
             inv.join(bucket_n.filter(F.col("bn") <= max_bucket_size), "shingle")
-            .select("doc_id", "shingle")
+            .select("doc_id", "sz", "shingle")
         )
     a = inv.alias("a")
     b = inv.alias("b")
+    # sz is functionally dependent on doc_id, so folding it into the
+    # grouping key is free (same shuffle width) and avoids any post-agg
+    # lookup of the sizes.
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
     return (
-        common.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        common.withColumn(
+            "jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -584,6 +596,19 @@ def connected_components_star(
             "the edge set."
         )
     # converged edge set is a union of stars: u -> component minimum
-    return e.select(F.col("u").alias("node"), F.col("v").alias("comp")).union(
+    assigned = e.select(F.col("u").alias("node"), F.col("v").alias("comp")).union(
         e.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
     )
+    # Nodes that appeared ONLY via self-loop edges were dropped by the
+    # a != b filter above; restore them as singleton components so the
+    # output contract matches connected_components exactly (which emits
+    # (x, x) for them).
+    all_nodes = (
+        edges.select(F.col(src).cast("long").alias("node"))
+        .union(edges.select(F.col(dst).cast("long").alias("node")))
+        .distinct()
+    )
+    singletons = all_nodes.join(assigned.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("comp")
+    )
+    return assigned.unionByName(singletons)

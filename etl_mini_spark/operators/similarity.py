@@ -42,9 +42,26 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _gather_unit_matrix(df: DataFrame, id_col: str, vec_col: str):
-    """(ids int64[n], row-normalized float64[n,d]) on the driver."""
-    pdf = df.select(id_col, vec_col).toPandas()
+def _gather_unit_matrix(
+    df: DataFrame, id_col: str, vec_col: str, max_rows: int = 1_000_000
+):
+    """(ids int64[n], row-normalized float64[n,d]) on the driver.
+
+    DRIVER-GATHER — only for probe sets / small corpora. ``max_rows``
+    is a hard guard: above it this raises instead of silently OOMing
+    the driver (1M × 64 float64 ≈ 512 MB); the caller should switch to
+    the distributed path (near_dup_pairs_embedding_lsh for near-dups,
+    cosine_topk_ivf for ANN), which never gathers the corpus. The guard
+    costs no extra Spark action: we fetch max_rows+1 and fail on
+    overflow."""
+    pdf = df.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"_gather_unit_matrix: input exceeds max_rows={max_rows}; "
+            "this driver-gather path is for probe sets / small corpora only — "
+            "use near_dup_pairs_embedding_lsh or cosine_topk_ivf for large "
+            "corpora (distributed, never gathers the vectors)."
+        )
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     mat = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -287,18 +304,22 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_gather_rows: int = 1_000_000,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold, id1 < id2.
 
     Corpus broadcast as one unit-normalized matrix; each partition GEMMs
     its batch against it and emits only ≥-threshold pairs. Threshold is
     applied to the UNROUNDED similarity (output rounded to 6) — matching
-    SQL `WHERE cos >= t` semantics. For corpora beyond broadcast reach,
-    sketch+band first (operators/dedup.py)."""
+    SQL `WHERE cos >= t` semantics. SMALL-CORPUS PATH: the corpus is
+    gathered to the driver, guarded by ``max_gather_rows`` — past the
+    cap this raises with a pointer at
+    :func:`near_dup_pairs_embedding_lsh`, the distributed twin with the
+    same output contract."""
     from etl_mini_spark.session import spread
 
     spark = corpus.sparkSession
-    ids, mat = _gather_unit_matrix(corpus, id_col, vec_col)
+    ids, mat = _gather_unit_matrix(corpus, id_col, vec_col, max_rows=max_gather_rows)
     b = spark.sparkContext.broadcast((ids, mat))
     out_schema = T.StructType(
         [

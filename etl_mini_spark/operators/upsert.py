@@ -42,14 +42,24 @@ def merge_upsert(
         kept = target.join(source.select(*keys), keys, "left_anti")
         return kept.unionByName(source.select(*target.columns))
 
+    # A __matched flag (not coalesce) distinguishes "no source row" from
+    # "source row with an explicit NULL": ON CONFLICT DO UPDATE SET
+    # col = excluded.col overwrites with NULL, and so must this
+    # (ref postgresql_service.py:213-229 — excluded.col semantics).
     src = source.select(
-        *keys, *[F.col(c).alias(f"__src_{c}") for c in update_columns]
+        *keys,
+        F.lit(True).alias("__matched"),
+        *[F.col(c).alias(f"__src_{c}") for c in update_columns],
     )
     merged = target.join(src, keys, "left")
     proj = []
     for c in target.columns:
         if c in update_columns:
-            proj.append(F.coalesce(F.col(f"__src_{c}"), F.col(c)).alias(c))
+            proj.append(
+                F.when(F.col("__matched"), F.col(f"__src_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
         else:
             proj.append(F.col(c))
     updated = merged.select(*proj)

@@ -824,6 +824,56 @@ def upsert_keyed(spark, sf_dir):
     )
 
 
+@q(
+    "upsert_null_update",
+    """WITH t AS (SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+                  FROM orders WHERE o_orderkey % 2 = 0),
+            s AS (SELECT o_orderkey, o_totalprice + 500 AS o_totalprice,
+                         CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE upper(o_orderpriority) END AS o_orderpriority,
+                         'N' AS o_orderstatus
+                  FROM orders WHERE o_orderkey % 3 = 0),
+            upd AS (SELECT t.o_orderkey,
+                           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+                           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority,
+                           t.o_orderstatus
+                    FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey)
+       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority, o_orderstatus FROM upd
+       UNION ALL
+       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority, o_orderstatus FROM s
+       WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)""",
+)
+def upsert_null_update(spark, sf_dir):
+    """DQ-5b (S9): partial-column upsert where the source deliberately
+    sets an update column to NULL — `ON CONFLICT DO UPDATE SET col =
+    excluded.col` OVERWRITES with NULL (ref postgresql_service.py:
+    213-229), it does not keep the stale target value. Every o_orderkey
+    divisible by 12 hits the matched-row-with-explicit-NULL path, so a
+    coalesce-style merge would hash-mismatch here. o_orderstatus is NOT
+    an update column: matched rows keep the target's status, inserted
+    rows carry the source's."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    )
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    source = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 500).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.upper("o_orderpriority"))
+        .alias("o_orderpriority"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    merged = merge_upsert(
+        target, source, keys=["o_orderkey"], update_columns=["o_totalprice", "o_orderpriority"]
+    )
+    return merged.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+
+
 # =========================================================================
 # Streaming-window batch equivalents (SURVEY §2.9: DQ-33)
 # =========================================================================
@@ -2018,14 +2068,17 @@ def window_time_range_7d(spark, sf_dir):
     """W-range: trailing-7-day moving average per user — a true
     time-RANGE frame (all rows within the interval, regardless of row
     count), not a ROWS frame. Spark expresses interval ranges by
-    ordering on epoch seconds with a seconds-wide rangeBetween. Frames
-    are tie-safe by construction: every row with the same ts is in the
-    same frame, so no tie-breaker is needed."""
+    ordering on epoch MICROseconds with a microsecond-wide rangeBetween
+    — full timestamp precision, so the frame boundaries agree with an
+    engine that compares timestamps exactly (unix_timestamp() would
+    truncate to seconds and create frame peers the oracle doesn't
+    have). Frames are tie-safe by construction: every row with the same
+    ts is in the same frame, so no tie-breaker is needed."""
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-7 * 24 * 3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
     )
     return e.select(
         "event_id",
@@ -2172,27 +2225,39 @@ def stream_capped_sessions(spark, sf_dir):
 # =========================================================================
 
 _DRIVER_WINDOW = [
-    # core scans / filters
-    "scan_checksum", "project_select", "filter_time_range", "filter_term",
-    "nested_json_extract", "drop_null_required",
-    # joins
-    "join_inner_revenue", "join_left_counts", "join_anti_no_orders",
-    "join_semi_active", "join_star_dims", "join_range_followups",
+    # round-3 rotation: every slot below is either (a) never driver-
+    # verified before r03 — the 11 round-2 tail additions — or (b) code
+    # changed this round and needs re-verification (upsert_null_update
+    # is the new explicit-NULL merge path; dedup_ngram_jaccard lost its
+    # O(corpus) broadcast join-back; window_time_range_7d moved to
+    # microsecond frames), or (c) kept from r02 because it has no
+    # double-green history yet. Double-green (r01+r02) entries yielded
+    # their slots and moved to the tail.
+    #
+    # never driver-verified (round-2 additions)
+    "http_api_extract", "text_redact_pii", "doc_chunks", "corpus_top_bigrams",
+    "join_full_outer", "window_rank_suite", "string_fns_suite",
+    "timeseries_resample_fill", "funnel_conversion",
+    "window_time_range_7d", "groupwise_zscore",
+    # changed this round → re-verify
+    "upsert_null_update", "dedup_ngram_jaccard",
+    # joins (kept: green in r02 only)
+    "join_anti_no_orders", "join_semi_active", "join_range_followups",
     "join_asof_last_order",
-    # ANSI-SQL entry point (TPC-H-style, driver-unverified in r01)
+    # ANSI-SQL entry point (TPC-H-style)
     "sql_q3_shipping", "sql_q5_local_volume", "sql_q10_returned",
     "sql_exists_urgent", "sql_scalar_above_avg",
     # aggregation
-    "agg_pricing_summary", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_rollup", "agg_cube", "agg_grouping_sets",
     "agg_stats_suite", "agg_percentiles", "agg_minmax_by", "agg_histogram",
     "groupby_date_type",
     # windows / streaming windows
-    "window_running_total", "window_topk_per_group", "window_sliding_15m",
-    # ordering / dedup / sets / reshape
-    "order_by_hash", "dedup_keep_first", "set_except",
+    "window_topk_per_group", "window_sliding_15m",
+    # ordering / sets / reshape
+    "order_by_hash", "set_except",
     "pivot_type_counts", "unpivot_part_metrics", "array_math_suite",
-    # functions / upsert
-    "time_tz_trimode", "udf_registry_iso_parts", "upsert_keyed",
+    # functions
+    "time_tz_trimode", "udf_registry_iso_parts",
     # sampling
     "sample_split_counts", "sample_deterministic", "sample_stratified_docs",
     # roundtrips
@@ -2203,23 +2268,22 @@ _DRIVER_WINDOW = [
 ]
 
 _TAIL = [
+    # double-green r01+r02 — yielded their r03 window slots
+    "scan_checksum", "project_select", "filter_time_range", "filter_term",
+    "nested_json_extract", "drop_null_required", "join_inner_revenue",
+    "join_left_counts", "join_star_dims", "agg_pricing_summary",
+    "window_running_total", "dedup_keep_first", "upsert_keyed",
     # driver-green in r01 (rotated out of the window) or rows-only
-    "http_api_extract", "tolerant_select", "agg_distinct", "window_lag_lead",
+    "tolerant_select", "agg_distinct", "window_lag_lead",
     "topk_limit", "set_union_halves", "set_intersect", "time_derive_parts",
     "iso_normalize", "sanitize_values", "placeholder_extract",
     "constant_columns", "window_tumbling_1h", "window_session_30m",
-    "dedup_exact_docs", "dedup_ngram_jaccard", "similarity_topk",
+    "dedup_exact_docs", "similarity_topk",
     "similarity_ivf", "join_salted_skew", "text_quality",
     "text_token_counts", "text_lang_id", "text_fingerprint",
     "multimodal_decode", "multimodal_resize", "multimodal_features",
     "agg_approx_distinct",
-    # round-2 additions (corpus-hygiene ops + custom stateful streaming
-    # + coverage-depth suites)
-    "text_redact_pii", "doc_chunks", "corpus_top_bigrams",
     "stream_capped_sessions",
-    "join_full_outer", "window_rank_suite", "string_fns_suite",
-    "timeseries_resample_fill", "funnel_conversion",
-    "window_time_range_7d", "groupwise_zscore",
 ]
 
 

@@ -54,7 +54,16 @@ def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
 
 def fs_write_text(spark: SparkSession, path: str, content: str) -> None:
     """Write a small text file via a temp-name + rename swap. Meant for
-    manifests/pointers only — data goes through DataFrame writers."""
+    manifests/pointers only — data goes through DataFrame writers.
+
+    The swap prefers ``FileContext.rename(..., Rename.OVERWRITE)``,
+    which is a single atomic operation on HDFS and local disk — a
+    concurrent reader sees either the old or the new manifest, never a
+    missing one. Filesystems whose FileContext binding doesn't support
+    overwrite-rename (or lack a FileContext at all, e.g. some object
+    stores) fall back to delete+rename; there the missing-file window
+    reopens, which is why :func:`fs_read_text` callers that read
+    manifests retry on FileNotFound (see writers.resolve_latest)."""
     fs, _ = _fs_and_path(spark, path)
     tmp = path + ".tmp"
     _, tmp_p = _fs_and_path(spark, tmp)
@@ -64,6 +73,18 @@ def fs_write_text(spark: SparkSession, path: str, content: str) -> None:
     finally:
         out.close()
     _, dst_p = _fs_and_path(spark, path)
+    jvm = spark._jvm
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dst_p.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        fc.rename(tmp_p, dst_p, opts)
+        return
+    except Exception:
+        pass  # no FileContext / no overwrite support → non-atomic fallback
     if fs.exists(dst_p):
         fs.delete(dst_p, False)
     if not fs.rename(tmp_p, dst_p):

@@ -199,12 +199,16 @@ def fetch_many_to_dataframe(
     pdf = spark.createDataFrame(
         [(json.dumps(p),) for p in param_sets], "params_json string"
     ).repartition(n)
+    # mapInPandas matches yielded frames to the declared schema
+    # POSITIONALLY — an API returning JSON keys in a different order
+    # would silently misassign values, so pin the column order here.
+    field_names = [f.name for f in spark.createDataFrame([], schema).schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for pj in b["params_json"]:
                 rows = fetch(templates, template_key, json.loads(pj), transport)
                 if rows:
-                    yield pd.DataFrame(rows)
+                    yield pd.DataFrame(rows).reindex(columns=field_names)
 
     return pdf.mapInPandas(run, schema)

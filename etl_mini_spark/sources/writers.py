@@ -45,11 +45,31 @@ def write_run_layout(df: DataFrame, base_path: str, fmt: str = "parquet") -> str
     return run_path
 
 
-def resolve_latest(spark, base_path: str) -> DataFrame:
-    """Read the dataset the ``latest`` manifest points at."""
+def resolve_latest(spark, base_path: str, retries: int = 3) -> DataFrame:
+    """Read the dataset the ``latest`` manifest points at.
+
+    Retries a missing manifest a few times: on filesystems where the
+    manifest swap degrades to delete+rename (no overwrite-rename
+    support — see fs.fs_write_text) a reader can race into the
+    sub-millisecond window between the two; a short retry converts that
+    into reading the fresh pointer."""
+    import time
+
     from etl_mini_spark.sources.fs import fs_read_text
 
-    m = json.loads(fs_read_text(spark, f"{base_path}/latest.json"))
+    last_err: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            m = json.loads(fs_read_text(spark, f"{base_path}/latest.json"))
+            break
+        except Exception as exc:  # py4j wraps FileNotFoundException
+            if "FileNotFound" not in type(exc).__name__ + str(exc):
+                raise
+            last_err = exc
+            if attempt < retries:
+                time.sleep(0.05 * (attempt + 1))
+    else:
+        raise last_err
     return spark.read.format(m["format"]).load(m["latest"])
 
 

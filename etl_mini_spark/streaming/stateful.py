@@ -108,8 +108,14 @@ def capped_sessions(
             last_us = t
             n += 1
         state.update((start_us, last_us, n))
-        # flush via event-time timeout once the watermark passes the gap
-        state.setTimeoutTimestamp(last_us // 1000 + gap_s * 1000)
+        # flush via event-time timeout once the watermark passes the gap;
+        # clamp to just past the current watermark — Spark rejects (and
+        # fails the query on) a timeout timestamp that is already behind
+        # the advanced event-time watermark, which can happen when a
+        # micro-batch delivers stragglers whose ts+gap is in the past.
+        timeout_ms = last_us // 1000 + gap_s * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         yield from out
 
     return (

@@ -352,3 +352,74 @@ def test_star_components_match_label_propagation(spark):
     a = {r["node"]: r["comp"] for r in connected_components(df, max_iter=60).collect()}
     b = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
     assert a == b
+
+
+def test_merge_upsert_explicit_null_overwrites(spark):
+    """ON CONFLICT DO UPDATE SET col = excluded.col overwrites with an
+    explicit NULL (ref postgresql_service.py:213-229) — a coalesce-based
+    merge would silently keep the stale target value."""
+    from etl_mini_spark.operators.upsert import merge_upsert
+
+    tgt = spark.createDataFrame([Row(k=1, a="A1", b="B1"), Row(k=2, a="A2", b="B2")])
+    src = spark.createDataFrame(
+        [(2, None, "B2x"), (3, None, "B3")], "k long, a string, b string"
+    )
+    out = {r["k"]: (r["a"], r["b"]) for r in
+           merge_upsert(tgt, src, keys=["k"], update_columns=["a"]).collect()}
+    # k=2 matched: a overwritten with explicit NULL, b untouched (not an
+    # update column); k=3 inserted whole.
+    assert out == {1: ("A1", "B1"), 2: (None, "B2"), 3: (None, "B3")}
+
+
+def test_star_components_self_loop_nodes(spark):
+    """Nodes present ONLY via self-loop edges must still be assigned
+    (node, node) — same contract as connected_components."""
+    from etl_mini_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame([(1, 2), (5, 5), (7, 7)], ["d1", "d2"])
+    want = {1: 1, 2: 1, 5: 5, 7: 7}
+    got_lp = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    got_star = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
+    assert got_lp == want
+    assert got_star == want
+
+
+def test_gather_guard_raises_above_cap(spark):
+    """The driver-gather similarity path must fail LOUDLY above its row
+    cap instead of OOMing a 100 TB driver — the error names the
+    distributed alternatives."""
+    import pytest as _pytest
+
+    from etl_mini_spark.operators.similarity import embedding_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(5)]
+    )
+    with _pytest.raises(ValueError, match="near_dup_pairs_embedding_lsh"):
+        embedding_near_dup_pairs(df, max_gather_rows=3).collect()
+
+
+def test_check_expected_offset_observed_single_pass(spark, tmp_path):
+    """The observed variant validates inside the caller's own action —
+    no separate count() job — and raises after the action when any
+    offset differs."""
+    from etl_mini_spark.functions.time_fns import (
+        UnexpectedOffsetError,
+        check_expected_offset_observed,
+    )
+
+    bad = spark.createDataFrame(
+        [Row(iso="2024-01-01T00:00:00Z"), Row(iso="2024-01-01T00:00:00+03:00")]
+    )
+    observed, raise_if_bad = check_expected_offset_observed(bad, "iso", "Z")
+    observed.write.mode("overwrite").parquet(str(tmp_path / "staged"))
+    with pytest.raises(UnexpectedOffsetError, match="1 rows"):
+        raise_if_bad()
+
+    clean = spark.createDataFrame([Row(iso="2024-01-01T00:00:00Z")])
+    observed2, raise_if_bad2 = check_expected_offset_observed(clean, "iso", "Z")
+    observed2.write.mode("overwrite").parquet(str(tmp_path / "staged2"))
+    raise_if_bad2()  # no raise on clean data

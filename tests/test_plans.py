@@ -214,3 +214,16 @@ def test_resample_grid_join_broadcasts(spark):
 
     plan = QUERIES["timeseries_resample_fill"](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ngram_jaccard_no_forced_broadcast(spark):
+    """near_dup_pairs_ngram_jaccard must not force-broadcast any
+    O(corpus) table (per-doc sizes ride the inverted index instead) —
+    at billions of docs a broadcast hint on a corpus-sized side is a
+    scale-killer. AQE may still choose a broadcast at runtime when the
+    side actually fits; only the *forced* hint is forbidden."""
+    from etl_mini_spark.queries import QUERIES
+
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed

@@ -85,3 +85,47 @@ def test_tsv_null_vs_empty_distinct(spark):
     assert lines["5"][1] == ""  # empty string stays empty
     assert "\t" not in lines["2"][1] and "\n" not in lines["3"][1]
     assert lines["1"][3] == '{"k": "v1", "ns": [1, 2]}'  # nested → JSON
+
+
+def test_tsv_golden_loads_into_real_sql_consumer(spark):
+    """Prove the COPY wire format against a REAL SQL consumer: DuckDB's
+    COPY ... FROM with the same options the reference passes to Postgres
+    (FORMAT text-ish: tab delimiter, NULL token, no quoting —
+    postgresql_service.py:166-170). The landed table must reproduce the
+    source DataFrame's values, with NULL and empty-string kept distinct
+    and nested structs landed as their JSON rendering."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE landed (id BIGINT, label VARCHAR, amount DOUBLE, payload VARCHAR)"
+    )
+    con.execute(
+        f"""COPY landed FROM '{FIXTURES / "tsv_sink.golden.tsv"}'
+            (FORMAT csv, DELIMITER '\t', HEADER false, NULL '\\N',
+             QUOTE '', ESCAPE '')"""
+    )
+    got = con.execute("SELECT * FROM landed ORDER BY id").fetchall()
+    # the source rows after the sanitizer's documented lossy steps
+    # (tab/newline/CR → space inside strings; nested → JSON)
+    want = [
+        (1, "plain", 1.5, '{"k": "v1", "ns": [1, 2]}'),
+        (2, "tab here", 2.0, '{"k": "v2", "ns": []}'),
+        (3, "line break cr", None, None),
+        (4, None, 0.25, '{"k": null, "ns": [7]}'),
+        (5, "", 3.0, '{"k": "empty-string-above", "ns": null}'),
+    ]
+    assert got == want
+    # NULL vs empty string must survive the trip — the reason TSV_NULL
+    # is \N rather than the ambiguous ''
+    n_null, n_empty = con.execute(
+        "SELECT count(*) FILTER (WHERE label IS NULL),"
+        "       count(*) FILTER (WHERE label = '') FROM landed"
+    ).fetchone()
+    assert (n_null, n_empty) == (1, 1)
+    # and the JSON payload is machine-readable on the consumer side
+    ks = con.execute(
+        "SELECT id, json_extract_string(payload, '$.k') FROM landed "
+        "WHERE payload IS NOT NULL ORDER BY id"
+    ).fetchall()
+    assert ks == [(1, "v1"), (2, "v2"), (4, None), (5, "empty-string-above")]
