@@ -2208,6 +2208,65 @@ def stream_capped_sessions(spark, sf_dir):
     return spark.read.parquet(out).filter(F.col("closed_by").isin("gap", "cap"))
 
 
+@q("stream_capped_sessions_checksum")
+def stream_capped_sessions_checksum(spark, sf_dir):
+    """ST-custom pin #2: value-sensitive checksum over the deterministic
+    (gap/cap-closed) session set — per closed_by: session count, total
+    events, and a sum over the session epoch bounds. A regression in
+    session boundaries or event counts moves these values even when the
+    ROW COUNT of the detail entry stays the same; the local differential
+    (tests/test_streaming.py) pins the same numbers against the
+    pure-python reference."""
+    closed = QUERIES["stream_capped_sessions"](spark, sf_dir)
+    return (
+        closed.groupBy("closed_by")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.sum(
+                F.unix_micros("session_start") + F.unix_micros("session_end")
+            ).alias("bounds_checksum_us"),
+        )
+        .orderBy("closed_by")
+    )
+
+
+@q(
+    "stream_dedup_watermark",
+    """SELECT DISTINCT event_id, user_id, event_type FROM events""",
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """ST5: dropDuplicatesWithinWatermark under late duplicates — every
+    10th event is re-delivered 5 minutes late (inside the 1 h
+    watermark horizon), the stream must emit each event_id exactly
+    once. The oracle is the batch-equivalent distinct over the original
+    events: streaming dedup on planted duplicates recovers it exactly.
+    Only copy-invariant columns are returned (which physical copy
+    survives depends on file ordering, by design of first-wins dedup)."""
+    import shutil
+    import uuid
+
+    from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
+    from etl_mini_spark.streaming.windows import streaming_dedup
+
+    for old in _TMP.glob("stream_dedup_*"):  # drop previous runs' scratch
+        shutil.rmtree(old, ignore_errors=True)
+    tmp = _TMP / f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    src, out, ckpt = str(tmp / "src"), str(tmp / "out"), str(tmp / "ckpt")
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    late_dupes = e.filter(F.col("event_id") % 10 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    e.unionByName(late_dupes).write.mode("overwrite").parquet(src)
+    stream = read_stream_parquet(spark, src, spark.read.parquet(src).schema)
+    run_to_completion(
+        streaming_dedup(stream, keys=["event_id"], ts_col="ts", late_threshold="1 hour"),
+        checkpoint_dir=ckpt,
+        output_path=out,
+    )
+    return spark.read.parquet(out).select("event_id", "user_id", "event_type")
+
+
 # =========================================================================
 # Registry ordering — the driver's CORRECTNESS gate records the FIRST 50
 # entries in registry order, so that window is curated explicitly:
@@ -2284,6 +2343,8 @@ _TAIL = [
     "multimodal_decode", "multimodal_resize", "multimodal_features",
     "agg_approx_distinct",
     "stream_capped_sessions",
+    # round-3 additions
+    "stream_capped_sessions_checksum", "stream_dedup_watermark",
 ]
 
 

@@ -198,3 +198,43 @@ def test_capped_sessions_stateful(spark):
         if r["closed_by"] == "timeout":
             u = r["user_id"]
             assert (u, r["session_start"], r["session_end"], r["n_events"]) == expected_open[u]
+
+
+def test_capped_sessions_checksum_entry_matches_reference(spark):
+    """The registry checksum entry (driver's value-sensitive pin) must
+    equal the pure-python reference aggregation of gap/cap sessions."""
+    from tests.conftest import SF_SMOKE
+
+    from etl_mini_spark.queries import QUERIES
+    from etl_mini_spark.session import load_table
+
+    GAP_S, CAP_S = 1800, 7200
+    rows = load_table(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["ts"])
+    want: dict[str, list] = {}
+    for u, tss in per_user.items():
+        tss.sort()
+        start = last = tss[0]
+        n = 0
+        for t in tss:
+            closed = None
+            if n > 0 and (t - last).total_seconds() > GAP_S:
+                closed = "gap"
+            elif n > 0 and (t - start).total_seconds() > CAP_S:
+                closed = "cap"
+            if closed:
+                agg = want.setdefault(closed, [0, 0, 0])
+                agg[0] += 1
+                agg[1] += n
+                us = lambda x: int(x.timestamp() * 1_000_000)
+                agg[2] += us(start) + us(last)
+                start, n = t, 0
+            last = t
+            n += 1
+    got = {
+        r["closed_by"]: [r["n_sessions"], r["total_events"], r["bounds_checksum_us"]]
+        for r in QUERIES["stream_capped_sessions_checksum"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
