@@ -6,7 +6,7 @@ path — so they whole-stage-codegen over billions of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # n-gram/stopword marker lists per language (tiny public stopword sets).
@@ -170,4 +170,71 @@ def top_ngrams(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "ngram")
         .limit(k)
+    )
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 repetition filters):
+    documents dominated by repeated words/n-grams are low-quality
+    training data. Per document:
+
+    - ``n_words`` / ``n_distinct_words``
+    - ``dup_word_frac``   — 1 − distinct/total words
+    - ``dup_bigram_frac`` — 1 − distinct/total word-2-grams
+    - ``top_word_frac``   — occurrences of the most frequent word /
+      total words (ties broken lexicographically)
+
+    Everything except top_word_frac is per-row array math (codegen, no
+    shuffle). top_word_frac explodes to (doc, word) and aggregates —
+    one shuffle on doc_id — then joins back on doc_id; both sides hash
+    to the same key so AQE plans a co-located join, and nothing is
+    force-broadcast (the per-doc table is O(corpus))."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size("words")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("words"))
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("words", 1, n - 1),
+            F.slice(F.col("words"), 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct("words")).cast("long").alias("n_distinct_words"),
+        bigrams.alias("bigrams"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(
+            F.when(
+                F.size("bigrams") > 0,
+                1 - F.size(F.array_distinct("bigrams")) / F.size("bigrams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    counts = base.select("doc_id", F.explode("words").alias("w")).groupBy(
+        "doc_id", "w"
+    ).agg(F.count("*").alias("cnt"))
+    win = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("w"))
+    top = (
+        counts.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("cnt").alias("top_cnt"))
+    )
+    return stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "dup_word_frac",
+        "dup_bigram_frac",
+        F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_word_frac"),
     )

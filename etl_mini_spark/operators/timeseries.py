@@ -53,3 +53,42 @@ def resample_daily_fill(
             F.round(F.last("avg_v", ignorenulls=True).over(w), 6).alias("avg_value_locf"),
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_s: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Batch sessionization — the gap rule as ONE window pass: flag rows
+    whose gap to the previous event exceeds ``gap_s``, running-sum the
+    flags into a per-key session index, aggregate per session. Returns
+    (<key>, session_idx, session_start, session_end, n_events).
+
+    Scale shape: a single shuffle on the key for the window; the
+    follow-up groupBy on (key, session_idx) reuses the same hash
+    partitioning (key ⊆ grouping keys), so Catalyst plans NO second
+    exchange. This is the batch twin of streaming/stateful.py's
+    capped_sessions gap rule (cap semantics need the stateful path —
+    a running-sum can't reset on its own output).
+
+    ``tiebreak_col`` makes same-timestamp orderings deterministic.
+    """
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gap_us = F.unix_micros(ts_col) - F.lag(F.unix_micros(ts_col)).over(w)
+    new_session = (
+        F.when(gap_us.isNull() | (gap_us > gap_s * 1_000_000), 1).otherwise(0)
+    )
+    return (
+        df.withColumn("__new", new_session)
+        .withColumn("session_idx", F.sum("__new").over(w).cast("long"))
+        .groupBy(key_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -227,3 +227,27 @@ def test_ngram_jaccard_no_forced_broadcast(spark):
     df = QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_sessionize_single_shuffle(spark):
+    """sessionize: the groupBy(key, session_idx) must reuse the window's
+    hashpartitioning(key) — exactly ONE exchange in the whole plan. A
+    second exchange would double the shuffle volume of every batch
+    sessionization at 100 TB."""
+    import re
+
+    from etl_mini_spark.queries import QUERIES
+
+    df = QUERIES["sessionize_events"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_text_repetition_no_forced_broadcast(spark):
+    """repetition_metrics joins two O(corpus) per-doc tables on doc_id —
+    neither side may carry a broadcast hint (AQE decides at runtime)."""
+    from etl_mini_spark.queries import QUERIES
+
+    df = QUERIES["text_repetition"](spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed

@@ -229,7 +229,7 @@ def test_capped_sessions_checksum_entry_matches_reference(spark):
                 agg[0] += 1
                 agg[1] += n
                 us = lambda x: int(x.timestamp() * 1_000_000)
-                agg[2] += us(start) + us(last)
+                agg[2] += (us(start) + us(last)) % 1_000_000_000
                 start, n = t, 0
             last = t
             n += 1
