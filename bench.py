@@ -59,7 +59,10 @@ def main() -> None:
 
     # Per-query min over REPS timed runs — the machine is shared, so a
     # single sample is dominated by scheduler noise, not the query.
-    REPS = 2
+    # Raised 2→3 after round 2: a +19% drift hit 21/23 queries including
+    # bare parquet scans whose plans hadn't changed — ambient-load noise
+    # that min-of-2 failed to suppress (see BASELINE.md bench protocol).
+    REPS = 3
     timings: dict[str, float] = {}
     for _ in range(REPS):
         for name in HEADLINE:

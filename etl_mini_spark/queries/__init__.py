@@ -1,0 +1,26 @@
+"""Query registry, split by domain. Import order is irrelevant to the
+driver window — _window._reorder_registry() rebuilds QUERIES/ORACLE into
+the curated 50-slot-window + tail order and asserts exact coverage.
+
+See _base for the registration decorator and hash-parity conventions.
+"""
+
+from etl_mini_spark.queries._base import ORACLE, QUERIES, q  # noqa: F401
+
+from etl_mini_spark.queries import scans  # noqa: F401,E402
+from etl_mini_spark.queries import joins_q  # noqa: F401,E402
+from etl_mini_spark.queries import aggregates  # noqa: F401,E402
+from etl_mini_spark.queries import windows_q  # noqa: F401,E402
+from etl_mini_spark.queries import ordering_sets  # noqa: F401,E402
+from etl_mini_spark.queries import scalar_fns  # noqa: F401,E402
+from etl_mini_spark.queries import upserts  # noqa: F401,E402
+from etl_mini_spark.queries import streaming_batch  # noqa: F401,E402
+from etl_mini_spark.queries import llm_dedup_ann  # noqa: F401,E402
+from etl_mini_spark.queries import roundtrips_http  # noqa: F401,E402
+from etl_mini_spark.queries import sql_suite  # noqa: F401,E402
+from etl_mini_spark.queries import agg_extended  # noqa: F401,E402
+from etl_mini_spark.queries import agg_stats  # noqa: F401,E402
+from etl_mini_spark.queries import sampling_q  # noqa: F401,E402
+from etl_mini_spark.queries import coverage_ext  # noqa: F401,E402
+from etl_mini_spark.queries import round3_ops  # noqa: F401,E402
+from etl_mini_spark.queries import _window  # noqa: F401,E402

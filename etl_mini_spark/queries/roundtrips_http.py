@@ -1,0 +1,111 @@
+from etl_mini_spark.queries._base import *  # noqa: F401,F403
+from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
+
+# File-format roundtrips (SURVEY §2.1 S3/S5: DQ-2, DQ-3)
+# =========================================================================
+
+
+
+@q(
+    "http_api_extract",
+    """SELECT CAST(range AS BIGINT) AS id,
+              'row_' || range AS name,
+              round(range * 1.5, 2) AS value
+       FROM range(100)""",
+)
+def http_api_extract(spark, sf_dir):
+    """S4: template-driven HTTP-API extract (≡ reference
+    simple_api_service.py:19-61) landed as a DataFrame. The transport
+    is a deterministic stub (no network in the harness): it parses the
+    RENDERED url — so template selection, placeholder validation and
+    substitution are all on the exercised path — and synthesizes the n
+    requested JSON rows. The oracle regenerates the same rows from
+    DuckDB's range()."""
+    from etl_mini_spark.sources.http_api import fetch_to_dataframe
+
+    templates = {
+        "export": {
+            "url": "stub://export/{TABLE}?n={N}",
+            "headers": {"Authorization": "Bearer {TOKEN}"},
+            "method": "GET",
+        }
+    }
+
+    def stub_transport(request):
+        import json as _json
+        from urllib.parse import parse_qs, urlparse
+
+        assert request["headers"]["Authorization"] == "Bearer tok0"
+        n = int(parse_qs(urlparse(request["url"]).query)["n"][0])
+        rows = [{"id": i, "name": f"row_{i}", "value": round(i * 1.5, 2)} for i in range(n)]
+        return 200, "application/json", _json.dumps(rows).encode()
+
+    return fetch_to_dataframe(
+        spark,
+        templates,
+        "export",
+        {"TABLE": "events", "N": "100", "TOKEN": "tok0"},
+        transport=stub_transport,
+        schema="id long, name string, value double",
+    )
+
+
+@q(
+    "csv_roundtrip",
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
+              CAST(min(strftime(l_shipdate, '%Y-%m-%d')) AS VARCHAR) AS min_ship
+       FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY l_returnflag""",
+)
+def csv_roundtrip(spark, sf_dir):
+    """DQ-2 (S3/F6): export→CSV→re-read with explicit schema + renames +
+    coercing casts (≡ the S3 chunked CSV scan, s3_service.py:155-184),
+    then checksum."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    path = str(_TMP / f"csv_roundtrip_{Path(sf_dir).name}")
+    (
+        l.select(
+            F.col("l_orderkey").alias("Order Key"),
+            F.col("l_returnflag").alias("Return Flag"),
+            F.col("l_extendedprice").alias("Extended Price"),
+            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("Ship Date"),
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("Order Key", T.LongType()),
+            T.StructField("Return Flag", T.StringType()),
+            T.StructField("Extended Price", T.DoubleType()),
+            T.StructField("Ship Date", T.StringType()),
+        ]
+    )
+    rename = {"Order Key": "l_orderkey", "Return Flag": "l_returnflag",
+              "Extended Price": "l_extendedprice", "Ship Date": "l_shipdate"}
+    back = spark.read.option("header", True).schema(schema).csv(path).withColumnsRenamed(rename)
+    back = back.withColumn("l_shipdate", F.try_to_timestamp("l_shipdate"))
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.min(F.date_format("l_shipdate", "yyyy-MM-dd")).alias("min_ship"),
+    )
+
+
+@q(
+    "ndjson_roundtrip",
+    """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+       FROM events WHERE user_id % 5 = 0 GROUP BY event_type""",
+)
+def ndjson_roundtrip(spark, sf_dir):
+    """DQ-3 (S5/F9): events subset → JSON-Lines → re-read → checksum."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    path = str(_TMP / f"ndjson_roundtrip_{Path(sf_dir).name}")
+    e.select("event_id", "event_type", "user_id").write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("sum_id")
+    )
+
+
+# =========================================================================
