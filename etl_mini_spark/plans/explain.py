@@ -28,13 +28,26 @@ class PlanSummary:
 
 def plan_summary(df: DataFrame) -> PlanSummary:
     """Parse the executed (post-AQE-planning) physical plan."""
-    text = df._jdf.queryExecution().executedPlan().toString()
+    spark = df.sparkSession
+    # default spark.sql.maxMetadataStringLength=100 truncates long
+    # PushedFilters/ReadSchema lists mid-token ("...") — widen while
+    # rendering so assertions see the full filter list
+    key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "4000")
+    try:
+        text = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
     s = PlanSummary(text=text)
     for line in text.splitlines():
         line = line.strip()
         if "FileScan" in line:
             path = re.search(r"Location: \w+\(\d+ paths?\)\[([^\],]+)", line)
-            pushed = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+            pushed = re.search(r"PushedFilters: \[([^\]]*)", line)
             schema = re.search(r"ReadSchema: struct<([^>]*)", line)
             s.scans.append(
                 {

@@ -79,6 +79,7 @@ _TAIL = [
     # round-3 additions
     "stream_capped_sessions_checksum", "stream_dedup_watermark",
     "sessionize_events", "text_repetition",
+    "sql_q6_forecast", "sql_q14_promo", "agg_corr_regr", "embedding_quantize",
 ]
 
 

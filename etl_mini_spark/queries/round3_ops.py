@@ -81,3 +81,128 @@ def text_repetition(spark, sf_dir):
 
 
 # =========================================================================
+
+
+_Q6_SQL = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@q("sql_q6_forecast", _Q6_SQL)
+def sql_q6_forecast(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change) — the canonical
+    pushdown/codegen showcase: all three predicates reach the parquet
+    scan, the whole query is one scan + one partial/final agg, no
+    shuffle wider than a single double."""
+    from etl_mini_spark.session import register_tables
+
+    register_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql(_Q6_SQL)
+
+
+_Q14_SQL = """
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+"""
+
+
+@q("sql_q14_promo", _Q14_SQL)
+def sql_q14_promo(spark, sf_dir):
+    """TPC-H Q14 (promotion effect) — month-sliced fact scan joined to
+    the part dim; the date filter prunes before the join and AQE
+    broadcasts the dim side."""
+    from etl_mini_spark.session import register_tables
+
+    register_tables(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q14_SQL)
+
+
+@q(
+    "agg_corr_regr",
+    """SELECT l_returnflag,
+              round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+              round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_s,
+              round(covar_pop(l_extendedprice, l_quantity), 4) AS covar_p,
+              round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+              round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_corr_regr(spark, sf_dir):
+    """Bivariate statistics per group — corr / sample+population
+    covariance / least-squares slope+intercept, all JVM streaming
+    aggregates (one partial+final hash agg, no second pass over the
+    data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_s"),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias("covar_p"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+    )
+
+
+@q(
+    "embedding_quantize",
+    """WITH v AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+            s AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                  FROM v),
+            qd AS (SELECT vec_id, v, scale,
+                          list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+                   FROM s)
+       SELECT vec_id, round(scale, 8) AS scale,
+              round(list_max(list_transform(range(1, len(v) + 1),
+                                            i -> abs(v[i] - dq[i]))), 8) AS max_abs_err,
+              round(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * dq[i]))
+                    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                       * sqrt(list_sum(list_transform(dq, x -> x * x)))), 6) AS cos_dq
+       FROM qd""",
+)
+def embedding_quantize(spark, sf_dir):
+    """int8 symmetric quantization of an embedding column — the storage
+    form a 100 TB embedding corpus actually ships in (4× smaller than
+    float32, 8× than float64). Per vector: scale = max|x|/127, q =
+    floor(x/scale + 0.5) (floor-form rounding so both engines agree on
+    .5 ties), then the quality report: max dequantization error and
+    cosine(original, dequantized). All JVM array expressions — no
+    Python, no shuffle; the same transform writes the quantized column
+    in a production pipeline."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn(
+            "scale", F.array_max(F.transform("v", lambda x: F.abs(x))) / 127.0
+        )
+        .withColumn(
+            "dq",
+            F.transform(
+                "v", lambda x: F.floor(x / F.col("scale") + 0.5) * F.col("scale")
+            ),
+        )
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return d.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.round(
+            F.array_max(F.zip_with("v", "dq", lambda a, b: F.abs(a - b))), 8
+        ).alias("max_abs_err"),
+        F.round(
+            dot("v", "dq") / (F.sqrt(dot("v", "v")) * F.sqrt(dot("dq", "dq"))), 6
+        ).alias("cos_dq"),
+    )

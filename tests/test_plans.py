@@ -251,3 +251,19 @@ def test_text_repetition_no_forced_broadcast(spark):
     df = QUERIES["text_repetition"](spark, SF_SMOKE)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_q6_predicates_reach_scan(spark):
+    """TPC-H Q6 is THE pushdown benchmark: date, discount, and quantity
+    predicates must all reach the parquet scan, leaving a single
+    scan+agg plan with no shuffle wider than one double."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    df = QUERIES["sql_q6_forecast"](spark, SF_SMOKE)
+    s = plan_summary(df)
+    li = [sc for sc in s.scans if "lineitem" in (sc["path"] or "")]
+    assert li, s.text
+    pushed = li[0]["pushed_filters"]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
