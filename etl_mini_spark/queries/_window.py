@@ -80,6 +80,7 @@ _TAIL = [
     "stream_capped_sessions_checksum", "stream_dedup_watermark",
     "sessionize_events", "text_repetition",
     "sql_q6_forecast", "sql_q14_promo", "agg_corr_regr", "embedding_quantize",
+    "window_value_suite", "outlier_trim", "pipeline_corpus_filter",
 ]
 
 

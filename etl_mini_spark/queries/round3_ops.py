@@ -206,3 +206,104 @@ def embedding_quantize(spark, sf_dir):
             dot("v", "dq") / (F.sqrt(dot("v", "v")) * F.sqrt(dot("dq", "dq"))), 6
         ).alias("cos_dq"),
     )
+
+
+@q(
+    "window_value_suite",
+    """SELECT event_id, user_id,
+              round(first_value(value) OVER w1, 6) AS first_v,
+              round(last_value(value) OVER w2, 6) AS last_v,
+              round(nth_value(value, 3) OVER w2, 6) AS third_v
+       FROM events
+       WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
+              w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+)
+def window_value_suite(spark, sf_dir):
+    """W-suite: first_value / last_value / nth_value — last and nth over
+    the FULL partition frame (the default running frame makes
+    last_value degenerate to the current row, a classic window-function
+    trap both engines share)."""
+    e = _t(spark, sf_dir, "events")
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = running.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(running), 6).alias("first_v"),
+        F.round(F.last("value").over(full), 6).alias("last_v"),
+        F.round(F.nth_value("value", 3).over(full), 6).alias("third_v"),
+    )
+
+
+@q(
+    "outlier_trim",
+    """WITH b AS (SELECT event_type,
+                         quantile_cont(value, 0.01) AS lo,
+                         quantile_cont(value, 0.99) AS hi
+                  FROM events GROUP BY event_type)
+       SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_kept,
+              round(avg(e.value), 6) AS avg_trimmed,
+              round(min(e.value), 6) AS min_kept, round(max(e.value), 6) AS max_kept
+       FROM events e JOIN b ON e.event_type = b.event_type
+       WHERE e.value >= b.lo AND e.value <= b.hi
+       GROUP BY e.event_type""",
+)
+def outlier_trim(spark, sf_dir):
+    """Percentile-based outlier trimming (the standard robust-stats
+    feature-cleaning pass): exact p01/p99 per group, keep the inner
+    band, report trimmed stats. The bounds table is group-cardinality-
+    sized — AQE broadcasts it — and Spark's exact `percentile` uses the
+    same linear interpolation as the oracle's quantile_cont."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("lo"),
+        F.percentile("value", F.lit(0.99)).alias("hi"),
+    )
+    return (
+        e.join(b, "event_type")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("value"), 6).alias("avg_trimmed"),
+            F.round(F.min("value"), 6).alias("min_kept"),
+            F.round(F.max("value"), 6).alias("max_kept"),
+        )
+    )
+
+
+@q(
+    "pipeline_corpus_filter",
+    """WITH keep AS (SELECT min(doc_id) AS doc_id
+                     FROM documents
+                     GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
+            dd AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+            f AS (SELECT * FROM dd WHERE n_chars >= 150),
+            s AS (SELECT * FROM f
+                  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':corpus'), 1, 15)) AS BIGINT) % 100000 < 50000)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              round(avg(n_chars), 6) AS avg_chars,
+              CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       FROM s GROUP BY lang""",
+)
+def pipeline_corpus_filter(spark, sf_dir):
+    """End-to-end corpus-prep composition — the shape every training-
+    data pipeline runs: exact dedup (keep min id) → length filter →
+    deterministic 50 % hash sample → per-language audit. Composes the
+    REAL operators (exact_dedup, deterministic_sample), not inline
+    re-implementations, so the differential check covers their
+    interaction: dedup's fingerprint shuffle, the narrow filter+sample
+    maps, one audit aggregation."""
+    from etl_mini_spark.operators.sampling import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    keep = exact_dedup(d, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
+    dd = d.join(keep, "doc_id")
+    f = dd.filter(F.col("n_chars") >= 150)
+    s = deterministic_sample(f, "doc_id", 0.5, salt="corpus")
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
