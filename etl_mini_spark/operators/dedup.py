@@ -612,3 +612,26 @@ def connected_components_star(
         "node", F.col("node").alias("comp")
     )
     return assigned.unionByName(singletons)
+
+
+def incremental_dedup(
+    batch: DataFrame, corpus: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Incremental-ingest dedup: keep only batch documents whose
+    normalized-text fingerprint does not already exist in the corpus —
+    the steady-state form of exact dedup once a corpus is live (new
+    crawl snapshots arrive forever; re-dedup of the full corpus per
+    batch is O(corpus) wasted work).
+
+    Scale shape: one LEFT ANTI hash join on the 32-char fingerprint.
+    The corpus side projects to the fingerprint column only (Parquet
+    scan reads one column) and dedups map-side via the aggregate; at
+    100 TB the anti join shuffles fingerprints, not documents — the
+    batch side carries payload, the corpus side is 32 bytes/row. With
+    the corpus fingerprint set maintained as a bucketed table on
+    `fingerprint`, the shuffle on the corpus side disappears entirely."""
+    bf = batch.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    )
+    cf = corpus.select(F.md5(normalize_text(F.col(text_col))).alias("fingerprint")).distinct()
+    return bf.join(cf, "fingerprint", "left_anti").select(id_col, "fingerprint")

@@ -87,3 +87,17 @@ def stratified_take(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame, key_col: str, threshold_buckets: Column, salt: str = "", buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Per-row mixture sampling — the domain-reweighting primitive for
+    training-data mixes (per-source/per-language target rates): keep a
+    row iff its key hash-bucket falls below a PER-ROW integer threshold
+    (rate × buckets). The threshold is a Column so rates can come from
+    any expression or joined-in weights table; integer thresholds keep
+    the keep/drop boundary exactly reproducible across engines (no
+    float×buckets rounding at the edge). Same scale shape as
+    ``deterministic_sample``: a narrow map + filter, no shuffle."""
+    return df.filter(hash_bucket(F.col(key_col), salt, buckets) < threshold_buckets)

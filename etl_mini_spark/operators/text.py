@@ -238,3 +238,72 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "dup_bigram_frac",
         F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_word_frac"),
     )
+
+
+def word_shingles(col: Column, n: int) -> Column:
+    """Array of n-word shingles (space-joined) from whitespace tokens;
+    empty array when the document has fewer than n words. Per-row array
+    math — codegen-friendly, no shuffle."""
+    w = tokens(col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(F.size(w) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_hits(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: per document, how many word-level
+    n-grams (default 13, the GPT-3/PaLM convention — Brown et al. 2020
+    appendix C) also occur in a benchmark/eval corpus. Training docs
+    with hits are contamination-removal candidates.
+
+    Scale shape: the benchmark side is tiny (eval suites, not training
+    corpora) — its distinct shingle-hash set is BROADCAST, so the
+    corpus-side explode streams map-only through the join with no
+    shuffle of the O(total tokens) shingle flow. Only the surviving
+    hits (benchmark-selectivity-small) are shuffled for the per-doc
+    distinct + count. Joining on md5(shingle) keeps the broadcast and
+    the hit shuffle at 32 bytes/row regardless of n."""
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("__s")
+    ).select(id_col, F.md5("__s").alias("__h"))
+    bench_sh = (
+        bench.select(F.explode(word_shingles(F.col(bench_text_col), n)).alias("__s"))
+        .select(F.md5("__s").alias("__h"))
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "__h")
+        .select(id_col, "__h")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+
+
+def doc_frequency(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-token document frequency + IDF over the corpus — the
+    vocabulary-statistics pass behind TF-IDF quality scoring and
+    stopword discovery. One explode of per-doc DISTINCT tokens and one
+    hash-agg on token (partial agg map-side, so the shuffle carries
+    distinct tokens per partition, not occurrences); the corpus size
+    joins in as a broadcast 1-row aggregate, keeping everything one
+    job."""
+    per_doc = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+    )
+    dfreq = per_doc.groupBy("token").agg(F.count("*").cast("long").alias("df_docs"))
+    total = df.agg(F.count("*").alias("__n_docs"))
+    return dfreq.crossJoin(F.broadcast(total)).select(
+        "token",
+        "df_docs",
+        F.round(F.log(F.col("__n_docs").cast("double") / F.col("df_docs")), 6).alias("idf"),
+    )

@@ -81,6 +81,9 @@ _TAIL = [
     "sessionize_events", "text_repetition",
     "sql_q6_forecast", "sql_q14_promo", "agg_corr_regr", "embedding_quantize",
     "window_value_suite", "outlier_trim", "pipeline_corpus_filter",
+    # round-3 batch 2: corpus-scale ops + ORC + stream-stream join
+    "decontaminate_13gram", "mixture_weighted_sample", "dedup_incremental",
+    "corpus_idf", "orc_roundtrip", "stream_interval_join",
 ]
 
 

@@ -1,0 +1,229 @@
+from etl_mini_spark.queries._base import *  # noqa: F401,F403
+from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
+
+# Round-3 batch 2: corpus-scale training-data ops — benchmark
+# decontamination, mixture sampling, incremental dedup, vocabulary
+# stats — plus ORC format coverage and the stream-stream interval join.
+# =========================================================================
+
+
+@q(
+    "decontaminate_13gram",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words
+                  FROM documents),
+            bench AS (SELECT DISTINCT md5(array_to_string(words[3:15], ' ')) AS h
+                      FROM w WHERE doc_id % 37 = 0 AND len(words) >= 15),
+            sh AS (SELECT doc_id,
+                          md5(unnest(list_transform(range(1, len(words) - 11),
+                                     i -> array_to_string(words[i:i+12], ' ')))) AS h
+                   FROM w WHERE len(words) >= 13)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+       FROM (SELECT DISTINCT doc_id, h FROM sh JOIN bench USING (h))
+       GROUP BY doc_id""",
+)
+def decontaminate_13gram(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM 13-gram rule, Brown et al.
+    2020 appendix C): flag training documents sharing any 13-word
+    shingle with an eval set. The "benchmark" here is derived from the
+    corpus itself (words 3..15 of every 37th document) so both engines
+    construct the identical eval set — hits include each source doc AND
+    any near-duplicate that shares the window (non-vacuous cross-doc
+    contamination on this corpus). Scale shape in
+    operators/text.py:contamination_hits — benchmark shingle hashes
+    broadcast, corpus shingles stream map-only, only hits shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    w = TX.tokens(F.col("text"))
+    bench = d.filter((F.col("doc_id") % 37 == 0) & (F.size(w) >= 15)).select(
+        F.concat_ws(" ", F.slice(w, 3, 13)).alias("snippet")
+    )
+    return TX.contamination_hits(d, bench, "doc_id", "text", "snippet", n=13)
+
+
+@q(
+    "mixture_weighted_sample",
+    """WITH r AS (SELECT source, doc_id,
+                         (CAST(concat('0x', substr(md5(source), 1, 4)) AS BIGINT)
+                          % 90 + 5) AS pct,
+                         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'),
+                                                  1, 15)) AS BIGINT) % 100000 AS bucket
+                  FROM documents)
+       SELECT source, round(pct / 100.0, 6) AS rate,
+              CAST(count(*) AS BIGINT) AS n_total,
+              CAST(sum(CASE WHEN bucket < pct * 1000 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_sampled
+       FROM r GROUP BY source, pct""",
+)
+def mixture_weighted_sample(spark, sf_dir):
+    """Domain-mixture sampling (the data-mix reweighting step of corpus
+    assembly): each source gets a deterministic target rate (derived
+    here from md5(source) so the oracle reproduces it; in production a
+    joined weights table), rows kept by key-hash threshold —
+    operators/sampling.py:mixture_sample, a narrow map+filter with
+    integer thresholds so the keep/drop edge is engine-exact. Output:
+    per-source totals vs sampled counts vs rate."""
+    from etl_mini_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    pct = (
+        F.conv(F.substring(F.md5("source"), 1, 4), 16, 10).cast("long") % 90 + 5
+    )
+    base = d.select("doc_id", "source", pct.alias("pct"))
+    totals = base.groupBy("source", "pct").agg(F.count("*").alias("n_total"))
+    sampled = (
+        mixture_sample(base, "doc_id", F.col("pct") * 1000)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return totals.join(sampled, "source", "left").select(
+        "source",
+        F.round(F.col("pct") / 100.0, 6).alias("rate"),
+        "n_total",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )
+
+
+@q(
+    "dedup_incremental",
+    """WITH fp AS (SELECT doc_id,
+                          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                            AS fingerprint
+                   FROM documents),
+            corpus AS (SELECT * FROM fp WHERE doc_id % 2 = 0),
+            batch AS (SELECT doc_id + 1000000 AS doc_id, fingerprint
+                      FROM corpus WHERE doc_id % 50 = 0
+                      UNION ALL SELECT * FROM fp WHERE doc_id % 2 = 1)
+       SELECT b.doc_id, b.fingerprint FROM batch b
+       WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                         WHERE c.fingerprint = b.fingerprint)""",
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup: a new batch (odd doc_ids plus PLANTED
+    re-crawls of every 50th corpus doc under fresh ids) anti-joined
+    against the live corpus (even doc_ids) on the normalized-text
+    fingerprint — the planted rows are the ones removed, proving the
+    hit path is exercised (this corpus has no natural exact dups).
+    Scale shape in operators/dedup.py:incremental_dedup — fingerprints
+    shuffle, documents don't."""
+    from etl_mini_spark.operators.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    planted = corpus.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    batch = planted.unionByName(d.filter(F.col("doc_id") % 2 == 1))
+    return incremental_dedup(batch, corpus, "text", "doc_id")
+
+
+@q(
+    "corpus_idf",
+    """WITH per AS (SELECT doc_id,
+                           unnest(list_distinct(string_split(trim(text), ' ')))
+                             AS token
+                    FROM documents),
+            dfreq AS (SELECT token, count(*) AS df_docs FROM per GROUP BY token),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+       SELECT token, CAST(df_docs AS BIGINT) AS df_docs,
+              round(ln(CAST(n_docs AS DOUBLE) / df_docs), 6) AS idf
+       FROM dfreq, n
+       ORDER BY df_docs DESC, token LIMIT 40""",
+)
+def corpus_idf(spark, sf_dir):
+    """Corpus vocabulary statistics: per-token document frequency + IDF
+    (the TF-IDF denominator / stopword-discovery pass). One explode of
+    per-doc distinct tokens + one partial-agg shuffle on token;
+    corpus size joins in as a broadcast 1-row aggregate
+    (operators/text.py:doc_frequency). Top 40 by df with lexical
+    tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        TX.doc_frequency(d, "doc_id", "text")
+        .orderBy(F.col("df_docs").desc(), "token")
+        .limit(40)
+    )
+
+
+@q(
+    "orc_roundtrip",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+              round(sum(o_totalprice), 2) AS sum_price
+       FROM orders WHERE o_orderkey % 7 = 0 GROUP BY o_orderpriority""",
+)
+def orc_roundtrip(spark, sf_dir):
+    """Format coverage: ORC write → read → checksum (the columnar
+    sibling of csv/ndjson roundtrips; ORC is Spark-native, predicate
+    pushdown and column pruning work the same as parquet)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    path = str(_TMP / f"orc_roundtrip_{Path(sf_dir).name}")
+    o.select("o_orderkey", "o_orderpriority", "o_totalprice").write.mode(
+        "overwrite"
+    ).orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@q(
+    "stream_interval_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+              c.user_id,
+              CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+       WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
+)
+def stream_interval_join(spark, sf_dir):
+    """ST7: stream-stream interval join — purchases attributed to the
+    click they followed within 10 minutes, per user. Both sides are
+    file-source streams with 1 h watermarks; the time-bound join
+    condition gives Spark an eviction horizon for both state buffers
+    (streaming/windows.py:stream_interval_join). Inner-join semantics
+    make the AvailableNow result equal the batch interval join, so the
+    oracle is plain SQL."""
+    import shutil
+    import uuid
+
+    from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
+    from etl_mini_spark.streaming.windows import stream_interval_join as ssj
+
+    for old in _TMP.glob("stream_ij_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    tmp = _TMP / f"stream_ij_{uuid.uuid4().hex[:8]}"
+    src, out, ckpt = str(tmp / "src"), str(tmp / "out"), str(tmp / "ckpt")
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    e.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    clicks = (
+        read_stream_parquet(spark, src, schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        read_stream_parquet(spark, src, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = ssj(
+        clicks, purchases,
+        left_key="user_id", right_key="p_user_id",
+        left_ts="c_ts", right_ts="p_ts",
+        max_delay="10 minutes",
+    )
+    run_to_completion(joined, checkpoint_dir=ckpt, output_path=out)
+    return spark.read.parquet(out).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
+    )

@@ -79,3 +79,38 @@ def streaming_dedup(
     if df.isStreaming:
         return df.withWatermark(ts_col, late_threshold).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    late_threshold: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition
+    (ST7): right-side events within [left_ts, left_ts + max_delay] per
+    key — e.g. purchases attributed to the click they followed.
+
+    Both sides carry a watermark, and the join condition bounds
+    right_ts relative to left_ts, so Spark derives a state-eviction
+    horizon for BOTH buffers: state is O(events inside
+    watermark + max_delay), not O(stream). Inner join semantics make
+    the eventual output equal to the batch interval join — the batch
+    twin is exact SQL, so the oracle is a plain interval join. Caller
+    must pre-disambiguate column names (distinct key/ts names per
+    side)."""
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"stream_interval_join: overlapping columns {sorted(overlap)}")
+    l = left.withWatermark(left_ts, late_threshold)
+    r = right.withWatermark(right_ts, late_threshold)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner")

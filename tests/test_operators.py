@@ -423,3 +423,66 @@ def test_check_expected_offset_observed_single_pass(spark, tmp_path):
     observed2, raise_if_bad2 = check_expected_offset_observed(clean, "iso", "Z")
     observed2.write.mode("overwrite").parquet(str(tmp_path / "staged2"))
     raise_if_bad2()  # no raise on clean data
+
+
+def test_word_shingles_short_doc_empty(spark):
+    from etl_mini_spark.operators.text import word_shingles
+
+    df = spark.createDataFrame(
+        [("a b c",), ("one two three four five",), ("", )], ["t"]
+    ).select(word_shingles(F.col("t"), 4).alias("sh"))
+    rows = [r.sh for r in df.collect()]
+    assert rows[0] == []                       # 3 words < n=4
+    assert rows[1] == ["one two three four", "two three four five"]
+    assert rows[2] == []
+
+
+def test_contamination_hits_counts_distinct_shingles(spark):
+    from etl_mini_spark.operators.text import contamination_hits
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v"), (3, "a b c d q b c d e")],
+        ["id", "text"],
+    )
+    bench = spark.createDataFrame([("a b c d",), ("b c d e",)], ["text"])
+    out = {r.id: r.n_contaminated for r in
+           contamination_hits(docs, bench, "id", "text", n=4).collect()}
+    # doc 1 hits both bench shingles; doc 3 hits both too (at different
+    # offsets); doc 2 hits none and must be absent, not zero
+    assert out == {1: 2, 3: 2}
+
+
+def test_mixture_sample_integer_threshold_edge(spark):
+    from etl_mini_spark.operators.sampling import hash_bucket, mixture_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    buckets = df.select(hash_bucket(F.col("k")).alias("b"), "k").collect()
+    thr = sorted(r.b for r in buckets)[1000]  # a threshold that IS a bucket value
+    kept = mixture_sample(df, "k", F.lit(thr)).count()
+    # strict < : the row whose bucket == thr is excluded
+    assert kept == sum(1 for r in buckets if r.b < thr)
+
+
+def test_incremental_dedup_removes_planted_only(spark):
+    from etl_mini_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "other doc")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, "hello world"),      # dup of 1 after normalization
+         (11, "fresh content"),
+         (12, "OTHER   DOC")],     # dup of 2 after normalization
+        ["doc_id", "text"],
+    )
+    out = incremental_dedup(batch, corpus, "text", "doc_id")
+    assert [r.doc_id for r in out.collect()] == [11]
+
+
+def test_stream_interval_join_rejects_overlapping_columns(spark):
+    from etl_mini_spark.streaming.windows import stream_interval_join
+
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:00")], ["user_id", "ts"]) \
+        .withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError, match="overlapping"):
+        stream_interval_join(df, df, "user_id", "user_id", "ts", "ts")

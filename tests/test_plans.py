@@ -267,3 +267,23 @@ def test_q6_predicates_reach_scan(spark):
     pushed = li[0]["pushed_filters"]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, (col, pushed)
+
+
+def test_decontaminate_broadcasts_bench_side(spark):
+    """The benchmark shingle set must broadcast — the corpus-side
+    shingle explode may not shuffle before the join."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["decontaminate_13gram"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in s.joins, s.joins
+    assert "SortMergeJoin" not in s.joins, s.joins
+
+
+def test_corpus_idf_total_is_broadcast_not_shuffled(spark):
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["corpus_idf"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in s.joins or "BroadcastHashJoin" in s.joins, s.joins
+    assert "CartesianProduct" not in s.text
