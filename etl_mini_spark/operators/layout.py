@@ -1,0 +1,71 @@
+"""Multi-column data layout: Z-order (Morton) clustering for scan
+pruning.
+
+`write_sorted_for_skipping` (sources/writers.py) clusters on ONE
+column; at 100 TB most scan predicates hit TWO (customer AND date
+range, tenant AND time). Sorting on (a, b) prunes a but scatters b;
+interleaving the bits of both (the Z-order / Morton curve, Morton
+1966 — the layout behind Delta/Iceberg OPTIMIZE ZORDER) gives every
+file a narrow range of BOTH columns, so parquet min/max stats prune
+on either predicate.
+
+Everything here is integer bit math on longs — whole-stage codegen,
+no shuffle beyond the final range partition, and exactly reproducible
+in any engine (the DuckDB oracle replays the same shifts; max shift is
+2*bits-1 = 19 « 63, safely inside BIGINT)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_code(x: Column, y: Column, bits: int = 10) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative long
+    columns into a single Z-value: x occupies even bit positions, y
+    odd. Inputs are masked to ``bits`` bits first, so callers can pass
+    raw keys."""
+    mask = (1 << bits) - 1
+    xm, ym = x.bitwiseAND(F.lit(mask)), y.bitwiseAND(F.lit(mask))
+    z = None
+    for i in range(bits):
+        xt = F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
+        yt = F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        t = xt.bitwiseOR(yt)
+        z = t if z is None else z.bitwiseOR(t)
+    return z
+
+
+def morton_sql(x: str, y: str, bits: int = 10) -> str:
+    """The identical interleave as a SQL expression (DuckDB/ANSI) —
+    used by the differential oracle so both engines compute the same
+    Z-values bit for bit."""
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x}) & {mask}) >> {i} & 1) << {2 * i})")
+        terms.append(f"(((({y}) & {mask}) >> {i} & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_col: Column,
+    y_col: Column,
+    bits: int = 10,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered on the Z-order of (x_col, y_col): range-
+    partition on the Morton code so each output file covers a disjoint
+    Z-range (≈ a small rectangle in (x, y) space), then sort within
+    partitions so row groups inherit the locality. Scans filtering on
+    EITHER column then skip most files via parquet min/max stats —
+    the two-column generalization of write_sorted_for_skipping."""
+    z = morton_code(x_col, y_col, bits).alias("__z")
+    out = df.withColumn("__z", z)
+    out = out.repartitionByRange(
+        *([num_files] if num_files else []), F.col("__z")
+    ).sortWithinPartitions("__z")
+    out.drop("__z").write.mode(mode).parquet(path)

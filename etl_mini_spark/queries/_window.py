@@ -84,6 +84,7 @@ _TAIL = [
     # round-3 batch 2: corpus-scale ops + ORC + stream-stream join
     "decontaminate_13gram", "mixture_weighted_sample", "dedup_incremental",
     "corpus_idf", "orc_roundtrip", "stream_interval_join",
+    "zorder_locality", "stream_static_enrich",
 ]
 
 

@@ -227,3 +227,86 @@ def stream_interval_join(spark, sf_dir):
         "user_id",
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
     )
+
+
+def _zorder_oracle() -> str:
+    from etl_mini_spark.operators.layout import morton_sql
+
+    z = morton_sql("o_custkey", "epoch_us(o_orderdate) // 86400000000", bits=10)
+    return f"""WITH z AS (SELECT ({z}) AS zval,
+                                 o_custkey & 1023 AS x,
+                                 (epoch_us(o_orderdate) // 86400000000) & 1023 AS y
+                          FROM orders)
+               SELECT CAST(zval >> 14 AS BIGINT) AS bucket,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+                      CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+               FROM z GROUP BY bucket"""
+
+
+@q("zorder_locality", _zorder_oracle())
+def zorder_locality(spark, sf_dir):
+    """Z-order (Morton) clustering stats on (customer, order day) —
+    the two-column data-layout move behind Delta/Iceberg OPTIMIZE
+    ZORDER: per Z-range bucket, the covered (x, y) rectangle stays
+    narrow, which is exactly why files written in Z-order prune on
+    EITHER predicate via parquet min/max stats. Pure long bit math
+    (operators/layout.py:morton_code), codegen end-to-end, one
+    hash-agg shuffle; the oracle replays the identical shifts
+    (morton_sql) so Z-values match bit for bit."""
+    from etl_mini_spark.operators.layout import morton_code
+
+    o = _t(spark, sf_dir, "orders")
+    x = F.col("o_custkey")
+    # orderdate reads as TIMESTAMP_NTZ; session tz is pinned UTC, so the
+    # cast makes unix_micros agree with DuckDB's epoch_us exactly
+    y = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    mask = F.lit(1023)
+    z = o.select(
+        morton_code(x, y, bits=10).alias("zval"),
+        x.bitwiseAND(mask).alias("x"),
+        y.bitwiseAND(mask).alias("y"),
+    )
+    return z.groupBy(F.shiftright("zval", 14).cast("long").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+    )
+
+
+@q(
+    "stream_static_enrich",
+    """SELECT c.c_mktsegment, e.event_type, CAST(count(*) AS BIGINT) AS n
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY c.c_mktsegment, e.event_type""",
+)
+def stream_static_enrich(spark, sf_dir):
+    """ST8: stream-static join — the streaming-enrichment idiom (every
+    micro-batch joins against a slowly-changing dim; the static side is
+    re-read per batch, so dim updates are picked up without restart).
+    The dim is broadcast — no shuffle of the stream — and the enriched
+    rows land append-only; the per-segment rollup happens batch-side on
+    the landed output, so the stream stays stateless. Deterministic:
+    stream-static inner join emits exactly the batch join."""
+    import shutil
+    import uuid
+
+    from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
+
+    for old in _TMP.glob("stream_enrich_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    tmp = _TMP / f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    src, out, ckpt = str(tmp / "src"), str(tmp / "out"), str(tmp / "ckpt")
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    e.write.mode("overwrite").parquet(src)
+    dim = F.broadcast(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    stream = read_stream_parquet(spark, src, spark.read.parquet(src).schema)
+    enriched = stream.join(dim, stream["user_id"] == dim["c_custkey"], "inner")
+    run_to_completion(enriched, checkpoint_dir=ckpt, output_path=out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"))
+    )

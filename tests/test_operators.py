@@ -486,3 +486,41 @@ def test_stream_interval_join_rejects_overlapping_columns(spark):
         .withColumn("ts", F.to_timestamp("ts"))
     with pytest.raises(ValueError, match="overlapping"):
         stream_interval_join(df, df, "user_id", "user_id", "ts", "ts")
+
+
+def test_zorder_write_files_cover_disjoint_z_ranges(spark, tmp_path):
+    from etl_mini_spark.operators.layout import morton_code, zorder_write
+    from etl_mini_spark.session import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    x = F.col("o_custkey")
+    y = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    out = str(tmp_path / "zorders")
+    zorder_write(o, out, x, y, bits=10, num_files=4)
+
+    import glob
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        part = spark.read.parquet(f)
+        r = part.select(
+            F.min(morton_code(x, y, 10)).alias("lo"),
+            F.max(morton_code(x, y, 10)).alias("hi"),
+        ).collect()[0]
+        ranges.append((r.lo, r.hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping z ranges: {ranges}"
+
+
+def test_morton_code_interleaves_bits(spark):
+    from etl_mini_spark.operators.layout import morton_code
+
+    df = spark.createDataFrame([(0b101, 0b011)], ["x", "y"]).select(
+        morton_code(F.col("x").cast("long"), F.col("y").cast("long"), 4).alias("z")
+    )
+    # x=101 (even positions), y=011 (odd positions) → z = 0b011011? compute:
+    # bit i of x -> 2i ; bit i of y -> 2i+1
+    # x bits: 1@0, 0@1, 1@2 -> z bits 1@0, 1@4 ; y bits: 1@0, 1@1 -> z bits 1@1, 1@3
+    assert df.collect()[0].z == (1 << 0) | (1 << 4) | (1 << 1) | (1 << 3)
