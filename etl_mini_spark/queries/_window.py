@@ -85,6 +85,8 @@ _TAIL = [
     "decontaminate_13gram", "mixture_weighted_sample", "dedup_incremental",
     "corpus_idf", "orc_roundtrip", "stream_interval_join",
     "zorder_locality", "stream_static_enrich",
+    "sql_q7_volume", "sql_q13_custdist", "sql_q18_large_orders",
+    "sql_q19_disjunctive",
 ]
 
 

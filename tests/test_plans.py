@@ -287,3 +287,26 @@ def test_corpus_idf_total_is_broadcast_not_shuffled(spark):
     s = plan_summary(QUERIES["corpus_idf"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in s.joins or "BroadcastHashJoin" in s.joins, s.joins
     assert "CartesianProduct" not in s.text
+
+
+def test_q19_disjunctive_implications_pushed(spark):
+    """Catalyst must derive single-table filters from the cross-table
+    disjunction and land them on BOTH scans."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["sql_q19_disjunctive"](spark, SF_SMOKE))
+    li = [sc for sc in s.scans if "lineitem" in (sc["path"] or "")]
+    pt = [sc for sc in s.scans if "part.parquet" in (sc["path"] or "")]
+    assert li and "l_quantity" in li[0]["pushed_filters"], li
+    assert pt and "p_brand" in pt[0]["pushed_filters"], pt
+    # derived implication, not just the raw OR: p_size upper bound reached the scan
+    assert "p_size" in pt[0]["pushed_filters"]
+
+
+def test_q18_semi_join_and_topk(spark):
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["sql_q18_large_orders"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in s.text, "LIMIT should not be a global sort"
