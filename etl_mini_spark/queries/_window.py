@@ -86,7 +86,7 @@ _TAIL = [
     "corpus_idf", "orc_roundtrip", "stream_interval_join",
     "zorder_locality", "stream_static_enrich",
     "sql_q7_volume", "sql_q13_custdist", "sql_q18_large_orders",
-    "sql_q19_disjunctive",
+    "sql_q19_disjunctive", "posexplode_tokens", "map_fns_suite",
 ]
 
 

@@ -310,3 +310,67 @@ def stream_static_enrich(spark, sf_dir):
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@q(
+    "posexplode_tokens",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words
+                  FROM documents WHERE doc_id < 5)
+       SELECT doc_id, CAST(unnest(range(0, len(words))) AS INT) AS pos,
+              unnest(words) AS word
+       FROM w""",
+)
+def posexplode_tokens(spark, sf_dir):
+    """UDTF surface (SURVEY §2.8): positional explode — one row per
+    (document, token index, token). The generator runs inside codegen
+    (no Python), and position comes from the generator itself, not a
+    window — so no shuffle at all. The oracle zips two parallel
+    unnests (DuckDB's equivalent of WITH ORDINALITY)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id", TX.tokens(F.col("text")).alias("words"))
+    )
+    return d.select("doc_id", F.posexplode("words").alias("pos", "word"))
+
+
+@q(
+    "map_fns_suite",
+    """WITH w AS (SELECT doc_id,
+                         list_sort(list_distinct(string_split(trim(text), ' ')))[1:4]
+                           AS keys
+                  FROM documents WHERE doc_id < 20)
+       SELECT doc_id, CAST(len(keys) AS INT) AS n_keys,
+              array_to_string(keys, ',') AS keys_csv,
+              CAST(list_sum(list_transform(keys, x -> length(x))) AS BIGINT)
+                AS vals_sum,
+              CAST(list_sum(list_transform(keys, x -> length(x) * 2)) AS BIGINT)
+                AS vals_sum_doubled,
+              CAST(length(keys[1]) AS BIGINT) AS first_val
+       FROM w""",
+)
+def map_fns_suite(spark, sf_dir):
+    """Map-function surface (SURVEY §2.7): map_from_arrays /
+    map_keys / map_values / transform_values / element_at / size over a
+    per-document map built from its first 4 distinct tokens (sorted, so
+    both engines agree on entry order). All per-row JVM expressions —
+    the oracle states the same math over parallel lists, which is the
+    semantics a map is standing in for."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    keys = F.slice(F.array_sort(F.array_distinct(TX.tokens(F.col("text")))), 1, 4)
+    base = d.select("doc_id", keys.alias("keys")).withColumn(
+        "m", F.map_from_arrays("keys", F.transform("keys", F.length))
+    )
+    doubled = F.transform_values("m", lambda _k, v: v * 2)
+    return base.select(
+        "doc_id",
+        F.size("m").alias("n_keys"),
+        F.concat_ws(",", F.map_keys("m")).alias("keys_csv"),
+        F.aggregate(F.map_values("m"), F.lit(0), lambda a, x: a + x)
+        .cast("long")
+        .alias("vals_sum"),
+        F.aggregate(F.map_values(doubled), F.lit(0), lambda a, x: a + x)
+        .cast("long")
+        .alias("vals_sum_doubled"),
+        F.element_at("m", F.element_at("keys", 1)).cast("long").alias("first_val"),
+    )
