@@ -92,3 +92,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # the caller built its own SparkSession (SURVEY.md §7.4).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def enable_runtime_filters(
+    spark: SparkSession,
+    creation_side_max: str = "64MB",
+    application_side_min: str = "1KB",
+) -> None:
+    """Turn on runtime bloom-filter join pruning (Catalyst's
+    InjectRuntimeFilter): for a shuffle join whose build side is
+    selective, Spark computes a bloom filter over the build-side keys
+    and applies `might_contain` on the probe side BEFORE the shuffle —
+    at 100 TB this drops most probe rows at the scan/map stage instead
+    of shuffling them. Off the hot path of correctness (a bloom filter
+    only ever false-positives), so safe to enable globally.
+
+    All three knobs are runtime-settable SQL confs. `creation_side_max`
+    bounds the build side size eligible for filter creation (too-large
+    build sides would make an oversized filter); `application_side_min`
+    is the probe-scan size below which pruning isn't worth it."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", creation_side_max
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_min,
+    )

@@ -310,3 +310,26 @@ def test_q18_semi_join_and_topk(spark):
 
     s = plan_summary(QUERIES["sql_q18_large_orders"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in s.text, "LIMIT should not be a global sort"
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """With runtime filters on, a selective dim filter must inject a
+    bloom-filter `might_contain` predicate on the fact side of a
+    shuffle join — the map-side pruning that saves the shuffle at
+    scale."""
+    from etl_mini_spark.session import enable_runtime_filters, load_table
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        enable_runtime_filters(spark)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, SF_SMOKE, "lineitem")
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt and "bloom_filter_agg" in opt, opt[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")

@@ -238,3 +238,38 @@ def test_capped_sessions_checksum_entry_matches_reference(spark):
         for r in QUERIES["stream_capped_sessions_checksum"](spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Restart-safety (the property the reference's metadata table
+    hand-rolls, standard_pipeline.py high-water mark): after a stream
+    completes and NEW files arrive, resuming with the same checkpoint
+    processes only the new files — no re-emission of batch 1, no gaps."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.session import load_table
+    from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    total = e.count()
+    first = e.filter(F.col("event_id") % 2 == 0)
+    second = e.filter(F.col("event_id") % 2 == 1)
+
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    run_to_completion(
+        read_stream_parquet(spark, src, schema), checkpoint_dir=ckpt, output_path=out
+    )
+    n_after_first = spark.read.parquet(out).count()
+    assert n_after_first == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_to_completion(
+        read_stream_parquet(spark, src, schema), checkpoint_dir=ckpt, output_path=out
+    )
+    landed = spark.read.parquet(out)
+    assert landed.count() == total                       # no gaps
+    assert landed.select("event_id").distinct().count() == total  # no duplicates
