@@ -176,3 +176,64 @@ def udf_registry_iso_parts(spark, sf_dir):
 
 
 # =========================================================================
+
+
+@q(
+    "higher_order_fns",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words
+                  FROM documents WHERE doc_id < 30)
+       SELECT doc_id,
+              CAST(len(list_filter(words, x -> length(x) > 4)) AS INT) AS n_long,
+              len(list_filter(words, x -> length(x) > 8)) > 0 AS has_very_long,
+              len(list_filter(words, x -> length(x) = 0)) = 0 AS all_nonempty,
+              CAST(list_sum(list_transform(range(1, len(words) + 1),
+                    i -> length(words[CAST(i AS INT)])
+                         + length(words[CAST(len(words) + 1 - i AS INT)])))
+                   AS BIGINT) AS zip_len_sum
+       FROM w""",
+)
+def higher_order_fns(spark, sf_dir):
+    """Higher-order array functions (SURVEY §2.7): filter / exists /
+    forall / zip_with — the lambda surface that keeps per-row array
+    logic JVM-side instead of falling back to Python UDFs. All
+    codegen; no shuffle. The oracle restates exists/forall as
+    filter-length predicates and zip_with as an index zip."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    words = TX.tokens(F.col("text"))
+    base = d.select("doc_id", words.alias("words"))
+    zipped = F.zip_with(
+        "words", F.reverse(F.col("words")), lambda a, b: F.length(a) + F.length(b)
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.filter("words", lambda x: F.length(x) > 4)).alias("n_long"),
+        F.exists("words", lambda x: F.length(x) > 8).alias("has_very_long"),
+        F.forall("words", lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.aggregate(zipped, F.lit(0), lambda a, x: a + x).cast("long").alias("zip_len_sum"),
+    )
+
+
+@q(
+    "time_trunc_suite",
+    """SELECT event_id,
+              strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+              strftime(date_trunc('month', ts), '%Y-%m-%d') AS month_start,
+              strftime(date_trunc('quarter', ts), '%Y-%m-%d') AS quarter_start,
+              strftime(CAST(ts AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2mo,
+              strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end
+       FROM events WHERE event_id % 100 = 0""",
+)
+def time_trunc_suite(spark, sf_dir):
+    """Calendar bucketing (SURVEY §2.7 date functions): week / month /
+    quarter truncation, month arithmetic, last-day — the functions
+    behind every calendar rollup. Narrow map; renders as dates so both
+    engines agree textually (week truncation is ISO-Monday in both)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    return e.select(
+        "event_id",
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week_start"),
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_trunc("quarter", "ts"), "yyyy-MM-dd").alias("quarter_start"),
+        F.date_format(F.add_months(F.to_date("ts"), 2), "yyyy-MM-dd").alias("plus_2mo"),
+        F.date_format(F.last_day(F.to_date("ts")), "yyyy-MM-dd").alias("month_end"),
+    )
