@@ -88,6 +88,7 @@ _TAIL = [
     "sql_q7_volume", "sql_q13_custdist", "sql_q18_large_orders",
     "sql_q19_disjunctive", "posexplode_tokens", "map_fns_suite",
     "higher_order_fns", "time_trunc_suite",
+    "skew_diagnostic", "table_profile",
 ]
 
 

@@ -374,3 +374,91 @@ def map_fns_suite(spark, sf_dir):
         .alias("vals_sum_doubled"),
         F.element_at("m", F.element_at("keys", 1)).cast("long").alias("first_val"),
     )
+
+
+@q(
+    "skew_diagnostic",
+    """WITH g AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+       SELECT CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(min(n) AS BIGINT) AS min_n,
+              round(quantile_cont(n, 0.5), 6) AS p50_n,
+              round(quantile_cont(n, 0.99), 6) AS p99_n,
+              CAST(max(n) AS BIGINT) AS max_n,
+              round(max(n) / (sum(n) / count(*)), 6) AS skew_factor
+       FROM g""",
+)
+def skew_diagnostic(spark, sf_dir):
+    """Shuffle-skew diagnostic — the pre-flight check before any big
+    keyed join/agg at 100 TB: per-key group sizes summarized as
+    min/p50/p99/max plus max-over-mean skew factor. skew_factor ≫ 1
+    says "this key needs salting or AQE skew-join". Two partial-agg
+    shuffles (key, then 1-row summary); both engines interpolate
+    percentiles linearly (percentile ≡ quantile_cont), so values match
+    to the rounding digit."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    return g.agg(
+        F.count("*").alias("n_keys"),
+        F.min("n").alias("min_n"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50_n"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_n"),
+        F.max("n").alias("max_n"),
+        F.round(F.max("n") / (F.sum("n") / F.count("*")), 6).alias("skew_factor"),
+    )
+
+
+@q(
+    "table_profile",
+    """SELECT 'o_custkey' AS col, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+              CAST(min(o_custkey) AS VARCHAR) AS min_v,
+              CAST(max(o_custkey) AS VARCHAR) AS max_v
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+              CAST(count(*) - count(o_orderstatus) AS BIGINT),
+              CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+              min(o_orderstatus), max(o_orderstatus)
+       FROM orders
+       UNION ALL
+       SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+              CAST(count(*) - count(o_totalprice) AS BIGINT),
+              CAST(count(DISTINCT o_totalprice) AS BIGINT),
+              CAST(round(min(o_totalprice), 2) AS VARCHAR),
+              CAST(round(max(o_totalprice), 2) AS VARCHAR)
+       FROM orders""",
+)
+def table_profile(spark, sf_dir):
+    """Table profiling (the ANALYZE/data-quality pass): per column —
+    row count, null count, exact distinct, min/max rendered as text.
+    Built as ONE wide aggregate over a single scan (all columns'
+    aggregates in the same pass, then unpivoted to rows) — NOT one job
+    per column; at 100 TB the scan dominates, so profiling N columns
+    must cost one scan, not N. Exact distinct per column shuffles
+    expand-style; swap for approx_count_distinct when estimates
+    suffice."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c, render in [
+        ("o_custkey", lambda x: x.cast("string")),
+        ("o_orderstatus", lambda x: x),
+        ("o_totalprice", lambda x: F.round(x, 2).cast("string")),
+    ]:
+        # min/max on the NATIVE type, rendered to text afterwards —
+        # casting first would compare lexicographically ('999' > '1499')
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            render(F.min(c)).alias(f"{c}__min_v"),
+            render(F.max(c)).alias(f"{c}__max_v"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct, {c}__min_v, {c}__max_v"
+        for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+    return wide.selectExpr(
+        f"stack(3, {stack}) AS (col, n, n_null, n_distinct, min_v, max_v)"
+    )
