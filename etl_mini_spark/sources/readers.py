@@ -122,10 +122,26 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return _NS_COLS_CACHE[path]
 
 
+def _force_ltz_timestamps(spark: SparkSession) -> None:
+    """Read parquet TIMESTAMP(isAdjustedToUTC=false) as session-tz
+    TIMESTAMP (LTZ), not TIMESTAMP_NTZ.
+
+    The driver-provided testdata stores naive µs timestamps; Spark 4's
+    default ``inferTimestampNTZ`` maps those to TIMESTAMP_NTZ, which
+    breaks instant-typed functions (``unix_micros``/``window``/
+    watermarks) and diverges from the DuckDB oracle's naive-epoch math.
+    With the session timezone pinned to UTC (session.load_table), an
+    LTZ read of naive data is value-identical to the oracle. Runtime-
+    settable, so it also protects queries invoked from a caller-built
+    SparkSession with default confs."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan, tolerant of TIMESTAMP(NANOS) columns: those are
     read as long (legacy conf) and converted to µs timestamps with
     integer DIV (ns epochs overflow a double mantissa)."""
+    _force_ltz_timestamps(spark)
     ns_cols = _nanos_timestamp_cols(path) if "://" not in path or path.startswith("file://") else []
     if not ns_cols:
         return spark.read.parquet(path)
@@ -161,6 +177,7 @@ def read_parquet_ts_range(
             dt = dt.replace(tzinfo=timezone.utc)
         return int(dt.timestamp() * 1_000_000) * 1000
 
+    _force_ltz_timestamps(spark)
     ns_cols = _nanos_timestamp_cols(path) if "://" not in path or path.startswith("file://") else []
     if ts_col not in ns_cols:
         df = read_parquet(spark, path)

@@ -21,7 +21,23 @@ from etl_mini_spark.operators.upsert import upsert_parquet
 
 def read_stream_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """File-source stream over a parquet directory (new files become
-    micro-batches). Schema is mandatory for streaming file sources."""
+    micro-batches). Schema is mandatory for streaming file sources.
+
+    TIMESTAMP_NTZ fields in a probed schema are rewritten to TIMESTAMP
+    (LTZ): naive-parquet testdata probed through a default-conf session
+    yields NTZ, which watermarks/`window()` reject; with the session tz
+    pinned UTC the LTZ read is value-identical (sources/readers.py)."""
+    from etl_mini_spark.sources.readers import _force_ltz_timestamps
+
+    _force_ltz_timestamps(spark)
+    schema = T.StructType(
+        [
+            T.StructField(f.name, T.TimestampType(), f.nullable)
+            if isinstance(f.dataType, T.TimestampNTZType)
+            else f
+            for f in schema.fields
+        ]
+    )
     return spark.readStream.schema(schema).parquet(path)
 
 
