@@ -210,6 +210,52 @@ def near_dup_pairs_ngram_jaccard(
     )
 
 
+def near_dup_pairs_containment(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_bucket_size: int | None = 10000,
+) -> DataFrame:
+    """Near-subset pairs with shingle CONTAINMENT ≥ threshold.
+
+    Containment C = |A∩B| / min(|A|,|B|) catches template/boilerplate
+    duplication that symmetric Jaccard misses: a short doc fully
+    embedded in a long one has high containment but low Jaccard (the
+    union is dominated by the long doc). Same inverted-index plan as
+    `near_dup_pairs_ngram_jaccard` — set sizes ride the postings, no
+    O(corpus) join-back; only pairs sharing ≥1 shingle materialize.
+    Returns (d1, d2, containment) with d1 < d2.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    inv = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
+    )
+    if max_bucket_size is not None:
+        bucket_n = inv.groupBy("shingle").agg(F.count("*").alias("bn"))
+        inv = (
+            inv.join(bucket_n.filter(F.col("bn") <= max_bucket_size), "shingle")
+            .select("doc_id", "sz", "shingle")
+        )
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        common.withColumn("containment", F.col("inter") / F.least("sz1", "sz2"))
+        .filter(F.col("containment") >= threshold)
+        .select("d1", "d2", F.round("containment", 6).alias("containment"))
+    )
+
+
 def shingle_hash(col: Column) -> Column:
     """Stable 32-bit base hash of a shingle: first 8 hex chars of md5.
 

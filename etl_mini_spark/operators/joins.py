@@ -29,6 +29,7 @@ def asof_join(
     tiebreak: str | None = None,
     allow_exact: bool = True,
     suffix: str = "_right",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right_time <= left_time (or < if not allow_exact) in the same key
@@ -36,6 +37,18 @@ def asof_join(
 
     ``tiebreak``: right column ordering ties on right_time (ascending;
     the LAST one wins) — supply a unique right id for determinism.
+
+    ``bucket_seconds``: optional skew hardening. The plain union-sort
+    partitions by key alone, so ONE celebrity key serializes its whole
+    history into a single task — inherent to as-of semantics, fatal at
+    100 TB. With ``bucket_seconds`` set, rows are additionally
+    partitioned by a coarse time bucket of width ``bucket_seconds``
+    (timestamp time columns only): each (key, bucket) sorts
+    independently in parallel, and a per-(key, bucket) boundary table —
+    the last right row of every bucket, cumulatively carried across
+    earlier buckets — supplies the match for left rows that precede
+    their bucket's first right row. Result is row-identical to the
+    unbucketed path; a hot key now spans history/bucket_seconds tasks.
     """
     import pyspark.sql.types as T
 
@@ -66,12 +79,52 @@ def asof_join(
         r = r.withColumn("__tag", F.lit(1))
 
     unioned = r.unionByName(l)
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy("__t", "__tag", "__tb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+
+    if bucket_seconds is None:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__t", "__tag", "__tb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    else:
+        unioned = unioned.withColumn(
+            "__bucket", F.floor(F.unix_micros("__t") / F.lit(bucket_seconds * 1_000_000))
+        )
+        # stage 1: independent within-bucket running last — the hot-key
+        # sort now parallelizes across buckets
+        wb = (
+            Window.partitionBy(*key_cols, "__bucket")
+            .orderBy("__t", "__tag", "__tb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        staged = unioned.withColumn("__in_bucket", F.last("__r", ignorenulls=True).over(wb))
+        # stage 2: boundary carry-in — one row per (key, bucket): the
+        # bucket's final right row (max by (t, tiebreak); struct max is
+        # lexicographic and skips nulls), then the latest non-null value
+        # from STRICTLY EARLIER buckets per key. O(keys × buckets) rows.
+        per_bucket_last = unioned.groupBy(*key_cols, "__bucket").agg(
+            F.max(
+                F.when(
+                    F.col("__r").isNotNull(),
+                    F.struct(F.col("__t"), F.col("__tb"), F.col("__r")),
+                )
+            ).alias("__last_struct")
+        )
+        wc = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = per_bucket_last.select(
+            *key_cols, "__bucket",
+            F.last(F.col("__last_struct").getField("__r"), ignorenulls=True)
+            .over(wc)
+            .alias("__carry"),
+        )
+        matched = staged.join(carry, key_cols + ["__bucket"]).withColumn(
+            "__match", F.coalesce("__in_bucket", "__carry")
+        )
     out = matched.filter(F.col("__l").isNotNull())
 
     left_names = set(left.columns)

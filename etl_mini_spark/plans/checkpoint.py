@@ -41,9 +41,36 @@ class CheckpointTable:
 
     def commit(self, pipeline_name: str, window_start, window_end) -> None:
         """Upsert this pipeline's checkpoint row (conflict column:
-        pipeline_name — ≡ the reference's ON CONFLICT key)."""
-        row = self.spark.createDataFrame(
-            [Row(pipeline_name=pipeline_name, window_start=window_start, window_end=window_end)],
-            schema="pipeline_name string, window_start timestamp, window_end timestamp",
-        ).withColumn("updated_at", F.current_timestamp())
-        upsert_parquet(self.spark, self.path, row, keys=["pipeline_name"])
+        pipeline_name — ≡ the reference's ON CONFLICT key).
+
+        Concurrency contract: commits are serialized by an advisory
+        lock marker (atomic create). A second commit that catches the
+        table mid-swap would base its merge on the pre-swap rows and
+        silently DROP the other pipeline's row — so instead of
+        last-writer-wins data loss, a concurrent commit raises
+        ``ConcurrentCommitError`` loudly and the caller retries. A
+        crashed committer leaves a stale lock; operators remove
+        ``{path}.lock`` manually after verifying no commit is running
+        (a transactional format removes the lock entirely)."""
+        from etl_mini_spark.sources.fs import fs_create_marker, fs_delete
+
+        lock = self.path.rstrip("/") + ".lock"
+        if not fs_create_marker(self.spark, lock):
+            raise ConcurrentCommitError(
+                f"checkpoint commit already in progress for {self.path} "
+                f"(lock: {lock}); retry after it finishes, or remove a "
+                "stale lock left by a crashed committer"
+            )
+        try:
+            row = self.spark.createDataFrame(
+                [Row(pipeline_name=pipeline_name, window_start=window_start, window_end=window_end)],
+                schema="pipeline_name string, window_start timestamp, window_end timestamp",
+            ).withColumn("updated_at", F.current_timestamp())
+            upsert_parquet(self.spark, self.path, row, keys=["pipeline_name"])
+        finally:
+            fs_delete(self.spark, lock)
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A second checkpoint commit raced an in-flight one; the loser
+    fails loudly instead of silently dropping the winner's row."""

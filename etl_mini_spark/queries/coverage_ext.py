@@ -27,9 +27,13 @@ def sql_q5_local_volume(spark, sf_dir):
     theta condition, submitted as plain SQL. Catalyst broadcast-joins the
     three dims and reorders the fact joins; at cluster scale the
     customer/orders/lineitem joins shuffle on their keys while
-    supplier/nation/region stay broadcast."""
-    from etl_mini_spark.session import register_tables
+    supplier/nation/region stay broadcast. Runs under runtime
+    bloom-filter pruning (session.enable_runtime_filters) — the
+    ASIA-filtered customer side seeds a might_contain probe filter on
+    the orders scan."""
+    from etl_mini_spark.session import enable_runtime_filters, register_tables
 
+    enable_runtime_filters(spark)
     register_tables(
         spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"]
     )
@@ -56,9 +60,11 @@ _Q10_SQL = """
 def sql_q10_returned(spark, sf_dir):
     """TPC-H Q10 (returned-item report): fact-fact join + top-20 by
     aggregated revenue. The ORDER BY ... LIMIT compiles to TakeOrderedAndProject
-    (per-partition top-k, no global sort) — the plan that survives 100 TB."""
-    from etl_mini_spark.session import register_tables
+    (per-partition top-k, no global sort) — the plan that survives 100 TB.
+    Runs under runtime bloom-filter pruning (session.enable_runtime_filters)."""
+    from etl_mini_spark.session import enable_runtime_filters, register_tables
 
+    enable_runtime_filters(spark)
     register_tables(spark, sf_dir, ["customer", "orders", "lineitem", "nation"])
     return spark.sql(_Q10_SQL)
 
@@ -136,12 +142,18 @@ def dedup_clusters(spark, sf_dir):
     The keep/drop decision a dedup pipeline actually needs — pairs alone
     under-delete when A~B and B~C but A~C is below threshold. The oracle
     recomputes the closure with a recursive CTE (a completely different
-    evaluation strategy — strong differential check)."""
-    from etl_mini_spark.operators.dedup import connected_components
+    evaluation strategy — strong differential check).
+
+    Uses the large-star/small-star alternation (O(log n) rounds
+    regardless of component diameter) rather than min-label propagation:
+    on a templated/boilerplate corpus near-dup graphs can be long
+    chains, where propagation needs diameter rounds and raises on its
+    iteration cap mid-pipeline — the star variant cannot."""
+    from etl_mini_spark.operators.dedup import connected_components_star
 
     d = _t(spark, sf_dir, "documents")
     pairs = near_dup_pairs_ngram_jaccard(d, "doc_id", "text")
-    comp = connected_components(pairs)
+    comp = connected_components_star(pairs)
     w = Window.partitionBy("cluster_rep")
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_rep")

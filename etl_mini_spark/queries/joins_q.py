@@ -133,7 +133,10 @@ def join_range_followups(spark, sf_dir):
 def join_asof_last_order(spark, sf_dir):
     """DQ-17 (J6): as-of join — latest order at-or-before each event for
     the same user, via the single-shuffle union-sort operator (NOT the
-    oracle's quadratic join+rank plan)."""
+    oracle's quadratic join+rank plan). Runs the 30-day time-bucketed
+    skew-hardened path: a celebrity user's history sorts in parallel
+    per bucket with boundary carry-in, instead of serializing one task
+    (operators/joins.py:asof_join bucket_seconds)."""
     e = _t(spark, sf_dir, "events")
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
     res = asof_join(
@@ -144,6 +147,7 @@ def join_asof_last_order(spark, sf_dir):
         right_time="o_orderdate",
         right_cols=["o_orderkey", "o_totalprice"],
         tiebreak="o_orderkey",
+        bucket_seconds=30 * 86400,
     )
     return res.select("event_id", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
 

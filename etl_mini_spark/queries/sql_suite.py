@@ -21,9 +21,14 @@ _Q3_SQL = """
 @q("sql_q3_shipping", _Q3_SQL)
 def sql_q3_shipping(spark, sf_dir):
     """TPC-H Q3 (shipping priority) submitted as a plain SQL string —
-    demonstrates the ANSI-SQL entry point over registered views."""
-    from etl_mini_spark.session import register_tables
+    demonstrates the ANSI-SQL entry point over registered views. Runs
+    under runtime bloom-filter pruning (session.enable_runtime_filters):
+    the selective BUILDING-segment customer side seeds a bloom filter
+    that drops orders/lineitem probe rows before their shuffle — only
+    ever false-positives, so correctness is unaffected."""
+    from etl_mini_spark.session import enable_runtime_filters, register_tables
 
+    enable_runtime_filters(spark)
     register_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(
         _Q3_SQL.replace("strftime(o_orderdate, '%Y-%m-%d')",
@@ -112,9 +117,14 @@ def sql_q18_large_orders(spark, sf_dir):
     sums): the IN-subquery is itself an aggregation over the fact
     table, which Catalyst plans as an aggregate + semi join before the
     main 3-way join; the final ORDER BY ... LIMIT is a
-    TakeOrderedAndProject, not a global sort."""
-    from etl_mini_spark.session import register_tables
+    TakeOrderedAndProject, not a global sort. Runs under runtime
+    bloom-filter pruning; note Catalyst does NOT seed a bloom from the
+    IN-subquery here — the creation side must carry a selective base
+    filter, and this one is aggregate-defined (HAVING) — so the conf is
+    a no-op for this plan today, kept for uniformity across the suite."""
+    from etl_mini_spark.session import enable_runtime_filters, register_tables
 
+    enable_runtime_filters(spark)
     register_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(
         _Q18_SQL.replace("strftime(o_orderdate, '%Y-%m-%d')",

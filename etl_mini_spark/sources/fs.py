@@ -42,6 +42,16 @@ def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(p, recursive))
 
 
+def fs_create_marker(spark: SparkSession, path: str) -> bool:
+    """Atomically create an empty marker file; False if it already
+    exists. `FileSystem.createNewFile` is atomic on HDFS and local
+    filesystems (O_EXCL semantics) — the primitive for advisory locks.
+    On object stores without atomic create the lock is best-effort;
+    a transactional table format is the real fix there."""
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.createNewFile(p))
+
+
 def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
     """Rename src onto dst (dst must not exist — Hadoop rename refuses
     to clobber). Raises on failure instead of returning False: a silent

@@ -63,6 +63,46 @@ def test_asof_join_exact_and_tiebreak(spark):
     assert out2[0]["rv"] is None  # strict inequality → no earlier row
 
 
+def test_asof_join_bucketed_matches_unbucketed_on_skew(spark):
+    """Skew hardening (operators/joins.py bucket_seconds): one celebrity
+    key holds nearly all rows. The time-bucketed path must (a) return
+    row-identical results — including left rows before any right row
+    (null match) and buckets with no right rows (boundary carry-in from
+    earlier buckets) — and (b) physically partition the sort by
+    (key, __bucket), so the hot key spreads over many tasks instead of
+    serializing one."""
+    from etl_mini_spark.operators.joins import asof_join
+
+    # hot key 1: 1500 events over ~60 days; sparse orders (some weeks empty)
+    left = spark.range(1500).select(
+        F.lit(1).alias("k"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 3517).alias("t"),
+        F.col("id").alias("lid"),
+    ).unionByName(
+        spark.range(5).select(  # cold key 2
+            F.lit(2).alias("k"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 86400).alias("t"),
+            (F.col("id") + 10_000).alias("lid"),
+        )
+    )
+    right = spark.range(12).select(
+        F.lit(1).alias("k"),
+        # bunched into the first 3 weeks → later buckets rely on carry-in
+        F.timestamp_seconds(F.lit(1704070000) + F.col("id") * 150_000).alias("rt"),
+        F.col("id").alias("rid"),
+    )
+    kwargs = dict(
+        on=["k"], left_time="t", right_time="rt", right_cols=["rid"], tiebreak="rid"
+    )
+    plain = {(r["lid"], r["rid"]) for r in asof_join(left, right, **kwargs).collect()}
+    bucketed_df = asof_join(left, right, bucket_seconds=7 * 86400, **kwargs)
+    bucketed = {(r["lid"], r["rid"]) for r in bucketed_df.collect()}
+    assert bucketed == plain
+    # null matches must exist (events before first order) and carry-ins too
+    assert any(rid is None for _, rid in plain)
+    assert "__bucket" in bucketed_df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_normalize_iso_rounding_and_clamp(spark):
     from etl_mini_spark.functions.time_fns import normalize_iso_col
 
@@ -385,6 +425,27 @@ def test_star_components_self_loop_nodes(spark):
     got_star = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
     assert got_lp == want
     assert got_star == want
+
+
+def test_star_components_long_chain(spark):
+    """A 1000-node chain (diameter 999) — the shape the registry's
+    dedup_clusters path must survive on templated/boilerplate corpora.
+    Min-label propagation needs ~diameter rounds and raises on its
+    iteration cap here; the large/small-star alternation converges in
+    O(log n) rounds. The registry path uses the star variant
+    (queries/coverage_ext.py dedup_clusters), so this is its contract."""
+    import pytest as _pytest
+
+    from etl_mini_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(999)], ["d1", "d2"])
+    got = {r["node"]: r["comp"] for r in connected_components_star(edges).collect()}
+    assert len(got) == 1000 and set(got.values()) == {0}
+    with _pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=8)
 
 
 def test_gather_guard_raises_above_cap(spark):

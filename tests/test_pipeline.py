@@ -96,6 +96,41 @@ def test_checkpoint_advances_only_on_success(spark):
     assert ck.last_window_end("incr") == datetime(2024, 2, 1)
 
 
+def test_checkpoint_concurrent_commit_fails_loudly(spark, tmp_path):
+    """Two commits racing the same checkpoint table would base their
+    merges on the same pre-swap rows and the loser's row would vanish
+    (last-writer-wins at TABLE level). The pinned semantics: the second
+    commit raises ConcurrentCommitError while a lock marker exists, and
+    commits succeed again once the in-flight one releases it — no
+    silent row loss, both pipelines' rows preserved."""
+    from datetime import datetime
+
+    from etl_mini_spark.plans.checkpoint import CheckpointTable, ConcurrentCommitError
+    from etl_mini_spark.sources.fs import fs_create_marker, fs_exists
+
+    path = str(tmp_path / "ck")
+    ck = CheckpointTable(spark, path)
+    ck.commit("pipe_a", None, datetime(2024, 1, 1))
+
+    # simulate an in-flight committer holding the lock
+    assert fs_create_marker(spark, path + ".lock")
+    with pytest.raises(ConcurrentCommitError):
+        ck.commit("pipe_b", None, datetime(2024, 1, 2))
+    # the failed commit must not have dropped pipe_a or written pipe_b
+    assert ck.last_window_end("pipe_a") == datetime(2024, 1, 1)
+    assert ck.last_window_end("pipe_b") is None
+
+    # lock released (by the in-flight committer finishing) → commit ok,
+    # and the lock is cleaned up afterwards
+    from etl_mini_spark.sources.fs import fs_delete
+
+    fs_delete(spark, path + ".lock")
+    ck.commit("pipe_b", None, datetime(2024, 1, 2))
+    assert ck.last_window_end("pipe_a") == datetime(2024, 1, 1)
+    assert ck.last_window_end("pipe_b") == datetime(2024, 1, 2)
+    assert not fs_exists(spark, path + ".lock")
+
+
 def test_upsert_parquet_roundtrip(spark):
     import shutil
 

@@ -333,3 +333,27 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+
+
+def test_tpch_registry_queries_inject_bloom_filters(spark):
+    """The TPC-H registry entries enable runtime bloom filters
+    themselves (session.enable_runtime_filters inside the query fn), so
+    at cluster scale — where the fact joins are shuffle joins — the
+    selective dim side seeds a might_contain probe filter on the fact
+    scan. Broadcast threshold is forced down to reproduce the
+    shuffle-join shape locally; Q18 is excluded by design (its semi
+    side is aggregate-defined, not filter-seeded — no injection)."""
+    from etl_mini_spark.queries import QUERIES
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ["sql_q5_local_volume", "sql_q10_returned", "sql_q3_shipping"]:
+            df = QUERIES[name](spark, SF_SMOKE)
+            opt = df._jdf.queryExecution().optimizedPlan().toString()
+            assert "might_contain" in opt and "bloom_filter_agg" in opt, (
+                f"{name}: no runtime bloom filter in optimized plan"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")

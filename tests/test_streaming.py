@@ -200,16 +200,10 @@ def test_capped_sessions_stateful(spark):
             assert (u, r["session_start"], r["session_end"], r["n_events"]) == expected_open[u]
 
 
-def test_capped_sessions_checksum_entry_matches_reference(spark):
-    """The registry checksum entry (driver's value-sensitive pin) must
-    equal the pure-python reference aggregation of gap/cap sessions."""
-    from tests.conftest import SF_SMOKE
-
-    from etl_mini_spark.queries import QUERIES
-    from etl_mini_spark.session import load_table
-
-    GAP_S, CAP_S = 1800, 7200
-    rows = load_table(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+def _py_capped_sessions_agg(rows, gap_s: int, cap_s: int) -> dict[str, list]:
+    """Pure-python reference aggregation of gap/cap-closed sessions —
+    the independent implementation the Spark stateful operator is
+    differentially checked against."""
     per_user: dict[int, list] = {}
     for r in rows:
         per_user.setdefault(r["user_id"], []).append(r["ts"])
@@ -220,9 +214,9 @@ def test_capped_sessions_checksum_entry_matches_reference(spark):
         n = 0
         for t in tss:
             closed = None
-            if n > 0 and (t - last).total_seconds() > GAP_S:
+            if n > 0 and (t - last).total_seconds() > gap_s:
                 closed = "gap"
-            elif n > 0 and (t - start).total_seconds() > CAP_S:
+            elif n > 0 and (t - start).total_seconds() > cap_s:
                 closed = "cap"
             if closed:
                 agg = want.setdefault(closed, [0, 0, 0])
@@ -233,11 +227,49 @@ def test_capped_sessions_checksum_entry_matches_reference(spark):
                 start, n = t, 0
             last = t
             n += 1
+    return want
+
+
+def test_capped_sessions_checksum_entry_matches_reference(spark):
+    """The registry checksum entry (driver's value-sensitive pin) must
+    equal the pure-python reference aggregation of gap/cap sessions —
+    AND the pin must be able to fail: a reference perturbed by one
+    second of gap tolerance (a mutation any off-by-one in the operator
+    would produce) must NOT match, proving the checksum is value-
+    sensitive rather than vacuously stable."""
+    from tests.conftest import SF_SMOKE
+
+    from etl_mini_spark.queries import QUERIES
+    from etl_mini_spark.session import load_table
+
+    GAP_S, CAP_S = 1800, 7200
+    rows = load_table(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    want = _py_capped_sessions_agg(rows, GAP_S, CAP_S)
     got = {
         r["closed_by"]: [r["n_sessions"], r["total_events"], r["bounds_checksum_us"]]
         for r in QUERIES["stream_capped_sessions_checksum"](spark, SF_SMOKE).collect()
     }
     assert got == want
+
+    # mutation check: the pin must be able to FAIL — a small shift in
+    # the gap rule must change the checksum for some |delta| well under
+    # the gap itself. (Exactly ±1 s is undetectable on this fixture by
+    # construction: the closest inter-event gap sits ~7 s from the
+    # 1800 s threshold, so the smallest detectable shift is data-
+    # dependent; what matters is that the checksum is value-sensitive,
+    # not vacuously stable.)
+    detected = None
+    for delta in (1, 2, 5, 10, 30, 60, 300):
+        if (
+            _py_capped_sessions_agg(rows, GAP_S + delta, CAP_S) != want
+            or _py_capped_sessions_agg(rows, GAP_S - delta, CAP_S) != want
+        ):
+            detected = delta
+            break
+    assert detected is not None and detected <= 60, (
+        "no gap-rule shift up to ±300s changes the checksum — the pin "
+        "is vacuous on this fixture; tighten the fixture"
+    )
 
 
 def test_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
