@@ -89,6 +89,11 @@ _TAIL = [
     "csv_roundtrip", "ndjson_roundtrip",
     "dedup_minhash_lsh", "dedup_simhash",
     "embedding_near_dups", "embedding_near_dups_lsh", "multimodal_frames",
+    # round-5 batch-2 additions (window full this round — first in line
+    # for the round-6 window rotation)
+    "cohort_retention", "rfm_segments", "window_tumbling_distinct",
+    "ratio_to_report", "churn_gap_flag", "corpus_token_entropy",
+    "mad_outliers", "dedup_canonical_pick",
 ]
 
 
