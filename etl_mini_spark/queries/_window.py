@@ -94,6 +94,9 @@ _TAIL = [
     "cohort_retention", "rfm_segments", "window_tumbling_distinct",
     "ratio_to_report", "churn_gap_flag", "corpus_token_entropy",
     "mad_outliers", "dedup_canonical_pick",
+    # round-5 batch-3: modern-SQL surface (Spark 4 features)
+    "sql_recursive_series", "sql_lateral_topn", "listagg_sorted",
+    "variant_shred_extract", "collation_distinct", "try_arithmetic_suite",
 ]
 
 

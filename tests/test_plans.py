@@ -229,6 +229,47 @@ def test_ngram_jaccard_no_forced_broadcast(spark):
     assert "ResolvedHint" not in analyzed, analyzed
 
 
+def test_containment_no_forced_broadcast(spark):
+    """minhash_containment shares the sized-postings inverted-index plan
+    with ngram Jaccard: set sizes ride the postings, so no O(corpus)
+    per-doc table is ever hint-broadcast or joined back."""
+    from etl_mini_spark.queries import QUERIES
+
+    df = QUERIES["minhash_containment"](spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_range_bucket_join_is_hash_not_nested_loop(spark):
+    """The fixed-width range→equi rewrite must plan a BroadcastHashJoin;
+    the naive range predicate would be a BroadcastNestedLoopJoin that
+    evaluates every bucket per row — the difference between O(rows) and
+    O(rows × buckets) at 100 TB."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["range_bucket_join"](spark, SF_SMOKE))
+    assert any("BroadcastHashJoin" in j for j in s.joins), s.joins
+    assert not any("NestedLoop" in j or "Cartesian" in j for j in s.joins), s.joins
+
+
+def test_interval_overlap_single_shuffle(spark):
+    """The +1/-1 sweep: union → window(event_type) → groupBy(event_type)
+    must pay exactly ONE exchange — the groupBy reuses the window's
+    partitioning. (The self-theta-join formulation it replaces would be
+    quadratic.)"""
+    import re
+
+    from etl_mini_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["interval_overlap_agg"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_ex == 1, f"expected 1 hash exchange, saw {n_ex}:\n{plan}"
+
+
 def test_sessionize_single_shuffle(spark):
     """sessionize: the groupBy(key, session_idx) must reuse the window's
     hashpartitioning(key) — exactly ONE exchange in the whole plan. A
