@@ -11,6 +11,12 @@ tuple; state volume is O(active keys), the watermark bounds it in
 time, and event-time timeouts flush sessions for keys that simply stop
 sending.
 
+API choice note: Spark 4's successor API (``transformWithStateInPandas``
+— composite state types, timers, TTL) requires the ``protobuf`` Python
+package for its driver-side runner, which this environment does not
+ship; ``applyInPandasWithState`` expresses the same per-key state
+machine without that dependency, so it is the supported path here.
+
 Execution shape at scale: one shuffle on the grouping key per
 micro-batch (same as any stateful agg); the user function sees
 Arrow-batched pandas frames per key — vectorizable, one interpreter

@@ -1,0 +1,139 @@
+"""Property-based differential tests (hypothesis): core custom
+operators vs INDEPENDENT references (pandas implementations with the
+same declared semantics) over randomized small inputs — the class of
+edge case (empty groups, all-ties, single rows, unmatched keys) that
+fixed fixtures under-sample.
+
+Example counts are deliberately small: each example runs Spark jobs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small key/time domains force collisions, ties, and empty groups
+_keys = st.integers(min_value=0, max_value=3)
+_times = st.integers(min_value=0, max_value=20)
+_vals = st.integers(min_value=-5, max_value=5)
+
+
+@given(
+    left=st.lists(st.tuples(_keys, _times), min_size=0, max_size=15),
+    right=st.lists(st.tuples(_keys, _times, _vals), min_size=0, max_size=15),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join (backward, allow_exact) ≡ pandas.merge_asof per key.
+    Right times are deduped per key so tie-resolution differences
+    cannot mask a real mismatch."""
+    from etl_mini_spark.operators.joins import asof_join
+
+    rd = pd.DataFrame(right, columns=["k", "rt", "rv"]).drop_duplicates(["k", "rt"])
+    ld = pd.DataFrame(left, columns=["k", "t"])
+    ld["lid"] = range(len(ld))
+
+    lsdf = spark.createDataFrame(ld) if len(ld) else None
+    if lsdf is None or len(rd) == 0:
+        return  # merge_asof needs non-empty frames; nothing to compare
+    rsdf = spark.createDataFrame(rd)
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            lsdf, rsdf, on=["k"], left_time="t", right_time="rt",
+            right_cols=["rv"], tiebreak="rt",
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        ld.sort_values(["t", "lid"]), rd.sort_values("rt"),
+        left_on="t", right_on="rt", by="k", direction="backward",
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(st.tuples(_keys, _times, _vals), min_size=0, max_size=20),
+)
+@settings(**SETTINGS)
+def test_ordered_dedup_matches_pandas_keep_first(spark, rows):
+    """ordered_dedup ≡ sort_values + drop_duplicates(keep='first') with
+    a total order (ties broken by the value column) — the reference's
+    D1 semantics (pandas_select_and_enrich.py:52-57)."""
+    from etl_mini_spark.operators.dedup import ordered_dedup
+
+    if not rows:
+        return
+    pdf = pd.DataFrame(rows, columns=["k", "o", "v"])
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        (r["k"], r["o"], r["v"])
+        for r in ordered_dedup(sdf, ["k"], [("o", "asc"), ("v", "asc")]).collect()
+    }
+    want_df = pdf.sort_values(["o", "v"], kind="mergesort").drop_duplicates(
+        ["k"], keep="first"
+    )
+    want = {(r.k, r.o, r.v) for r in want_df.itertuples()}
+    assert got == want
+
+
+@given(
+    left=st.lists(st.tuples(_keys, _vals), min_size=0, max_size=15),
+    right=st.lists(st.tuples(_keys, _vals), min_size=0, max_size=15),
+    salts=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_salted_join_row_identical_to_plain_join(spark, left, right, salts):
+    """salted_join must be row-identical (as a multiset) to the plain
+    join for ANY salt count — including duplicate keys on both sides,
+    where the join multiplicity must survive the salting."""
+    from collections import Counter
+
+    from etl_mini_spark.operators.joins import salted_join
+
+    if not left or not right:
+        return
+    l = spark.createDataFrame(pd.DataFrame(left, columns=["k", "lv"]))
+    r = spark.createDataFrame(pd.DataFrame(right, columns=["k", "rv"]))
+    plain = Counter(
+        (x["k"], x["lv"], x["rv"]) for x in l.join(r, "k").collect()
+    )
+    salted = Counter(
+        (x["k"], x["lv"], x["rv"]) for x in salted_join(l, r, ["k"], salts=salts).collect()
+    )
+    assert salted == plain
+
+
+@given(
+    target=st.lists(st.tuples(_keys, _vals), min_size=0, max_size=8),
+    source=st.lists(st.tuples(_keys, _vals), min_size=0, max_size=8),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_matches_dict_semantics(spark, target, source):
+    """merge_upsert(update) ≡ dict.update keyed on k (last source row
+    per key wins is NOT assumed — source is deduped first, matching the
+    operator's unique-key contract; ON CONFLICT DO UPDATE semantics,
+    ref postgresql_service.py:213-229)."""
+    from etl_mini_spark.operators.upsert import merge_upsert
+
+    tgt = pd.DataFrame(target, columns=["k", "v"]).drop_duplicates(["k"], keep="first")
+    src = pd.DataFrame(source, columns=["k", "v"]).drop_duplicates(["k"], keep="first")
+    if len(tgt) == 0:
+        return  # operator contract: existing target table
+    t = spark.createDataFrame(tgt)
+    s = spark.createDataFrame(src) if len(src) else spark.createDataFrame([], t.schema)
+    got = {r["k"]: r["v"] for r in merge_upsert(t, s, ["k"]).collect()}
+    want = dict(zip(tgt.k, tgt.v))
+    want.update(dict(zip(src.k, src.v)))
+    assert got == want
