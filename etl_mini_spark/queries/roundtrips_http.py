@@ -109,3 +109,82 @@ def ndjson_roundtrip(spark, sf_dir):
 
 
 # =========================================================================
+
+
+@q(
+    "csv_malformed_tolerant",
+    """SELECT CAST(count(*) AS BIGINT) AS n_clean,
+              CAST(37 AS BIGINT) AS n_corrupt,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents WHERE doc_id % 5 = 0""",
+)
+def csv_malformed_tolerant(spark, sf_dir):
+    """Tolerant CSV ingestion (S3/F6 hardening): a file with 37 planted
+    malformed lines reads in PERMISSIVE mode with a corrupt-record
+    column — clean rows flow through typed, bad rows are counted, the
+    job never dies. At 100 TB a single dirty row must not kill an
+    ingest; DROPMALFORMED/FAILFAST stay one option away. The oracle
+    derives the clean aggregate from the source table plus the planted
+    constant."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    tmp = _TMP / f"csv_malformed_{Path(sf_dir).name}"
+    tmp.mkdir(parents=True, exist_ok=True)
+    f = tmp / "data.csv"
+    with open(f, "w") as fh:
+        fh.write("doc_id,n_chars\n")
+        for r in docs:
+            fh.write(f"{r['doc_id']},{r['n_chars']}\n")
+        for i in range(37):
+            fh.write(f"not_a_number_{i},oops\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(schema)
+        .csv(str(f))
+        .cache()  # one scan: corrupt-record column forbids split aggregation over raw
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_clean"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("n_chars"))).alias("sum_chars"),
+    )
+
+
+@q(
+    "parquet_schema_evolution",
+    """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '(absent)' END AS lang_m,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM documents GROUP BY lang_m""",
+)
+def parquet_schema_evolution(spark, sf_dir):
+    """Schema evolution on read: an old batch written WITHOUT the lang
+    column and a new batch WITH it merge under mergeSchema — missing
+    fields surface as NULL instead of failing the scan. The pattern
+    every long-lived 100 TB table needs when producers add columns;
+    per-file footers drive the merge, no data rewrite."""
+    d = _t(spark, sf_dir, "documents")
+    base = _TMP / f"schema_evo_{Path(sf_dir).name}"
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(str(base / "b1"))
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "lang").write.mode(
+        "overwrite"
+    ).parquet(str(base / "b2"))
+    back = spark.read.option("mergeSchema", True).parquet(str(base / "b1"), str(base / "b2"))
+    return back.groupBy(
+        F.coalesce("lang", F.lit("(absent)")).alias("lang_m")
+    ).agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
