@@ -97,8 +97,9 @@ _TAIL = [
     # round-5 batch-3: modern-SQL surface (Spark 4 features)
     "sql_recursive_series", "sql_lateral_topn", "listagg_sorted",
     "variant_shred_extract", "collation_distinct", "try_arithmetic_suite",
-    # round-5 batch-4: I/O robustness
+    # round-5 batch-4: I/O robustness + sink-layout tier
     "csv_malformed_tolerant", "parquet_schema_evolution",
+    "partitioned_roundtrip", "bucketed_join_roundtrip",
 ]
 
 

@@ -29,10 +29,11 @@ _COHORT_SQL = """
 @q("cohort_retention", _COHORT_SQL)
 def cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-seen week, active
-    user counts at each week offset. The first-seen aggregate and the
-    join both shuffle on user_id — AQE co-partitions them — and the
-    final matrix is tiny. Week offsets use integer epoch arithmetic
-    (not calendar weeks) so the bucketing is timezone-free."""
+    user counts at each week offset. The first-seen aggregate keys on
+    user_id (broadcast back at bench scale; at cluster scale the join
+    rides the aggregate's existing user_id partitioning) and the final
+    matrix is tiny. Week offsets use integer epoch arithmetic (not
+    calendar weeks) so the bucketing is timezone-free."""
     e = _t(spark, sf_dir, "events")
     f = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
     return (

@@ -392,8 +392,9 @@ _FIRST_TOUCH_SQL = """
 def first_touch_attribution(spark, sf_dir):
     """First-touch attribution: each user's earliest event type claims
     all their later purchases. The row_number window and the purchase
-    aggregate both shuffle on user_id, so AQE plans the final join
-    shuffle-free (both sides co-partitioned)."""
+    aggregate both key on user_id; at bench scale the (small) purchase
+    side broadcasts, at cluster scale both sides arrive already
+    hash-partitioned on user_id so the join adds no new shuffle."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     firsts = (
@@ -516,4 +517,65 @@ def range_bucket_join(spark, sf_dir):
         bucketed.join(F.broadcast(dim), "bucket_id")
         .groupBy("label")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# =========================================================================
+# sink-layout tier as driver-verified queries (S7/S11 + bucketing)
+# =========================================================================
+
+_PARTITIONED_SQL = """
+    SELECT strftime(ts, '%Y-%m-%d') AS d, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE event_type = 'click' GROUP BY d
+"""
+
+
+@q("partitioned_roundtrip", _PARTITIONED_SQL)
+def partitioned_roundtrip(spark, sf_dir):
+    """Hive-style partitioned layout roundtrip (S11): events written
+    partitionBy(event_type), then ONE partition read back via a
+    partition-column filter — the scan lists only the click/ directory
+    (partition pruning; asserted in tests/test_pipeline.py). At 100 TB
+    the partition column is the first knife: scans of a filtered type
+    touch 1/5th of the files before any row-group pruning."""
+    from etl_mini_spark.queries._base import _TMP
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    path = str(_TMP / f"part_rt_{Path(sf_dir).name}")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return back.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+
+
+_BUCKETED_SQL = """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@q("bucketed_join_roundtrip", _BUCKETED_SQL)
+def bucketed_join_roundtrip(spark, sf_dir):
+    """Bucketed-table co-located join (writers.write_bucketed): orders
+    and customer both saved bucketed(8) on custkey, then joined — the
+    bucket co-location replaces both join Exchanges (plan-asserted in
+    tests/test_plans.py::test_bucketed_join_no_shuffle). The one-time
+    bucketing cost amortizes over every later join/agg on the key —
+    the nightly-fact-join shape at 100 TB."""
+    from etl_mini_spark.sources.writers import write_bucketed
+
+    sf_tag = Path(sf_dir).name.replace(".", "_")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, f"orders_b_{sf_tag}", ["o_custkey"], num_buckets=8)
+    write_bucketed(c, f"customer_b_{sf_tag}", ["c_custkey"], num_buckets=8)
+    ob = spark.table(f"orders_b_{sf_tag}")
+    cb = spark.table(f"customer_b_{sf_tag}")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )

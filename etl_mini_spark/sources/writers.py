@@ -88,7 +88,21 @@ def write_bucketed(
     Exchange. At 100 TB this turns the nightly fact⋈dim or fact⋈fact
     join from the dominant shuffle into a local zip per bucket; the
     one-time bucketing cost amortizes over every downstream join/agg on
-    that key."""
+    that key.
+
+    Overwrite is made idempotent across sessions: a managed table whose
+    catalog entry died with a previous session can leave its warehouse
+    directory behind, and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS — so the table AND any orphaned location
+    are dropped first."""
+    from etl_mini_spark.sources.fs import fs_delete, fs_exists
+
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        loc = f"{spark.conf.get('spark.sql.warehouse.dir')}/{table.lower()}"
+        if fs_exists(spark, loc):
+            fs_delete(spark, loc)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

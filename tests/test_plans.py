@@ -229,6 +229,29 @@ def test_ngram_jaccard_no_forced_broadcast(spark):
     assert "ResolvedHint" not in analyzed, analyzed
 
 
+def test_bucketed_join_no_shuffle(spark):
+    """bucketed_join_roundtrip: with both tables bucketed(8) on the
+    join key and broadcast disabled (the 100 TB fact⋈fact shape), the
+    SortMergeJoin must consume the buckets directly — the ONLY exchange
+    in the plan is the final groupBy's, not the join's."""
+    import re
+
+    from etl_mini_spark.queries import QUERIES
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            QUERIES["bucketed_join_roundtrip"](spark, SF_SMOKE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in plan, plan
+        n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+        assert n_ex == 1, f"join should ride bucket co-location; saw {n_ex} exchanges"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
 def test_containment_no_forced_broadcast(spark):
     """minhash_containment shares the sized-postings inverted-index plan
     with ngram Jaccard: set sizes ride the postings, so no O(corpus)
