@@ -100,6 +100,8 @@ _TAIL = [
     # round-5 batch-4: I/O robustness + sink-layout tier
     "csv_malformed_tolerant", "parquet_schema_evolution",
     "partitioned_roundtrip", "bucketed_join_roundtrip",
+    # round-5 batch-5: streaming exactly-once upsert + null-safe join
+    "stream_foreachbatch_upsert", "join_null_safe",
 ]
 
 

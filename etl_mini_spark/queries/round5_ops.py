@@ -579,3 +579,89 @@ def bucketed_join_roundtrip(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
+
+
+# =========================================================================
+# streaming exactly-once upsert + null-safe join semantics
+# =========================================================================
+
+_STREAM_UPSERT_SQL = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN event_id % 7 = 0 THEN value + 100 ELSE value END), 2)
+             AS sum_value
+    FROM events GROUP BY event_type
+"""
+
+
+@q("stream_foreachbatch_upsert", _STREAM_UPSERT_SQL)
+def stream_foreachbatch_upsert(spark, sf_dir):
+    """Streaming keyed upsert end-to-end: the base corpus streams into
+    a parquet table via foreachBatch upsert, then a second incremental
+    run delivers UPDATED rows (every 7th event re-arrives with value
+    +100) that must overwrite in place — the streaming checkpoint skips
+    already-processed files, so the second run sees only the new ones.
+    This is the reference's flagship ES→upsert→PG shape (S9 + §2.9)
+    with streaming restart-safety replacing its metadata table. Oracle
+    emulates the final table state declaratively."""
+    import shutil
+    import uuid
+
+    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.streaming.stream import (
+        foreach_batch_upsert,
+        read_stream_parquet,
+        run_to_completion,
+    )
+
+    for old in _TMP.glob("fbu_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    tmp = _TMP / f"fbu_{uuid.uuid4().hex[:8]}"
+    src, tgt, ckpt = str(tmp / "src"), str(tmp / "tgt"), str(tmp / "ckpt")
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    sink = foreach_batch_upsert(tgt, keys=["event_id"])
+    run_to_completion(read_stream_parquet(spark, src, schema), checkpoint_dir=ckpt, sink=sink)
+    # incremental re-delivery: updated rows land as NEW source files
+    e.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value", F.col("value") + 100
+    ).write.mode("append").parquet(src)
+    run_to_completion(read_stream_parquet(spark, src, schema), checkpoint_dir=ckpt, sink=sink)
+    final = spark.read.parquet(tgt)
+    return final.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+_NULL_SAFE_JOIN_SQL = """
+    WITH dim AS (SELECT range AS k, 'g' || range AS grp FROM range(1, 10)
+                 UNION ALL SELECT NULL, 'g_null'),
+         ev AS (SELECT nullif(user_id % 10, 0) AS k FROM events)
+    SELECT grp, CAST(count(*) AS BIGINT) AS n
+    FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k
+    GROUP BY grp
+"""
+
+
+@q("join_null_safe", _NULL_SAFE_JOIN_SQL)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match the dimension's NULL row instead of silently dropping — the
+    semantics unknown-segment enrichment needs. Still a hash join
+    (null-safe equality remains an equi predicate; no fallback to
+    nested-loop), with the dim broadcast."""
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("nullif(user_id % 10, 0)").alias("k")
+    )
+    dim = (
+        spark.range(1, 10)
+        .select(F.col("id").alias("k"), F.concat(F.lit("g"), F.col("id")).alias("grp"))
+        .unionByName(
+            spark.sql("SELECT CAST(NULL AS BIGINT) AS k, 'g_null' AS grp")
+        )
+    )
+    return (
+        e.join(F.broadcast(dim), e["k"].eqNullSafe(dim["k"]))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"))
+    )
