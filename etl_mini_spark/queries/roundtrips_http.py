@@ -188,3 +188,43 @@ def parquet_schema_evolution(spark, sf_dir):
     return back.groupBy(
         F.coalesce("lang", F.lit("(absent)")).alias("lang_m")
     ).agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+
+
+@q(
+    "xml_roundtrip",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(event_id) AS BIGINT) AS sum_id,
+              round(sum(value), 2) AS sum_value
+       FROM events WHERE user_id % 7 = 0 GROUP BY event_type""",
+)
+def xml_roundtrip(spark, sf_dir):
+    """XML roundtrip (Spark 4 built-in StAX source — completes the
+    format matrix alongside parquet/ORC/CSV/JSON; spark-avro's module
+    jar is the one absent format). Events subset → row-tagged XML →
+    re-read with an explicit schema → checksum against the source
+    table. XML parsing is per-record and codegen-free, so at 100 TB
+    it is an ingest-edge format: land, convert to parquet once, query
+    columnar thereafter."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    path = str(_TMP / f"xml_roundtrip_{Path(sf_dir).name}")
+    (
+        e.select("event_id", "event_type", "value")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = spark.read.format("xml").option("rowTag", "event").schema(schema).load(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_id"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
