@@ -320,3 +320,55 @@ def dedup_canonical_pick(spark, sf_dir):
             "canonical_doc"
         ),
     )
+
+
+# =========================================================================
+# point-in-time (temporal) join against SCD2 history
+# =========================================================================
+
+_PIT_SQL = """
+    WITH scd AS (SELECT o_custkey, o_orderpriority AS priority,
+                        o_orderdate AS valid_from,
+                        lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey) AS valid_to
+                 FROM orders),
+         probe AS (SELECT l.l_shipdate AS at_ts, o.o_custkey
+                   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT s.priority, CAST(count(*) AS BIGINT) AS n
+    FROM probe p JOIN scd s
+      ON p.o_custkey = s.o_custkey
+     AND p.at_ts >= s.valid_from
+     AND (s.valid_to IS NULL OR p.at_ts < s.valid_to)
+    GROUP BY s.priority
+"""
+
+
+@q("scd2_point_in_time_join", _PIT_SQL)
+def scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time join: each lineitem shipment looks up the
+    customer's priority AS OF its ship date in the SCD2 validity
+    intervals — the temporal-correctness lookup that prevents leakage
+    of future attribute values into historical fact rows (the ML
+    train-time-correctness problem). Physically an EQUI join on
+    custkey with the interval predicate as a post-join filter — one
+    shuffle, no nested loop; the intervals per key are non-overlapping
+    by construction so each probe matches at most one row."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    scd = o.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    probe = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"), "l_orderkey"
+    ).select(F.col("l_shipdate").alias("at_ts"), "o_custkey")
+    joined = probe.join(
+        scd,
+        (probe.o_custkey == scd.o_custkey)
+        & (probe.at_ts >= scd.valid_from)
+        & (scd.valid_to.isNull() | (probe.at_ts < scd.valid_to)),
+    )
+    return joined.groupBy("priority").agg(F.count("*").alias("n"))
