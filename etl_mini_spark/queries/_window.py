@@ -102,7 +102,7 @@ _TAIL = [
     "partitioned_roundtrip", "bucketed_join_roundtrip",
     # round-5 batch-5: streaming exactly-once upsert + null-safe join
     "stream_foreachbatch_upsert", "join_null_safe",
-    "xml_roundtrip", "scd2_point_in_time_join",
+    "xml_roundtrip", "scd2_point_in_time_join", "co_purchase_pairs",
 ]
 
 

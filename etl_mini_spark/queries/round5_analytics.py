@@ -372,3 +372,45 @@ def scd2_point_in_time_join(spark, sf_dir):
         & (scd.valid_to.isNull() | (probe.at_ts < scd.valid_to)),
     )
     return joined.groupBy("priority").agg(F.count("*").alias("n"))
+
+
+# =========================================================================
+# market-basket co-occurrence (pair mining)
+# =========================================================================
+
+_COPURCHASE_SQL = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+                   FROM items a JOIN items b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY p1, p2
+    HAVING count(*) >= 2
+    ORDER BY n_orders DESC, p1, p2 LIMIT 50
+"""
+
+
+@q("co_purchase_pairs", _COPURCHASE_SQL)
+def co_purchase_pairs(spark, sf_dir):
+    """Market-basket pair mining: part pairs that co-occur in ≥2
+    orders, top-50. The self-join is WITHIN the order key, so pair
+    expansion is bounded by items-per-order squared (~tens), never
+    corpus-squared; the join and the pair aggregation shuffle on
+    l_orderkey then (p1, p2) — at 100 TB the same plan holds because
+    basket size, not corpus size, bounds the blowup. Fully tie-broken
+    top-k → deterministic."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "p1", "p2")
+        .limit(50)
+    )
