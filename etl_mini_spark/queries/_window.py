@@ -103,6 +103,10 @@ _TAIL = [
     # round-5 batch-5: streaming exactly-once upsert + null-safe join
     "stream_foreachbatch_upsert", "join_null_safe",
     "xml_roundtrip", "scd2_point_in_time_join", "co_purchase_pairs",
+    # round-5 batch-6: TPC-H suite completion (all 22 shapes now run)
+    "sql_q4_priority", "sql_q8_mkt_share", "sql_q9_product_profit",
+    "sql_q12_late_lines", "sql_q15_top_supplier", "sql_q17_small_qty",
+    "sql_q20_promo_suppliers", "sql_q21_waiting_supplier",
 ]
 
 
