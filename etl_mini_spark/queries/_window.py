@@ -107,6 +107,11 @@ _TAIL = [
     "sql_q4_priority", "sql_q8_mkt_share", "sql_q9_product_profit",
     "sql_q12_late_lines", "sql_q15_top_supplier", "sql_q17_small_qty",
     "sql_q20_promo_suppliers", "sql_q21_waiting_supplier",
+    # round-5 batch-7: new analytics domains (graph / spatial / edit-
+    # distance dedup / timeseries bars / data-quality report)
+    "graph_triangle_count", "graph_pagerank_parts", "geo_radius_pairs",
+    "dedup_levenshtein_blocked", "timeseries_ohlc_twap",
+    "dq_expectations_report",
 ]
 
 
