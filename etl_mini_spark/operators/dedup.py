@@ -224,9 +224,16 @@ def near_dup_pairs_containment(
     duplication that symmetric Jaccard misses: a short doc fully
     embedded in a long one has high containment but low Jaccard (the
     union is dominated by the long doc). Same inverted-index plan as
-    `near_dup_pairs_ngram_jaccard` — set sizes ride the postings, no
-    O(corpus) join-back; only pairs sharing ≥1 shingle materialize.
-    Returns (d1, d2, containment) with d1 < d2.
+    `near_dup_pairs_ngram_jaccard` — only pairs sharing ≥1 shingle
+    materialize. When ``max_bucket_size`` prunes ultra-common shingles,
+    the per-doc set size is RECOMPUTED over the post-prune postings:
+    template/boilerplate shingles (this operator's advertised target)
+    are exactly the frequent ones pruned, and keeping the pre-prune size
+    as denominator would shrink `inter` but not min(|A|,|B|) —
+    systematically underestimating containment and false-negating at
+    scale. Recomputing keeps C a true ratio over the compared universe,
+    at the cost of one extra doc_id-partitioned window pass (pruned
+    postings only). Returns (d1, d2, containment) with d1 < d2.
     """
     sh = _doc_shingles(df, id_col, text_col, n)
     inv = sh.select(
@@ -236,7 +243,8 @@ def near_dup_pairs_containment(
         bucket_n = inv.groupBy("shingle").agg(F.count("*").alias("bn"))
         inv = (
             inv.join(bucket_n.filter(F.col("bn") <= max_bucket_size), "shingle")
-            .select("doc_id", "sz", "shingle")
+            .select("doc_id", "shingle")
+            .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
         )
     a, b = inv.alias("a"), inv.alias("b")
     common = (

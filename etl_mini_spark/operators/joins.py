@@ -122,8 +122,25 @@ def asof_join(
             .over(wc)
             .alias("__carry"),
         )
-        matched = staged.join(carry, key_cols + ["__bucket"]).withColumn(
-            "__match", F.coalesce("__in_bucket", "__carry")
+        # Null-safe carry join: a plain name-list join would drop rows with
+        # a NULL key column or NULL time (__bucket = floor(unix_micros(NULL))
+        # = NULL), breaking the "row-identical to the unbucketed path"
+        # contract — the unbucketed window keeps NULL-key groups and gives
+        # NULL-time left rows their (possibly null) match. groupBy treats
+        # NULL as a regular group, so every (key, bucket) in `staged` exists
+        # in `carry`; eqNullSafe keeps this an equi hash join.
+        join_cols = key_cols + ["__bucket"]
+        carry_r = carry
+        for c in join_cols:
+            carry_r = carry_r.withColumnRenamed(c, "__carry_" + c)
+        cond = None
+        for c in join_cols:
+            clause = staged[c].eqNullSafe(carry_r["__carry_" + c])
+            cond = clause if cond is None else (cond & clause)
+        matched = (
+            staged.join(carry_r, cond, "left")
+            .drop(*["__carry_" + c for c in join_cols])
+            .withColumn("__match", F.coalesce("__in_bucket", "__carry"))
         )
     out = matched.filter(F.col("__l").isNotNull())
 

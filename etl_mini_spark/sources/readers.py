@@ -17,6 +17,7 @@ the data at 100 TB and can silently drift between runs.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,31 +123,57 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return _NS_COLS_CACHE[path]
 
 
-def _force_ltz_timestamps(spark: SparkSession) -> None:
+@contextmanager
+def _force_ltz_timestamps(spark: SparkSession):
     """Read parquet TIMESTAMP(isAdjustedToUTC=false) as session-tz
-    TIMESTAMP (LTZ), not TIMESTAMP_NTZ.
+    TIMESTAMP (LTZ), not TIMESTAMP_NTZ — scoped to the wrapped read.
 
     The driver-provided testdata stores naive µs timestamps; Spark 4's
     default ``inferTimestampNTZ`` maps those to TIMESTAMP_NTZ, which
     breaks instant-typed functions (``unix_micros``/``window``/
     watermarks) and diverges from the DuckDB oracle's naive-epoch math.
     With the session timezone pinned to UTC (session.load_table), an
-    LTZ read of naive data is value-identical to the oracle. Runtime-
-    settable, so it also protects queries invoked from a caller-built
-    SparkSession with default confs."""
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    LTZ read of naive data is value-identical to the oracle.
+
+    The conf only drives EAGER schema inference (the DataFrameReader
+    resolves parquet footers at ``.parquet()`` time), so set/restore
+    around the read is sound AND leaves the caller's session semantics
+    untouched for subsequent non-framework ``spark.read.parquet`` calls
+    (previously this helper flipped the conf permanently — NTZ data in
+    the same session would silently read as LTZ afterwards)."""
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    try:
+        prev = spark.conf.get(key, None)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan, tolerant of TIMESTAMP(NANOS) columns: those are
     read as long (legacy conf) and converted to µs timestamps with
-    integer DIV (ns epochs overflow a double mantissa)."""
-    _force_ltz_timestamps(spark)
+    integer DIV (ns epochs overflow a double mantissa).
+
+    NOTE: when ns columns are present, ``nanosAsLong`` stays set on the
+    session — that conf is consulted at EXECUTION time (not just schema
+    inference), so restoring it before the action runs would break the
+    deferred scan. It is additive-safe: it only affects parquet files
+    that actually contain TIMESTAMP(NANOS), which Spark cannot read at
+    all without it."""
     ns_cols = _nanos_timestamp_cols(path) if "://" not in path or path.startswith("file://") else []
     if not ns_cols:
-        return spark.read.parquet(path)
+        with _force_ltz_timestamps(spark):
+            return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    with _force_ltz_timestamps(spark):
+        df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
     return df

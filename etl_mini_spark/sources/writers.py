@@ -99,10 +99,26 @@ def write_bucketed(
 
     spark = df.sparkSession
     if mode == "overwrite":
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        loc = f"{spark.conf.get('spark.sql.warehouse.dir')}/{table.lower()}"
-        if fs_exists(spark, loc):
-            fs_delete(spark, loc)
+        if spark.catalog.tableExists(table):
+            # DROP removes a managed table's directory itself; an
+            # external table's data is intentionally preserved by DROP —
+            # never blind-delete a location a live catalog entry owns.
+            spark.sql(f"DROP TABLE {table}")
+        else:
+            # Orphaned warehouse dir from a session that died before its
+            # catalog entry persisted. Compute the DEFAULT managed
+            # location for this name (db.tbl lives at warehouse/db.db/tbl,
+            # not warehouse/db.tbl) and clear it only because no catalog
+            # entry exists to claim it.
+            parts = table.lower().split(".")
+            if len(parts) == 2:
+                db, tbl = parts
+            else:
+                db, tbl = spark.catalog.currentDatabase().lower(), parts[-1]
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            loc = f"{wh}/{tbl}" if db == "default" else f"{wh}/{db}.db/{tbl}"
+            if fs_exists(spark, loc):
+                fs_delete(spark, loc)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -19,26 +19,41 @@ from pyspark.sql import types as T
 from etl_mini_spark.operators.upsert import upsert_parquet
 
 
+def _ltz_type(dt: T.DataType) -> T.DataType:
+    """Rewrite TIMESTAMP_NTZ → TIMESTAMP (LTZ) at ANY nesting depth —
+    top-level fields, struct members, array elements, map keys/values.
+    A top-level-only rewrite would let an NTZ event-time column nested
+    inside a struct slip through and break watermarks/window()."""
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType()
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _ltz_type(f.dataType), f.nullable, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_ltz_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_ltz_type(dt.keyType), _ltz_type(dt.valueType), dt.valueContainsNull)
+    return dt
+
+
 def read_stream_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """File-source stream over a parquet directory (new files become
     micro-batches). Schema is mandatory for streaming file sources.
 
     TIMESTAMP_NTZ fields in a probed schema are rewritten to TIMESTAMP
-    (LTZ): naive-parquet testdata probed through a default-conf session
-    yields NTZ, which watermarks/`window()` reject; with the session tz
-    pinned UTC the LTZ read is value-identical (sources/readers.py)."""
+    (LTZ) recursively (see ``_ltz_type``): naive-parquet testdata probed
+    through a default-conf session yields NTZ, which watermarks/
+    `window()` reject; with the session tz pinned UTC the LTZ read is
+    value-identical (sources/readers.py)."""
     from etl_mini_spark.sources.readers import _force_ltz_timestamps
 
-    _force_ltz_timestamps(spark)
-    schema = T.StructType(
-        [
-            T.StructField(f.name, T.TimestampType(), f.nullable)
-            if isinstance(f.dataType, T.TimestampNTZType)
-            else f
-            for f in schema.fields
-        ]
-    )
-    return spark.readStream.schema(schema).parquet(path)
+    with _force_ltz_timestamps(spark):
+        schema = _ltz_type(schema)
+        return spark.readStream.schema(schema).parquet(path)
 
 
 def read_stream_ndjson(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

@@ -103,6 +103,57 @@ def test_asof_join_bucketed_matches_unbucketed_on_skew(spark):
     assert "__bucket" in bucketed_df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_asof_join_bucketed_keeps_null_keys_and_times(spark):
+    """The bucketed path must keep rows a plain inner carry-join drops:
+    NULL key columns (NULL never equals NULL) and NULL left times
+    (__bucket = floor(unix_micros(NULL)) = NULL). Both paths must agree
+    row-for-row — the documented 'row-identical' contract."""
+    import pyspark.sql.types as T
+    from etl_mini_spark.operators.joins import asof_join
+
+    lschema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("t", T.TimestampType()),
+        T.StructField("lid", T.IntegerType()),
+    ])
+    rschema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("rt", T.TimestampType()),
+        T.StructField("rid", T.IntegerType()),
+    ])
+    from datetime import datetime
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-05 00:00:00"), 1),
+            (1, None, 2),                       # NULL left time
+            (None, ts("2024-01-06 00:00:00"), 3),  # NULL key
+            (None, None, 4),                    # both NULL
+            (2, ts("2024-02-01 00:00:00"), 5),  # key with no right rows
+        ],
+        lschema,
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), 10),
+            (1, ts("2024-01-04 12:00:00"), 11),
+            (None, ts("2024-01-02 00:00:00"), 12),  # NULL-key right row
+            (1, None, 13),                          # NULL right time
+        ],
+        rschema,
+    )
+    kwargs = dict(on=["k"], left_time="t", right_time="rt",
+                  right_cols=["rid"], tiebreak="rid")
+    plain = {(r["lid"], r["rid"]) for r in asof_join(left, right, **kwargs).collect()}
+    bucketed = {
+        (r["lid"], r["rid"])
+        for r in asof_join(left, right, bucket_seconds=86400, **kwargs).collect()
+    }
+    # every left row survives both paths
+    assert {lid for lid, _ in plain} == {1, 2, 3, 4, 5}
+    assert bucketed == plain
+
+
 def test_normalize_iso_rounding_and_clamp(spark):
     from etl_mini_spark.functions.time_fns import normalize_iso_col
 
