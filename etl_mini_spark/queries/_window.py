@@ -112,6 +112,8 @@ _TAIL = [
     "graph_triangle_count", "graph_pagerank_parts", "geo_radius_pairs",
     "dedup_levenshtein_blocked", "timeseries_ohlc_twap",
     "dq_expectations_report",
+    # round-6 additions (moved into the window by the round-6 rotation)
+    "join_asof_bucketed", "graph_pagerank_converged", "scd2_late_correction",
 ]
 
 

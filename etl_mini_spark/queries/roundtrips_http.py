@@ -125,20 +125,21 @@ def csv_malformed_tolerant(spark, sf_dir):
     job never dies. At 100 TB a single dirty row must not kill an
     ingest; DROPMALFORMED/FAILFAST stay one option away. The oracle
     derives the clean aggregate from the source table plus the planted
-    constant."""
-    docs = (
+    constant. Fixture generation stays distributed: the clean rows are
+    written by executors via df.write.csv (headers are per-file, which
+    the directory read handles); only the 37 planted malformed lines
+    are appended driver-side as their own small file."""
+    tmp = _TMP / f"csv_malformed_{Path(sf_dir).name}"
+    (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
         .select("doc_id", "n_chars")
-        .collect()
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(str(tmp))
     )
-    tmp = _TMP / f"csv_malformed_{Path(sf_dir).name}"
-    tmp.mkdir(parents=True, exist_ok=True)
-    f = tmp / "data.csv"
-    with open(f, "w") as fh:
+    with open(tmp / "zz_malformed.csv", "w") as fh:
         fh.write("doc_id,n_chars\n")
-        for r in docs:
-            fh.write(f"{r['doc_id']},{r['n_chars']}\n")
         for i in range(37):
             fh.write(f"not_a_number_{i},oops\n")
     schema = T.StructType(
@@ -153,7 +154,7 @@ def csv_malformed_tolerant(spark, sf_dir):
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .schema(schema)
-        .csv(str(f))
+        .csv(str(tmp))
         .cache()  # one scan: corrupt-record column forbids split aggregation over raw
     )
     return back.agg(
