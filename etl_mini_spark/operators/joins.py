@@ -30,13 +30,20 @@ def asof_join(
     allow_exact: bool = True,
     suffix: str = "_right",
     bucket_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right_time <= left_time (or < if not allow_exact) in the same key
     group; nulls where no match (left-join semantics).
+    ``direction="forward"`` flips the search: the EARLIEST right row
+    with right_time >= left_time (or > if not allow_exact) — the other
+    half of the pandas ``merge_asof`` direction surface, same
+    single-shuffle union-sort plan (the running carry just runs over
+    the following frame instead of the preceding one).
 
     ``tiebreak``: right column ordering ties on right_time (ascending;
-    the LAST one wins) — supply a unique right id for determinism.
+    backward takes the LAST one, forward the FIRST) — supply a unique
+    right id for determinism.
 
     ``bucket_seconds``: optional skew hardening. The plain union-sort
     partitions by key alone, so ONE celebrity key serializes its whole
@@ -52,10 +59,22 @@ def asof_join(
     """
     import pyspark.sql.types as T
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
     right_cols = right_cols or [c for c in right.columns if c not in on]
     key_cols = list(on)
 
-    r_payload = F.struct(*[F.col(c) for c in right_cols]).alias("__r")
+    # NULL-time rows are inert, matching SQL comparison semantics
+    # (t <= NULL / NULL <= t are never true): a right row with NULL
+    # time carries a NULL payload (can never be picked up), and a left
+    # row with NULL time gets a forced NULL match at projection. NULL
+    # KEYS, by contrast, group together null-safely (window partitionBy
+    # semantics, like groupBy) — documented divergence from an equi-join
+    # oracle; drop NULL-key rows first if SQL equality is wanted.
+    r_payload = F.when(
+        F.col(right_time).isNotNull(), F.struct(*[F.col(c) for c in right_cols])
+    ).alias("__r")
     l_payload = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
     l_type = T.StructType([left.schema[c] for c in left.columns])
     r_tb = (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb")
@@ -72,55 +91,64 @@ def asof_join(
         l_payload,
     )
 
-    # On equal times: right rows sort before left when allow_exact (tag 0<1),
-    # after left otherwise (flip the tag).
-    if not allow_exact:
+    # Tag ordering places equal-time right rows inside or outside the
+    # left row's frame. Backward frame is (preceding, current]: rights
+    # sort BEFORE left to be eligible at equal times (allow_exact) and
+    # after otherwise. Forward frame is [current, following): exactly
+    # the mirror.
+    right_sorts_first = (back and allow_exact) or (not back and not allow_exact)
+    if not right_sorts_first:
         l = l.withColumn("__tag", F.lit(0))
         r = r.withColumn("__tag", F.lit(1))
 
     unioned = r.unionByName(l)
 
     if bucket_seconds is None:
-        w = (
-            Window.partitionBy(*key_cols)
-            .orderBy("__t", "__tag", "__tb")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        matched = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        w = Window.partitionBy(*key_cols).orderBy("__t", "__tag", "__tb")
+        if back:
+            w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            carry_fn = F.last("__r", ignorenulls=True)
+        else:
+            w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            carry_fn = F.first("__r", ignorenulls=True)
+        matched = unioned.withColumn("__match", carry_fn.over(w))
     else:
         unioned = unioned.withColumn(
             "__bucket", F.floor(F.unix_micros("__t") / F.lit(bucket_seconds * 1_000_000))
         )
-        # stage 1: independent within-bucket running last — the hot-key
-        # sort now parallelizes across buckets
-        wb = (
-            Window.partitionBy(*key_cols, "__bucket")
-            .orderBy("__t", "__tag", "__tb")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        staged = unioned.withColumn("__in_bucket", F.last("__r", ignorenulls=True).over(wb))
-        # stage 2: boundary carry-in — one row per (key, bucket): the
-        # bucket's final right row (max by (t, tiebreak); struct max is
-        # lexicographic and skips nulls), then the latest non-null value
-        # from STRICTLY EARLIER buckets per key. O(keys × buckets) rows.
-        per_bucket_last = unioned.groupBy(*key_cols, "__bucket").agg(
-            F.max(
+        # stage 1: independent within-bucket running carry (last-so-far
+        # backward, first-upcoming forward) — the hot-key sort now
+        # parallelizes across buckets
+        wb = Window.partitionBy(*key_cols, "__bucket").orderBy("__t", "__tag", "__tb")
+        if back:
+            wb = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            staged = unioned.withColumn("__in_bucket", F.last("__r", ignorenulls=True).over(wb))
+        else:
+            wb = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            staged = unioned.withColumn("__in_bucket", F.first("__r", ignorenulls=True).over(wb))
+        # stage 2: boundary carry — one row per (key, bucket): the
+        # bucket's boundary right row (lexicographic struct max/min by
+        # (t, tiebreak), nulls skipped), then the nearest non-null value
+        # from STRICTLY earlier (backward) / later (forward) buckets per
+        # key. O(keys × buckets) rows.
+        bound_fn = F.max if back else F.min
+        per_bucket_bound = unioned.groupBy(*key_cols, "__bucket").agg(
+            bound_fn(
                 F.when(
                     F.col("__r").isNotNull(),
                     F.struct(F.col("__t"), F.col("__tb"), F.col("__r")),
                 )
-            ).alias("__last_struct")
+            ).alias("__bound_struct")
         )
-        wc = (
-            Window.partitionBy(*key_cols)
-            .orderBy("__bucket")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        carry = per_bucket_last.select(
-            *key_cols, "__bucket",
-            F.last(F.col("__last_struct").getField("__r"), ignorenulls=True)
-            .over(wc)
-            .alias("__carry"),
+        wc = Window.partitionBy(*key_cols).orderBy("__bucket")
+        if back:
+            wc = wc.rowsBetween(Window.unboundedPreceding, -1)
+            cross_fn = F.last(F.col("__bound_struct").getField("__r"), ignorenulls=True)
+        else:
+            wc = wc.rowsBetween(1, Window.unboundedFollowing)
+            cross_fn = F.first(F.col("__bound_struct").getField("__r"), ignorenulls=True)
+        carry = per_bucket_bound.select(
+            *key_cols, "__bucket", cross_fn.over(wc).alias("__carry"),
         )
         # Null-safe carry join: a plain name-list join would drop rows with
         # a NULL key column or NULL time (__bucket = floor(unix_micros(NULL))
@@ -142,7 +170,9 @@ def asof_join(
             .drop(*["__carry_" + c for c in join_cols])
             .withColumn("__match", F.coalesce("__in_bucket", "__carry"))
         )
-    out = matched.filter(F.col("__l").isNotNull())
+    out = matched.filter(F.col("__l").isNotNull()).withColumn(
+        "__match", F.when(F.col("__t").isNotNull(), F.col("__match"))
+    )
 
     left_names = set(left.columns)
     proj = [F.col("__l").getField(c).alias(c) for c in left.columns]

@@ -114,6 +114,7 @@ _TAIL = [
     "dq_expectations_report",
     # round-6 additions (moved into the window by the round-6 rotation)
     "join_asof_bucketed", "graph_pagerank_converged", "scd2_late_correction",
+    "join_asof_forward",
 ]
 
 

@@ -49,6 +49,42 @@ def join_asof_bucketed(spark, sf_dir):
     return res.select("event_id", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
 
 
+_ASOF_FWD_SQL = """
+    SELECT event_id, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+      FROM events e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+    ) WHERE rn = 1
+"""
+
+
+@q("join_asof_forward", _ASOF_FWD_SQL)
+def join_asof_forward(spark, sf_dir):
+    """J6 forward direction: the EARLIEST order at-or-after each event
+    (direction="forward") — the other half of the pandas merge_asof
+    surface, e.g. "next delivery after the complaint". Same
+    single-shuffle union-sort plan as backward; the running carry is a
+    first() over the following frame instead of a last() over the
+    preceding one. Oracle ranks ascending where backward ranks
+    descending."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    res = asof_join(
+        e.withColumnRenamed("user_id", "o_custkey"),
+        o,
+        on=["o_custkey"],
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        direction="forward",
+    )
+    return res.select("event_id", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
 # =========================================================================
 # convergence-tested PageRank (VERDICT r5 item 6)
 # =========================================================================

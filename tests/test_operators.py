@@ -103,11 +103,60 @@ def test_asof_join_bucketed_matches_unbucketed_on_skew(spark):
     assert "__bucket" in bucketed_df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_asof_join_forward_direction(spark):
+    """direction='forward': earliest right at-or-after (or strictly
+    after) the left time; ties on right_time take the SMALLEST
+    tiebreak."""
+    from etl_mini_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 5.0, "a"), (1, 11.0, "b")], "k int, t double, lid string")
+    right = spark.createDataFrame(
+        [(1, 5.0, 10), (1, 5.0, 11), (1, 9.0, 12)], "k int, rt double, rid int"
+    )
+    kwargs = dict(on=["k"], left_time="t", right_time="rt", right_cols=["rid"], tiebreak="rid")
+    got = {r["lid"]: r["rid"] for r in
+           asof_join(left, right, direction="forward", **kwargs).collect()}
+    assert got == {"a": 10, "b": None}  # exact tie -> smallest rid; no later right
+    got_strict = {r["lid"]: r["rid"] for r in
+                  asof_join(left, right, direction="forward", allow_exact=False, **kwargs).collect()}
+    assert got_strict == {"a": 12, "b": None}  # skips the t==5 rights
+
+
+def test_asof_join_forward_bucketed_matches_unbucketed(spark):
+    """Forward bucketed path (first-upcoming carry + carry-back from
+    later buckets) must be row-identical to the plain forward path on a
+    skewed fixture whose buckets include empty ones."""
+    from etl_mini_spark.operators.joins import asof_join
+
+    left = spark.range(800).select(
+        F.lit(1).alias("k"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 6011).alias("t"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(9).select(
+        F.lit(1).alias("k"),
+        # bunched late -> early left rows need carry-back across buckets
+        F.timestamp_seconds(F.lit(1706067200) + F.col("id") * 250_000).alias("rt"),
+        F.col("id").alias("rid"),
+    )
+    kwargs = dict(on=["k"], left_time="t", right_time="rt",
+                  right_cols=["rid"], tiebreak="rid", direction="forward")
+    plain = {(r["lid"], r["rid"]) for r in asof_join(left, right, **kwargs).collect()}
+    bucketed = {
+        (r["lid"], r["rid"])
+        for r in asof_join(left, right, bucket_seconds=7 * 86400, **kwargs).collect()
+    }
+    assert bucketed == plain
+    assert any(rid is None for _, rid in plain)  # rows after the last right
+
+
 def test_asof_join_bucketed_keeps_null_keys_and_times(spark):
     """The bucketed path must keep rows a plain inner carry-join drops:
     NULL key columns (NULL never equals NULL) and NULL left times
     (__bucket = floor(unix_micros(NULL)) = NULL). Both paths must agree
-    row-for-row — the documented 'row-identical' contract."""
+    row-for-row — the documented 'row-identical' contract — and NULL
+    times are inert (SQL comparison semantics): a NULL-time left row
+    matches nothing, a NULL-time right row is never picked."""
     import pyspark.sql.types as T
     from etl_mini_spark.operators.joins import asof_join
 
@@ -144,14 +193,24 @@ def test_asof_join_bucketed_keeps_null_keys_and_times(spark):
     )
     kwargs = dict(on=["k"], left_time="t", right_time="rt",
                   right_cols=["rid"], tiebreak="rid")
-    plain = {(r["lid"], r["rid"]) for r in asof_join(left, right, **kwargs).collect()}
-    bucketed = {
-        (r["lid"], r["rid"])
-        for r in asof_join(left, right, bucket_seconds=86400, **kwargs).collect()
-    }
-    # every left row survives both paths
-    assert {lid for lid, _ in plain} == {1, 2, 3, 4, 5}
-    assert bucketed == plain
+    for direction in ("backward", "forward"):
+        plain = {
+            (r["lid"], r["rid"])
+            for r in asof_join(left, right, direction=direction, **kwargs).collect()
+        }
+        bucketed = {
+            (r["lid"], r["rid"])
+            for r in asof_join(
+                left, right, bucket_seconds=86400, direction=direction, **kwargs
+            ).collect()
+        }
+        # every left row survives both paths
+        assert {lid for lid, _ in plain} == {1, 2, 3, 4, 5}, direction
+        assert bucketed == plain, direction
+        # NULL-time left rows match nothing; NULL-time rights never match
+        null_time_lids = {2, 4}
+        assert all(rid is None for lid, rid in plain if lid in null_time_lids), direction
+        assert all(rid != 13 for _, rid in plain), direction
 
 
 def test_normalize_iso_rounding_and_clamp(spark):

@@ -421,3 +421,25 @@ def test_tpch_registry_queries_inject_bloom_filters(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+
+
+def test_geo_and_levenshtein_bucketed_rewrites_are_equi_joins(spark):
+    """geo_radius_pairs and dedup_levenshtein_blocked claim (docstrings)
+    that their range predicates are rewritten onto grid/band EQUI keys.
+    Assert it physically: the candidate join is a hash-partitioned equi
+    join, never a CartesianProduct, and the only nested-loop joins in
+    the plan are the broadcast explodes of the constant offset frames
+    (3x3 grid neighborhood / 3 length-band copies) — bounded-size build
+    sides by construction, never data x data."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    # name -> max BNLJ allowed (geo builds its 3x3 offsets via an extra
+    # tiny range x range cross; levenshtein has a single 3-row explode)
+    for name, max_bnlj in (("geo_radius_pairs", 2), ("dedup_levenshtein_blocked", 1)):
+        s = plan_summary(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        equi = [j for j in s.joins
+                if j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")]
+        assert equi, (name, s.joins)
+        assert s.joins.count("BroadcastNestedLoopJoin") <= max_bnlj, (name, s.joins)
