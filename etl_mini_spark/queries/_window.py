@@ -45,7 +45,8 @@ _DRIVER_WINDOW = [
     "scd2_late_correction", "join_asof_forward", "minhash_containment",
     "join_asof_last_order", "window_time_range_7d", "stream_dedup_watermark",
     "stream_interval_join", "stream_static_enrich", "csv_roundtrip",
-    "scan_checksum", "dedup_ngram_jaccard",
+    # (d) round-6 LLM-pipeline additions (seq packing, vocab coverage)
+    "seq_packing_bins", "vocab_oov_coverage",
 ]
 
 _TAIL = [
@@ -94,6 +95,7 @@ _TAIL = [
     "sample_deterministic", "sample_stratified_docs", "ndjson_roundtrip",
     "dedup_minhash_lsh", "dedup_simhash", "embedding_near_dups",
     "embedding_near_dups_lsh", "multimodal_frames",
+    "scan_checksum", "dedup_ngram_jaccard",
 ]
 
 

@@ -249,3 +249,119 @@ def scd2_late_correction(spark, sf_dir):
         .unionByName(late.select(*change_cols))
     )
     return untouched.unionByName(rewritten)
+
+
+# =========================================================================
+# LLM-pipeline tier: sequence packing + vocabulary coverage
+# =========================================================================
+
+_PACK_BUDGET = 4000  # chars per packed sequence (stand-in for tokens)
+
+_PACKING_SQL = f"""
+    WITH d AS (SELECT doc_id, doc_id % 32 AS shard, n_chars FROM documents),
+    c AS (SELECT shard, n_chars,
+                 sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_chars AS cum_before
+          FROM d),
+    b AS (SELECT shard, CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS fill
+          FROM c GROUP BY shard, bin)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           round(avg(fill), 2) AS avg_fill, CAST(max(n_docs) AS BIGINT) AS max_docs_per_bin
+    FROM b GROUP BY shard
+"""
+
+
+@q("seq_packing_bins", _PACKING_SQL)
+def seq_packing_bins(spark, sf_dir):
+    """Concat-and-chunk sequence packing — the GPT-pretraining data
+    layout: documents stream in deterministic order and are packed into
+    fixed-budget sequences, straddling boundaries (bin =
+    ⌊chars-before-doc / budget⌋ over a running sum). Packing is per
+    SHARD (doc_id % 32): a single global cumulative sum would be a
+    one-task window — the classic scale trap — while per-shard packing
+    is embarrassingly parallel and is what a 1000-executor run does
+    anyway (each task packs its own partition; shard count scales with
+    the cluster). Output: per-shard bin count and fill stats."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 32).alias("shard"), "n_chars"
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum_before", F.sum("n_chars").over(w) - F.col("n_chars"))
+    b = (
+        c.withColumn("bin", F.floor(F.col("cum_before") / _PACK_BUDGET))
+        .groupBy("shard", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("fill"))
+    )
+    return b.groupBy("shard").agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.round(F.avg("fill"), 2).alias("avg_fill"),
+        F.max("n_docs").alias("max_docs_per_bin"),
+    )
+
+
+_VOCAB_SQL = """
+    WITH words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    w2 AS (SELECT * FROM words WHERE word <> ''),
+    vocab AS (
+      SELECT word FROM w2 GROUP BY word
+      ORDER BY count(*) DESC, word LIMIT 100
+    ),
+    per_doc AS (
+      SELECT w2.doc_id, w2.lang,
+             count(*) AS n_words,
+             sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM w2 LEFT JOIN vocab ON w2.word = vocab.word
+      GROUP BY w2.doc_id, w2.lang
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           round(avg(n_oov * 1.0 / n_words), 6) AS avg_oov_ratio,
+           round(sum(n_oov) * 1.0 / sum(n_words), 6) AS corpus_oov_ratio
+    FROM per_doc GROUP BY lang
+"""
+
+
+@q("vocab_oov_coverage", _VOCAB_SQL)
+def vocab_oov_coverage(spark, sf_dir):
+    """Tokenizer-health check: out-of-vocabulary rate per language
+    against a frequency-derived vocab (top-100 corpus words,
+    deterministic count-then-word ordering). The vocab is an aggregate
+    of the corpus itself — two passes, with the tiny vocab BROADCAST
+    into the coverage join (at 100 TB the vocab stays KBs no matter the
+    corpus; the explode never joins corpus x corpus). Per-doc OOV
+    counts re-aggregate to per-lang averages."""
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("wn"))
+        .orderBy(F.desc("wn"), "word")
+        .limit(100)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.avg(F.col("n_oov") / F.col("n_words")), 6).alias("avg_oov_ratio"),
+        F.round(F.sum("n_oov") / F.sum("n_words"), 6).alias("corpus_oov_ratio"),
+    )
