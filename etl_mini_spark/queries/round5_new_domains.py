@@ -158,8 +158,14 @@ def graph_pagerank_parts(spark, sf_dir):
 # =========================================================================
 
 _GEO_R = 0.15
-_LAT = "40.0 + ((user_id + 13) * 48271 % 65537) / 65537.0"
-_LON = "-74.0 + ((user_id + 101) * 25253 % 65521) / 65521.0"
+# CAST(... AS DOUBLE) divisors: Spark's SQL parser types a fractional
+# literal (65537.0) as DECIMAL, so the whole lat/lon derivation would
+# run in decimal arithmetic truncated at scale 7 — distances drift up
+# to ~9e-6 from DuckDB's double math, past the round-6 oracle
+# precision (seen at sf0.01; sf0.001 passed by luck). An int/DOUBLE
+# division keeps both engines in IEEE doubles end to end.
+_LAT = "40.0 + ((user_id + 13) * 48271 % 65537) / CAST(65537 AS DOUBLE)"
+_LON = "-74.0 + ((user_id + 101) * 25253 % 65521) / CAST(65521 AS DOUBLE)"
 
 _GEO_SQL = f"""
     WITH u AS (SELECT DISTINCT user_id FROM events),
