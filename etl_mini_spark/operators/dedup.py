@@ -606,43 +606,65 @@ def connected_components_star(
     fixpoint, so the result is never silently unconverged.
     """
     _require_integral_ids(edges, src, dst)
-    e = (
-        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
-    converged = False
-    for _ in range(max_iter):
-        # large-star over symmetric neighborhoods
-        nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = nbr.groupBy("u").agg(F.min("v").alias("mn"))
-        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
-        large = (
-            nbr.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))  # m <= u < v: output stays canonical
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-        # small-star over canonical (u > v) edges
-        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            large.join(mins2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins2.select("u", F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
+    spark = edges.sparkSession
+    # The O(log n) rounds are SEQUENTIAL stages; at verification SFs the
+    # cost is per-stage latency, not data. Loop-scoped confs (AQE's
+    # per-stage replanning off, modest fixed partition count), restored
+    # after — same treatment as the PageRank loop; size LOOP_PARTS to
+    # the cluster on a real deployment.
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        e = (
+            edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
             .distinct()
             .localCheckpoint()
         )
-        if (
-            small.subtract(e).limit(1).count() == 0
-            and e.subtract(small).limit(1).count() == 0
-        ):
-            e = small
-            converged = True
-            break
-        e = small
+        n_e = e.count()
+        converged = False
+        for _ in range(max_iter):
+            # large-star over symmetric neighborhoods
+            nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mins = nbr.groupBy("u").agg(F.min("v").alias("mn"))
+            mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+            large = (
+                nbr.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))  # m <= u < v: output stays canonical
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct()
+            )
+            # small-star over canonical (u > v) edges
+            mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(mins2, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(mins2.select("u", F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            # fixpoint probe: both edge sets are distinct and
+            # materialized, so equal counts + empty (small − e) ⇔ set
+            # equality — one subtract job instead of two
+            n_small = small.count()
+            if n_small == n_e and small.subtract(e).limit(1).count() == 0:
+                e = small
+                converged = True
+                break
+            e, n_e = small, n_small
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds "
