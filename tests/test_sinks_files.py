@@ -129,3 +129,46 @@ def test_tsv_golden_loads_into_real_sql_consumer(spark):
         "WHERE payload IS NOT NULL ORDER BY id"
     ).fetchall()
     assert ks == [(1, "v1"), (2, "v2"), (4, None), (5, "empty-string-above")]
+
+
+def test_write_bucketed_never_deletes_external_table_data(spark, tmp_path):
+    """Overwrite-cleanup safety (r5 advice): an EXTERNAL table's data
+    must survive write_bucketed(mode="overwrite") on the same name —
+    DROP TABLE keeps external data by contract, and the orphan-dir
+    cleanup must never fire at a location a catalog entry owns."""
+    from etl_mini_spark.sources.writers import write_bucketed
+
+    ext_loc = tmp_path / "ext_data"
+    spark.range(5).selectExpr("id AS k", "id * 2 AS v").write.parquet(str(ext_loc))
+    spark.sql("DROP TABLE IF EXISTS ext_prot")
+    spark.sql(f"CREATE TABLE ext_prot (k BIGINT, v BIGINT) USING parquet LOCATION '{ext_loc}'")
+    try:
+        assert spark.table("ext_prot").count() == 5
+        df = spark.range(3).selectExpr("id AS k", "id AS v")
+        write_bucketed(df, "ext_prot", ["k"], num_buckets=4)
+        # new managed table readable; old external files untouched on disk
+        assert spark.table("ext_prot").count() == 3
+        assert spark.read.parquet(str(ext_loc)).count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_prot")
+
+
+def test_write_bucketed_cleans_orphaned_warehouse_dir(spark):
+    """A warehouse directory left behind by a dead session (no catalog
+    entry) must be cleared so saveAsTable does not die with
+    LOCATION_ALREADY_EXISTS."""
+    from pathlib import Path
+
+    from etl_mini_spark.sources.writers import write_bucketed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = Path(wh) / "orphan_bucketed_t"
+    spark.sql("DROP TABLE IF EXISTS orphan_bucketed_t")
+    orphan.mkdir(parents=True, exist_ok=True)
+    (orphan / "junk.parquet").write_text("not parquet")
+    try:
+        df = spark.range(4).selectExpr("id AS k", "id AS v")
+        write_bucketed(df, "orphan_bucketed_t", ["k"], num_buckets=4)
+        assert spark.table("orphan_bucketed_t").count() == 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orphan_bucketed_t")
