@@ -443,3 +443,28 @@ def test_geo_and_levenshtein_bucketed_rewrites_are_equi_joins(spark):
                 if j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")]
         assert equi, (name, s.joins)
         assert s.joins.count("BroadcastNestedLoopJoin") <= max_bnlj, (name, s.joins)
+
+
+def test_asof_forward_single_data_shuffle(spark):
+    """Both as-of directions must keep the single-shuffle union-sort
+    shape: exactly one hash Exchange over the unioned data (plus
+    nothing else) — no join-back, no extra sort-merge exchanges."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    for name in ("join_asof_forward", "join_asof_last_order"):
+        s = plan_summary(QUERIES[name](spark, SF_SMOKE))
+        assert s.n_exchanges - s.n_broadcast_exchanges == 1, (name, s.text)
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+
+
+def test_seq_packing_single_shard_shuffle(spark):
+    """Per-shard packing must shuffle ONCE on the shard key; the window
+    cumsum, the bin grouping, and the shard rollup all reuse that
+    partitioning (bin/shard aggregations are shard-prefixed)."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["seq_packing_bins"](spark, SF_SMOKE))
+    assert s.n_exchanges - s.n_broadcast_exchanges <= 2, s.text
+    assert "CartesianProduct" not in s.joins and "BroadcastNestedLoopJoin" not in s.joins
