@@ -85,9 +85,14 @@ def asof_join(
         *key_cols, F.col(right_time).alias("__t"), F.lit(0).alias("__tag"),
         r_tb, r_payload, F.lit(None).cast(l_type).alias("__l"),
     )
+    # Left rows never share a (__t, __tag) slot with right rows (tags
+    # always differ), so their tiebreak is inert — but it must be TYPED
+    # like the right's (a lit(0) int breaks the union when the tiebreak
+    # column is a timestamp/string).
     l = left.select(
         *key_cols, F.col(left_time).alias("__t"), F.lit(1).alias("__tag"),
-        F.lit(0).alias("__tb"), F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         l_payload,
     )
 

@@ -64,6 +64,44 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
 
 
 @given(
+    left=st.lists(st.tuples(_keys, _times), min_size=0, max_size=15),
+    right=st.lists(st.tuples(_keys, _times, _vals), min_size=0, max_size=15),
+    bucketed=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_asof_join_forward_matches_pandas_merge_asof(spark, left, right, bucketed):
+    """asof_join(direction="forward") ≡ pandas.merge_asof
+    direction="forward" per key, on both the plain and the
+    time-bucketed skew path (times are integers here, so bucketing
+    uses a numeric width)."""
+    from etl_mini_spark.operators.joins import asof_join
+
+    rd = pd.DataFrame(right, columns=["k", "rt", "rv"]).drop_duplicates(["k", "rt"])
+    ld = pd.DataFrame(left, columns=["k", "t"])
+    ld["lid"] = range(len(ld))
+    if len(ld) == 0 or len(rd) == 0:
+        return
+    # integer times: the bucketed path needs timestamps for unix_micros
+    ld["t"] = pd.to_datetime(ld["t"], unit="s")
+    rd["rt"] = pd.to_datetime(rd["rt"], unit="s")
+    lsdf, rsdf = spark.createDataFrame(ld), spark.createDataFrame(rd)
+    kwargs = dict(on=["k"], left_time="t", right_time="rt",
+                  right_cols=["rv"], tiebreak="rt", direction="forward")
+    if bucketed:
+        kwargs["bucket_seconds"] = 7  # several buckets over the 0-20s domain
+    got = {r["lid"]: r["rv"] for r in asof_join(lsdf, rsdf, **kwargs).collect()}
+    want_df = pd.merge_asof(
+        ld.sort_values(["t", "lid"]), rd.sort_values("rt"),
+        left_on="t", right_on="rt", by="k", direction="forward",
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@given(
     rows=st.lists(st.tuples(_keys, _times, _vals), min_size=0, max_size=20),
 )
 @settings(**SETTINGS)

@@ -305,3 +305,35 @@ def test_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
     landed = spark.read.parquet(out)
     assert landed.count() == total                       # no gaps
     assert landed.select("event_id").distinct().count() == total  # no duplicates
+
+
+def test_ltz_rewrite_recurses_into_nested_types():
+    """TIMESTAMP_NTZ must flip to TIMESTAMP at any nesting depth —
+    struct members, array elements, map keys/values (r5 advice: a
+    top-level-only rewrite let nested event-time columns through)."""
+    from pyspark.sql import types as T
+
+    from etl_mini_spark.streaming.stream import _ltz_type
+
+    ntz = T.TimestampNTZType()
+    schema = T.StructType([
+        T.StructField("top", ntz),
+        T.StructField("s", T.StructType([
+            T.StructField("inner_ts", ntz),
+            T.StructField("deep", T.ArrayType(T.StructType([
+                T.StructField("deeper_ts", ntz),
+            ]))),
+        ])),
+        T.StructField("arr", T.ArrayType(ntz, containsNull=False)),
+        T.StructField("m", T.MapType(ntz, ntz, valueContainsNull=False)),
+        T.StructField("plain", T.LongType()),
+    ])
+    out = _ltz_type(schema)
+    assert "timestamp_ntz" not in out.simpleString(), out.simpleString()
+    ts = T.TimestampType()
+    assert out["top"].dataType == ts
+    assert out["s"].dataType["inner_ts"].dataType == ts
+    assert out["s"].dataType["deep"].dataType.elementType["deeper_ts"].dataType == ts
+    assert out["arr"].dataType == T.ArrayType(ts, containsNull=False)
+    assert out["m"].dataType == T.MapType(ts, ts, valueContainsNull=False)
+    assert out["plain"].dataType == T.LongType()
