@@ -44,9 +44,11 @@ _DRIVER_WINDOW = [
     "stream_foreachbatch_upsert", "join_asof_bucketed", "graph_pagerank_converged",
     "scd2_late_correction", "join_asof_forward", "minhash_containment",
     "join_asof_last_order", "window_time_range_7d", "stream_dedup_watermark",
-    "stream_interval_join", "stream_static_enrich", "csv_roundtrip",
-    # (d) round-6 LLM-pipeline additions (seq packing, vocab coverage)
-    "seq_packing_bins", "vocab_oov_coverage",
+    "stream_interval_join", "csv_roundtrip",
+    # (d) round-6 additions: LLM-pipeline tier + dynamic partition pruning
+    # (stream_static_enrich rotates out — r5-green, and streaming stays
+    # canaried by stream_dedup_watermark + stream_interval_join)
+    "seq_packing_bins", "vocab_oov_coverage", "dpp_partitioned_join",
 ]
 
 _TAIL = [
@@ -95,7 +97,7 @@ _TAIL = [
     "sample_deterministic", "sample_stratified_docs", "ndjson_roundtrip",
     "dedup_minhash_lsh", "dedup_simhash", "embedding_near_dups",
     "embedding_near_dups_lsh", "multimodal_frames",
-    "scan_checksum", "dedup_ngram_jaccard",
+    "scan_checksum", "dedup_ngram_jaccard", "stream_static_enrich",
 ]
 
 

@@ -365,3 +365,56 @@ def vocab_oov_coverage(spark, sf_dir):
         F.round(F.avg(F.col("n_oov") / F.col("n_words")), 6).alias("avg_oov_ratio"),
         F.round(F.sum("n_oov") / F.sum("n_words"), 6).alias("corpus_oov_ratio"),
     )
+
+
+# =========================================================================
+# dynamic partition pruning over a partitioned fact layout
+# =========================================================================
+
+_DPP_SQL = """
+    WITH dim(event_type, category) AS (VALUES
+      ('click', 'engagement'), ('view', 'engagement'),
+      ('purchase', 'conversion'), ('signup', 'conversion'),
+      ('error', 'ops'))
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE d.category = 'engagement'
+    GROUP BY e.event_type
+"""
+
+
+@q("dpp_partitioned_join", _DPP_SQL)
+def dpp_partitioned_join(spark, sf_dir):
+    """Dynamic partition pruning: the fact side is a Hive-partitioned
+    layout (partitionBy(event_type)) and the filter lives on the DIM
+    side only — at plan time no static partition filter exists, so
+    Catalyst injects a DynamicPruning subquery that reuses the dim's
+    broadcast to prune fact PARTITIONS at runtime (plan-asserted in
+    tests/test_plans.py). At 100 TB this is the difference between
+    scanning two event-type directories and scanning all of them when
+    the selective predicate arrives via a join rather than a literal.
+    The fixture is rewritten per call — testdata regenerates across
+    driver rounds, so a cached layout could go stale."""
+    path = _TMP / f"dpp_events_{Path(sf_dir).name}"
+    (
+        _t(spark, sf_dir, "events")
+        .repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(str(path))
+    )
+    fact = spark.read.parquet(str(path))
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"), ("view", "engagement"),
+            ("purchase", "conversion"), ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    return (
+        fact.join(dim.filter(F.col("category") == "engagement"), "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )

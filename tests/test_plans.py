@@ -468,3 +468,15 @@ def test_seq_packing_single_shard_shuffle(spark):
     s = plan_summary(QUERIES["seq_packing_bins"](spark, SF_SMOKE))
     assert s.n_exchanges - s.n_broadcast_exchanges <= 2, s.text
     assert "CartesianProduct" not in s.joins and "BroadcastNestedLoopJoin" not in s.joins
+
+
+def test_dpp_partitioned_join_prunes_at_runtime(spark):
+    """The partitioned-fact x filtered-dim join must carry a
+    DynamicPruning subquery on the fact scan's partition filters —
+    runtime partition pruning, not a full-layout scan."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["dpp_partitioned_join"](spark, SF_SMOKE))
+    assert "dynamicpruning" in s.text.lower(), s.text
+    assert "CartesianProduct" not in s.joins
