@@ -44,11 +44,14 @@ _DRIVER_WINDOW = [
     "stream_foreachbatch_upsert", "join_asof_bucketed", "graph_pagerank_converged",
     "scd2_late_correction", "join_asof_forward", "minhash_containment",
     "join_asof_last_order", "window_time_range_7d", "stream_dedup_watermark",
-    "stream_interval_join", "csv_roundtrip",
-    # (d) round-6 additions: LLM-pipeline tier + dynamic partition pruning
-    # (stream_static_enrich rotates out — r5-green, and streaming stays
-    # canaried by stream_dedup_watermark + stream_interval_join)
+    "stream_interval_join",
+    # (d) round-6 additions: LLM-pipeline tier, dynamic partition
+    # pruning, Python-DataSource scan (csv_roundtrip and
+    # stream_static_enrich rotate out — both long driver-green; CSV
+    # stays canaried by csv_malformed_tolerant, streaming by
+    # stream_dedup_watermark + stream_interval_join)
     "seq_packing_bins", "vocab_oov_coverage", "dpp_partitioned_join",
+    "http_pyds_scan",
 ]
 
 _TAIL = [
@@ -98,6 +101,7 @@ _TAIL = [
     "dedup_minhash_lsh", "dedup_simhash", "embedding_near_dups",
     "embedding_near_dups_lsh", "multimodal_frames",
     "scan_checksum", "dedup_ngram_jaccard", "stream_static_enrich",
+    "csv_roundtrip",
 ]
 
 

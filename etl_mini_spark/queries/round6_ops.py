@@ -418,3 +418,53 @@ def dpp_partitioned_join(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+# =========================================================================
+# Python DataSource scan (Spark 4 API) — S1/S4 as a pluggable source
+# =========================================================================
+
+_PYDS_SQL = """
+    SELECT CAST(range AS BIGINT) AS id,
+           'row_' || range AS name,
+           round(range * 1.5, 2) AS value
+    FROM range(100)
+"""
+
+
+@q("http_pyds_scan", _PYDS_SQL)
+def http_pyds_scan(spark, sf_dir):
+    """The reference's HTTP-API extract as a REGISTERED Python
+    DataSource (Spark 4 API, sources/pyds.py): each param set becomes
+    an InputPartition, so rendering+fetching runs partition-parallel on
+    executors and rows stream out through Arrow — the scale shape for
+    thousands of parameterized calls, vs the driver-side
+    createDataFrame landing of http_api_extract. Template validation
+    fails the job driver-side before any request. Four param sets
+    cover ids 0..99 in 25-row pages; deterministic stub transport (no
+    network in the harness); oracle regenerates from range()."""
+    import json as _json
+
+    from etl_mini_spark.sources.pyds import HttpApiDataSource
+
+    spark.dataSource.register(HttpApiDataSource)
+    templates = {
+        "export": {
+            "url": "stub://export/{TABLE}?n={N}&start={START}",
+            "headers": {"Authorization": "Bearer {TOKEN}"},
+            "method": "GET",
+        }
+    }
+    param_sets = [
+        {"TABLE": "events", "N": "25", "START": str(s), "TOKEN": "tok0"}
+        for s in (0, 25, 50, 75)
+    ]
+    return (
+        spark.read.format("http_api")
+        .schema("id long, name string, value double")
+        .option("templates", _json.dumps(templates))
+        .option("template_key", "export")
+        .option("param_sets", _json.dumps(param_sets))
+        .option("transport", "stub_export")
+        .load()
+    )

@@ -150,3 +150,34 @@ def test_fetch_many_validates_upfront(spark):
             spark, templates, "page", [{"PAGE": "1"}, {"WRONG": "2"}],
             schema="page long", transport=lambda r: (200, "application/json", b"[]"),
         )
+
+
+def test_pyds_validates_param_sets_before_scheduling(spark):
+    """A bad param set must fail DRIVER-side (MissingParamsError out of
+    partitions()), before any partition runs."""
+    import json
+
+    import pytest
+
+    from etl_mini_spark.sources.http_api import MissingParamsError
+    from etl_mini_spark.sources.pyds import HttpApiDataSource, HttpApiReader
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    templates = {"e": {"url": "stub://x?n={N}", "headers": {}}}
+    reader = HttpApiReader(schema, {
+        "templates": json.dumps(templates), "template_key": "e",
+        "param_sets": json.dumps([{"N": "1"}, {"WRONG": "2"}]),
+        "transport": "stub_export",
+    })
+    with pytest.raises(MissingParamsError):
+        reader.partitions()
+
+
+def test_pyds_unknown_transport_fails_fast():
+    import pytest
+
+    from etl_mini_spark.sources.pyds import _resolve_transport
+
+    with pytest.raises(ValueError, match="unknown transport"):
+        _resolve_transport("carrier_pigeon")
