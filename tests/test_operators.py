@@ -695,3 +695,28 @@ def test_morton_code_interleaves_bits(spark):
     # bit i of x -> 2i ; bit i of y -> 2i+1
     # x bits: 1@0, 0@1, 1@2 -> z bits 1@0, 1@4 ; y bits: 1@0, 1@1 -> z bits 1@1, 1@3
     assert df.collect()[0].z == (1 << 0) | (1 << 4) | (1 << 1) | (1 << 3)
+
+
+def test_chunk_udtf_matches_native_chunker(spark):
+    """The UDTF escape hatch (functions/udtf_fns.py) must stay
+    row-identical to the native codegen chunker on the same corpus —
+    including trailing short chunks and empty docs."""
+    from etl_mini_spark.functions.udtf_fns import ChunkDocUDTF
+    from etl_mini_spark.operators.text import chunk_documents
+    from etl_mini_spark.session import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    native = {
+        (r["doc_id"], r["chunk_id"], r["chunk"], r["n_tokens"])
+        for r in chunk_documents(d, "doc_id", "text", window=32, stride=16).collect()
+    }
+    spark.udtf.register("chunk_doc", ChunkDocUDTF)
+    d.createOrReplaceTempView("docs_udtf_src")
+    via_udtf = {
+        (r["doc_id"], r["chunk_id"], r["chunk"], r["n_tokens"])
+        for r in spark.sql(
+            "SELECT doc_id, c.* FROM docs_udtf_src, "
+            "LATERAL chunk_doc(text, 32, 16) c"
+        ).collect()
+    }
+    assert via_udtf == native and len(native) > 0
