@@ -480,3 +480,47 @@ def test_dpp_partitioned_join_prunes_at_runtime(spark):
     s = plan_summary(QUERIES["dpp_partitioned_join"](spark, SF_SMOKE))
     assert "dynamicpruning" in s.text.lower(), s.text
     assert "CartesianProduct" not in s.joins
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling: a celebrity key that melts one reducer
+    must be SPLIT by AQE's skew-join rule (SortMergeJoin(skew=true) +
+    AQEShuffleRead skewed in the executed plan). This is the engine's
+    default answer to join skew; salted_join covers the cases AQE
+    can't (documented in operators/joins.py). Thresholds are lowered
+    to reproduce the 100 TB condition at test scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(1))
+            .otherwise(F.col("id") % 500 + 2)
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(600).select(
+            (F.col("id") + 1).alias("k"), F.col("id").alias("rv")
+        )
+        j = left.join(right, "k")
+        assert j.count() > 0  # count() is fine to force execution, but the
+        j.collect()           # executed ADAPTIVE plan lives on j's own execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+        # reader node prints "skewed" (possibly "coalesced and skewed")
+        assert any(
+            "AQEShuffleRead" in l and "skewed" in l for l in plan.splitlines()
+        ), plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
