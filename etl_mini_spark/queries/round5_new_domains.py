@@ -127,25 +127,43 @@ def graph_pagerank_parts(spark, sf_dir):
     below the round-6 output precision. Results ordered on the ROUNDED
     rank so cross-engine tie order is stable."""
     e = _copurchase_edges(spark, sf_dir)
-    edges = (
-        e.select(F.col("p1").alias("s"), F.col("p2").alias("t"))
-        .unionAll(e.select(F.col("p2"), F.col("p1")))
-        .persist()
+    edges = e.select(F.col("p1").alias("p"), F.col("p2").alias("t")).unionAll(
+        e.select(F.col("p2"), F.col("p1"))
     )
-    deg = edges.groupBy("s").agg(F.count("*").cast("double").alias("d")).persist()
-    nodes = deg.select(F.col("s").alias("p"))
-    n = float(nodes.count())
-    pr = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(3):
-        contrib = (
-            edges.join(deg, "s")
-            .join(pr, edges["s"] == pr["p"])
-            .groupBy(F.col("t").alias("cp"))
-            .agg(F.sum(F.col("pr") / F.col("d")).alias("c"))
-        )
-        pr = nodes.join(contrib, nodes["p"] == contrib["cp"], "left").select(
-            "p", (0.15 / n + 0.85 * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr")
-        )
+    # Same loop discipline as graph_pagerank_converged (round6_ops):
+    # one shuffle per iteration (pre-partitioned inverse-degree edges,
+    # base term folded into the aggregate — every node of a symmetrized
+    # graph has in-edges), loop-scoped confs restored after. Took the
+    # 3-iteration loop from ~20s to a few seconds at sf0.01; the
+    # per-sum FP difference (pr * (1/d) vs pr / d) is ~1 ulp, far
+    # below the round-6 output precision.
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        deg = edges.groupBy("p").agg((1.0 / F.count("*")).alias("invd"))
+        ej = edges.join(deg, "p").repartition(8, "p").persist()
+        n = float(deg.count())
+        pr = deg.select("p", F.lit(1.0 / n).alias("pr")).localCheckpoint(eager=True)
+        for _ in range(3):
+            pr = (
+                ej.join(pr, "p")
+                .groupBy(F.col("t").alias("p"))
+                .agg(
+                    (F.lit(0.15 / n) + F.lit(0.85) * F.sum(F.col("pr") * F.col("invd"))).alias("pr")
+                )
+            )
+        pr = pr.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return (
         pr.select(F.col("p").alias("p_partkey"), F.round(F.col("pr") * n, 6).alias("pr_scaled"))
         .orderBy(F.desc("pr_scaled"), "p_partkey")
