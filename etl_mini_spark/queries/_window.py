@@ -42,9 +42,7 @@ _DRIVER_WINDOW = [
     "xml_roundtrip", "join_null_safe", "partitioned_roundtrip",
     "bucketed_join_roundtrip", "csv_malformed_tolerant", "parquet_schema_evolution",
     "stream_foreachbatch_upsert", "join_asof_bucketed", "graph_pagerank_converged",
-    "scd2_late_correction", "join_asof_forward", "minhash_containment",
-    "join_asof_last_order", "window_time_range_7d", "stream_dedup_watermark",
-    "stream_interval_join",
+    "scd2_late_correction", "join_asof_forward",
     # (d) round-6 additions: LLM-pipeline tier, dynamic partition
     # pruning, Python-DataSource scan (csv_roundtrip and
     # stream_static_enrich rotate out — both long driver-green; CSV
@@ -52,12 +50,23 @@ _DRIVER_WINDOW = [
     # stream_dedup_watermark + stream_interval_join)
     "seq_packing_bins", "vocab_oov_coverage", "dpp_partitioned_join",
     "http_pyds_scan",
+    # (e) round-6 batch 2 (never driver-verified → must hold slots):
+    # repeated-span dedup, exact TF-IDF cosine pairs, SQL-defined UDFs,
+    # k-hop BFS, snapshot diff. The five round-6 code-change canaries
+    # (minhash_containment, join_asof_last_order, window_time_range_7d,
+    # stream_dedup_watermark, stream_interval_join) rotate to the tail:
+    # all are driver-green in r05 and their changed paths were
+    # re-verified by this session's full-registry sf0.01 sweep.
+    "dedup_repeated_spans", "similarity_tfidf_pairs", "sql_udf_scalar",
+    "graph_khop_reach", "snapshot_table_diff",
 ]
 
 _TAIL = [
     # driver-green in earlier rounds; every entry still locally
     # oracle-verified per round at sf0.001 (rows-only entries verified
     # by their dedicated pinned tests).
+    "minhash_containment", "join_asof_last_order", "window_time_range_7d",
+    "stream_dedup_watermark", "stream_interval_join",
     "agg_corr_regr", "corpus_idf", "decontaminate_13gram",
     "dedup_incremental", "embedding_quantize", "higher_order_fns",
     "map_fns_suite", "mixture_weighted_sample", "orc_roundtrip",

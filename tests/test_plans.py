@@ -524,3 +524,75 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """Spark 4 SQL-defined functions must cost NOTHING at plan time:
+    Catalyst inlines the body, so the executed plan has no Python
+    evaluation node at all and the aggregate sits inside
+    WholeStageCodegen — the property that makes a SQL UDF the right
+    reusable-logic vehicle at 100 TB (vs a row-at-a-time Python UDF
+    that breaks every codegen span it touches)."""
+    from etl_mini_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["sql_udf_scalar"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan[:2000]
+    # the UDF bodies are literally inlined: the arithmetic appears as a
+    # plain Project expression, the aggregate is partial (map-side
+    # combine), and column pruning still reached the scan — none of
+    # which survives an opaque-function boundary
+    assert "* (1.0 - l_discount" in plan, plan[:2000]
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:2000]
+    assert "l_comment" not in plan, plan[:2000]
+
+
+def test_tfidf_pairs_all_joins_keyed(spark):
+    """The TF-IDF postings self-join must stay a keyed (hash/sort-merge)
+    join on the token — any NestedLoop/Cartesian here means the plan
+    degenerated to all-pairs, which is exactly what the inverted-index
+    formulation exists to avoid at corpus scale."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["similarity_tfidf_pairs"](spark, SF_SMOKE))
+    # downstream of the once-materialized postings list, every join is
+    # keyed; no all-pairs node anywhere
+    assert not any("NestedLoop" in j or "Cartesian" in j for j in s.joins), s.joins
+    assert any(
+        "SortMergeJoin" in j or "ShuffledHashJoin" in j or "BroadcastHashJoin" in j
+        for j in s.joins
+    ), s.joins
+
+
+def test_repeated_spans_two_exchanges(spark):
+    """Repeated-span dedup is two keyed shuffles by construction —
+    span-hash (global frequency window) then doc_id (rollup). A third
+    exchange would mean the window's partitioning isn't being derived
+    correctly and the corpus pays an extra full pass at scale."""
+    import re
+
+    from etl_mini_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["dedup_repeated_spans"](spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_ex == 2, f"expected 2 hash exchanges, saw {n_ex}:\n{plan}"
+
+
+def test_snapshot_diff_full_outer_no_nested_loop(spark):
+    """The snapshot diff must plan ONE FullOuter sort-merge join on the
+    key — nested-loop anywhere means the classifier would be quadratic
+    in snapshot size."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    df = QUERIES["snapshot_table_diff"](spark, SF_SMOKE)
+    s = plan_summary(df)
+    assert s.joins == ["SortMergeJoin"], s.joins
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan, plan[:2000]
