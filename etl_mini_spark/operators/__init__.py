@@ -15,6 +15,7 @@ from etl_mini_spark.operators.similarity import (  # noqa: F401
     embedding_near_dup_pairs_lsh,
     train_ivf_centroids,
 )
+from etl_mini_spark.operators.clustering import assign_clusters, kmeans_lloyd  # noqa: F401
 from etl_mini_spark.operators.upsert import merge_upsert  # noqa: F401
 from etl_mini_spark.operators.sampling import (  # noqa: F401
     deterministic_sample,

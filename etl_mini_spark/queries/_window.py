@@ -108,7 +108,7 @@ _TAIL = [
     "time_tz_trimode", "udf_registry_iso_parts", "sample_split_counts",
     "sample_deterministic", "sample_stratified_docs", "ndjson_roundtrip",
     "dedup_minhash_lsh", "dedup_simhash", "embedding_near_dups",
-    "embedding_near_dups_lsh", "multimodal_frames",
+    "embedding_near_dups_lsh", "multimodal_frames", "embedding_kmeans",
     "scan_checksum", "dedup_ngram_jaccard", "stream_static_enrich",
     "csv_roundtrip",
 ]

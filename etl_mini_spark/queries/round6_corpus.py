@@ -334,3 +334,41 @@ def snapshot_table_diff(spark, sf_dir):
         F.col("a.cents").alias("old_cents"),
         F.col("b.cents").alias("new_cents"),
     )
+
+
+# --- distributed k-means (rows-only: iterative float fixpoint) -------------
+@q("embedding_kmeans")  # iterative Lloyd's — no SQL twin; pinned by a
+# numpy differential test (tests/test_operators.py) + the registry-level
+# schema/non-empty check (tests/test_queries_oracle.py ROWS_ONLY_SCHEMAS)
+def embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings table, run to
+    convergence (operators/clustering.py): per iteration one broadcast-
+    GEMM assignment pass (no shuffle) + one k-key mean shuffle + one
+    k×d centroid collect — the Spark MLlib KMeans layout, written on
+    the public DataFrame API. Deterministic init (k lowest vec_ids), so
+    the whole trajectory is differentially tested against a pure-numpy
+    twin. Output: per-cluster size and within-cluster sum of squares.
+    Rows-only: the fixpoint is float-order sensitive at the last ulp,
+    which no cross-engine hash can pin."""
+    from etl_mini_spark.operators.clustering import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents, _ = kmeans_lloyd(emb, id_col="vec_id", vec_col="embedding", k=8)
+    c_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cluster INT, centroid ARRAY<DOUBLE>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        assigned.join(F.broadcast(c_df), "cluster")
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_points"), F.round(F.sum(d2), 2).alias("wcss"))
+    )

@@ -720,3 +720,87 @@ def test_chunk_udtf_matches_native_chunker(spark):
         ).collect()
     }
     assert via_udtf == native and len(native) > 0
+
+
+def test_corpus_tokenization_edge_docs_match_oracle(spark, tmp_path):
+    """The shared whitespace-tokenization contract (lower → collapse
+    ASCII whitespace → trim → split) must agree between Spark and
+    DuckDB on the pathological inputs the sf testdata never contains:
+    NULL text, empty text, whitespace-only text, exactly-7-token (one
+    short of a span) and exactly-8-token docs, and tab/newline/CR runs.
+    Pins dedup_repeated_spans and similarity_tfidf_pairs end-to-end on
+    a planted fixture directory."""
+    import pandas as pd
+
+    from etl_mini_spark.queries import ORACLE, QUERIES
+    from tests.oracle_harness import compare
+
+    eight = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 9)),
+            "text": [
+                None,                           # NULL → dropped by both
+                "",                             # empty → dropped
+                " \t\n\r  ",                    # whitespace-only → dropped
+                "one two three four five six seven",   # 7 tokens: no span
+                eight,                          # 8 tokens: exactly one span
+                eight,                          # duplicate → span repeats
+                "Alpha\tBETA  gamma\ndelta\r\nepsilon zeta ETA theta",  # same after normalize
+                "unrelated words that form no span at all",
+            ],
+            "lang": ["en"] * 8,
+            "source": ["fx"] * 8,
+            "n_chars": [0] * 8,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().fillna(0).astype("int64")
+    fx = tmp_path / "edge_sf"
+    fx.mkdir()
+    docs.to_parquet(fx / "documents.parquet")
+
+    for name in ("dedup_repeated_spans", "similarity_tfidf_pairs"):
+        df = QUERIES[name](spark, str(fx))
+        ok, msg = compare(df, ORACLE[name], str(fx))
+        assert ok, f"{name}: {msg}"
+
+    spans = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_repeated_spans"](spark, str(fx)).collect()
+    }
+    # NULL/empty/whitespace-only/7-token docs are excluded; the three
+    # 8-token variants of the same sentence (verbatim ×2 + mixed-case
+    # with tab/newline/CRLF whitespace) all collapse to ONE span that
+    # repeats, and the unrelated 8-token doc has a unique span.
+    assert set(spans) == {5, 6, 7, 8}, spans
+    for d in (5, 6, 7):
+        assert (spans[d]["n_spans"], spans[d]["n_dup_spans"]) == (1, 1), spans[d]
+    assert (spans[8]["n_spans"], spans[8]["n_dup_spans"]) == (1, 0), spans[8]
+
+
+def test_kmeans_lloyd_matches_numpy_reference(spark):
+    """The distributed Lloyd loop must walk the SAME trajectory as its
+    pure-numpy twin (same deterministic init, update, and stop rules):
+    converged centroids agree to ~1e-6 and assignments match on all
+    non-boundary points."""
+    import numpy as np
+
+    from etl_mini_spark.operators.clustering import kmeans_lloyd, kmeans_reference
+    from etl_mini_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, cents, iters = kmeans_lloyd(emb, k=8, max_iters=25)
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ref_lab, ref_cents, ref_iters = kmeans_reference(ids, X, k=8, max_iters=25)
+
+    assert abs(iters - ref_iters) <= 1, (iters, ref_iters)
+    # centroid-set agreement (order is cluster index — same init, so same order)
+    assert float(np.abs(cents - ref_cents).max()) < 1e-5, np.abs(cents - ref_cents).max()
+    got = {r["vec_id"]: r["cluster"] for r in assigned.select("vec_id", "cluster").collect()}
+    lab_by_id = dict(zip(ids.tolist(), ref_lab.tolist()))
+    agree = sum(1 for i, c in got.items() if lab_by_id[i] == c)
+    assert agree >= len(got) - 2, f"{agree}/{len(got)} assignments agree"
+    assert set(got) == set(lab_by_id)

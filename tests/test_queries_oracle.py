@@ -32,6 +32,9 @@ ROWS_ONLY_SCHEMAS = {
     "stream_capped_sessions_checksum": [
         "closed_by", "n_sessions", "total_events", "bounds_checksum_us",
     ],
+    # iterative float fixpoint — trajectory pinned by the numpy
+    # differential test in test_operators.py
+    "embedding_kmeans": ["cluster", "n_points", "wcss"],
 }
 
 
