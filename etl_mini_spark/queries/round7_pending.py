@@ -1,0 +1,254 @@
+"""Round-7 PENDING queries — implemented and differentially tested now,
+REGISTERED next round.
+
+Why deferred: the driver's CORRECTNESS gate records exactly the first 50
+registry entries, and every round-6 slot is already owned by a
+never-driver-verified entry (tests/test_window_rotation.py enforces
+"oracle-backed ⇒ driver-green row OR window slot", so registering these
+now would break the invariant with no slot to give). They are verified
+THIS round by tests/test_round7_pending.py — the exact harness the
+registry tests use — and round 7 promotes them by moving the @-free
+functions below into a registered module and granting freed slots.
+
+Contents: PPJoin-style exact Jaccard set-similarity join (lossless
+prefix filter vs a naive all-pairs oracle), linear time-series gap
+interpolation (the interior-gap twin of the LOCF fill), and a
+k-anonymity / l-diversity privacy report.
+"""
+
+from etl_mini_spark.queries._base import _t
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+PENDING_QUERIES = {}
+PENDING_ORACLE = {}
+
+
+def pq(name, sql):
+    def deco(fn):
+        PENDING_QUERIES[name] = fn
+        PENDING_ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --- exact Jaccard set-similarity join with prefix filtering ---------------
+# Spec shared with the oracle: token sets are DISTINCT whitespace tokens
+# (shared normalization contract, length ≥ 3); pairs with
+# Jaccard ≥ 3/5 — evaluated as the INTEGER comparison 5·|A∩B| ≥ 3·|A∪B|,
+# so the threshold never touches a float. The ORACLE computes the naive
+# exact join (full postings self-join); the Spark side generates
+# candidates only from per-doc PREFIXES (the |A| − ⌈τ·|A|⌉ + 1 rarest
+# tokens in a global (df, token) order — any pair meeting τ must share a
+# prefix token), so the oracle doubles as a proof that the filter is
+# lossless.
+_SETJOIN_SQL = """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t AS tok FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents)
+      WHERE length(t) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(isect AS BIGINT) AS isect,
+           CAST(x.sz + y.sz - isect AS BIGINT) AS un
+    FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+    WHERE 5 * isect >= 3 * (x.sz + y.sz - isect)
+"""
+
+
+@pq("setjoin_prefix_filter", _SETJOIN_SQL)
+def setjoin_prefix_filter(spark, sf_dir):
+    """PPJoin-style exact set-similarity join (Xiao et al., WWW'08):
+    Jaccard ≥ 0.6 document pairs where candidates come ONLY from prefix
+    postings. Rank each doc's tokens by global (df, token) ascending —
+    rarest first; a pair at threshold τ must share one of each side's
+    first |A| − ⌈τ|A|⌉ + 1 tokens, so the candidate join runs on the
+    LOW-df end of the postings (the exact opposite of the stop-word
+    mass), shrinking the candidate stream by orders of magnitude at
+    corpus scale while provably losing nothing — the naive-join oracle
+    checks exactly that. Verification joins full postings only against
+    surviving candidate pairs (semi-bounded), and ⌈τ·sz⌉ is computed in
+    INTEGER arithmetic ((3·sz+4) div 5) so no float ever decides a
+    boundary."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    tok = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .filter(F.length("tok") >= 3)
+        .distinct()
+    )
+    tok = tok.withColumn("df", F.count("*").over(Window.partitionBy("tok")))
+    sz = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ranked = tok.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok"))
+    ).join(sz, "doc_id")
+    # prefix_len = sz - ceil(3*sz/5) + 1, in integer arithmetic
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("sz") - F.expr("(3 * sz + 4) div 5") + 1
+    ).select("doc_id", "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    post = tok.select("doc_id", "tok")
+    inter = (
+        cand.join(post.withColumnsRenamed({"doc_id": "doc_a"}), ["doc_a"])
+        .join(post.withColumnsRenamed({"doc_id": "doc_b"}), ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("isect"))
+    )
+    x = sz.withColumnsRenamed({"doc_id": "doc_a", "sz": "sza"})
+    y = sz.withColumnsRenamed({"doc_id": "doc_b", "sz": "szb"})
+    return (
+        inter.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("un", F.col("sza") + F.col("szb") - F.col("isect"))
+        .filter(5 * F.col("isect") >= 3 * F.col("un"))
+        .select("doc_a", "doc_b", "isect", "un")
+    )
+
+
+# --- linear time-series gap interpolation ----------------------------------
+# Hourly mean value for 'purchase' events over the full span; missing
+# hours linearly interpolated between the nearest observed hours
+# (interior gaps only — leading/trailing edges stay NULL and are
+# labeled 'edge').
+_INTERP_SQL = """
+    WITH obs AS (SELECT date_trunc('hour', ts) AS h, round(avg(value), 6) AS v
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM obs),
+    grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+    j AS (SELECT g.h, o.v FROM grid g LEFT JOIN obs o ON o.h = g.h),
+    f AS (SELECT h, v,
+                 last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+                 last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+                   OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+                 first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+                   OVER (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+          FROM j)
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CASE WHEN v IS NOT NULL THEN 'obs'
+                WHEN ph IS NULL OR nh IS NULL THEN 'edge'
+                ELSE 'interp' END AS fill_kind,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN ph IS NULL OR nh IS NULL THEN NULL
+                      ELSE pv + (nv - pv) * date_diff('hour', ph, h)::DOUBLE
+                                          / date_diff('hour', ph, nh)::DOUBLE
+                 END, 6) AS value_filled
+    FROM f
+"""
+
+
+@pq("timeseries_interpolate_linear", _INTERP_SQL)
+def timeseries_interpolate_linear(spark, sf_dir):
+    """Linear interpolation over interior gaps of an hourly series —
+    the modeling-grade twin of timeseries_resample_fill's LOCF: each
+    missing hour gets prev + (next−prev)·Δt/Δspan from the nearest
+    observed values on each side, found with two IGNORE NULLS value
+    windows (no self-join, no per-gap iteration). One sort per series
+    (here: one series; per-key at scale via partitionBy) does the whole
+    fill — the standard distributed formulation. Edges (before first /
+    after last observation) are labeled, not fabricated."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    obs = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    bounds = obs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    j = grid.join(obs, "h", "left")
+    w_prev = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    obs_v = F.when(F.col("v").isNotNull(), F.col("v"))
+    f = (
+        j.withColumn("ph", F.last(obs_h, ignorenulls=True).over(w_prev))
+        .withColumn("pv", F.last(obs_v, ignorenulls=True).over(w_prev))
+        .withColumn("nh", F.first(obs_h, ignorenulls=True).over(w_next))
+        .withColumn("nv", F.first(obs_v, ignorenulls=True).over(w_next))
+    )
+    hours = lambda a, b: (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600.0  # noqa: E731
+    kind = (
+        F.when(F.col("v").isNotNull(), "obs")
+        .when(F.col("ph").isNull() | F.col("nh").isNull(), "edge")
+        .otherwise("interp")
+    )
+    val = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(
+            F.col("ph").isNotNull() & F.col("nh").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * hours(F.col("ph"), F.col("h"))
+            / hours(F.col("ph"), F.col("nh")),
+        )
+    )
+    return f.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        kind.alias("fill_kind"),
+        F.round(val, 6).alias("value_filled"),
+    )
+
+
+# --- k-anonymity / l-diversity privacy report ------------------------------
+# QI = (nation, market segment, account-balance band); sensitive
+# attribute = the CENTS digit of the balance — independent of the
+# 1000-wide band by construction, and exactly representable in both
+# engines (round(x*100) of a 2-decimal double is integer-exact). k=5, l=2.
+_KANON_SQL = """
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT abs(CAST(round(c_acctbal * 100) AS BIGINT)) % 10) AS BIGINT) AS l_div,
+           count(*) >= 5 AS k_anonymous,
+           count(DISTINCT abs(CAST(round(c_acctbal * 100) AS BIGINT)) % 10) >= 2 AS l_diverse
+    FROM customer
+    GROUP BY 1, 2, 3
+"""
+
+
+@pq("privacy_k_anonymity", _KANON_SQL)
+def privacy_k_anonymity(spark, sf_dir):
+    """Privacy-tier DQ report: k-anonymity (every quasi-identifier
+    group ≥ k rows) and l-diversity (≥ l distinct sensitive values per
+    group) over customer — the release-gate check that runs BEFORE a
+    dataset ships to training (complements text_redact_pii, which
+    scrubs inside values; this audits the join-able structure around
+    them). One hash aggregation with a distinct-count: at 100 TB this
+    is a two-shuffle partial-agg plan, nothing more. Suppression policy
+    (drop/generalize violating groups) is the caller's next step; the
+    report lists every group with its flags."""
+    c = _t(spark, sf_dir, "customer")
+    cents_digit = F.abs(F.round(F.col("c_acctbal") * 100).cast("long")) % 10
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct(cents_digit).alias("l_div"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "n",
+            "l_div",
+            (F.col("n") >= 5).alias("k_anonymous"),
+            (F.col("l_div") >= 2).alias("l_diverse"),
+        )
+    )
