@@ -11,9 +11,10 @@ registry tests use — and round 7 promotes them by moving the @-free
 functions below into a registered module and granting freed slots.
 
 Contents: PPJoin-style exact Jaccard set-similarity join (lossless
-prefix filter vs a naive all-pairs oracle), linear time-series gap
-interpolation (the interior-gap twin of the LOCF fill), and a
-k-anonymity / l-diversity privacy report.
+prefix/length/positional filters vs a naive all-pairs oracle), linear
+time-series gap interpolation (the interior-gap twin of the LOCF fill),
+a k-anonymity / l-diversity privacy report, and Spark 4 SQL pipe
+syntax.
 """
 
 from etl_mini_spark.queries._base import _t
@@ -271,4 +272,37 @@ def privacy_k_anonymity(spark, sf_dir):
             (F.col("n") >= 5).alias("k_anonymous"),
             (F.col("l_div") >= 2).alias("l_diverse"),
         )
+    )
+
+
+# --- SQL pipe syntax (Spark 4) ---------------------------------------------
+_PIPE_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@pq("sql_pipe_syntax", _PIPE_SQL)
+def sql_pipe_syntax(spark, sf_dir):
+    """Modern-SQL tier: Spark 4 SQL PIPE syntax (`|>` — SIGMOD'24
+    'SQL Has Problems...' / GoogleSQL pipes): the same logical plan as
+    the GROUP BY formulation, written as a linear dataflow. Catalyst
+    lowers pipes to the identical resolved plan, so this costs nothing
+    at any scale — the entry pins that the dialect actually works on
+    this engine version against a standard-SQL oracle."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("r7_lineitem")
+    return spark.sql(
+        """
+        FROM r7_lineitem
+        |> WHERE l_shipdate >= DATE '1994-01-01'
+        |> AGGREGATE count(*) AS n,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                     round(avg(l_quantity), 6) AS avg_qty
+           GROUP BY l_returnflag, l_linestatus
+        """
     )
