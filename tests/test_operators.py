@@ -804,3 +804,31 @@ def test_kmeans_lloyd_matches_numpy_reference(spark):
     agree = sum(1 for i, c in got.items() if lab_by_id[i] == c)
     assert agree >= len(got) - 2, f"{agree}/{len(got)} assignments agree"
     assert set(got) == set(lab_by_id)
+
+
+def test_embedding_lsh_auto_bits_scale_and_recall(spark):
+    """Hyperplane-LSH bucket width must grow with the corpus (fixed
+    12-bit buckets exploded to 245M candidates at 205k vectors in the
+    round-6 stress probe). At 5k near-orthogonal vectors + 100 planted
+    near-duplicates the auto default must find exactly the planted
+    pairs — full recall, no false positives — in one bounded run."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    n, d = 5_000, 32
+    vec = (
+        f"transform(sequence(0, {d-1}), j -> "
+        f"cast(((abs(xxhash64(id * {d} + j)) % 2000) / 1000.0 - 1.0) as float))"
+    )
+    base = spark.range(n).select(F.col("id").alias("vec_id"), F.expr(vec).alias("embedding"))
+    pert = (
+        f"transform(sequence(0, {d-1}), j -> "
+        f"cast(((abs(xxhash64((id * 50) * {d} + j)) % 2000) / 1000.0 - 1.0)"
+        f" + ((abs(xxhash64(id * 77 + j)) % 100) / 100000.0) as float))"
+    )
+    dups = spark.range(100).select((F.col("id") + n).alias("vec_id"), F.expr(pert).alias("embedding"))
+    pairs = embedding_near_dup_pairs_lsh(base.unionByName(dups), threshold=0.95).collect()
+    got = {(r["id1"], r["id2"]) for r in pairs}
+    planted = {(i * 50, i + n) for i in range(100)}
+    assert got == planted, (len(got), len(got & planted))
