@@ -13,8 +13,8 @@ functions below into a registered module and granting freed slots.
 Contents: PPJoin-style exact Jaccard set-similarity join (lossless
 prefix/length/positional filters vs a naive all-pairs oracle), linear
 time-series gap interpolation (the interior-gap twin of the LOCF fill),
-a k-anonymity / l-diversity privacy report, and Spark 4 SQL pipe
-syntax.
+a k-anonymity / l-diversity privacy report, Spark 4 SQL pipe syntax,
+and temperature-based mixture reweighting (share ∝ count^0.7).
 """
 
 from etl_mini_spark.queries._base import _t
@@ -305,4 +305,74 @@ def sql_pipe_syntax(spark, sf_dir):
                      round(avg(l_quantity), 6) AS avg_qty
            GROUP BY l_returnflag, l_linestatus
         """
+    )
+
+
+# --- temperature-based mixture reweighting ---------------------------------
+# The data-DERIVED twin of mixture_weighted_sample (whose rates come
+# from a hash): per-source keep rates follow the temperature rule used
+# to balance LM training mixes — share ∝ n_s^α (α=0.7 flattens the
+# head), total budget 40 % of the corpus, rate capped at 1. Thresholds
+# become integers (floor(rate·100000)) before the hash filter, so the
+# keep/drop edge is engine-exact; the only cross-engine float is
+# pow(n, 0.7), ~1e-16 relative, 5 decades away from a floor boundary.
+_MIXTEMP_SQL = """
+    WITH totals AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    wts AS (SELECT source, n, pow(n, 0.7) AS w FROM totals),
+    tot AS (SELECT sum(w) AS sw, sum(n) AS sn FROM wts),
+    rates AS (SELECT source, n,
+                     least(1.0, (0.4 * sn * w / sw) / n) AS rate
+              FROM wts CROSS JOIN tot),
+    thr AS (SELECT source, n, rate,
+                   CAST(floor(rate * 100000) AS BIGINT) AS t FROM rates),
+    kept AS (SELECT d.source, count(*) AS n_kept
+             FROM documents d JOIN thr ON d.source = thr.source
+             WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15)) AS BIGINT)
+                     % 100000 < thr.t
+             GROUP BY d.source)
+    SELECT thr.source, CAST(thr.n AS BIGINT) AS n_total,
+           round(thr.rate, 6) AS rate,
+           CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+    FROM thr LEFT JOIN kept ON thr.source = kept.source
+"""
+
+
+@pq("mixture_temperature_weights", _MIXTEMP_SQL)
+def mixture_temperature_weights(spark, sf_dir):
+    """Temperature-based mixture reweighting (the multilingual-LM
+    sampling rule: share ∝ count^α): derive per-source keep rates FROM
+    the corpus itself — weight n^0.7, normalize, scale to a 40 % token
+    budget, cap at 1 — then keep rows by the md5-bucket threshold
+    (operators/sampling.py:mixture_sample). Two tiny aggregates (source
+    counts, one global sum) feed a broadcast join onto the corpus; the
+    sample itself is a narrow map+filter, so at 100 TB the whole thing
+    costs one source-keyed partial agg and one scan. Integer thresholds
+    keep the boundary engine-exact. Output: per-source totals, rate,
+    kept counts."""
+    from etl_mini_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    totals = d.groupBy("source").agg(F.count("*").alias("n"))
+    wts = totals.withColumn("w", F.pow("n", F.lit(0.7)))
+    tot = wts.agg(F.sum("w").alias("sw"), F.sum("n").alias("sn"))
+    thr = (
+        wts.crossJoin(F.broadcast(tot))
+        .withColumn("rate", F.least(F.lit(1.0), (0.4 * F.col("sn") * F.col("w") / F.col("sw")) / F.col("n")))
+        .withColumn("t", F.floor(F.col("rate") * 100000).cast("long"))
+        .select("source", "n", "rate", "t")
+    )
+    base = d.select("doc_id", "source").join(F.broadcast(thr), "source")
+    kept = (
+        mixture_sample(base, "doc_id", F.col("t"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        thr.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_total"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
     )
