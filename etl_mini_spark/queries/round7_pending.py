@@ -14,7 +14,8 @@ Contents: PPJoin-style exact Jaccard set-similarity join (lossless
 prefix/length/positional filters vs a naive all-pairs oracle), linear
 time-series gap interpolation (the interior-gap twin of the LOCF fill),
 a k-anonymity / l-diversity privacy report, Spark 4 SQL pipe syntax,
-and temperature-based mixture reweighting (share ∝ count^0.7).
+temperature-based mixture reweighting (share ∝ count^0.7), and
+INTERSECT ALL / EXCEPT ALL bag-semantics set ops.
 """
 
 from etl_mini_spark.queries._base import _t
@@ -375,4 +376,42 @@ def mixture_temperature_weights(spark, sf_dir):
             F.round("rate", 6).alias("rate"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
+    )
+
+
+# --- bag-semantics set operations ------------------------------------------
+# INTERSECT ALL / EXCEPT ALL over multisets with real duplicate
+# multiplicity: event (user_id, event_type) rows repeat, and the two
+# deterministic halves overlap. DISTINCT set ops are already covered
+# (set_intersect / set_except); ALL variants preserve min/differences of
+# multiplicities — a different operator in both engines.
+_SETALL_SQL = """
+    WITH a AS (SELECT user_id, event_type FROM events WHERE event_id % 3 <> 0),
+    b AS (SELECT user_id, event_type FROM events WHERE event_id % 2 <> 0),
+    i AS (SELECT *, 'intersect_all' AS op FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)),
+    e AS (SELECT *, 'except_all' AS op FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+    SELECT op, user_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
+    GROUP BY op, user_id, event_type
+"""
+
+
+@pq("set_ops_all", _SETALL_SQL)
+def set_ops_all(spark, sf_dir):
+    """U1 completion: INTERSECT ALL / EXCEPT ALL — bag semantics with
+    true multiplicities (min(m_a, m_b) and m_a − m_b), which the
+    DISTINCT set-op entries cannot exercise. Spark plans both as a
+    single aggregate computing per-row counts on each side then
+    replicating — one shuffle each, no join. Output rolls the surviving
+    multiset up to (row, multiplicity) so the hash compare is
+    order-free."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter("event_id % 3 <> 0").select("user_id", "event_type")
+    b = ev.filter("event_id % 2 <> 0").select("user_id", "event_type")
+    i = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    e = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    return (
+        i.unionByName(e)
+        .groupBy("op", "user_id", "event_type")
+        .agg(F.count("*").alias("n"))
     )
