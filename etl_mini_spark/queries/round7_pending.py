@@ -14,8 +14,9 @@ Contents: PPJoin-style exact Jaccard set-similarity join (lossless
 prefix/length/positional filters vs a naive all-pairs oracle), linear
 time-series gap interpolation (the interior-gap twin of the LOCF fill),
 a k-anonymity / l-diversity privacy report, Spark 4 SQL pipe syntax,
-temperature-based mixture reweighting (share ∝ count^0.7), and
-INTERSECT ALL / EXCEPT ALL bag-semantics set ops.
+temperature-based mixture reweighting (share ∝ count^0.7),
+INTERSECT ALL / EXCEPT ALL bag-semantics set ops, and corpus bigram-LM
+document scoring (the KenLM-style quality-filter proxy).
 """
 
 from etl_mini_spark.queries._base import _t
@@ -414,4 +415,66 @@ def set_ops_all(spark, sf_dir):
         i.unionByName(e)
         .groupBy("op", "user_id", "event_type")
         .agg(F.count("*").alias("n"))
+    )
+
+
+# --- corpus bigram-LM scoring ----------------------------------------------
+# KenLM-style quality proxy without external models: train MLE bigram
+# statistics ON the corpus, score every document by its mean bigram
+# log-probability ln(c(w1,w2)/c(w1)). Scoring the training corpus means
+# every bigram has count ≥ 1 — no smoothing needed, fully exact spec.
+_BIGRAM_LM_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM d, UNNEST(range(1, len(t))) AS r(i)
+            WHERE len(t) >= 2),
+    c2 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+    sc AS (SELECT doc_id, ln(c12::DOUBLE / c1) AS lp
+           FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob
+    FROM sc GROUP BY doc_id
+"""
+
+
+@pq("text_bigram_lm_score", _BIGRAM_LM_SQL)
+def text_bigram_lm_score(spark, sf_dir):
+    """Corpus-LM document scoring — the quality-filter primitive that
+    ranks documents by how 'typical' their word transitions are for
+    the corpus (low mean bigram log-prob ⇒ boilerplate-free but also
+    gibberish-prone; the tails feed manual review or cut thresholds).
+    Differs from corpus_token_entropy (within-doc distribution) and
+    text_quality (surface heuristics): this conditions on corpus-wide
+    transition statistics. Plan: two hash aggregations build the model
+    (bigram and unigram-context counts), two keyed joins replay it over
+    the bigram stream, one doc rollup — every stage a partial-agg
+    shuffle on its key; at 100 TB the model tables stay distributed
+    (no broadcast of the vocabulary anywhere)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    big = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    sc = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select("doc_id", F.log(F.col("c12").cast("double") / F.col("c1")).alias("lp"))
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.round(F.avg("lp"), 6).alias("avg_logprob")
     )

@@ -73,3 +73,21 @@ def test_prefix_filter_prunes_postings(spark):
         F.col("rk") <= F.col("sz") - F.expr("(3 * sz + 4) div 5") + 1
     ).count()
     assert 0 < n_prefix < n_full * 0.6, (n_prefix, n_full)
+
+
+def test_setjoin_no_cartesian_and_keyed_joins(spark):
+    """The PPJoin plan must contain no Cartesian/NestedLoop node — every
+    join is keyed (token for candidates, doc ids for verification)."""
+    from etl_mini_spark.plans.explain import plan_summary
+
+    s = plan_summary(PENDING_QUERIES["setjoin_prefix_filter"](spark, SF_SMOKE))
+    assert not any("NestedLoop" in j or "Cartesian" in j for j in s.joins), s.joins
+
+
+def test_bigram_lm_tails_are_meaningful(spark):
+    """The LM score must separate documents: the corpus can't be so
+    uniform that every doc scores identically (which would make the
+    quality filter vacuous)."""
+    df = PENDING_QUERIES["text_bigram_lm_score"](spark, SF_SMOKE)
+    n_scores = df.select("avg_logprob").distinct().count()
+    assert n_scores > 10, n_scores
