@@ -89,6 +89,67 @@ def stratified_take(
     )
 
 
+def budget_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    budget: int,
+    key_col: str,
+    salt: str = "quota",
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Keep rows per group, in deterministic pseudo-random order, until
+    the group's cumulative ``weight_col`` exceeds ``budget`` — the
+    per-domain token-budget cap of corpus assembly (e.g. "at most 10B
+    tokens per language, chosen reproducibly").
+
+    Semantics: order rows within each group by (md5(key:salt), key)
+    ascending; keep a row iff the running weight sum THROUGH that row is
+    ≤ budget. Adds ``cum_col`` with the running sum.
+
+    Scale shape — the reason this is not one window: a plain
+    ``sum() OVER (PARTITION BY group ORDER BY hash)`` serializes each
+    group into a single task, so one 30-TB language becomes one
+    straggler. The prefix sum here is the classic two-pass scan:
+
+    1. rows shard by the FIRST TWO hex chars of the same md5 (256
+       shards; 32-char hex strings order lexicographically, so the
+       shard prefix is consistent with the full-hash order);
+    2. pass 1 aggregates per-(group, shard) subtotals — ≤256 tiny rows
+       per group — and a window over those subtotal rows yields each
+       shard's starting offset;
+    3. pass 2 computes the within-shard running sum (window partitioned
+       by (group, shard) — 256-way parallel per group) and adds the
+       joined-in shard offset.
+
+    Every stage hash-partitions on (group, shard); the only per-group
+    serial work is the 256-row offset window. Weights are summed as
+    integers (exact), so the budget boundary is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt)))
+    d = df.withColumn("__h", h).withColumn("__shard", F.substring(F.col("__h"), 1, 2))
+    sub = d.groupBy(*group_cols, "__shard").agg(F.sum(weight_col).alias("__w"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = sub.withColumn("__off", F.coalesce(F.sum("__w").over(w_off), F.lit(0))).drop("__w")
+    w_in = (
+        Window.partitionBy(*group_cols, "__shard")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(off, [*group_cols, "__shard"])
+        .withColumn(cum_col, F.sum(weight_col).over(w_in) + F.col("__off"))
+        .filter(F.col(cum_col) <= F.lit(budget))
+        .drop("__h", "__shard", "__off")
+    )
+
+
 def mixture_sample(
     df: DataFrame, key_col: str, threshold_buckets: Column, salt: str = "", buckets: int = N_BUCKETS
 ) -> DataFrame:

@@ -10,15 +10,26 @@ THIS round by tests/test_round7_pending.py — the exact harness the
 registry tests use — and round 7 promotes them by moving the @-free
 functions below into a registered module and granting freed slots.
 
-Contents: PPJoin-style exact Jaccard set-similarity join (lossless
-prefix/length/positional filters vs a naive all-pairs oracle), linear
-time-series gap interpolation (the interior-gap twin of the LOCF fill),
-a k-anonymity / l-diversity privacy report, Spark 4 SQL pipe syntax,
-temperature-based mixture reweighting (share ∝ count^0.7),
+Contents (batch 1): PPJoin-style exact Jaccard set-similarity join
+(lossless prefix/length/positional filters vs a naive all-pairs
+oracle), linear time-series gap interpolation (the interior-gap twin of
+the LOCF fill), a k-anonymity / l-diversity privacy report, Spark 4 SQL
+pipe syntax, temperature-based mixture reweighting (share ∝ count^0.7),
 INTERSECT ALL / EXCEPT ALL bag-semantics set ops, and corpus bigram-LM
 document scoring (the KenLM-style quality-filter proxy).
+
+Batch 2: exact rolling median (bounded-frame array middles),
+trailing-7d sliding distinct users (bounded-explode rewrite of the
+unsupported COUNT(DISTINCT) OVER RANGE), Markov event-transition
+matrix, rolling z-score anomaly flags (leakage-free trailing frame),
+per-language token-budget quota cap (two-pass 256-shard distributed
+prefix sum, oracle = the naive one-window cumsum), positional inverted
+index with df-band pruning, 13-gram cross-document novelty scoring,
+deterministic-arm A/B conversion lift with pooled z-stat, and a
+Benford first-digit DQ audit.
 """
 
+from etl_mini_spark.operators import text as TX
 from etl_mini_spark.queries._base import _t
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -477,4 +488,463 @@ def text_bigram_lm_score(spark, sf_dir):
     )
     return sc.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"), F.round(F.avg("lp"), 6).alias("avg_logprob")
+    )
+
+
+# =========================================================================
+# Pending batch 2 (added later in round 6): windowed/sequential
+# analytics + corpus-assembly ops. Same deferral contract as above.
+# =========================================================================
+
+# --- exact rolling median --------------------------------------------------
+# Both sides share the explicit spec (sorted trailing-5 frame, average
+# of the two middles on even frames) rather than relying on each
+# engine's median() interpolation mode, which differs by input type.
+_ROLLMED_SQL = """
+    WITH w AS (
+      SELECT o_orderkey,
+             list(o_totalprice) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l
+      FROM orders),
+    s AS (SELECT o_orderkey, list_sort(l) AS a FROM w)
+    SELECT o_orderkey,
+           round((a[(len(a)+1)//2] + a[len(a)//2 + 1]) / 2, 6) AS rolling_median
+    FROM s
+"""
+# rounding note: 6dp, not 2 — even-frame medians are midpoints of
+# 2-decimal prices, i.e. exact 3-decimal values (x.235) that sit ON the
+# 2dp rounding boundary where engine tie-break modes diverge; at 6dp no
+# boundary is reachable.
+
+
+@pq("window_rolling_median", _ROLLMED_SQL)
+def window_rolling_median(spark, sf_dir):
+    """Exact rolling median (trailing 5 orders per customer) — the
+    robust-trend twin of window_running_total; percentile_approx over a
+    window is approximate, so the exact form collects the BOUNDED frame
+    into an array and picks the middles (O(k log k) per row, k=5 —
+    constant state regardless of table size). One shuffle on the window
+    key; everything after is codegen'd array math. At 100 TB the frame
+    bound is what keeps this safe: state per row never grows with
+    history length, unlike an unbounded-frame collect."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        o.withColumn("a", F.array_sort(F.collect_list("o_totalprice").over(w)))
+        .select(
+            "o_orderkey",
+            F.round(
+                (
+                    F.expr("a[((size(a)+1) div 2) - 1]")
+                    + F.expr("a[(size(a) div 2 + 1) - 1]")
+                )
+                / 2,
+                6,
+            ).alias("rolling_median"),
+        )
+    )
+
+
+# --- trailing-7-day sliding distinct count ---------------------------------
+# Exact distinct over a SLIDING time window — not expressible as a
+# window aggregate in either engine (COUNT(DISTINCT) OVER RANGE is
+# unsupported); the scalable rewrite is a bounded explode: each
+# (day, user) pair covers the 7 window-end days it is visible in.
+_SLIDE7_SQL = """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+    SELECT CAST(days.d AS VARCHAR) AS day,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS users_7d
+    FROM days JOIN pairs p ON p.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1
+"""
+
+
+@pq("sliding_distinct_users_7d", _SLIDE7_SQL)
+def sliding_distinct_users_7d(spark, sf_dir):
+    """Trailing-7-day distinct users per observed day. The oracle is
+    the naive range self-join (each day rescans a week of events); the
+    Spark side is the scale rewrite: dedup to (day, user) pairs once,
+    explode each pair into the ≤7 window-end days it covers
+    (sequence(d, d+6) — bounded 7× fanout, NOT a join), keep observed
+    days, and count distinct per day. Work is O(pairs × 7) with two
+    keyed shuffles; the naive join's rescan factor (window ÷ slide)
+    never appears. Same trick covers any sliding distinct where
+    window/slide is a small constant."""
+    e = _t(spark, sf_dir, "events")
+    pairs = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    cover = pairs.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+        "user_id",
+    )
+    obs = e.select(F.to_date("ts").alias("day")).distinct()
+    return (
+        cover.join(obs, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d")
+    )
+
+
+# --- Markov transition matrix over event types -----------------------------
+_TRANSITION_SQL = """
+    WITH t AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (SELECT event_type, next_type, count(*) AS n
+          FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p
+    FROM c
+"""
+
+
+@pq("event_transition_matrix", _TRANSITION_SQL)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the building block of
+    session-flow/funnel diagnostics. One shuffle for the per-user lead
+    window (deterministic (ts, event_id) order), then the |types|²
+    count matrix — tiny — gets row-normalized by a window over itself.
+    At 100 TB the only data-sized stage is the user window; the matrix
+    stays |types|² regardless of scale."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select("event_type", F.lead("event_type").over(w).alias("next_type")).filter(
+        F.col("next_type").isNotNull()
+    )
+    c = t.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias("p"),
+    )
+
+
+# --- rolling z-score anomaly flags -----------------------------------------
+# The daily series is rounded to 2dp BEFORE the window stats, so both
+# engines feed identical doubles into identical 7-row frames; z rounds
+# to 4dp to absorb Welford-vs-two-pass stddev noise (~1e-15).
+_ANOMALY_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 2) AS rev
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, d, rev,
+             avg(rev) OVER w AS m, stddev_samp(rev) OVER w AS sd,
+             count(*) OVER w AS c
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, CAST(d AS VARCHAR) AS day, rev,
+           round((rev - m) / sd, 4) AS z,
+           abs(round((rev - m) / sd, 4)) > 2 AS is_anomaly
+    FROM s WHERE c = 7 AND sd > 0
+"""
+
+
+@pq("timeseries_anomaly_zscore", _ANOMALY_SQL)
+def timeseries_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection on the daily revenue series
+    per event type: score each day against the mean/stddev of the
+    PRECEDING 7 days (current day excluded — the classic leakage
+    mistake is including it, which dilutes the anomaly it's trying to
+    flag). Differs from groupwise_zscore (static per-group stats): this
+    is sequential, so yesterday's spike raises today's bar. The daily
+    pre-aggregation shrinks the data to |types|×|days| rows before any
+    window — at 100 TB the window input is KB-sized; the only
+    data-scale stage is the partial-agg groupBy."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 2).alias("rev")
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    s = daily.select(
+        "event_type",
+        "d",
+        "rev",
+        F.avg("rev").over(w).alias("m"),
+        F.stddev_samp("rev").over(w).alias("sd"),
+        F.count("*").over(w).alias("c"),
+    ).filter((F.col("c") == 7) & (F.col("sd") > 0))
+    z = F.round((F.col("rev") - F.col("m")) / F.col("sd"), 4)
+    return s.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "rev",
+        z.alias("z"),
+        (F.abs(z) > 2).alias("is_anomaly"),
+    )
+
+
+# --- per-language token-budget cap -----------------------------------------
+# The ORACLE is the naive one-window-per-group cumsum; the Spark side
+# is operators/sampling.py:budget_cap — the 256-shard two-pass prefix
+# sum — so the oracle match doubles as the equivalence proof for the
+# distributed scan.
+_QUOTA_SQL = """
+    WITH t AS (
+      SELECT lang, doc_id,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'), doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t)
+    SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 3000
+"""
+
+
+@pq("corpus_quota_cap", _QUOTA_SQL)
+def corpus_quota_cap(spark, sf_dir):
+    """Per-language token-budget cap (corpus assembly: "≤N tokens per
+    domain, chosen reproducibly"): keep documents in deterministic
+    md5 order until the language's running token count hits the budget.
+    A plain window cumsum serializes each language into one task — a
+    30-TB language becomes one straggler — so budget_cap runs the
+    two-pass prefix sum instead: shard by the hash's first 2 hex chars
+    (prefix order ≡ full-hash order), aggregate ≤256 subtotals per
+    language, offset-window over those, then a 256-way-parallel
+    within-shard cumsum. Integer token counts make the cutoff
+    engine-exact; the naive-window oracle proves the two-pass scan
+    row-identical."""
+    from etl_mini_spark.operators.sampling import budget_cap
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    t = d.select("lang", "doc_id", F.size(toks).alias("n_tokens"))
+    capped = budget_cap(t, ["lang"], "n_tokens", 3000, "doc_id", salt="quota", cum_col="cum_tokens")
+    return capped.select("lang", "doc_id", "n_tokens", "cum_tokens")
+
+
+# --- positional inverted index ---------------------------------------------
+_INVIDX_SQL = """
+    WITH s AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS l
+      FROM documents),
+    t AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS pos FROM s),
+    f AS (SELECT * FROM t WHERE length(tok) >= 3),
+    d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
+    p AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                 string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+          FROM f GROUP BY 1, 2)
+    SELECT p.tok, p.doc_id, p.tf, CAST(d.df AS BIGINT) AS df, p.positions
+    FROM p JOIN d USING (tok) WHERE d.df BETWEEN 2 AND 400
+"""
+
+
+@pq("text_inverted_index", _INVIDX_SQL)
+def text_inverted_index(spark, sf_dir):
+    """Positional inverted index — the IR/retrieval sink artifact
+    (phrase queries need positions, BM25 needs tf+df): per (token, doc)
+    posting with term frequency, document frequency, and the sorted
+    0-based position list over the FULL token stream. Tokens with
+    df<2 (hapax noise) or df>400 (stopword mass — postings lists that
+    would dwarf the corpus; the band is wide because this synthetic
+    corpus has a ~30-word length≥3 vocabulary, nearly all of it
+    high-df) are dropped, the standard index-pruning move. Two hash
+    aggregations (postings, df) + one keyed join, each a
+    partial-agg shuffle on the token key; positions serialize as a
+    comma-joined string so the artifact is engine/format-portable."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    t = (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .filter(F.length("tok") >= 3)
+    )
+    dfreq = t.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    post = t.groupBy("tok", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.array_join(F.array_sort(F.collect_list("pos")), ",").alias("positions"),
+    )
+    return post.join(dfreq.filter(F.col("df").between(2, 400)), "tok").select(
+        "tok", "doc_id", "tf", "df", "positions"
+    )
+
+
+# --- 13-gram novelty score -------------------------------------------------
+_NOVELTY_SQL = """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+    sh0 AS (SELECT doc_id,
+                   md5(unnest(list_transform(range(1, len(words) - 11),
+                              i -> array_to_string(words[i:i+12], ' ')))) AS h
+            FROM w WHERE len(words) >= 13),
+    sh AS (SELECT DISTINCT doc_id, h FROM sh0),
+    f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           round(avg(CASE WHEN f.first_doc = sh.doc_id THEN 1.0 ELSE 0.0 END), 6) AS novel_frac
+    FROM sh JOIN f USING (h) GROUP BY 1
+"""
+
+
+@pq("corpus_ngram_novelty", _NOVELTY_SQL)
+def corpus_ngram_novelty(spark, sf_dir):
+    """Cross-document n-gram novelty — the dedup-adjacent curation
+    signal: for each document, the fraction of its distinct 13-word
+    shingles whose FIRST corpus occurrence (min doc_id, standing in for
+    ingest order) is this document. novel_frac ≈ 1 ⇒ fresh content;
+    ≈ 0 ⇒ the document restates earlier material (boilerplate, syndication)
+    even if no single pair crosses a near-dup threshold — this catches
+    diffuse N-way overlap that pairwise Jaccard misses. Same scale
+    shape as decontaminate_13gram: shingle-hash aggregation (min per
+    hash) + one keyed join back; shingles never leave their hash
+    partition. Docs under 13 words have no shingles and are absent by
+    construction."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(TX.word_shingles(F.col("text"), 13)).alias("s"))
+        .select("doc_id", F.md5("s").alias("h"))
+        .distinct()
+    )
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("first_doc") == F.col("doc_id"), 1.0).otherwise(0.0)), 6
+            ).alias("novel_frac"),
+        )
+    )
+
+
+# --- A/B conversion lift ---------------------------------------------------
+# All inputs to the float math are exact integers (counts), so the
+# divisions/sqrt are IEEE-identical cross-engine; rounding is belt and
+# braces.
+_ABTEST_SQL = """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT)
+                       % 100000 < 50000 THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+          FROM u GROUP BY 1),
+    p AS (SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+                 max(CASE WHEN arm = 'A' THEN c END) AS c_a,
+                 max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+                 max(CASE WHEN arm = 'B' THEN c END) AS c_b
+          FROM s)
+    SELECT n_a, c_a, n_b, c_b,
+           round(c_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           round(c_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           round(c_b / CAST(n_b AS DOUBLE) - c_a / CAST(n_a AS DOUBLE), 6) AS lift,
+           round((c_b / CAST(n_b AS DOUBLE) - c_a / CAST(n_a AS DOUBLE))
+                 / sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+    FROM p
+"""
+
+
+@pq("ab_test_lift", _ABTEST_SQL)
+def ab_test_lift(spark, sf_dir):
+    """Two-proportion A/B test: deterministic 50/50 user-hash arms
+    (the same assignment idiom as split_assign, so arms reproduce on
+    any engine), per-user conversion = ever purchased above a value
+    threshold (plain "ever purchased" saturates to 1.0 on this
+    high-activity corpus, collapsing the pooled variance to zero — the
+    threshold keeps the rate interior), then lift and
+    the pooled two-proportion z-statistic. The per-user agg is the only
+    data-scale stage (one shuffle on user_id); the arm rollup is 2 rows
+    and the stats math runs on exact integer counts. At 100 TB this is
+    the experiment-readout query that runs after every assignment
+    batch."""
+    from etl_mini_spark.operators.sampling import hash_bucket
+
+    e = _t(spark, sf_dir, "events")
+    u = (
+        e.withColumn(
+            "arm", F.when(hash_bucket(F.col("user_id"), "ab") < 50000, "A").otherwise("B")
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    s = u.groupBy("arm").agg(F.count("*").alias("n"), F.sum("conv").alias("c"))
+    p = s.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("c"))).alias("c_b"),
+    )
+    ra = F.col("c_a") / F.col("n_a").cast("double")
+    rb = F.col("c_b") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b")).cast("double")
+    se = F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return p.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(rb - ra, 6).alias("lift"),
+        F.round((rb - ra) / se, 4).alias("z_score"),
+    )
+
+
+# --- Benford first-digit DQ check ------------------------------------------
+# First digit comes from the INTEGER part's string form (floor → BIGINT
+# → first char), never from log10 — log10(10^k) can land an ulp below k
+# and misclassify a boundary row on one engine.
+_BENFORD_SQL = """
+    WITH d AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+               FROM orders WHERE o_totalprice >= 1),
+    g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM g)
+    SELECT digit, n,
+           round(n / CAST(total AS DOUBLE), 6) AS obs_freq,
+           round(log10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS benford_freq,
+           round(pow(n - total * log10(1 + 1 / CAST(digit AS DOUBLE)), 2)
+                 / (total * log10(1 + 1 / CAST(digit AS DOUBLE))), 6) AS chi2_term
+    FROM g CROSS JOIN t
+"""
+
+
+@pq("benford_first_digit", _BENFORD_SQL)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals — the
+    fraud/synthetic-data DQ screen (fabricated numerics flunk it):
+    observed first-significant-digit frequencies vs log10(1+1/d) with
+    per-digit χ² contributions. The digit is extracted from the integer
+    part's string form — exact — not via log10 arithmetic, whose ulp
+    error misclassifies powers of ten. One 9-row aggregate plus a
+    broadcast 1-row total; trivially flat at any scale. (This corpus is
+    synthetic-uniform, so the χ² terms are enormous — itself the point:
+    the screen flags it as non-natural.)"""
+    o = _t(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1).alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = g.agg(F.sum("n").alias("total"))
+    bf = F.log10(1 + 1 / F.col("digit").cast("double"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("obs_freq"),
+        F.round(bf, 6).alias("benford_freq"),
+        F.round(F.pow(F.col("n") - F.col("total") * bf, 2) / (F.col("total") * bf), 6).alias(
+            "chi2_term"
+        ),
     )

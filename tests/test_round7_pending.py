@@ -91,3 +91,84 @@ def test_bigram_lm_tails_are_meaningful(spark):
     df = PENDING_QUERIES["text_bigram_lm_score"](spark, SF_SMOKE)
     n_scores = df.select("avg_logprob").distinct().count()
     assert n_scores > 10, n_scores
+
+
+# --- batch-2 non-vacuity pins ----------------------------------------------
+
+
+def test_anomaly_flags_both_present(spark):
+    """The rolling z-score must actually flag something at smoke SF
+    (and not flag everything) — otherwise is_anomaly is a constant and
+    the oracle match proves only the arithmetic, not the detector."""
+    df = PENDING_QUERIES["timeseries_anomaly_zscore"](spark, SF_SMOKE)
+    flags = {r["is_anomaly"]: r["n"] for r in df.groupBy("is_anomaly").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert flags.get(True, 0) > 0 and flags.get(False, 0) > 0, flags
+
+
+def test_quota_cap_truncates_every_lang(spark):
+    """Budget 3000 < every language's total token count at this SF, so
+    each language must DROP at least one doc — the cutoff is exercised,
+    not just the cumsum."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    kept = PENDING_QUERIES["corpus_quota_cap"](spark, SF_SMOKE).groupBy("lang").count()
+    total = _t(spark, SF_SMOKE, "documents").groupBy("lang").count()
+    joined = {
+        r["lang"]: (r["kept"], r["all"])
+        for r in kept.withColumnRenamed("count", "kept")
+        .join(total.withColumnRenamed("count", "all"), "lang")
+        .collect()
+    }
+    assert joined and all(k < a for k, a in joined.values()), joined
+
+
+def test_budget_cap_matches_naive_window(spark):
+    """The 256-shard two-pass prefix sum must be ROW-IDENTICAL to the
+    naive one-window-per-group cumsum — including the cum column — on a
+    fixture with collisions in the shard prefix and multi-group rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.sampling import budget_cap
+
+    rows = [(g, i, (i * 7 + gi) % 23 + 1) for gi, g in enumerate(("x", "y", "z")) for i in range(200)]
+    df = spark.createDataFrame(rows, ["grp", "k", "wt"])
+    got = budget_cap(df, ["grp"], "wt", 300, "k", salt="t", cum_col="cum")
+
+    h = F.md5(F.concat_ws(":", F.col("k").cast("string"), F.lit("t")))
+    w = Window.partitionBy("grp").orderBy(h, "k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cum", F.sum("wt").over(w)).filter(F.col("cum") <= 300)
+
+    assert sorted(got.collect()) == sorted(want.collect())
+    assert 0 < got.count() < df.count()
+
+
+def test_transition_probabilities_sum_to_one(spark):
+    from pyspark.sql import functions as F
+
+    df = PENDING_QUERIES["event_transition_matrix"](spark, SF_SMOKE)
+    sums = df.groupBy("event_type").agg(F.sum("p").alias("s")).collect()
+    assert sums and all(abs(r["s"] - 1.0) < 1e-4 for r in sums), sums
+
+
+def test_inverted_index_positions_sorted_and_df_banded(spark):
+    df = PENDING_QUERIES["text_inverted_index"](spark, SF_SMOKE)
+    rows = df.limit(200).collect()
+    assert rows
+    for r in rows:
+        pos = [int(p) for p in r["positions"].split(",")]
+        assert pos == sorted(pos) and len(pos) == r["tf"]
+        assert 2 <= r["df"] <= 400
+
+
+def test_novelty_has_non_novel_docs(spark):
+    """The corpus plants near-duplicates, so some docs must have
+    novel_frac < 1 (shared shingles first seen elsewhere) while most
+    originals stay at 1.0."""
+    df = PENDING_QUERIES["corpus_ngram_novelty"](spark, SF_SMOKE)
+    n_low = df.filter("novel_frac < 1").count()
+    n_full = df.filter("novel_frac = 1").count()
+    assert n_low > 0 and n_full > 0, (n_low, n_full)
