@@ -948,3 +948,182 @@ def benford_first_digit(spark, sf_dir):
             "chi2_term"
         ),
     )
+
+
+# =========================================================================
+# Pending batch 3: sequential-analytics depth (CUSUM change detection,
+# gaps-and-islands streaks) + association-rule mining.
+# =========================================================================
+
+# --- CUSUM change-point detection ------------------------------------------
+# The textbook CUSUM recursion S+_t = max(0, S+_{t-1} + z_t − k) looks
+# iterative, but the identity S+_t = C_t − min(0, min_{i≤t} C_i) with
+# C_t = Σ_{i≤t}(z_i − k) turns it into TWO stacked window prefix
+# scans — fully declarative, no UDF, no loop.
+_CUSUM_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 2) AS rev
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, d, rev,
+             avg(rev) OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(rev) OVER (PARTITION BY event_type) AS sd
+      FROM daily),
+    c AS (
+      SELECT event_type, d,
+             sum((rev - mu) / sd - 0.5)
+               OVER (PARTITION BY event_type ORDER BY d
+                     ROWS UNBOUNDED PRECEDING) AS ct
+      FROM st WHERE sd > 0),
+    s AS (
+      SELECT event_type, d, ct,
+             least(0, min(ct) OVER (PARTITION BY event_type ORDER BY d
+                                    ROWS UNBOUNDED PRECEDING)) AS mn
+      FROM c)
+    SELECT event_type, CAST(d AS VARCHAR) AS day,
+           round(ct - mn, 4) AS cusum_pos,
+           round(ct - mn, 4) > 2 AS drifted
+    FROM s
+"""
+
+
+@pq("timeseries_cusum_changepoint", _CUSUM_SQL)
+def timeseries_cusum_changepoint(spark, sf_dir):
+    """One-sided CUSUM drift detection on the daily revenue series per
+    event type (Page 1954): standardize against the series' own
+    mean/std, accumulate positive drift above slack k=0.5, alarm when
+    the statistic crosses h (h=2 here, tuned to this STATIONARY
+    synthetic fixture so both alarm classes exist — production practice
+    is h≈4-5σ; on a drift-free series the standard h never fires and
+    the flag would be an untested constant). The max(0, ·) reset recursion is
+    rewritten via the prefix identity S+_t = C_t − min(0, min_{i≤t} C_i)
+    into two stacked window cumsums — declarative, loop-free, and
+    running over the |types|×|days| daily rollup, so the only
+    data-scale stage is the first groupBy. Complements
+    timeseries_anomaly_zscore: z-scores flag single outlier days; CUSUM
+    catches small SUSTAINED shifts no single day reveals."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 2).alias("rev")
+    )
+    wp = Window.partitionBy("event_type")
+    st = daily.select(
+        "event_type",
+        "d",
+        "rev",
+        F.avg("rev").over(wp).alias("mu"),
+        F.stddev_samp("rev").over(wp).alias("sd"),
+    ).filter(F.col("sd") > 0)
+    wo = wp.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c = st.withColumn("ct", F.sum((F.col("rev") - F.col("mu")) / F.col("sd") - 0.5).over(wo))
+    s = c.withColumn("mn", F.least(F.lit(0.0), F.min("ct").over(wo)))
+    sp = F.round(F.col("ct") - F.col("mn"), 4)
+    return s.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        sp.alias("cusum_pos"),
+        (sp > 2).alias("drifted"),
+    )
+
+
+# --- association rules (support / confidence / lift) -----------------------
+_RULES_SQL = """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    f AS (SELECT l_partkey, count(*) AS n_part FROM b GROUP BY 1),
+    p AS (SELECT a.l_partkey AS ant, c.l_partkey AS cons, count(*) AS n_ab
+          FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                           AND a.l_partkey <> c.l_partkey
+          GROUP BY 1, 2)
+    SELECT ant, cons, CAST(n_ab AS BIGINT) AS n_ab,
+           round(n_ab / CAST(n_orders AS DOUBLE), 6) AS support,
+           round(n_ab / CAST(fa.n_part AS DOUBLE), 6) AS confidence,
+           round(n_ab * CAST(n_orders AS DOUBLE) / (fa.n_part * fc.n_part), 4) AS lift
+    FROM p
+    JOIN f fa ON fa.l_partkey = p.ant
+    JOIN f fc ON fc.l_partkey = p.cons
+    CROSS JOIN n
+    WHERE n_ab >= 3
+"""
+
+
+@pq("basket_rules_lift", _RULES_SQL)
+def basket_rules_lift(spark, sf_dir):
+    """Association-rule mining over order baskets: for every directed
+    part pair seen in ≥3 common orders, support (P(a,b)), confidence
+    (P(b|a)) and lift (observed/independent). Completes the
+    market-basket tier: co_purchase_pairs stops at co-occurrence
+    counts; rules need the item-frequency joins and the independence
+    normalization. The pair self-join is basket-bounded (keyed on
+    l_orderkey after per-order DISTINCT — O(Σ basket²), not O(n²));
+    part frequencies broadcast; the order count is one scalar. At
+    100 TB the basket-size bound is the safety: TPC-H baskets are ≤7
+    lines, so the explode factor is ≤42 per order."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    f = b.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    p = (
+        b.alias("a")
+        .join(b.alias("c"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("c.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("ant"), F.col("c.l_partkey").alias("cons"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    fa = f.select(F.col("l_partkey").alias("ant"), F.col("n_part").alias("n_ant"))
+    fc = f.select(F.col("l_partkey").alias("cons"), F.col("n_part").alias("n_cons"))
+    return (
+        p.join(F.broadcast(fa), "ant")
+        .join(F.broadcast(fc), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ant",
+            "cons",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_orders").cast("double"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_ant").cast("double"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab") * F.col("n_orders").cast("double")
+                / (F.col("n_ant") * F.col("n_cons")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+# --- gaps-and-islands activity streaks -------------------------------------
+_STREAKS_SQL = """
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (SELECT user_id, day,
+                 day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+                   AS island
+          FROM d),
+    i AS (SELECT user_id, island, count(*) AS len
+          FROM g GROUP BY 1, 2)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM i GROUP BY 1
+"""
+
+
+@pq("user_activity_streaks", _STREAKS_SQL)
+def user_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the classic (day − row_number) island key — consecutive days share
+    a constant difference, so islands fall out of one window + one
+    groupBy with no self-join and no recursion. Reports streak count,
+    longest streak, and total active days per user. Complements
+    churn_gap_flag (which flags the gaps; this measures the islands).
+    One shuffle on user_id that every stage reuses."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("island", F.date_sub(F.col("day"), F.row_number().over(w)))
+    i = g.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return i.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("active_days"),
+    )

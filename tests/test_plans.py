@@ -596,3 +596,57 @@ def test_snapshot_diff_full_outer_no_nested_loop(spark):
     assert s.joins == ["SortMergeJoin"], s.joins
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FullOuter" in plan, plan[:2000]
+
+
+# --- round-7 pending batch 2: scale shapes -----------------------------------
+
+
+def test_budget_cap_window_is_shard_partitioned(spark):
+    """budget_cap's whole point is that the big cumsum window partitions
+    by (group, shard) — 256-way parallel per group — not by group alone.
+    Assert the plan pays a hashpartitioning exchange that includes the
+    shard column, and that SOME window runs on the (group, shard) key."""
+    import re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.operators.sampling import budget_cap
+    from etl_mini_spark.session import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "lang", "doc_id", F.length("text").alias("wt")
+    )
+    s = plan_summary(budget_cap(d, ["lang"], "wt", 10_000, "doc_id"))
+    assert re.search(r"hashpartitioning\(lang#\d+, __shard#\d+", s.text), s.text[-2000:]
+
+
+def test_sliding_distinct_has_no_range_join(spark):
+    """The trailing-7d distinct rewrite must plan as explode + keyed
+    aggregation — never the naive range join (BroadcastNestedLoop /
+    Cartesian) the oracle runs."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round7_pending import PENDING_QUERIES
+
+    s = plan_summary(PENDING_QUERIES["sliding_distinct_users_7d"](spark, SF_SMOKE))
+    assert not any(j in ("BroadcastNestedLoopJoin", "CartesianProduct") for j in s.joins), s.joins
+    assert "Generate explode" in s.text
+
+
+def test_transition_matrix_is_join_free(spark):
+    """The Markov matrix needs one user-window pass + two tiny windows/
+    aggs — a join anywhere means the rewrite regressed to the pair-join
+    formulation."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round7_pending import PENDING_QUERIES
+
+    s = plan_summary(PENDING_QUERIES["event_transition_matrix"](spark, SF_SMOKE))
+    assert s.joins == [], s.joins
+
+
+def test_inverted_index_joins_are_keyed(spark):
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round7_pending import PENDING_QUERIES
+
+    s = plan_summary(PENDING_QUERIES["text_inverted_index"](spark, SF_SMOKE))
+    assert s.joins and not any(
+        j in ("BroadcastNestedLoopJoin", "CartesianProduct") for j in s.joins
+    ), s.joins

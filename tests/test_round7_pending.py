@@ -172,3 +172,39 @@ def test_novelty_has_non_novel_docs(spark):
     n_low = df.filter("novel_frac < 1").count()
     n_full = df.filter("novel_frac = 1").count()
     assert n_low > 0 and n_full > 0, (n_low, n_full)
+
+
+def test_cusum_alarms_and_quiet_days_both_present(spark):
+    """h is tuned to the stationary fixture precisely so that BOTH
+    alarm classes exist — otherwise `drifted` is a constant and the
+    oracle match never exercises the threshold."""
+    df = PENDING_QUERIES["timeseries_cusum_changepoint"](spark, SF_SMOKE)
+    flags = {r["drifted"] for r in df.select("drifted").distinct().collect()}
+    assert flags == {True, False}, flags
+
+
+def test_streaks_non_trivial(spark):
+    """Every user at smoke SF is active enough to have a multi-day
+    streak AND more than one island — both the run-length and the
+    gap-splitting paths execute."""
+    df = PENDING_QUERIES["user_activity_streaks"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows and all(r["longest_streak"] >= 2 for r in rows)
+    assert any(r["n_streaks"] >= 2 for r in rows)
+
+
+def test_basket_rules_lift_is_symmetric_support_directed_confidence(spark):
+    """Rules come in both directions with equal support but (generally)
+    different confidence — pin one witnessing pair so the direction
+    semantics can't silently collapse."""
+    df = PENDING_QUERIES["basket_rules_lift"](spark, SF_SMOKE)
+    rows = {(r["ant"], r["cons"]): r for r in df.collect()}
+    assert rows
+    pair = next(iter(rows))
+    rev = (pair[1], pair[0])
+    assert rev in rows, "reverse direction missing"
+    assert rows[pair]["support"] == rows[rev]["support"]
+    assert any(
+        rows[(a, b)]["confidence"] != rows[(b, a)]["confidence"]
+        for (a, b) in rows if (b, a) in rows
+    )
