@@ -175,3 +175,63 @@ def test_merge_upsert_matches_dict_semantics(spark, target, source):
     want = dict(zip(tgt.k, tgt.v))
     want.update(dict(zip(src.k, src.v)))
     assert got == want
+
+
+@given(
+    series=st.lists(st.floats(min_value=-4, max_value=4, allow_nan=False, allow_infinity=False),
+                    min_size=1, max_size=25),
+)
+@settings(**SETTINGS)
+def test_cusum_window_identity_matches_recursion(spark, series):
+    """The declarative CUSUM rewrite S+_t = C_t − min(0, min_{i≤t} C_i)
+    (two stacked window scans) must equal the literal textbook
+    recursion S+_t = max(0, S+_{t-1} + z_t − k) on arbitrary series —
+    the identity is the whole reason the operator needs no loop/UDF."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    k = 0.5
+    # reference: run the recursion in plain Python
+    want, s = [], 0.0
+    for z in series:
+        s = max(0.0, s + z - k)
+        want.append(round(s, 6))
+
+    df = spark.createDataFrame([(i, z) for i, z in enumerate(series)], ["i", "z"])
+    wo = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    got = [
+        round(r["sp"], 6)
+        for r in df.withColumn("ct", F.sum(F.col("z") - k).over(wo))
+        .withColumn("mn", F.least(F.lit(0.0), F.min("ct").over(wo)))
+        .select("i", (F.col("ct") - F.col("mn")).alias("sp"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(1, 30)),
+                  min_size=0, max_size=40),
+    budget=st.integers(min_value=0, max_value=120),
+)
+@settings(**SETTINGS)
+def test_budget_cap_equivalence_randomized(spark, rows, budget):
+    """budget_cap (two-pass sharded prefix sum) ≡ the naive one-window
+    cumsum for random groups/weights/budgets — including duplicate
+    keys, empty inputs, and budgets of zero."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.sampling import budget_cap
+
+    dd = pd.DataFrame(rows, columns=["g", "k", "wt"]).drop_duplicates(["g", "k"])
+    if len(dd) == 0:
+        return
+    df = spark.createDataFrame(dd)
+    got = sorted(budget_cap(df, ["g"], "wt", budget, "k", salt="p", cum_col="cum").collect())
+
+    h = F.md5(F.concat_ws(":", F.col("k").cast("string"), F.lit("p")))
+    w = Window.partitionBy("g").orderBy(h, "k").rowsBetween(Window.unboundedPreceding, 0)
+    want = sorted(df.withColumn("cum", F.sum("wt").over(w)).filter(F.col("cum") <= budget).collect())
+    assert got == want
