@@ -27,6 +27,13 @@ prefix sum, oracle = the naive one-window cumsum), positional inverted
 index with df-band pruning, 13-gram cross-document novelty scoring,
 deterministic-arm A/B conversion lift with pooled z-stat, and a
 Benford first-digit DQ audit.
+
+Batch 3: CUSUM change-point detection (reset recursion as two stacked
+window scans), basket association rules (support/confidence/lift), and
+gaps-and-islands activity streaks.
+
+Batch 4: skip-gram training pairs (join-free array math) and DAU/MAU
+stickiness (28-day bounded-explode sliding distinct).
 """
 
 from etl_mini_spark.operators import text as TX
@@ -1126,4 +1133,101 @@ def user_activity_streaks(spark, sf_dir):
         F.count("*").alias("n_streaks"),
         F.max("len").alias("longest_streak"),
         F.sum("len").alias("active_days"),
+    )
+
+
+# --- word2vec-style skip-gram training pairs -------------------------------
+_SKIPGRAM_SQL = """
+    WITH s AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS l
+      FROM documents),
+    t AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM s),
+    p AS (SELECT a.tok AS center, b.tok AS context
+          FROM t a JOIN t b ON a.doc_id = b.doc_id
+                           AND abs(a.pos - b.pos) BETWEEN 1 AND 2)
+    SELECT center, context, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+@pq("corpus_skipgram_pairs", _SKIPGRAM_SQL)
+def corpus_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair extraction with window ±2 — the
+    word2vec/embedding-training data generator (Mikolov et al. 2013).
+    The oracle is the naive positional SELF-JOIN per document; the
+    Spark side never joins: each document's token array emits its own
+    pairs through pure array math (flatten over transform of the
+    position sequence — contexts are array slots i±1, i±2), so the op
+    is a narrow map + explode with a single pair-count aggregation.
+    Per-row fanout is bounded by 2·window; at 100 TB the shuffle
+    carries only the aggregated (center, context) counts, which is
+    vocabulary²-bounded, not corpus-bounded. The HAVING ≥2 floor drops
+    the half of pair mass that is hapax noise before it ever
+    materializes downstream."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    pairs = F.expr(
+        """
+        flatten(transform(sequence(1, size(t)), i ->
+          filter(transform(array(i-2, i-1, i+1, i+2), j ->
+            CASE WHEN j >= 1 AND j <= size(t)
+                 THEN struct(t[i-1] AS center, t[j-1] AS context) END),
+            x -> x IS NOT NULL)))
+        """
+    )
+    return (
+        d.select(toks.alias("t"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+# --- DAU/MAU stickiness ----------------------------------------------------
+_STICKINESS_SQL = """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    dau AS (SELECT d, count(*) AS dau FROM pairs GROUP BY 1),
+    mau AS (SELECT days.d, count(DISTINCT p.user_id) AS mau
+            FROM days JOIN pairs p ON p.d BETWEEN days.d - 27 AND days.d
+            GROUP BY 1)
+    SELECT CAST(dau.d AS VARCHAR) AS day, CAST(dau AS BIGINT) AS dau,
+           CAST(mau AS BIGINT) AS mau,
+           round(dau / CAST(mau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+"""
+
+
+@pq("dau_mau_stickiness", _STICKINESS_SQL)
+def dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day — daily actives over trailing-28-day
+    actives, the standard engagement ratio. MAU reuses the
+    bounded-explode sliding-distinct rewrite (each (day, user) pair
+    covers ≤28 window-end days; no range join, no 28× rescan); DAU is
+    a plain count over the same deduped pairs, so both legs share one
+    (day, user) shuffle. The oracle runs the naive range join."""
+    e = _t(spark, sf_dir, "events")
+    pairs = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = pairs.groupBy("d").agg(F.count("*").alias("dau"))
+    cover = pairs.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 27))).alias("day"),
+        "user_id",
+    )
+    obs = e.select(F.to_date("ts").alias("day")).distinct()
+    mau = (
+        cover.join(obs, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau["d"] == mau["day"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau").cast("double"), 6).alias("stickiness"),
+        )
     )

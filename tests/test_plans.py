@@ -650,3 +650,22 @@ def test_inverted_index_joins_are_keyed(spark):
     assert s.joins and not any(
         j in ("BroadcastNestedLoopJoin", "CartesianProduct") for j in s.joins
     ), s.joins
+
+
+def test_skipgram_is_join_free(spark):
+    """Skip-gram pairs must come from per-row array math — a join in
+    the plan means the positional self-join (the oracle's naive form)
+    leaked into the Spark side."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round7_pending import PENDING_QUERIES
+
+    s = plan_summary(PENDING_QUERIES["corpus_skipgram_pairs"](spark, SF_SMOKE))
+    assert s.joins == [], s.joins
+
+
+def test_stickiness_has_no_range_join(spark):
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round7_pending import PENDING_QUERIES
+
+    s = plan_summary(PENDING_QUERIES["dau_mau_stickiness"](spark, SF_SMOKE))
+    assert not any(j in ("BroadcastNestedLoopJoin", "CartesianProduct") for j in s.joins), s.joins
