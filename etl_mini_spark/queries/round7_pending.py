@@ -34,6 +34,10 @@ gaps-and-islands activity streaks.
 
 Batch 4: skip-gram training pairs (join-free array math) and DAU/MAU
 stickiness (28-day bounded-explode sliding distinct).
+
+Batch 5: incremental aggregate maintenance — mergeable partial-agg
+state folded across disjoint slices (operators/incremental.py) vs the
+single-pass recompute oracle.
 """
 
 from etl_mini_spark.operators import text as TX
@@ -1230,4 +1234,60 @@ def dau_mau_stickiness(spark, sf_dir):
             "mau",
             F.round(F.col("dau") / F.col("mau").cast("double"), 6).alias("stickiness"),
         )
+    )
+
+
+# --- incremental aggregate maintenance -------------------------------------
+# The Spark side NEVER aggregates the full table in one pass: it
+# builds mergeable state from three disjoint slices (≤ Jan 10,
+# Jan 11-20, rest), folds them pairwise, and finalizes. The oracle is
+# the single-pass full recompute — the match proves the merge algebra.
+_INCAGG_SQL = """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS cnt,
+           round(sum(value), 2) AS total,
+           round(min(value), 6) AS vmin,
+           round(max(value), 6) AS vmax,
+           round(avg(value), 6) AS vavg,
+           round(stddev_samp(value), 4) AS vstddev
+    FROM events GROUP BY event_type
+"""
+
+
+@pq("incremental_agg_merge", _INCAGG_SQL)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/incremental.py):
+    per-type count/sum/min/max/avg/stddev derived from MERGEABLE
+    partial-agg state built over three disjoint time slices and folded
+    pairwise — the "refresh without rescanning history" primitive. The
+    single-pass DuckDB recompute is the oracle, so the state algebra
+    (sums add, extrema combine, variance from the ss−s²/n identity) is
+    proven equal to the direct aggregate. At 100 TB only the NEWEST
+    slice is ever scanned; the merge input is |keys| rows. stddev
+    rounds to 4dp: the algebraic identity pays ~1e-10 relative
+    cancellation vs the oracle's two-pass form."""
+    from etl_mini_spark.operators.incremental import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_state,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    s1 = agg_state(e.filter(F.col("ts") < "2024-01-11"), ["event_type"], "value")
+    s2 = agg_state(
+        e.filter((F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")),
+        ["event_type"],
+        "value",
+    )
+    s3 = agg_state(e.filter(F.col("ts") >= "2024-01-21"), ["event_type"], "value")
+    state = merge_agg_state(merge_agg_state(s1, s2, ["event_type"]), s3, ["event_type"])
+    f = finalize_agg_state(state, ["event_type"])
+    return f.select(
+        "event_type",
+        "cnt",
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round("vavg", 6).alias("vavg"),
+        F.round("vstddev", 4).alias("vstddev"),
     )

@@ -832,3 +832,34 @@ def test_embedding_lsh_auto_bits_scale_and_recall(spark):
     got = {(r["id1"], r["id2"]) for r in pairs}
     planted = {(i * 50, i + n) for i in range(100)}
     assert got == planted, (len(got), len(got & planted))
+
+
+def test_incremental_state_merge_is_order_insensitive(spark):
+    """Merging slice states in ANY order — and in one shot vs pairwise —
+    must yield identical finalized metrics (associativity/commutativity
+    of the state algebra)."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.incremental import (
+        agg_state,
+        finalize_agg_state,
+        merge_agg_state,
+    )
+
+    rows = [("a", float(i % 17)) for i in range(100)] + [("b", float(i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    parts = [
+        agg_state(df.filter(F.col("v") < 3), ["k"], "v"),
+        agg_state(df.filter((F.col("v") >= 3) & (F.col("v") < 9)), ["k"], "v"),
+        agg_state(df.filter(F.col("v") >= 9), ["k"], "v"),
+    ]
+    ab = merge_agg_state(merge_agg_state(parts[0], parts[1], ["k"]), parts[2], ["k"])
+    ba = merge_agg_state(parts[2], merge_agg_state(parts[1], parts[0], ["k"]), ["k"])
+
+    def snap(state):
+        out = finalize_agg_state(state, ["k"]).orderBy("k").collect()
+        return [(r["k"], r["cnt"], round(r["total"], 6), r["vmin"], r["vmax"],
+                 round(r["vavg"], 6), round(r["vstddev"], 6)) for r in out]
+
+    direct = snap(agg_state(df, ["k"], "v"))
+    assert snap(ab) == snap(ba) == direct

@@ -669,3 +669,23 @@ def test_stickiness_has_no_range_join(spark):
 
     s = plan_summary(PENDING_QUERIES["dau_mau_stickiness"](spark, SF_SMOKE))
     assert not any(j in ("BroadcastNestedLoopJoin", "CartesianProduct") for j in s.joins), s.joins
+
+
+def test_tpch_suite_no_cartesian_and_keyed_joins(spark):
+    """Blanket audit of all 22 TPC-H registry queries (+ EXISTS/scalar
+    variants): no CartesianProduct anywhere; BroadcastNestedLoopJoin
+    only where the joined side is a 1-row scalar aggregate (Q11's
+    global-value threshold, Q20's scale-free quantity cutoff) — a
+    1-row broadcast is a constant, not a quadratic join. Any new
+    nested-loop node in a future edit fails here before it ships."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    ONE_ROW_SCALAR_OK = {"sql_q11_important_stock", "sql_q20_promo_suppliers"}
+    for name in sorted(QUERIES):
+        if not name.startswith("sql_q"):
+            continue
+        s = plan_summary(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in ONE_ROW_SCALAR_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
