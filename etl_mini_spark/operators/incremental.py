@@ -39,6 +39,20 @@ def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     )
 
 
+def compact_agg_state(pile: DataFrame, keys: list[str]) -> DataFrame:
+    """Compact a PILE of partial states (any number of slices' rows,
+    e.g. an append-only state directory written by a streaming
+    foreachBatch sink) into one row per key — the same merge operators,
+    applied once over the whole pile."""
+    return pile.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.sum("ss").alias("ss"),
+    )
+
+
 def merge_agg_state(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
     """Fold two state tables: union + re-aggregate with each component's
     own merge operator (counts/sums add, min/max combine). Associative

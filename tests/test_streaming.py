@@ -337,3 +337,68 @@ def test_ltz_rewrite_recurses_into_nested_types():
     assert out["arr"].dataType == T.ArrayType(ts, containsNull=False)
     assert out["m"].dataType == T.MapType(ts, ts, valueContainsNull=False)
     assert out["plain"].dataType == T.LongType()
+
+
+def test_streaming_incremental_agg_state(spark, tmp_path):
+    """Streaming incremental aggregate maintenance: each micro-batch
+    appends its own mergeable partial state (operators/incremental.py)
+    to an append-only state directory; compact+finalize at read time
+    must equal the direct batch aggregate over the full source. The
+    source is split into multiple files with maxFilesPerTrigger=1 so
+    the state genuinely accumulates across several micro-batches."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.incremental import (
+        agg_state,
+        compact_agg_state,
+        finalize_agg_state,
+    )
+    from etl_mini_spark.session import load_table
+
+    src, state, ckpt = str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select("event_type", "value")
+    e.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    n_batches = []
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        n_batches.append(batch_id)
+        agg_state(batch_df, ["event_type"], "value").write.mode("append").parquet(state)
+
+    # maxFilesPerTrigger is a SOURCE option: one source file per
+    # micro-batch, so the state genuinely accumulates across batches
+    # (no timestamp columns here, so no NTZ rewrite needed)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .foreachBatch(sink)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(n_batches) >= 2, n_batches
+
+    got = {
+        r["event_type"]: (r["cnt"], round(r["total"], 4), round(r["vavg"], 6), round(r["vstddev"], 6))
+        for r in finalize_agg_state(
+            compact_agg_state(spark.read.parquet(state), ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["cnt"], round(r["total"], 4), round(r["vavg"], 6), round(r["vstddev"], 6))
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("total"),
+            F.avg("value").alias("vavg"),
+            F.stddev_samp("value").alias("vstddev"),
+        )
+        .collect()
+    }
+    assert got == want
