@@ -38,6 +38,10 @@ stickiness (28-day bounded-explode sliding distinct).
 Batch 5: incremental aggregate maintenance — mergeable partial-agg
 state folded across disjoint slices (operators/incremental.py) vs the
 single-pass recompute oracle.
+
+Batch 6: seasonal-naive forecast MAE/MAPE backtest and per-document
+TF-IDF keyword top-k (rank keys pre-rounded against libm ln() ulp
+divergence).
 """
 
 from etl_mini_spark.operators import text as TX
@@ -1290,4 +1294,100 @@ def incremental_agg_merge(spark, sf_dir):
         F.round("vmax", 6).alias("vmax"),
         F.round("vavg", 6).alias("vavg"),
         F.round("vstddev", 4).alias("vstddev"),
+    )
+
+
+# --- seasonal-naive forecast evaluation ------------------------------------
+_FORECAST_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 2) AS rev
+      FROM events GROUP BY 1, 2),
+    f AS (
+      SELECT event_type, d, rev,
+             lag(rev, 7) OVER (PARTITION BY event_type ORDER BY d) AS fc
+      FROM daily)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(abs(rev - fc)), 6) AS mae,
+           round(avg(abs(rev - fc) / rev), 6) AS mape
+    FROM f WHERE fc IS NOT NULL GROUP BY 1
+"""
+
+
+@pq("forecast_seasonal_naive_eval", _FORECAST_SQL)
+def forecast_seasonal_naive_eval(spark, sf_dir):
+    """Seasonal-naive forecast baseline + error report: predict each
+    day's revenue per event type as the same weekday last week
+    (lag 7 over the daily series) and score MAE/MAPE — the benchmark
+    every real forecasting model must beat, and the shape of any
+    backtest evaluation pipeline (prediction column via window, error
+    rollup via agg). Daily pre-aggregation bounds the window input at
+    |types|×|days| rows; 2dp pre-rounding keeps both engines' error
+    math on identical doubles."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 2).alias("rev")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    f = daily.withColumn("fc", F.lag("rev", 7).over(w)).filter(F.col("fc").isNotNull())
+    ae = F.abs(F.col("rev") - F.col("fc"))
+    return f.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg(ae), 6).alias("mae"),
+        F.round(F.avg(ae / F.col("rev")), 6).alias("mape"),
+    )
+
+
+# --- per-document TF-IDF keywords ------------------------------------------
+# Ranking happens on ROUND(tfidf, 6): ln() differs by up to 1 ulp
+# between libm implementations, and a raw-double ORDER BY would let
+# that flip near-tied ranks; at 6dp both engines sort identical keys
+# (token ascending breaks exact ties).
+_KEYWORDS_SQL = """
+    WITH s AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS l
+      FROM documents),
+    t AS (SELECT doc_id, unnest(l) AS tok FROM s),
+    f AS (SELECT doc_id, tok, count(*) AS tf FROM t WHERE length(tok) >= 3 GROUP BY 1, 2),
+    d AS (SELECT tok, count(*) AS df FROM f GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    sc AS (SELECT f.doc_id, f.tok, f.tf,
+                  round(f.tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS tfidf
+           FROM f JOIN d USING (tok) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, tok) AS rk
+          FROM sc)
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+"""
+
+
+@pq("doc_keywords_tfidf_topk", _KEYWORDS_SQL)
+def doc_keywords_tfidf_topk(spark, sf_dir):
+    """Per-document keyword extraction: top-3 tokens by TF-IDF — the
+    document-level counterpart of corpus_idf (corpus statistics) and
+    the tagging/labeling primitive of curation UIs. Two keyed
+    aggregations (tf, df) + one broadcast scalar (corpus size) + one
+    per-doc top-k window; ranking keys are pre-rounded so a 1-ulp ln()
+    divergence between engines can never flip a rank. At 100 TB the
+    df table is vocabulary-sized and the window is per-doc-bounded."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    t = d.select("doc_id", F.explode(toks).alias("tok")).filter(F.length("tok") >= 3)
+    f = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = f.groupBy("tok").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    sc = (
+        f.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        sc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "tfidf", "rk")
     )
