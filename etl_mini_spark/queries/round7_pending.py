@@ -42,6 +42,9 @@ single-pass recompute oracle.
 Batch 6: seasonal-naive forecast MAE/MAPE backtest and per-document
 TF-IDF keyword top-k (rank keys pre-rounded against libm ln() ulp
 divergence).
+
+Batch 7: leakage-safe train/test split (near-dup clusters as the split
+unit; self-auditing zero cross-split duplicate pairs).
 """
 
 from etl_mini_spark.operators import text as TX
@@ -1390,4 +1393,101 @@ def doc_keywords_tfidf_topk(spark, sf_dir):
         sc.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "tok", "tf", "tfidf", "rk")
+    )
+
+
+# --- leakage-safe (decontaminated) train/test split ------------------------
+# Near-dup CLUSTERS, not documents, are the split unit: hashing doc_ids
+# puts near-copies of the same text on both sides of the split (train/
+# eval leakage); hashing the cluster representative cannot. The output
+# carries its own audit — cross_split_pairs counts near-dup pairs whose
+# endpoints landed in different splits, and must be 0 by construction.
+_LEAKFREE_SQL = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w) - 1)]) AS shingles
+       FROM toks),
+pairs AS (
+  SELECT d1, d2 FROM (
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach(node, lbl) AS (
+    SELECT a, a FROM edges
+  UNION
+    SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node AS doc_id, min(lbl) AS rep FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(COALESCE(c.rep, d.doc_id) AS VARCHAR)
+                                               || ':split'), 1, 15)) AS BIGINT)
+                   % 100000 < 80000
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+xp AS (SELECT count(*) AS cross_split_pairs
+       FROM pairs JOIN assigned s1 ON s1.doc_id = pairs.d1
+                  JOIN assigned s2 ON s2.doc_id = pairs.d2
+       WHERE s1.split <> s2.split)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+       CAST(cross_split_pairs AS BIGINT) AS cross_split_pairs
+FROM assigned CROSS JOIN xp
+GROUP BY split, cross_split_pairs
+"""
+
+
+@pq("split_leakage_safe", _LEAKFREE_SQL)
+def split_leakage_safe(spark, sf_dir):
+    """Decontaminated train/test split — the step most pipelines get
+    wrong: hash-splitting DOCUMENTS puts near-duplicates of one text on
+    both sides (train/eval leakage); here the split key is each doc's
+    near-dup CLUSTER representative (ngram-Jaccard ≥ 0.8 pairs →
+    large/small-star connected components; singletons represent
+    themselves), so a whole duplicate family always lands together.
+    The result audits itself: cross_split_pairs joins every near-dup
+    pair against its endpoints' splits and is 0 BY CONSTRUCTION — the
+    oracle (recursive-CTE closure + the same hash rule) must agree on
+    counts AND on the zero. Composition of three existing tiers (LSH-
+    free exact pair join, star CC, deterministic hash split); at 100 TB
+    the extra cost over a naive split is the dedup pass the pipeline
+    runs anyway."""
+    from etl_mini_spark.operators.dedup import (
+        connected_components_star,
+        near_dup_pairs_ngram_jaccard,
+    )
+    from etl_mini_spark.operators.sampling import split_assign
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_ngram_jaccard(d, "doc_id", "text")
+    comp = connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("rep0")
+    )
+    assigned = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("rep", F.coalesce("rep0", "doc_id"))
+    )
+    assigned = split_assign(assigned, "rep", {"train": 0.8, "test": 0.2}, salt="split")
+    p = pairs.select(F.col("d1").alias("doc_id"), F.col("d2"))
+    s1 = assigned.select("doc_id", F.col("split").alias("sp1"))
+    s2 = assigned.select(F.col("doc_id").alias("d2"), F.col("split").alias("sp2"))
+    xp = (
+        p.join(s1, "doc_id")
+        .join(s2, "d2")
+        .filter(F.col("sp1") != F.col("sp2"))
+        .agg(F.count("*").alias("cross_split_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(xp))
+        .select("split", "n_docs", "n_clusters", "cross_split_pairs")
     )

@@ -208,3 +208,21 @@ def test_basket_rules_lift_is_symmetric_support_directed_confidence(spark):
         rows[(a, b)]["confidence"] != rows[(b, a)]["confidence"]
         for (a, b) in rows if (b, a) in rows
     )
+
+
+def test_leakage_safe_split_nonvacuous_and_clean(spark):
+    """The split audit only means something if near-dup pairs EXIST at
+    this SF (otherwise cross_split_pairs == 0 vacuously) and both
+    splits are populated."""
+    from etl_mini_spark.queries._base import _t
+    from etl_mini_spark.operators.dedup import near_dup_pairs_ngram_jaccard
+
+    n_pairs = near_dup_pairs_ngram_jaccard(
+        _t(spark, SF_SMOKE, "documents"), "doc_id", "text"
+    ).count()
+    assert n_pairs > 0, "no near-dup pairs at smoke SF — audit is vacuous"
+
+    rows = {r["split"]: r for r in PENDING_QUERIES["split_leakage_safe"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"train", "test"}, rows
+    assert all(r["cross_split_pairs"] == 0 for r in rows.values()), rows
+    assert all(r["n_docs"] >= r["n_clusters"] for r in rows.values()), rows
