@@ -45,6 +45,10 @@ divergence).
 
 Batch 7: leakage-safe train/test split (near-dup clusters as the split
 unit; self-auditing zero cross-split duplicate pairs).
+
+Batch 8: Kaplan-Meier time-to-conversion survival (product-as-exp-sum
+window rewrite, right-censoring) and trailing-14d rolling correlation
+between event-type revenue series.
 """
 
 from etl_mini_spark.operators import text as TX
@@ -1490,4 +1494,125 @@ def split_leakage_safe(spark, sf_dir):
         )
         .crossJoin(F.broadcast(xp))
         .select("split", "n_docs", "n_clusters", "cross_split_pairs")
+    )
+
+
+# --- Kaplan-Meier survival curve -------------------------------------------
+# The KM product Π(1 − d_i/n_i) is a running PRODUCT — no engine has a
+# product window aggregate, but exp(Σ ln(1 − d/n)) is one, and every
+# input to the float math is an integer ratio. Rows where n = d (the
+# last at-risk user dies) would take ln(0); both sides stop the curve
+# there with the identical n > d guard.
+_SURVIVAL_SQL = """
+    WITH span AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+    u AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_d,
+             min(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN CAST(ts AS DATE) END) AS conv_d
+      FROM events GROUP BY 1),
+    obs AS (
+      SELECT user_id, COALESCE(conv_d, mx) - first_d AS t,
+             CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS death
+      FROM u CROSS JOIN span),
+    g AS (SELECT t, count(*) AS c, sum(death) AS d FROM obs GROUP BY 1),
+    r AS (
+      SELECT t, d,
+             sum(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS n
+      FROM g),
+    k AS (
+      SELECT t, d, n,
+             exp(sum(ln(1 - d / CAST(n AS DOUBLE)))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s
+      FROM r WHERE n > d)
+    SELECT CAST(t AS BIGINT) AS t_days, CAST(d AS BIGINT) AS deaths,
+           CAST(n AS BIGINT) AS at_risk, round(s, 6) AS survival
+    FROM k
+"""
+
+
+@pq("survival_kaplan_meier", _SURVIVAL_SQL)
+def survival_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier time-to-conversion estimator: "survival" is the
+    probability a user has NOT yet made a qualifying purchase t days
+    after their first event; users who never convert are right-CENSORED
+    at the observation end — they leave the risk set without counting
+    as conversions, the distinction naive conversion rates miss (a
+    lifetime/churn variant is the same query with last-activity in
+    place of first-purchase, but on this always-active corpus nobody
+    churns and the curve would be the vacuous constant 1). The KM running
+    product becomes exp(Σ ln(1 − d/n)) — a plain window cumsum — and
+    the at-risk count n_t is a REVERSE cumulative sum (current row to
+    unbounded following), so the whole estimator is two windows over
+    the |distinct-durations| rollup. The only data-scale stage is the
+    per-user min/max aggregation."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), F.to_date("ts")
+            )
+        ).alias("conv_d"),
+    )
+    mx = e.agg(F.max(F.to_date("ts")).alias("mx"))
+    obs = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.coalesce("conv_d", "mx"), "first_d").alias("t"),
+        F.when(F.col("conv_d").isNotNull(), 1).otherwise(0).alias("death"),
+    )
+    g = obs.groupBy("t").agg(F.count("*").alias("c"), F.sum("death").alias("d"))
+    w_rev = Window.orderBy("t").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    r = g.withColumn("n", F.sum("c").over(w_rev)).filter(F.col("n") > F.col("d"))
+    w_fwd = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    k = r.withColumn(
+        "s", F.exp(F.sum(F.log(1 - F.col("d") / F.col("n").cast("double"))).over(w_fwd))
+    )
+    return k.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("d").cast("long").alias("deaths"),
+        F.col("n").cast("long").alias("at_risk"),
+        F.round("s", 6).alias("survival"),
+    )
+
+
+# --- rolling cross-series correlation --------------------------------------
+_ROLLCORR_SQL = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click_rev,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purch_rev
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT d, click_rev, purch_rev,
+             corr(click_rev, purch_rev) OVER w AS c,
+             count(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT CAST(d AS VARCHAR) AS day, round(c, 4) AS rolling_corr
+    FROM r WHERE n = 14
+"""
+
+
+@pq("rolling_corr_click_purchase", _ROLLCORR_SQL)
+def rolling_corr_click_purchase(spark, sf_dir):
+    """Trailing-14-day Pearson correlation between the click and
+    purchase revenue series — the co-movement diagnostic behind
+    'did the campaign move purchases with clicks'. One conditional
+    pivot to an aligned (day, x, y) series (2dp-rounded so both
+    engines window identical doubles), then corr() as a frame window
+    aggregate; 4dp output absorbs one-pass-vs-two-pass covariance
+    noise. Window input is |days| rows — flat at any corpus size."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)), 2).alias("click_rev"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2).alias("purch_rev"),
+    )
+    w = Window.orderBy("d").rowsBetween(-13, Window.currentRow)
+    r = daily.select(
+        "d",
+        F.corr("click_rev", "purch_rev").over(w).alias("c"),
+        F.count("*").over(w).alias("n"),
+    ).filter(F.col("n") == 14)
+    return r.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), F.round("c", 4).alias("rolling_corr")
     )

@@ -226,3 +226,14 @@ def test_leakage_safe_split_nonvacuous_and_clean(spark):
     assert set(rows) == {"train", "test"}, rows
     assert all(r["cross_split_pairs"] == 0 for r in rows.values()), rows
     assert all(r["n_docs"] >= r["n_clusters"] for r in rows.values()), rows
+
+
+def test_kaplan_meier_curve_actually_drops(spark):
+    """Deaths (conversions) AND censoring must both exist, and the
+    survival curve must strictly decrease somewhere — a constant-1
+    curve means the estimator never saw an event."""
+    rows = PENDING_QUERIES["survival_kaplan_meier"](spark, SF_SMOKE).orderBy("t_days").collect()
+    assert rows
+    assert any(r["deaths"] > 0 for r in rows)
+    assert rows[-1]["survival"] < 1.0
+    assert sum(r["deaths"] for r in rows) < rows[0]["at_risk"], "nobody censored"
