@@ -213,19 +213,16 @@ def test_basket_rules_lift_is_symmetric_support_directed_confidence(spark):
 def test_leakage_safe_split_nonvacuous_and_clean(spark):
     """The split audit only means something if near-dup pairs EXIST at
     this SF (otherwise cross_split_pairs == 0 vacuously) and both
-    splits are populated."""
-    from etl_mini_spark.queries._base import _t
-    from etl_mini_spark.operators.dedup import near_dup_pairs_ngram_jaccard
-
-    n_pairs = near_dup_pairs_ngram_jaccard(
-        _t(spark, SF_SMOKE, "documents"), "doc_id", "text"
-    ).count()
-    assert n_pairs > 0, "no near-dup pairs at smoke SF — audit is vacuous"
-
+    splits are populated. Pairs existing is implied by some split
+    holding more docs than clusters (a multi-doc cluster IS a pair) —
+    no separate pair-join job needed."""
     rows = {r["split"]: r for r in PENDING_QUERIES["split_leakage_safe"](spark, SF_SMOKE).collect()}
     assert set(rows) == {"train", "test"}, rows
     assert all(r["cross_split_pairs"] == 0 for r in rows.values()), rows
-    assert all(r["n_docs"] >= r["n_clusters"] for r in rows.values()), rows
+    assert any(r["n_docs"] > r["n_clusters"] for r in rows.values()), (
+        "every cluster is a singleton — the audit is vacuous",
+        rows,
+    )
 
 
 def test_kaplan_meier_curve_actually_drops(spark):
