@@ -47,8 +47,9 @@ Batch 7: leakage-safe train/test split (near-dup clusters as the split
 unit; self-auditing zero cross-split duplicate pairs).
 
 Batch 8: Kaplan-Meier time-to-conversion survival (product-as-exp-sum
-window rewrite, right-censoring) and trailing-14d rolling correlation
-between event-type revenue series.
+window rewrite, right-censoring), trailing-14d rolling correlation
+between event-type revenue series, and running distinct cardinality
+(first-occurrence-flag + cumsum rewrite).
 """
 
 from etl_mini_spark.operators import text as TX
@@ -1615,4 +1616,53 @@ def rolling_corr_click_purchase(spark, sf_dir):
     ).filter(F.col("n") == 14)
     return r.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"), F.round("c", 4).alias("rolling_corr")
+    )
+
+
+# --- running distinct count (first-occurrence cumsum rewrite) --------------
+# COUNT(DISTINCT) OVER (ROWS UNBOUNDED PRECEDING) is unsupported in
+# both engines; the rewrite: a row increments the running cardinality
+# iff it is the FIRST occurrence of its (user, type) — row_number()==1
+# over (user, type) — so the running distinct is a cumsum of
+# first-occurrence flags over the user's timeline.
+_RUNDISTINCT_SQL = """
+    WITH f AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events),
+    r AS (
+      SELECT user_id, event_id,
+             sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS n_types_seen
+      FROM f)
+    SELECT user_id, event_id, CAST(n_types_seen AS BIGINT) AS n_types_seen
+    FROM r
+"""
+
+
+@pq("running_distinct_types", _RUNDISTINCT_SQL)
+def running_distinct_types(spark, sf_dir):
+    """Running distinct cardinality per user timeline — 'how many
+    distinct event types has this user touched so far' at every event
+    (the engagement-breadth curve). Neither engine supports
+    COUNT(DISTINCT) OVER a running frame; the rewrite marks each row's
+    FIRST (user, type) occurrence with one window and cumsums the flags
+    with a second — two windows sharing the user_id shuffle, no
+    collect_set state that grows with cardinality. The same rewrite
+    covers any running-distinct (first-occurrence flag + cumsum), which
+    is why it's worth pinning against an oracle."""
+    e = _t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = e.withColumn(
+        "first_seen", F.when(F.row_number().over(w1) == 1, 1).otherwise(0)
+    )
+    return f.select(
+        "user_id", "event_id", F.sum("first_seen").over(w2).cast("long").alias("n_types_seen")
     )
