@@ -234,3 +234,13 @@ def test_kaplan_meier_curve_actually_drops(spark):
     assert any(r["deaths"] > 0 for r in rows)
     assert rows[-1]["survival"] < 1.0
     assert sum(r["deaths"] for r in rows) < rows[0]["at_risk"], "nobody censored"
+
+
+def test_pending_names_do_not_collide_with_registry():
+    """Round-7 promotion moves these names into the registry verbatim —
+    a collision would silently shadow an existing entry."""
+    from etl_mini_spark.queries import QUERIES
+
+    clash = set(PENDING_QUERIES) & set(QUERIES)
+    assert not clash, clash
+    assert set(PENDING_ORACLE) == set(PENDING_QUERIES)
