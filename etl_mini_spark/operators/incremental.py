@@ -89,3 +89,59 @@ def finalize_agg_state(state: DataFrame, keys: list[str]) -> DataFrame:
         (s / n).alias("vavg"),
         F.sqrt(var).alias("vstddev"),
     )
+
+
+def agg_state_welford(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Numerically-robust variant of :func:`agg_state` for extreme
+    dynamic range: per-key (n, mean, M2) where M2 = Σ(x − mean)² —
+    Welford's accumulator, which never forms the catastrophically
+    cancelling ss − s²/n difference."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        F.avg(v).alias("mean"),
+        # Spark's var_samp is itself a stable one-pass; M2 = var·(n−1)
+        F.coalesce(F.var_samp(v) * (F.count(v) - 1), F.lit(0.0)).alias("m2"),
+    )
+
+
+def merge_agg_state_welford(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Chan et al. (1979) pairwise merge of (n, mean, M2) states:
+
+        n   = na + nb
+        mean = (na·ma + nb·mb) / n
+        M2  = M2a + M2b + (mb − ma)² · na·nb / n
+
+    Associative up to float rounding; no ss − s²/n cancellation at any
+    magnitude. The pile form uses the DELTA-from-global-mean identity
+    M2_tot = Σ M2_i + Σ n_i·(mean_i − mean_tot)²: means are subtracted
+    BEFORE squaring, so nothing of magnitude mean² is ever formed.
+    (The algebraically equal Σ n·mean² − (Σ n·mean)²/N re-creates the
+    naive cancellation one level up — measured NEGATIVE M2 on a 1e9-
+    offset series — which is why this takes two passes over the
+    |keys|-sized state instead of one.)"""
+    pile = a.unionByName(b)
+    n, mean = F.col("n"), F.col("mean")
+    tot = pile.groupBy(*keys).agg(
+        F.sum(n).alias("__tn"), (F.sum(n * mean) / F.sum(n)).alias("__tmean")
+    )
+    d = mean - F.col("__tmean")
+    return (
+        pile.join(tot, keys)
+        .groupBy(*keys)
+        .agg(
+            F.first("__tn").alias("n"),
+            F.first("__tmean").alias("mean"),
+            (F.sum("m2") + F.sum(n * d * d)).alias("m2"),
+        )
+    )
+
+
+def finalize_agg_state_welford(state: DataFrame, keys: list[str]) -> DataFrame:
+    n = F.col("n")
+    return state.select(
+        *keys,
+        n.alias("cnt"),
+        F.col("mean").alias("vavg"),
+        F.sqrt(F.when(n > 1, F.col("m2") / (n - 1))).alias("vstddev"),
+    )

@@ -49,7 +49,8 @@ unit; self-auditing zero cross-split duplicate pairs).
 Batch 8: Kaplan-Meier time-to-conversion survival (product-as-exp-sum
 window rewrite, right-censoring), trailing-14d rolling correlation
 between event-type revenue series, and running distinct cardinality
-(first-occurrence-flag + cumsum rewrite).
+(first-occurrence-flag + cumsum rewrite), plus exact daily P10/50/90
+value bands.
 """
 
 from etl_mini_spark.operators import text as TX
@@ -1665,4 +1666,41 @@ def running_distinct_types(spark, sf_dir):
     )
     return f.select(
         "user_id", "event_id", F.sum("first_seen").over(w2).cast("long").alias("n_types_seen")
+    )
+
+
+# --- daily percentile bands ------------------------------------------------
+# EXACT continuous percentiles (Spark `percentile`, DuckDB
+# `quantile_cont` — same sorted-interpolation definition) per day, so
+# the band series is deterministic; approx sketches are already covered
+# by approx_quantile_sketch / agg_percentiles.
+_BANDS_SQL = """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           round(quantile_cont(value, 0.1), 6) AS p10,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY 1
+"""
+
+
+@pq("daily_value_bands", _BANDS_SQL)
+def daily_value_bands(spark, sf_dir):
+    """P10/P50/P90 bands of event value per day — the spread-over-time
+    view (SLO dashboards, drift monitoring) that single whole-table
+    percentiles (agg_percentiles) can't show. Exact continuous
+    percentiles: both engines implement the same sorted-linear-
+    interpolation definition, so values hash-match without a sketch
+    tolerance. Per-day groups bound the sort: state is one day's
+    values, not the table — and at 100 TB the day key carries the
+    partial aggregation; a t-digest swap-in is the documented path if
+    single days outgrow memory."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.round(F.expr("percentile(value, 0.1)"), 6).alias("p10"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "p10", "p50", "p90")
     )

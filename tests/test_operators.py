@@ -863,3 +863,36 @@ def test_incremental_state_merge_is_order_insensitive(spark):
 
     direct = snap(agg_state(df, ["k"], "v"))
     assert snap(ab) == snap(ba) == direct
+
+
+def test_welford_state_merge_matches_direct_variance(spark):
+    """Chan-merged (n, mean, M2) state across slices must reproduce the
+    direct var_samp/avg — including on a HIGH-OFFSET series where the
+    naive ss − s²/n identity visibly degrades (values ~1e9 with unit
+    spread: ss ~1e18·n, var ~1; naive loses ~8 significant digits)."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.incremental import (
+        agg_state_welford,
+        finalize_agg_state_welford,
+        merge_agg_state_welford,
+    )
+
+    base = 1.0e9
+    rows = [("k", base + (i % 7) * 0.25) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    parts = [
+        agg_state_welford(df.limit(100), ["k"], "v"),
+        agg_state_welford(df.offset(100).limit(250), ["k"], "v"),
+        agg_state_welford(df.offset(350), ["k"], "v"),
+    ]
+    merged = merge_agg_state_welford(
+        parts[0], merge_agg_state_welford(parts[1], parts[2], ["k"]), ["k"]
+    )
+    got = finalize_agg_state_welford(merged, ["k"]).collect()[0]
+    want = df.agg(
+        F.count("v").alias("cnt"), F.avg("v").alias("vavg"), F.stddev_samp("v").alias("sd")
+    ).collect()[0]
+    assert got["cnt"] == want["cnt"]
+    assert abs(got["vavg"] - want["vavg"]) < 1e-3
+    assert abs(got["vstddev"] - want["sd"]) / want["sd"] < 1e-6, (got["vstddev"], want["sd"])
