@@ -235,3 +235,65 @@ def test_budget_cap_equivalence_randomized(spark, rows, budget):
     w = Window.partitionBy("g").orderBy(h, "k").rowsBetween(Window.unboundedPreceding, 0)
     want = sorted(df.withColumn("cum", F.sum("wt").over(w)).filter(F.col("cum") <= budget).collect())
     assert got == want
+
+
+@given(
+    target=st.lists(st.tuples(_keys, _vals, _vals), min_size=0, max_size=12),
+    source=st.lists(
+        st.tuples(_keys, st.one_of(st.none(), _vals), st.one_of(st.none(), _vals)),
+        min_size=0,
+        max_size=12,
+    ),
+    action=st.sampled_from(["update", "nothing"]),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_partial_columns_and_explicit_null(spark, target, source, action):
+    """merge_upsert with update_columns=['a'] vs a dict reference:
+    colliding rows take source 'a' EVEN WHEN IT IS NULL (the excluded.col
+    contract) while keeping target 'b'; 'nothing' keeps target rows
+    untouched; unmatched source rows append whole."""
+    from etl_mini_spark.operators.upsert import merge_upsert
+
+    tgt = {k: (a, b) for k, a, b in target}   # key-deduped, last wins
+    src = {k: (a, b) for k, a, b in source}
+    if not tgt or not src:
+        return
+
+    want = dict(tgt)
+    for k, (a, b) in src.items():
+        if k in want:
+            if action == "update":
+                want[k] = (a, want[k][1])   # src a (even None), tgt b kept
+        else:
+            want[k] = (a, b)
+
+    t = spark.createDataFrame([(k, a, b) for k, (a, b) in tgt.items()], "k int, a int, b int")
+    s = spark.createDataFrame([(k, a, b) for k, (a, b) in src.items()], "k int, a int, b int")
+    out = merge_upsert(t, s, ["k"], update_columns=["a"], conflict_action=action)
+    got = {r["k"]: (r["a"], r["b"]) for r in out.collect()}
+    assert got == want
+
+
+@given(
+    rows=st.lists(st.tuples(_keys, _times, st.integers(0, 1000)), min_size=0, max_size=25),
+)
+@settings(**SETTINGS)
+def test_ordered_dedup_matches_pandas_keep_first(spark, rows):
+    """ordered_dedup ≡ pandas sort_values + drop_duplicates(keep='first')
+    under the same (t, uid) total order — including all-duplicate keys,
+    ties on t (broken by uid), and empty input."""
+    from etl_mini_spark.operators.dedup import ordered_dedup
+
+    dd = pd.DataFrame(rows, columns=["k", "t", "v"])
+    dd["uid"] = range(len(dd))
+    if dd.empty:
+        return
+    want = (
+        dd.sort_values(["t", "uid"], kind="mergesort")
+        .drop_duplicates("k", keep="first")
+        .set_index("k")["uid"]
+        .to_dict()
+    )
+    df = spark.createDataFrame(dd)
+    got = {r["k"]: r["uid"] for r in ordered_dedup(df, ["k"], ["t", "uid"]).collect()}
+    assert got == want
