@@ -1704,3 +1704,51 @@ def daily_value_bands(spark, sf_dir):
         )
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "p10", "p50", "p90")
     )
+
+
+# --- time since last qualifying event --------------------------------------
+_SINCE_SQL = """
+    WITH m AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_p
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(CASE WHEN last_p IS NOT NULL
+                     THEN epoch_us(ts) - epoch_us(last_p) END AS BIGINT)
+             AS usec_since_purchase
+    FROM m WHERE event_type = 'click'
+"""
+# microseconds, not seconds: DuckDB's date_diff('second') counts
+# BOUNDARY CROSSINGS (0.9s→1.1s = 1), Spark's subtraction measures
+# elapsed time — µs epoch differences are the same exact integer in
+# both engines.
+
+
+@pq("time_since_last_purchase", _SINCE_SQL)
+def time_since_last_purchase(spark, sf_dir):
+    """Recency feature: for every click, seconds since the user's most
+    recent STRICTLY EARLIER purchase, in exact microseconds (NULL
+    before the first one) — the
+    per-event recency column behind RFM-style realtime features and
+    'time since last X' alerting. A running conditional MAX over the
+    user timeline (frame ends at 1 PRECEDING, so a click and purchase
+    sharing a timestamp can't see each other) — one window on the
+    user_id shuffle, no self-join, no as-of join needed because the
+    probe and reference streams are the same table."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = e.withColumn(
+        "last_p",
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w),
+    ).filter(F.col("event_type") == "click")
+    return m.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros("last_p")).cast("long").alias("usec_since_purchase"),
+    )

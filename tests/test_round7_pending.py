@@ -137,12 +137,13 @@ def test_budget_cap_matches_naive_window(spark):
     rows = [(g, i, (i * 7 + gi) % 23 + 1) for gi, g in enumerate(("x", "y", "z")) for i in range(200)]
     df = spark.createDataFrame(rows, ["grp", "k", "wt"])
     got = budget_cap(df, ["grp"], "wt", 300, "k", salt="t", cum_col="cum")
+    got_naive = budget_cap(df, ["grp"], "wt", 300, "k", salt="t", cum_col="cum", sharded=False)
 
     h = F.md5(F.concat_ws(":", F.col("k").cast("string"), F.lit("t")))
     w = Window.partitionBy("grp").orderBy(h, "k").rowsBetween(Window.unboundedPreceding, 0)
     want = df.withColumn("cum", F.sum("wt").over(w)).filter(F.col("cum") <= 300)
 
-    assert sorted(got.collect()) == sorted(want.collect())
+    assert sorted(got.collect()) == sorted(want.collect()) == sorted(got_naive.collect())
     assert 0 < got.count() < df.count()
 
 
