@@ -49,8 +49,9 @@ unit; self-auditing zero cross-split duplicate pairs).
 Batch 8: Kaplan-Meier time-to-conversion survival (product-as-exp-sum
 window rewrite, right-censoring), trailing-14d rolling correlation
 between event-type revenue series, and running distinct cardinality
-(first-occurrence-flag + cumsum rewrite), plus exact daily P10/50/90
-value bands.
+(first-occurrence-flag + cumsum rewrite), exact daily P10/50/90
+value bands, and per-event purchase recency (running conditional max,
+exact µs).
 """
 
 from etl_mini_spark.operators import text as TX
