@@ -52,6 +52,9 @@ between event-type revenue series, and running distinct cardinality
 (first-occurrence-flag + cumsum rewrite), exact daily P10/50/90
 value bands, and per-event purchase recency (running conditional max,
 exact µs).
+
+Batch 9: deadline-constrained funnel (per-step timeouts) and the
+Pareto/Lorenz revenue-concentration curve.
 """
 
 from etl_mini_spark.operators import text as TX
@@ -1752,4 +1755,125 @@ def time_since_last_purchase(spark, sf_dir):
         "user_id",
         "event_id",
         (F.unix_micros("ts") - F.unix_micros("last_p")).cast("long").alias("usec_since_purchase"),
+    )
+
+
+# --- funnel with per-step timeouts -----------------------------------------
+_FUNNEL_TO_SQL = """
+    WITH a AS (SELECT user_id, min(ts) AS a FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    b AS (SELECT e.user_id, min(e.ts) AS b
+          FROM events e JOIN a USING (user_id)
+          WHERE e.event_type = 'click'
+            AND e.ts >= a.a AND e.ts <= a.a + INTERVAL 6 HOUR
+          GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS c
+          FROM events e JOIN b USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND e.ts >= b.b AND e.ts <= b.b + INTERVAL 48 HOUR
+          GROUP BY 1)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_click_6h,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_purchase_48h,
+           round((SELECT count(*) FROM b) / CAST((SELECT count(*) FROM a) AS DOUBLE), 6)
+             AS r_click,
+           round((SELECT count(*) FROM c) / CAST((SELECT count(*) FROM b) AS DOUBLE), 6)
+             AS r_purchase
+"""
+
+
+@pq("funnel_with_timeouts", _FUNNEL_TO_SQL)
+def funnel_with_timeouts(spark, sf_dir):
+    """Funnel with PER-STEP TIMEOUTS: first view → first click within
+    6 hours of it → first purchase within 48 hours of that
+    (deadlines sized so every step is populated at verification SFs) —
+    funnel_conversion's unconstrained ordering says what eventually
+    happened; deadlines say whether the product flow actually worked.
+    Each step is a keyed aggregate joined to the previous step's
+    timestamps (the step tables shrink monotonically, so each join's
+    right side is at most |users| rows and broadcasts); timestamp
+    deadlines compare exact µs instants. Scale: three passes over
+    events, each pre-filtered by event type and joined on user_id."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("a"))
+    b = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(a), "user_id")
+        .filter((F.col("ts") >= F.col("a")) & (F.col("ts") <= F.col("a") + F.expr("INTERVAL 6 HOUR")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("b"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(b), "user_id")
+        .filter((F.col("ts") >= F.col("b")) & (F.col("ts") <= F.col("b") + F.expr("INTERVAL 48 HOUR")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c"))
+    )
+    na = a.agg(F.count("*").alias("n_view"))
+    nb = b.agg(F.count("*").alias("n_click_6h"))
+    nc = c.agg(F.count("*").alias("n_purchase_48h"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(nc)
+        .select(
+            "n_view",
+            "n_click_6h",
+            "n_purchase_48h",
+            F.round(F.col("n_click_6h") / F.col("n_view").cast("double"), 6).alias("r_click"),
+            F.round(F.col("n_purchase_48h") / F.col("n_click_6h").cast("double"), 6).alias("r_purchase"),
+        )
+    )
+
+
+# --- Pareto / Lorenz revenue concentration ---------------------------------
+# Customer revenue is rounded to 2dp BEFORE ranking: the sums are
+# order-dependent at ~1e-10, and an unrounded ORDER BY would let that
+# reshuffle ntile boundaries between engines.
+_PARETO_SQL = """
+    WITH r AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT o_custkey, rev,
+             ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      FROM r),
+    g AS (SELECT decile, count(*) AS n_customers, sum(rev) AS rev
+          FROM d GROUP BY 1),
+    t AS (SELECT sum(rev) AS total FROM g)
+    SELECT decile, CAST(n_customers AS BIGINT) AS n_customers,
+           round(rev, 2) AS revenue,
+           round(rev / total, 6) AS share,
+           round(sum(rev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) / total, 6)
+             AS cum_share
+    FROM g CROSS JOIN t
+"""
+
+
+@pq("pareto_revenue_curve", _PARETO_SQL)
+def pareto_revenue_curve(spark, sf_dir):
+    """Revenue-concentration (Pareto/Lorenz) curve: customers ranked by
+    revenue into deciles, each decile's share and cumulative share of
+    total — the 'does 20 % of the base drive 80 % of revenue' audit.
+    One customer rollup, one ntile window over |customers| rows, a
+    10-row rollup with a broadcast total. Ranking keys are 2dp-rounded
+    so order-dependent float summation can't reshuffle decile
+    boundaries between engines."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    d = r.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.col("rev").desc(), "o_custkey"))
+    )
+    g = d.groupBy("decile").agg(F.count("*").alias("n_customers"), F.sum("rev").alias("rev"))
+    t = g.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_customers",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.col("total"), 6).alias("share"),
+            F.round(F.sum("rev").over(w) / F.col("total"), 6).alias("cum_share"),
+        )
     )

@@ -245,3 +245,11 @@ def test_pending_names_do_not_collide_with_registry():
     clash = set(PENDING_QUERIES) & set(QUERIES)
     assert not clash, clash
     assert set(PENDING_ORACLE) == set(PENDING_QUERIES)
+
+
+def test_funnel_timeouts_all_steps_populated(spark):
+    """Deadlines are sized so every funnel stage fires at smoke SF and
+    strictly shrinks — a zero stage would make its deadline filter and
+    the downstream rate unexercised."""
+    r = PENDING_QUERIES["funnel_with_timeouts"](spark, SF_SMOKE).collect()[0]
+    assert r["n_view"] > r["n_click_6h"] > r["n_purchase_48h"] > 0, dict(r.asDict())
