@@ -55,6 +55,9 @@ exact µs).
 
 Batch 9: deadline-constrained funnel (per-step timeouts) and the
 Pareto/Lorenz revenue-concentration curve.
+
+Batch 10: business-day SLA distribution (ISO-weekday-pinned calendar
+arithmetic).
 """
 
 from etl_mini_spark.operators import text as TX
@@ -1876,4 +1879,61 @@ def pareto_revenue_curve(spark, sf_dir):
             F.round(F.col("rev") / F.col("total"), 6).alias("share"),
             F.round(F.sum("rev").over(w) / F.col("total"), 6).alias("cum_share"),
         )
+    )
+
+
+# --- business-day SLA distribution -----------------------------------------
+# Weekday semantics are pinned to ISO day-of-week on BOTH sides
+# (Spark weekday() 0=Mon, DuckDB isodow() 1=Mon) — Spark's dayofweek()
+# and DuckDB's dayofweek() disagree on Sunday's index, the classic
+# calendar-portability trap. The day walk is a bounded per-row array
+# (order→ship spans weeks, not years), entirely codegen'd.
+_BDAYS_SQL = """
+    WITH f AS (
+      SELECT o.o_orderkey,
+             min(l.l_shipdate) AS ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT f.o_orderkey,
+             len(list_filter(generate_series(CAST(o.o_orderdate AS DATE),
+                                             CAST(f.ship AS DATE),
+                                             INTERVAL 1 DAY),
+                             x -> isodow(x) <= 5)) AS n_bdays
+      FROM f JOIN orders o ON o.o_orderkey = f.o_orderkey)
+    SELECT CAST(n_bdays AS BIGINT) AS n_bdays,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY 1
+"""
+
+
+@pq("business_days_to_ship", _BDAYS_SQL)
+def business_days_to_ship(spark, sf_dir):
+    """Order→first-shipment SLA in BUSINESS days (weekday count over
+    the inclusive date span; rows where the synthetic ship date
+    precedes the order date are excluded, matching the oracle's
+    predicate) — calendar-aware arithmetic every warehouse needs and
+    naive datediff gets wrong. Portability pin: both engines count
+    weekdays via ISO day-of-week (Spark weekday()=0 for Monday,
+    DuckDB isodow()=1) because their respective dayofweek() functions
+    index Sunday differently. The span walk is per-row bounded array
+    math (spans are days-to-weeks), so it whole-stage-codegens; one
+    join + two aggregates otherwise."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    f = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("o_orderkey")
+        .agg(F.min("l_shipdate").alias("ship"), F.min("o_orderdate").alias("od"))
+    )
+    b = f.select(
+        F.expr(
+            "size(filter(sequence(to_date(od), to_date(ship)), x -> weekday(x) <= 4))"
+        ).alias("n_bdays")
+    )
+    return b.groupBy("n_bdays").agg(F.count("*").alias("n_orders")).select(
+        F.col("n_bdays").cast("long").alias("n_bdays"), "n_orders"
     )
