@@ -689,3 +689,30 @@ def test_tpch_suite_no_cartesian_and_keyed_joins(spark):
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in ONE_ROW_SCALAR_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_pending_tier_no_cartesian_blanket(spark):
+    """Blanket audit of EVERY pending query's physical plan: no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin only in the
+    entries whose crossJoin side is a 1-row scalar aggregate (corpus
+    size, grand totals, funnel stage counts, audit counters) — a 1-row
+    broadcast is a constant, not a quadratic join. New pending entries
+    with an unlisted nested-loop fail here before staging."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round7_pending import PENDING_QUERIES
+
+    ONE_ROW_SCALAR_OK = {
+        "basket_rules_lift",        # grand order count
+        "benford_first_digit",      # grand total
+        "doc_keywords_tfidf_topk",  # corpus size
+        "funnel_with_timeouts",     # three stage counters
+        "mixture_temperature_weights",  # global weight sum
+        "pareto_revenue_curve",     # revenue total
+        "split_leakage_safe",       # cross-split audit counter
+        "survival_kaplan_meier",    # observation-end scalar
+    }
+    for name in sorted(PENDING_QUERIES):
+        s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in ONE_ROW_SCALAR_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)

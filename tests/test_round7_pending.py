@@ -253,3 +253,12 @@ def test_funnel_timeouts_all_steps_populated(spark):
     the downstream rate unexercised."""
     r = PENDING_QUERIES["funnel_with_timeouts"](spark, SF_SMOKE).collect()[0]
     assert r["n_view"] > r["n_click_6h"] > r["n_purchase_48h"] > 0, dict(r.asDict())
+
+
+def test_every_pending_query_documents_itself():
+    """Discipline guard: each pending entry carries a real docstring
+    (semantics + scale rationale — the registry convention) and a
+    non-trivial oracle."""
+    for name, fn in PENDING_QUERIES.items():
+        assert fn.__doc__ and len(fn.__doc__) > 120, name
+        assert len(PENDING_ORACLE[name].strip()) > 40, name
