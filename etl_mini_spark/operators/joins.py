@@ -31,6 +31,7 @@ def asof_join(
     suffix: str = "_right",
     bucket_seconds: int | None = None,
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right_time <= left_time (or < if not allow_exact) in the same key
@@ -56,6 +57,14 @@ def asof_join(
     earlier buckets — supplies the match for left rows that precede
     their bucket's first right row. Result is row-identical to the
     unbucketed path; a hot key now spans history/bucket_seconds tasks.
+
+    ``tolerance_seconds``: optional max staleness (pandas
+    ``merge_asof(tolerance=...)``): a match farther than this from the
+    left time is nulled out — enrichment beyond the staleness bound is
+    usually WORSE than no enrichment (a quote from last week is not a
+    price). Applied as a post-filter on the carried match's own
+    timestamp, so it composes with both the plain and bucketed paths
+    unchanged. Timestamp time columns only.
     """
     import pyspark.sql.types as T
 
@@ -72,8 +81,14 @@ def asof_join(
     # KEYS, by contrast, group together null-safely (window partitionBy
     # semantics, like groupBy) — documented divergence from an equi-join
     # oracle; drop NULL-key rows first if SQL equality is wanted.
+    # payload carries the matched right TIME alongside the columns so a
+    # tolerance bound can inspect it after the carry
     r_payload = F.when(
-        F.col(right_time).isNotNull(), F.struct(*[F.col(c) for c in right_cols])
+        F.col(right_time).isNotNull(),
+        F.struct(
+            F.col(right_time).alias("__mt"),
+            F.struct(*[F.col(c) for c in right_cols]).alias("__p"),
+        ),
     ).alias("__r")
     l_payload = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
     l_type = T.StructType([left.schema[c] for c in left.columns])
@@ -178,12 +193,18 @@ def asof_join(
     out = matched.filter(F.col("__l").isNotNull()).withColumn(
         "__match", F.when(F.col("__t").isNotNull(), F.col("__match"))
     )
+    if tolerance_seconds is not None:
+        tol_us = int(round(tolerance_seconds * 1_000_000))
+        gap = F.unix_micros("__t") - F.unix_micros(F.col("__match").getField("__mt"))
+        if not back:
+            gap = -gap
+        out = out.withColumn("__match", F.when(gap <= F.lit(tol_us), F.col("__match")))
 
     left_names = set(left.columns)
     proj = [F.col("__l").getField(c).alias(c) for c in left.columns]
     for c in right_cols:
         name = c + suffix if c in left_names else c
-        proj.append(F.col("__match").getField(c).alias(name))
+        proj.append(F.col("__match").getField("__p").getField(c).alias(name))
     return out.select(*proj)
 
 
