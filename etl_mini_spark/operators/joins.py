@@ -37,10 +37,14 @@ def asof_join(
     right_time <= left_time (or < if not allow_exact) in the same key
     group; nulls where no match (left-join semantics).
     ``direction="forward"`` flips the search: the EARLIEST right row
-    with right_time >= left_time (or > if not allow_exact) — the other
-    half of the pandas ``merge_asof`` direction surface, same
+    with right_time >= left_time (or > if not allow_exact) — same
     single-shuffle union-sort plan (the running carry just runs over
     the following frame instead of the preceding one).
+    ``direction="nearest"`` picks whichever side is closer in time
+    (ties go backward, like pandas): still ONE sort — the backward and
+    forward carries are two frame passes over the same window
+    partitioning, and a µs gap comparison picks the winner. Completes
+    the pandas ``merge_asof`` direction surface.
 
     ``tiebreak``: right column ordering ties on right_time (ascending;
     backward takes the LAST one, forward the FIRST) — supply a unique
@@ -68,9 +72,17 @@ def asof_join(
     """
     import pyspark.sql.types as T
 
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    back = direction == "backward"
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if direction == "nearest":
+        if not allow_exact:
+            raise NotImplementedError("direction='nearest' requires allow_exact=True")
+        if bucket_seconds is not None:
+            raise NotImplementedError(
+                "direction='nearest' does not compose with bucket_seconds yet"
+            )
+    nearest = direction == "nearest"
+    back = direction != "forward"
     right_cols = right_cols or [c for c in right.columns if c not in on]
     key_cols = list(on)
 
@@ -117,6 +129,9 @@ def asof_join(
     # after otherwise. Forward frame is [current, following): exactly
     # the mirror.
     right_sorts_first = (back and allow_exact) or (not back and not allow_exact)
+    # nearest ⇒ back=True, allow_exact=True ⇒ rights-first: an
+    # equal-time right lands in the BACKWARD frame with gap 0 and wins
+    # the distance comparison, so the forward frame missing it is moot.
     if not right_sorts_first:
         l = l.withColumn("__tag", F.lit(0))
         r = r.withColumn("__tag", F.lit(1))
@@ -125,13 +140,30 @@ def asof_join(
 
     if bucket_seconds is None:
         w = Window.partitionBy(*key_cols).orderBy("__t", "__tag", "__tb")
-        if back:
+        if nearest:
+            # ONE sort, two frame passes: the closer candidate (by µs
+            # gap to the left time) wins; ties go backward, matching
+            # pandas merge_asof(direction="nearest").
+            wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            bk = F.last("__r", ignorenulls=True).over(wb)
+            fw = F.first("__r", ignorenulls=True).over(wf)
+            matched = unioned.withColumn("__bk", bk).withColumn("__fw", fw)
+            bgap = F.unix_micros("__t") - F.unix_micros(F.col("__bk").getField("__mt"))
+            fgap = F.unix_micros(F.col("__fw").getField("__mt")) - F.unix_micros("__t")
+            matched = matched.withColumn(
+                "__match",
+                F.when(F.col("__bk").isNull(), F.col("__fw"))
+                .when(F.col("__fw").isNull(), F.col("__bk"))
+                .when(fgap < bgap, F.col("__fw"))
+                .otherwise(F.col("__bk")),
+            ).drop("__bk", "__fw")
+        elif back:
             w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            carry_fn = F.last("__r", ignorenulls=True)
+            matched = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
         else:
             w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-            carry_fn = F.first("__r", ignorenulls=True)
-        matched = unioned.withColumn("__match", carry_fn.over(w))
+            matched = unioned.withColumn("__match", F.first("__r", ignorenulls=True).over(w))
     else:
         unioned = unioned.withColumn(
             "__bucket", F.floor(F.unix_micros("__t") / F.lit(bucket_seconds * 1_000_000))
@@ -196,7 +228,9 @@ def asof_join(
     if tolerance_seconds is not None:
         tol_us = int(round(tolerance_seconds * 1_000_000))
         gap = F.unix_micros("__t") - F.unix_micros(F.col("__match").getField("__mt"))
-        if not back:
+        if nearest:
+            gap = F.abs(gap)
+        elif not back:
             gap = -gap
         out = out.withColumn("__match", F.when(gap <= F.lit(tol_us), F.col("__match")))
 

@@ -340,3 +340,42 @@ def test_asof_tolerance_matches_pandas(spark, left, right, tol, direction):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    left=st.lists(st.tuples(_keys, _times), min_size=1, max_size=15),
+    right=st.lists(st.tuples(_keys, _times, _vals), min_size=1, max_size=15),
+)
+@settings(**SETTINGS)
+def test_asof_nearest_matches_pandas(spark, left, right):
+    """asof_join(direction='nearest') ≡ pandas.merge_asof nearest —
+    closer side wins, exact matches and backward ties included."""
+    import pandas as _pd
+
+    from etl_mini_spark.operators.joins import asof_join
+
+    rd = pd.DataFrame(right, columns=["k", "rt", "rv"]).drop_duplicates(["k", "rt"])
+    ld = pd.DataFrame(left, columns=["k", "t"])
+    ld["lid"] = range(len(ld))
+    ldt = ld.assign(t=_pd.to_datetime(ld["t"], unit="s")).sort_values("t")
+    rdt = rd.assign(rt=_pd.to_datetime(rd["rt"], unit="s")).sort_values("rt")
+    want = {
+        r["lid"]: None if _pd.isna(r["rv"]) else int(r["rv"])
+        for _, r in _pd.merge_asof(
+            ldt, rdt, left_on="t", right_on="rt", by="k", direction="nearest"
+        ).iterrows()
+    }
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            spark.createDataFrame(ldt),
+            spark.createDataFrame(rdt),
+            on=["k"],
+            left_time="t",
+            right_time="rt",
+            right_cols=["rv"],
+            tiebreak="rv",
+            direction="nearest",
+        ).collect()
+    }
+    assert got == want
