@@ -58,6 +58,9 @@ Pareto/Lorenz revenue-concentration curve.
 
 Batch 10: business-day SLA distribution (ISO-weekday-pinned calendar
 arithmetic).
+
+Batch 11: as-of join tolerance (staleness bound) and nearest
+direction — the rest of the pandas merge_asof surface.
 """
 
 from etl_mini_spark.operators import text as TX
@@ -1937,3 +1940,88 @@ def business_days_to_ship(spark, sf_dir):
     return b.groupBy("n_bdays").agg(F.count("*").alias("n_orders")).select(
         F.col("n_bdays").cast("long").alias("n_bdays"), "n_orders"
     )
+
+
+# --- as-of join: staleness tolerance and nearest direction -----------------
+_ASOF_TOL_SQL = """
+    SELECT event_id, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+       AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+    ) WHERE rn = 1
+"""
+
+
+@pq("join_asof_tolerance", _ASOF_TOL_SQL)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a 7-day staleness bound
+    (asof_join(tolerance_seconds=...), the pandas merge_asof
+    ``tolerance`` contract): the latest at-or-before order is DROPPED
+    when older than a week — stale enrichment is usually worse than
+    none. Same single-shuffle union-sort plan as join_asof_last_order;
+    the bound is a post-carry filter on the match's own timestamp. The
+    oracle applies the same bound inside its quadratic join+rank
+    plan."""
+    from etl_mini_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    res = asof_join(
+        e.withColumnRenamed("user_id", "o_custkey"),
+        o,
+        on=["o_custkey"],
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+        tolerance_seconds=7 * 86400,
+    )
+    return res.select("event_id", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+_ASOF_NEAR_SQL = """
+    SELECT event_id, o_orderkey
+    FROM (
+      SELECT e.event_id, o.o_orderkey,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)),
+                        (o.o_orderdate > e.ts),
+                        CASE WHEN o.o_orderdate > e.ts
+                             THEN o.o_orderkey ELSE -o.o_orderkey END) AS rn
+      FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey
+    ) WHERE rn = 1
+"""
+
+
+@pq("join_asof_nearest", _ASOF_NEAR_SQL)
+def join_asof_nearest(spark, sf_dir):
+    """As-of join, direction='nearest': each event takes whichever
+    order is closest in time on EITHER side, ties going backward (the
+    pandas merge_asof nearest contract). Among equal-time candidates
+    the backward leg takes the MAX tiebreak (last in sort order) while
+    the forward leg takes the MIN (first) — the oracle mirrors that
+    exactly with a signed-key CASE, because day-granular order dates
+    make same-date collisions common. One union-sort shuffle; the backward
+    and forward carries are two frame passes over the same window
+    partitioning. The oracle ranks the full quadratic join by absolute
+    µs distance with a backward-preference tiebreak."""
+    from etl_mini_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    res = asof_join(
+        e.withColumnRenamed("user_id", "o_custkey"),
+        o,
+        on=["o_custkey"],
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey"],
+        tiebreak="o_orderkey",
+        direction="nearest",
+    )
+    return res.select("event_id", "o_orderkey")
