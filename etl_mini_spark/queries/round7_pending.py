@@ -61,6 +61,10 @@ arithmetic).
 
 Batch 11: as-of join tolerance (staleness bound) and nearest
 direction — the rest of the pandas merge_asof surface.
+
+Batch 12: the end-to-end corpus curation pipeline (quality → exact
+dedup → near-dup canonical pick → budget cap → split as one pinned
+composition).
 """
 
 from etl_mini_spark.operators import text as TX
@@ -2025,3 +2029,106 @@ def join_asof_nearest(spark, sf_dir):
         direction="nearest",
     )
     return res.select("event_id", "o_orderkey")
+
+
+# --- end-to-end corpus curation pipeline -----------------------------------
+# The capstone COMPOSITION: quality gate → exact dedup → near-dup
+# canonical pick → per-language token budget → leakage-free split, as
+# one lazy plan. Every stage is an already-proven operator; the oracle
+# replays the identical five-stage spec in SQL (recursive CTE for the
+# cluster closure), so the whole chain — including stage ORDER — is
+# differentially pinned, not just the pieces.
+_CURATION_SQL = """
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, lang, text,
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens
+  FROM documents),
+q AS (SELECT * FROM base WHERE n_tokens BETWEEN 25 AND 115),
+ex AS (SELECT min(doc_id) AS keep_id
+       FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+s1 AS (SELECT q.* FROM q JOIN ex ON q.doc_id = ex.keep_id),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM s1),
+sh AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w) - 1)]) AS shingles
+       FROM toks),
+pairs AS (
+  SELECT d1, d2 FROM (
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach(node, lbl) AS (
+    SELECT a, a FROM edges
+  UNION
+    SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node AS doc_id, min(lbl) AS rep FROM reach GROUP BY 1),
+canon AS (SELECT s1.* FROM s1 LEFT JOIN comp USING (doc_id)
+          WHERE comp.doc_id IS NULL OR comp.rep = s1.doc_id),
+cum AS (SELECT lang, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'), doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM canon),
+kept AS (SELECT * FROM cum WHERE cum_tokens <= 2500),
+sp AS (SELECT *,
+              CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15))
+                        AS BIGINT) % 100000 < 80000
+                   THEN 'train' ELSE 'test' END AS split
+       FROM kept)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM sp GROUP BY 1, 2
+"""
+
+
+@pq("corpus_curation_pipeline", _CURATION_SQL)
+def corpus_curation_pipeline(spark, sf_dir):
+    """END-TO-END corpus curation — the composed five-stage pipeline a
+    training-data team actually runs, as ONE lazy Catalyst plan:
+    (1) token-count quality gate (25-115), (2) exact dedup (min doc_id
+    per normalized-text md5), (3) near-dup canonical pick (3-gram
+    Jaccard ≥ 0.8 pairs → star CC → keep cluster representatives),
+    (4) per-language 2500-token budget cap in deterministic hash order
+    (budget_cap), (5) 80/20 hash split; reported as per-(split, lang)
+    doc and token counts. Stage ORDER is part of the spec — dedup
+    before budgeting (duplicates mustn't consume budget), budgeting
+    before splitting — and the oracle replays the same order, so the
+    composition is pinned, not just the operators. (This corpus plants
+    NEAR-dups but no byte-identical copies, so the exact-dedup stage
+    passes everything through here — its filtering behavior is
+    exercised by dedup_exact_docs' own fixtures; the quality, near-dup,
+    and budget stages each drop rows at every SF, pinned in tests.) Scale: the stages
+    are the proven shapes (hash-agg dedup, bucketed pair join, O(log n)
+    CC, sharded prefix sum, narrow hash split); Catalyst fuses the
+    narrow stages and reuses the lang shuffle."""
+    from etl_mini_spark.operators.dedup import (
+        connected_components_star,
+        exact_dedup,
+        near_dup_pairs_ngram_jaccard,
+    )
+    from etl_mini_spark.operators.sampling import budget_cap, split_assign
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    base = d.select("doc_id", "lang", "text", F.size(toks).alias("n_tokens"))
+    q = base.filter(F.col("n_tokens").between(25, 115))
+    keep = exact_dedup(q, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
+    s1 = q.join(keep, "doc_id")
+    pairs = near_dup_pairs_ngram_jaccard(s1, "doc_id", "text")
+    comp = connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("rep")
+    )
+    canon = s1.join(comp, "doc_id", "left").filter(
+        F.col("rep").isNull() | (F.col("rep") == F.col("doc_id"))
+    )
+    kept = budget_cap(
+        canon.select("lang", "doc_id", "n_tokens"),
+        ["lang"], "n_tokens", 2500, "doc_id", salt="quota", cum_col="cum_tokens",
+    )
+    sp = split_assign(kept, "doc_id", {"train": 0.8, "test": 0.2}, salt="split")
+    return sp.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
+    )

@@ -262,3 +262,27 @@ def test_every_pending_query_documents_itself():
     for name, fn in PENDING_QUERIES.items():
         assert fn.__doc__ and len(fn.__doc__) > 120, name
         assert len(PENDING_ORACLE[name].strip()) > 40, name
+
+
+def test_curation_pipeline_stages_actually_drop(spark):
+    """The composed pipeline must exercise its stages: quality gate,
+    near-dup canonical pick, and budget cap each strictly shrink the
+    corpus, and both splits appear in the output. (Exact dedup is a
+    documented pass-through — the corpus has no byte-identical
+    copies.)"""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    rows = PENDING_QUERIES["corpus_curation_pipeline"](spark, SF_SMOKE).collect()
+    assert {r["split"] for r in rows} == {"train", "test"}
+    n_final = sum(r["n_docs"] for r in rows)
+    n_base = _t(spark, SF_SMOKE, "documents").count()
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    n_quality = (
+        _t(spark, SF_SMOKE, "documents")
+        .filter(F.size(toks).between(25, 115))
+        .count()
+    )
+    assert n_quality < n_base, "quality gate dropped nothing"
+    assert 0 < n_final < n_quality, (n_final, n_quality)
