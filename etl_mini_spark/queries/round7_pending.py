@@ -64,7 +64,7 @@ direction — the rest of the pandas merge_asof surface.
 
 Batch 12: the end-to-end corpus curation pipeline (quality → exact
 dedup → near-dup canonical pick → budget cap → split as one pinned
-composition).
+composition), plus the Theil-Sen robust trend estimator.
 """
 
 from etl_mini_spark.operators import text as TX
@@ -2131,4 +2131,57 @@ def corpus_curation_pipeline(spark, sf_dir):
     sp = split_assign(kept, "doc_id", {"train": 0.8, "test": 0.2}, salt="split")
     return sp.groupBy("split", "lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
+    )
+
+
+# --- Theil-Sen robust trend ------------------------------------------------
+_THEILSEN_SQL = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) / 86400000000 AS BIGINT) AS d,
+             round(sum(value), 2) AS rev
+      FROM events GROUP BY 1, 2),
+    slopes AS (
+      SELECT a.event_type,
+             (b.rev - a.rev) / CAST(b.d - a.d AS DOUBLE) AS sl
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(sl, 0.5), 6) AS theil_sen_slope
+    FROM slopes GROUP BY 1
+"""
+
+
+@pq("trend_theil_sen", _THEILSEN_SQL)
+def trend_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes over the daily revenue series — unlike the
+    least-squares slope (agg_corr_regr's regr_slope), a third of the
+    days can be wild outliers without moving it. The pairwise explode
+    is bounded by the DAILY rollup (|days|² pairs per type, ~400 here —
+    never the raw event count), so the 'quadratic' step is constant-
+    sized at any corpus scale; day indexes are exact integers and both
+    engines share the continuous-median definition
+    (percentile ≡ quantile_cont). The naive pair join is the oracle
+    AND the implementation — at |days| scale there is nothing to
+    optimize away."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.round(F.sum("value"), 2).alias("rev"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.rev") - F.col("a.rev")) / (F.col("b.d") - F.col("a.d")).cast("double")).alias("sl"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.expr("percentile(sl, 0.5)"), 6).alias("theil_sen_slope"),
     )
