@@ -172,8 +172,20 @@ def near_dup_pairs_ngram_jaccard(
     a shuffled join-back is a shuffle this plan doesn't need. Only
     pairs sharing ≥1 shingle are ever materialized. ``max_bucket_size``
     drops degenerate ultra-common shingles (stopword-like) that would
-    create quadratic hot buckets at scale — they cannot decide a
-    high-threshold pair on their own.
+    create quadratic hot buckets at scale.
+
+    SCALE CLIFF (measured, 100k-doc zipf-head corpus): candidate mass
+    is Σ_buckets min(bn, cap)²/2 — the default cap of 10000 admitted
+    1.57 BILLION candidates (358 s); cap=100 cut that to 21M (24 s) but
+    COLLAPSED recall to 23/5000 planted pairs, because on a head-heavy
+    corpus near-identical docs share only common shingles, exactly the
+    ones the cap drops. The cap is therefore NOT a safe recall knob on
+    skewed vocabularies: use this operator where exactness is required
+    and bucket sizes are moderate (verification fixtures, deduped
+    mid-df corpora), and use ``near_dup_pairs_minhash_lsh`` at corpus
+    scale — its per-doc signature work is df-independent, and the same
+    100k corpus ran 23 s with ~complete in-band planted recall inside
+    the full curation pipeline.
     Returns (d1, d2, jaccard) with d1 < d2.
     """
     sh = _doc_shingles(df, id_col, text_col, n)
@@ -186,8 +198,16 @@ def near_dup_pairs_ngram_jaccard(
             inv.join(bucket_n.filter(F.col("bn") <= max_bucket_size), "shingle")
             .select("doc_id", "sz", "shingle")
         )
-    a = inv.alias("a")
-    b = inv.alias("b")
+    # The self-join MUST shuffle, never broadcast: the postings table is
+    # corpus-sized (|docs| × |shingles/doc| rows), but its lineage runs
+    # through a UDF explode, so Catalyst has no size estimate and will
+    # happily broadcast millions of rows (measured: the same 90k-doc
+    # input ran 8.6 s as a shuffle join and 471 s when a join upstream
+    # left stats that tipped the planner into BroadcastHashJoin). The
+    # hint pins the strategy regardless of what lineage the caller
+    # feeds in.
+    a = inv.hint("shuffle_hash").alias("a")
+    b = inv.hint("shuffle_hash").alias("b")
     # sz is functionally dependent on doc_id, so folding it into the
     # grouping key is free (same shuffle width) and avoids any post-agg
     # lookup of the sizes.
@@ -246,7 +266,10 @@ def near_dup_pairs_containment(
             .select("doc_id", "shingle")
             .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
         )
-    a, b = inv.alias("a"), inv.alias("b")
+    # shuffle-pinned for the same reason as near_dup_pairs_ngram_jaccard:
+    # UDF lineage has no size stats and a broadcast of corpus-sized
+    # postings is catastrophic.
+    a, b = inv.hint("shuffle_hash").alias("a"), inv.hint("shuffle_hash").alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
