@@ -508,10 +508,13 @@ def simhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
-    a = blocks.select(
+    # corpus-sized self-join over UDF lineage (no size stats) — pinned
+    # to shuffle for the same reason as the Jaccard postings join: a
+    # planner-chosen broadcast of the blocks table is a scale-killer.
+    a = blocks.hint("shuffle_hash").select(
         F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "blk", "val"
     )
-    b = blocks.select(
+    b = blocks.hint("shuffle_hash").select(
         F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "blk", "val"
     )
     cand = (
