@@ -65,6 +65,9 @@ direction — the rest of the pandas merge_asof surface.
 Batch 12: the end-to-end corpus curation pipeline (quality → exact
 dedup → near-dup canonical pick → budget cap → split as one pinned
 composition), plus the Theil-Sen robust trend estimator.
+
+Batch 13: FIFO lot matching (the sequential costing recursion
+linearized via cumulative-interval overlap).
 """
 
 from etl_mini_spark.operators import text as TX
@@ -2190,4 +2193,74 @@ def trend_theil_sen(spark, sf_dir):
     return slopes.groupBy("event_type").agg(
         F.count("*").alias("n_pairs"),
         F.round(F.expr("percentile(sl, 0.5)"), 6).alias("theil_sen_slope"),
+    )
+
+
+# --- FIFO lot matching (cumulative-interval overlap) -----------------------
+# The warehouse FIFO-costing recursion ("consume the oldest open supply
+# lot first") looks inherently sequential, but cumulative intervals
+# linearize it: supply lot i covers [cs_i − q_i, cs_i) of the part's
+# cumulative supply axis, demand lot j covers [cd_j − q_j, cd_j), and
+# FIFO matches lot pairs exactly where those intervals OVERLAP —
+# matched_qty = min(cs, cd) − max(cs−q, cd−q) when positive. Two window
+# cumsums + one part-keyed join replace the loop.
+_FIFO_SQL = """
+    WITH sup AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+             sum(l_quantity) OVER (PARTITION BY l_partkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS cs
+      FROM lineitem WHERE l_linestatus = 'F'),
+    dem AS (
+      SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+             sum(l_quantity) OVER (PARTITION BY l_partkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS cd
+      FROM lineitem WHERE l_linestatus = 'O'),
+    m AS (
+      SELECT s.l_partkey,
+             least(s.cs, d.cd) - greatest(s.cs - s.l_quantity, d.cd - d.l_quantity) AS mq
+      FROM sup s JOIN dem d ON s.l_partkey = d.l_partkey
+      WHERE least(s.cs, d.cd) - greatest(s.cs - s.l_quantity, d.cd - d.l_quantity) > 0)
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_matches,
+           round(sum(mq), 2) AS matched_qty
+    FROM m GROUP BY 1
+"""
+
+
+@pq("fifo_lot_matching", _FIFO_SQL)
+def fifo_lot_matching(spark, sf_dir):
+    """FIFO lot matching — inventory/cost-allocation's 'consume the
+    oldest supply first' rule, which looks like a sequential loop but
+    linearizes via CUMULATIVE INTERVALS: each lot owns a slice of its
+    part's cumulative-quantity axis, and FIFO pairs are exactly the
+    overlapping (supply, demand) slices, with matched quantity
+    min(cs, cd) − max(cs−q, cd−q). Two window cumsums (one shuffle on
+    part each) + one part-keyed equi join whose per-part pair count is
+    n_sup + n_dem − 1 (consecutive slices), NOT n_sup × n_dem — the
+    overlap predicate filters the join to the FIFO chain. 'F' lines
+    stand in as supply lots, 'O' as demand. Reported per part with the
+    total matched quantity, which must equal min(total supply, total
+    demand) — the conservation law a FIFO matcher cannot violate
+    (pinned in a test)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    sup = (
+        li.filter(F.col("l_linestatus") == "F")
+        .withColumn("cs", F.sum("l_quantity").over(w))
+        .select("l_partkey", F.col("l_quantity").alias("sq"), "cs")
+    )
+    dem = (
+        li.filter(F.col("l_linestatus") == "O")
+        .withColumn("cd", F.sum("l_quantity").over(w))
+        .select(F.col("l_partkey").alias("pk2"), F.col("l_quantity").alias("dq"), "cd")
+    )
+    mq = F.least(F.col("cs"), F.col("cd")) - F.greatest(
+        F.col("cs") - F.col("sq"), F.col("cd") - F.col("dq")
+    )
+    m = (
+        sup.join(dem, sup["l_partkey"] == dem["pk2"])
+        .withColumn("mq", mq)
+        .filter(F.col("mq") > 0)
+    )
+    return m.groupBy("l_partkey").agg(
+        F.count("*").alias("n_matches"), F.round(F.sum("mq"), 2).alias("matched_qty")
     )

@@ -286,3 +286,30 @@ def test_curation_pipeline_stages_actually_drop(spark):
     )
     assert n_quality < n_base, "quality gate dropped nothing"
     assert 0 < n_final < n_quality, (n_final, n_quality)
+
+
+def test_fifo_matching_conserves_quantity(spark):
+    """A FIFO matcher cannot create or destroy quantity: per part, the
+    matched total must equal min(total supply, total demand) exactly
+    (quantities are small integers stored as doubles — exact)."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    li = _t(spark, SF_SMOKE, "lineitem")
+    tot = (
+        li.groupBy("l_partkey")
+        .pivot("l_linestatus", ["F", "O"])
+        .sum("l_quantity")
+        .select(
+            "l_partkey",
+            F.least(F.coalesce("F", F.lit(0.0)), F.coalesce("O", F.lit(0.0))).alias("expect"),
+        )
+    )
+    got = PENDING_QUERIES["fifo_lot_matching"](spark, SF_SMOKE).select("l_partkey", "matched_qty")
+    joined = tot.join(got, "l_partkey", "left").select(
+        "l_partkey", "expect", F.coalesce("matched_qty", F.lit(0.0)).alias("got")
+    )
+    bad = joined.filter(F.abs(F.col("expect") - F.col("got")) > 1e-6).count()
+    assert bad == 0, f"{bad} parts violate FIFO conservation"
+    assert got.count() > 0
