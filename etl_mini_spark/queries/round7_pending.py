@@ -67,7 +67,8 @@ dedup → near-dup canonical pick → budget cap → split as one pinned
 composition), plus the Theil-Sen robust trend estimator.
 
 Batch 13: FIFO lot matching (the sequential costing recursion
-linearized via cumulative-interval overlap).
+linearized via cumulative-interval overlap) and linear multi-touch
+attribution (conservation-pinned fair-share credit).
 """
 
 from etl_mini_spark.operators import text as TX
@@ -2263,4 +2264,56 @@ def fifo_lot_matching(spark, sf_dir):
     )
     return m.groupBy("l_partkey").agg(
         F.count("*").alias("n_matches"), F.round(F.sum("mq"), 2).alias("matched_qty")
+    )
+
+
+# --- linear multi-touch attribution ----------------------------------------
+_MTA_SQL = """
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT c.conv_id, e.event_type,
+             count(*) OVER (PARTITION BY c.conv_id) AS n_touches
+      FROM conv c JOIN events e
+        ON e.user_id = c.user_id
+       AND e.ts < c.ts AND e.ts >= c.ts - INTERVAL 7 DAY
+       AND e.event_type IN ('view', 'click', 'signup'))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touchpoints,
+           round(sum(1.0 / n_touches), 4) AS credited_conversions
+    FROM touch GROUP BY 1
+"""
+
+
+@pq("attribution_linear_multitouch", _MTA_SQL)
+def attribution_linear_multitouch(spark, sf_dir):
+    """Linear multi-touch attribution: every marketing touch (view/
+    click/signup) in the 7 days before a purchase shares that
+    conversion's credit equally (1/n each) — the fair-share complement
+    of first_touch_attribution, and the shape where credit must SUM
+    back to the number of attributed conversions (conservation, like
+    FIFO's). Per-conversion touch windows come from one user-keyed
+    interval join (equi on user, bounded 7-day range predicate — the
+    join_range_followups shape), the per-conversion touch count is a
+    window over conv_id, and the credit rollup is a tiny aggregate.
+    Credit fractions are exact rationals summed in conversion-count
+    units; 4dp rounding absorbs summation order."""
+    e = _t(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    touch = (
+        e.filter(F.col("event_type").isin("view", "click", "signup"))
+        .join(
+            conv,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("ts") < F.col("cts"))
+            & (F.col("ts") >= F.col("cts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .withColumn("n_touches", F.count("*").over(Window.partitionBy("conv_id")))
+    )
+    return touch.groupBy("event_type").agg(
+        F.count("*").alias("n_touchpoints"),
+        F.round(F.sum(1.0 / F.col("n_touches")), 4).alias("credited_conversions"),
     )

@@ -313,3 +313,34 @@ def test_fifo_matching_conserves_quantity(spark):
     bad = joined.filter(F.abs(F.col("expect") - F.col("got")) > 1e-6).count()
     assert bad == 0, f"{bad} parts violate FIFO conservation"
     assert got.count() > 0
+
+
+def test_multitouch_credit_conserves_conversions(spark):
+    """Linear attribution's invariant: total credited conversions ==
+    number of purchases with at least one in-window touch."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    e = _t(spark, SF_SMOKE, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    with_touch = (
+        e.filter(F.col("event_type").isin("view", "click", "signup"))
+        .join(
+            conv,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("ts") < F.col("cts"))
+            & (F.col("ts") >= F.col("cts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .select("conv_id")
+        .distinct()
+        .count()
+    )
+    total = (
+        PENDING_QUERIES["attribution_linear_multitouch"](spark, SF_SMOKE)
+        .agg(F.sum("credited_conversions"))
+        .collect()[0][0]
+    )
+    assert abs(total - with_touch) < 0.01, (total, with_touch)
