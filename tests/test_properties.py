@@ -379,3 +379,51 @@ def test_asof_nearest_matches_pandas(spark, left, right):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    w_train=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_split_assign_disjoint_exhaustive_deterministic(spark, keys, w_train):
+    """split_assign: every key lands in exactly one split, assignment
+    is a pure function of the key (re-running yields the same split),
+    and renaming/shuffling rows cannot move a key between splits."""
+    from etl_mini_spark.operators.sampling import split_assign
+
+    weights = {"train": w_train / 10, "test": 1 - w_train / 10}
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    a = {r["k"]: r["split"] for r in split_assign(df, "k", weights).collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in split_assign(df.repartition(7), "k", weights).collect()
+    }
+    assert set(a) == set(keys)
+    assert all(v in weights for v in a.values())
+    assert a == b
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=0, max_size=40),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_stratified_take_exact_k_and_stable(spark, rows, k):
+    """stratified_take: exactly min(k, |stratum|) rows per stratum, and
+    the SAME rows regardless of partitioning."""
+    from collections import Counter
+
+    from etl_mini_spark.operators.sampling import stratified_take
+
+    dd = pd.DataFrame(rows, columns=["g", "id"]).drop_duplicates(["g", "id"])
+    if dd.empty:
+        return
+    df = spark.createDataFrame(dd)
+    got = stratified_take(df, ["g"], k, "id")
+    picked = [(r["g"], r["id"]) for r in got.collect()]
+    sizes = Counter(dd["g"])
+    per = Counter(g for g, _ in picked)
+    assert all(per[g] == min(k, n) for g, n in sizes.items()), (per, sizes)
+    again = {(r["g"], r["id"]) for r in stratified_take(df.repartition(5), ["g"], k, "id").collect()}
+    assert set(picked) == again
