@@ -79,7 +79,11 @@ def finalize_agg_state(state: DataFrame, keys: list[str]) -> DataFrame:
     exact streaming variance at extreme dynamic range should keep a
     Welford-style M2 in state instead."""
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
-    var = F.when(n > 1, (ss - s * s / n) / (n - 1))
+    # Clamp at 0: for constant-valued keys the cancellation can land a
+    # hair below zero and sqrt would return NaN where the direct
+    # aggregate returns 0.0 — which would break the proven-equal-to-
+    # direct-recompute contract.
+    var = F.when(n > 1, F.greatest(F.lit(0.0), (ss - s * s / n) / (n - 1)))
     return state.select(
         *keys,
         n.alias("cnt"),
@@ -125,9 +129,21 @@ def merge_agg_state_welford(a: DataFrame, b: DataFrame, keys: list[str]) -> Data
     tot = pile.groupBy(*keys).agg(
         F.sum(n).alias("__tn"), (F.sum(n * mean) / F.sum(n)).alias("__tmean")
     )
+    # Null-safe totals join: groupBy keeps NULL-key state groups, so a
+    # name-list equi join here would silently drop them on merge while
+    # merge_agg_state/compact_agg_state (groupBy-based) keep them —
+    # inconsistent null-key semantics within the same state algebra.
+    tot_r = tot
+    for c in keys:
+        tot_r = tot_r.withColumnRenamed(c, "__tot_" + c)
+    cond = None
+    for c in keys:
+        clause = pile[c].eqNullSafe(tot_r["__tot_" + c])
+        cond = clause if cond is None else (cond & clause)
     d = mean - F.col("__tmean")
     return (
-        pile.join(tot, keys)
+        pile.join(tot_r, cond)
+        .drop(*["__tot_" + c for c in keys])
         .groupBy(*keys)
         .agg(
             F.first("__tn").alias("n"),

@@ -162,8 +162,23 @@ def budget_cap(
         .orderBy("__h", key_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Null-safe offset join: a plain name-list join would drop rows whose
+    # group key is NULL, while the sharded=False window path keeps the
+    # NULL-key group — breaking the documented "row-identical" contract.
+    # groupBy treats NULL as a regular group, so every (group, shard) in
+    # `d` exists in `off`; eqNullSafe keeps this an equi hash join (same
+    # idiom as asof_join's boundary-carry join, operators/joins.py:218).
+    join_cols = [*group_cols, "__shard"]
+    off_r = off
+    for c in join_cols:
+        off_r = off_r.withColumnRenamed(c, "__off_" + c)
+    cond = None
+    for c in join_cols:
+        clause = d[c].eqNullSafe(off_r["__off_" + c])
+        cond = clause if cond is None else (cond & clause)
     return (
-        d.join(off, [*group_cols, "__shard"])
+        d.join(off_r, cond)
+        .drop(*["__off_" + c for c in join_cols])
         .withColumn(cum_col, F.sum(weight_col).over(w_in) + F.col("__off"))
         .filter(F.col(cum_col) <= F.lit(budget))
         .drop("__h", "__shard", "__off")

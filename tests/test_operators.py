@@ -896,3 +896,64 @@ def test_welford_state_merge_matches_direct_variance(spark):
     assert got["cnt"] == want["cnt"]
     assert abs(got["vavg"] - want["vavg"]) < 1e-3
     assert abs(got["vstddev"] - want["sd"]) / want["sd"] < 1e-6, (got["vstddev"], want["sd"])
+
+
+def test_budget_cap_sharded_keeps_null_group(spark):
+    """Regression (round-7 advice): the sharded path's offset join must
+    be null-safe — [('a',1),(None,2),(None,3)] used to come back as
+    only ('a',1) while the window path kept the NULL group."""
+    from etl_mini_spark.operators.sampling import budget_cap
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), (None, 2, 5), (None, 3, 5)], schema="g string, k bigint, wt bigint"
+    )
+    def snap(sharded):
+        out = budget_cap(df, ["g"], "wt", 100, "k", sharded=sharded)
+        return sorted(
+            ((r["g"], r["k"], r["wt"], r["cum_weight"]) for r in out.collect()),
+            key=lambda t: (t[0] is None, t[0], t[1]),
+        )
+    got, want = snap(True), snap(False)
+    assert got == want and len(got) == 3, (got, want)
+
+
+def test_finalize_agg_state_constant_key_stddev_is_zero(spark):
+    """Regression (round-7 advice): for constant-valued keys the
+    ss − s²/n cancellation can land slightly NEGATIVE and sqrt gave NaN
+    where the direct aggregate returns 0.0. With the clamp the result
+    must be a number that agrees with the direct 0.0 at the hash-parity
+    rounding (6 dp); the residue itself stays ≲1e-8 (sqrt of the ~1e-17
+    cancellation noise the finalize docstring quantifies)."""
+    import math
+
+    from etl_mini_spark.operators.incremental import agg_state, finalize_agg_state
+
+    df = spark.createDataFrame([("k", 0.1)] * 1000, ["k", "v"])
+    row = finalize_agg_state(agg_state(df, ["k"], "v"), ["k"]).collect()[0]
+    assert not math.isnan(row["vstddev"]), "clamp missing: sqrt(negative) -> NaN"
+    assert round(row["vstddev"], 6) == 0.0, row["vstddev"]
+
+
+def test_welford_merge_keeps_null_key_state(spark):
+    """Regression (round-7 advice): merge_agg_state_welford's totals
+    join must be null-safe so NULL-key state groups survive the merge,
+    matching merge_agg_state/compact_agg_state semantics."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.incremental import (
+        agg_state_welford,
+        finalize_agg_state_welford,
+        merge_agg_state_welford,
+    )
+
+    rows = [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 14.0), (None, 18.0)]
+    df = spark.createDataFrame(rows, schema="k string, v double")
+    a = agg_state_welford(df.filter(F.col("v") <= 3.0), ["k"], "v")
+    b = agg_state_welford(df.filter(F.col("v") > 3.0), ["k"], "v")
+    merged = finalize_agg_state_welford(merge_agg_state_welford(a, b, ["k"]), ["k"])
+    got = {r["k"]: (r["cnt"], round(r["vavg"], 6), round(r["vstddev"], 6)) for r in merged.collect()}
+    want_rows = df.groupBy("k").agg(
+        F.count("v").alias("cnt"), F.avg("v").alias("vavg"), F.stddev_samp("v").alias("sd")
+    ).collect()
+    want = {r["k"]: (r["cnt"], round(r["vavg"], 6), round(r["sd"], 6)) for r in want_rows}
+    assert got == want, (got, want)

@@ -211,15 +211,19 @@ def test_cusum_window_identity_matches_recursion(spark, series):
 
 
 @given(
-    rows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(1, 30)),
-                  min_size=0, max_size=40),
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", None]), st.integers(0, 500), st.integers(1, 30)),
+        min_size=0, max_size=40),
     budget=st.integers(min_value=0, max_value=120),
 )
 @settings(**SETTINGS)
 def test_budget_cap_equivalence_randomized(spark, rows, budget):
     """budget_cap (two-pass sharded prefix sum) ≡ the naive one-window
     cumsum for random groups/weights/budgets — including duplicate
-    keys, empty inputs, and budgets of zero."""
+    keys, empty inputs, budgets of zero, and NULL group keys (the
+    sharded path's offset join must be null-safe: a name-list join
+    silently dropped the NULL-key group while the window path kept
+    it)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -228,12 +232,15 @@ def test_budget_cap_equivalence_randomized(spark, rows, budget):
     dd = pd.DataFrame(rows, columns=["g", "k", "wt"]).drop_duplicates(["g", "k"])
     if len(dd) == 0:
         return
-    df = spark.createDataFrame(dd)
-    got = sorted(budget_cap(df, ["g"], "wt", budget, "k", salt="p", cum_col="cum").collect())
+    df = spark.createDataFrame(dd, schema="g string, k bigint, wt bigint")
+    ordkey = lambda r: (r["g"] is None, r["g"], r["k"])  # noqa: E731
+    got = sorted(budget_cap(df, ["g"], "wt", budget, "k", salt="p", cum_col="cum").collect(),
+                 key=ordkey)
 
     h = F.md5(F.concat_ws(":", F.col("k").cast("string"), F.lit("p")))
     w = Window.partitionBy("g").orderBy(h, "k").rowsBetween(Window.unboundedPreceding, 0)
-    want = sorted(df.withColumn("cum", F.sum("wt").over(w)).filter(F.col("cum") <= budget).collect())
+    want = sorted(df.withColumn("cum", F.sum("wt").over(w)).filter(F.col("cum") <= budget).collect(),
+                  key=ordkey)
     assert got == want
 
 
