@@ -74,13 +74,8 @@ def asof_join(
 
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
-    if direction == "nearest":
-        if not allow_exact:
-            raise NotImplementedError("direction='nearest' requires allow_exact=True")
-        if bucket_seconds is not None:
-            raise NotImplementedError(
-                "direction='nearest' does not compose with bucket_seconds yet"
-            )
+    if direction == "nearest" and not allow_exact:
+        raise NotImplementedError("direction='nearest' requires allow_exact=True")
     nearest = direction == "nearest"
     back = direction != "forward"
     right_cols = right_cols or [c for c in right.columns if c not in on]
@@ -168,60 +163,89 @@ def asof_join(
         unioned = unioned.withColumn(
             "__bucket", F.floor(F.unix_micros("__t") / F.lit(bucket_seconds * 1_000_000))
         )
-        # stage 1: independent within-bucket running carry (last-so-far
-        # backward, first-upcoming forward) — the hot-key sort now
-        # parallelizes across buckets
-        wb = Window.partitionBy(*key_cols, "__bucket").orderBy("__t", "__tag", "__tb")
-        if back:
-            wb = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            staged = unioned.withColumn("__in_bucket", F.last("__r", ignorenulls=True).over(wb))
+
+        def bucketed_match(df: DataFrame, back_dir: bool, out_col: str) -> DataFrame:
+            """One direction's bucketed carry; adds ``out_col``.
+
+            stage 1: independent within-bucket running carry (last-so-far
+            backward, first-upcoming forward) — the hot-key sort now
+            parallelizes across buckets.
+            stage 2: boundary carry — one row per (key, bucket): the
+            bucket's boundary right row (lexicographic struct max/min by
+            (t, tiebreak), nulls skipped), then the nearest non-null
+            value from STRICTLY earlier (backward) / later (forward)
+            buckets per key. O(keys × buckets) rows.
+            """
+            pre = "__c" + out_col  # direction-unique temp-column prefix
+            wb = Window.partitionBy(*key_cols, "__bucket").orderBy("__t", "__tag", "__tb")
+            if back_dir:
+                wb = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                in_bucket = F.last("__r", ignorenulls=True).over(wb)
+            else:
+                wb = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+                in_bucket = F.first("__r", ignorenulls=True).over(wb)
+            staged = df.withColumn("__in_bucket", in_bucket)
+            bound_fn = F.max if back_dir else F.min
+            per_bucket_bound = unioned.groupBy(*key_cols, "__bucket").agg(
+                bound_fn(
+                    F.when(
+                        F.col("__r").isNotNull(),
+                        F.struct(F.col("__t"), F.col("__tb"), F.col("__r")),
+                    )
+                ).alias("__bound_struct")
+            )
+            wc = Window.partitionBy(*key_cols).orderBy("__bucket")
+            if back_dir:
+                wc = wc.rowsBetween(Window.unboundedPreceding, -1)
+                cross_fn = F.last(F.col("__bound_struct").getField("__r"), ignorenulls=True)
+            else:
+                wc = wc.rowsBetween(1, Window.unboundedFollowing)
+                cross_fn = F.first(F.col("__bound_struct").getField("__r"), ignorenulls=True)
+            carry = per_bucket_bound.select(
+                *key_cols, "__bucket", cross_fn.over(wc).alias("__carry"),
+            )
+            # Null-safe carry join: a plain name-list join would drop rows
+            # with a NULL key column or NULL time (__bucket =
+            # floor(unix_micros(NULL)) = NULL), breaking the "row-identical
+            # to the unbucketed path" contract — the unbucketed window keeps
+            # NULL-key groups and gives NULL-time left rows their (possibly
+            # null) match. groupBy treats NULL as a regular group, so every
+            # (key, bucket) in `staged` exists in `carry`; eqNullSafe keeps
+            # this an equi hash join.
+            join_cols = key_cols + ["__bucket"]
+            carry_r = carry
+            for c in join_cols:
+                carry_r = carry_r.withColumnRenamed(c, pre + c)
+            cond = None
+            for c in join_cols:
+                clause = staged[c].eqNullSafe(carry_r[pre + c])
+                cond = clause if cond is None else (cond & clause)
+            return (
+                staged.join(carry_r, cond, "left")
+                .drop(*[pre + c for c in join_cols])
+                .withColumn(out_col, F.coalesce("__in_bucket", "__carry"))
+                .drop("__in_bucket", "__carry")
+            )
+
+        if nearest:
+            # Two direction passes over the SAME (key, bucket)
+            # partitioning, then the identical µs-gap comparison as the
+            # unbucketed nearest (ties go backward). Equal-time rights
+            # share the left row's bucket by construction, so the
+            # backward pass still sees them at gap 0.
+            m = bucketed_match(unioned, True, "__bk")
+            m = bucketed_match(m, False, "__fw")
+            bgap = F.unix_micros("__t") - F.unix_micros(F.col("__bk").getField("__mt"))
+            fgap = F.unix_micros(F.col("__fw").getField("__mt")) - F.unix_micros("__t")
+            matched = m.withColumn(
+                "__match",
+                F.when(F.col("__bk").isNull(), F.col("__fw"))
+                .when(F.col("__fw").isNull(), F.col("__bk"))
+                .when(fgap < bgap, F.col("__fw"))
+                .otherwise(F.col("__bk")),
+            ).drop("__bk", "__fw")
         else:
-            wb = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-            staged = unioned.withColumn("__in_bucket", F.first("__r", ignorenulls=True).over(wb))
-        # stage 2: boundary carry — one row per (key, bucket): the
-        # bucket's boundary right row (lexicographic struct max/min by
-        # (t, tiebreak), nulls skipped), then the nearest non-null value
-        # from STRICTLY earlier (backward) / later (forward) buckets per
-        # key. O(keys × buckets) rows.
-        bound_fn = F.max if back else F.min
-        per_bucket_bound = unioned.groupBy(*key_cols, "__bucket").agg(
-            bound_fn(
-                F.when(
-                    F.col("__r").isNotNull(),
-                    F.struct(F.col("__t"), F.col("__tb"), F.col("__r")),
-                )
-            ).alias("__bound_struct")
-        )
-        wc = Window.partitionBy(*key_cols).orderBy("__bucket")
-        if back:
-            wc = wc.rowsBetween(Window.unboundedPreceding, -1)
-            cross_fn = F.last(F.col("__bound_struct").getField("__r"), ignorenulls=True)
-        else:
-            wc = wc.rowsBetween(1, Window.unboundedFollowing)
-            cross_fn = F.first(F.col("__bound_struct").getField("__r"), ignorenulls=True)
-        carry = per_bucket_bound.select(
-            *key_cols, "__bucket", cross_fn.over(wc).alias("__carry"),
-        )
-        # Null-safe carry join: a plain name-list join would drop rows with
-        # a NULL key column or NULL time (__bucket = floor(unix_micros(NULL))
-        # = NULL), breaking the "row-identical to the unbucketed path"
-        # contract — the unbucketed window keeps NULL-key groups and gives
-        # NULL-time left rows their (possibly null) match. groupBy treats
-        # NULL as a regular group, so every (key, bucket) in `staged` exists
-        # in `carry`; eqNullSafe keeps this an equi hash join.
-        join_cols = key_cols + ["__bucket"]
-        carry_r = carry
-        for c in join_cols:
-            carry_r = carry_r.withColumnRenamed(c, "__carry_" + c)
-        cond = None
-        for c in join_cols:
-            clause = staged[c].eqNullSafe(carry_r["__carry_" + c])
-            cond = clause if cond is None else (cond & clause)
-        matched = (
-            staged.join(carry_r, cond, "left")
-            .drop(*["__carry_" + c for c in join_cols])
-            .withColumn("__match", F.coalesce("__in_bucket", "__carry"))
-        )
+            matched = bucketed_match(unioned, back, "__match")
     out = matched.filter(F.col("__l").isNotNull()).withColumn(
         "__match", F.when(F.col("__t").isNotNull(), F.col("__match"))
     )

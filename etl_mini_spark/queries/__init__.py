@@ -31,4 +31,5 @@ from etl_mini_spark.queries import round5_tpch_fill  # noqa: F401,E402
 from etl_mini_spark.queries import round5_new_domains  # noqa: F401,E402
 from etl_mini_spark.queries import round6_ops  # noqa: F401,E402
 from etl_mini_spark.queries import round6_corpus  # noqa: F401,E402
+from etl_mini_spark.queries import round7_ops  # noqa: F401,E402
 from etl_mini_spark.queries import _window  # noqa: F401,E402

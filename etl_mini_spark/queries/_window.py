@@ -16,19 +16,48 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 # =========================================================================
 
 _DRIVER_WINDOW = [
-    # round-6 rotation:
-    # (a) the 37 oracle-backed entries that had no driver CORRECTNESS row
-    #     through r05 (round-5 additions landed after that window froze) —
-    #     after this round EVERY oracle-backed entry is driver-verified
-    #     at least once (165+new/165+new coverage);
-    # (b) the four new round-6 queries (as-of skew path + forward
-    #     direction, converged PageRank, SCD2 late correction);
-    # (c) queries whose code changed in round 6 (containment denominator,
-    #     as-of NULL handling, streaming NTZ recursion) plus canaries for
-    #     the reader conf-scoping change (scan_checksum, csv_roundtrip,
-    #     dedup_ngram_jaccard shares the shingle machinery).
-    # Rows-only entries stay OUT — they cannot hash-match a DuckDB
-    # oracle (r01's similarity_ivf lesson; machine-checked now).
+    # round-7 rotation (CORRECTNESS_r06 went 50/50, so every round-6
+    # slot owner rotates to the tail):
+    # (a) the 39 round7_ops entries staged during round 6 — locally
+    #     oracle-verified all round, never driver-verified, so each
+    #     must hold a slot (tests/test_window_rotation.py);
+    "setjoin_prefix_filter", "timeseries_interpolate_linear", "privacy_k_anonymity",
+    "sql_pipe_syntax", "mixture_temperature_weights", "set_ops_all",
+    "text_bigram_lm_score", "window_rolling_median", "sliding_distinct_users_7d",
+    "event_transition_matrix", "timeseries_anomaly_zscore", "corpus_quota_cap",
+    "text_inverted_index", "corpus_ngram_novelty", "ab_test_lift",
+    "benford_first_digit", "timeseries_cusum_changepoint", "basket_rules_lift",
+    "user_activity_streaks", "corpus_skipgram_pairs", "dau_mau_stickiness",
+    "incremental_agg_merge", "forecast_seasonal_naive_eval", "doc_keywords_tfidf_topk",
+    "split_leakage_safe", "survival_kaplan_meier", "rolling_corr_click_purchase",
+    "running_distinct_types", "daily_value_bands", "time_since_last_purchase",
+    "funnel_with_timeouts", "pareto_revenue_curve", "business_days_to_ship",
+    "join_asof_tolerance", "join_asof_nearest", "corpus_curation_pipeline",
+    "trend_theil_sen", "fifo_lot_matching", "attribution_linear_multitouch",
+    # (b) code-changed canaries whose last driver-green row predates the
+    #     change (round-6 verdict item 3): the shuffle_hash strategy
+    #     pins landed after the r06 window froze and touch the postings
+    #     self-join (dedup_ngram_jaccard), the containment index
+    #     (minhash_containment), the SimHash block join (dedup_simhash)
+    #     and the salted-join hint (join_salted_skew);
+    #     embedding_near_dups_lsh's bucket-width autoscale also changed
+    #     in round 6 from the tail.
+    "dedup_ngram_jaccard", "minhash_containment", "dedup_simhash",
+    "join_salted_skew", "embedding_near_dups_lsh",
+    # (c) new round-7 queries (binaryFile multimodal ingest with a
+    #     read_blob oracle, the nearest×bucketed as-of composition,
+    #     Welford-merge incremental state incl. a NULL-key group,
+    #     sampling-fix canaries). Rows-only entries stay OUT — they
+    #     cannot hash-match a DuckDB oracle (machine-checked).
+    "multimodal_binary_ingest", "join_asof_nearest_bucketed", "incremental_welford_merge",
+    "dedup_minhash_lsh", "sessionize_events", "mixture_weighted_sample",
+]
+
+_TAIL = [
+    # driver-green in earlier rounds (the first 50 are the round-6
+    # window, all green in CORRECTNESS_r06); every entry still locally
+    # oracle-verified per round at sf0.001 (rows-only entries verified
+    # by their dedicated pinned tests).
     "sql_q4_priority", "sql_q8_mkt_share", "sql_q9_product_profit",
     "sql_q12_late_lines", "sql_q15_top_supplier", "sql_q17_small_qty",
     "sql_q20_promo_suppliers", "sql_q21_waiting_supplier", "sql_recursive_series",
@@ -42,56 +71,35 @@ _DRIVER_WINDOW = [
     "xml_roundtrip", "join_null_safe", "partitioned_roundtrip",
     "bucketed_join_roundtrip", "csv_malformed_tolerant", "parquet_schema_evolution",
     "stream_foreachbatch_upsert", "join_asof_bucketed", "graph_pagerank_converged",
-    "scd2_late_correction", "join_asof_forward",
-    # (d) round-6 additions: LLM-pipeline tier, dynamic partition
-    # pruning, Python-DataSource scan (csv_roundtrip and
-    # stream_static_enrich rotate out — both long driver-green; CSV
-    # stays canaried by csv_malformed_tolerant, streaming by
-    # stream_dedup_watermark + stream_interval_join)
-    "seq_packing_bins", "vocab_oov_coverage", "dpp_partitioned_join",
-    "http_pyds_scan",
-    # (e) round-6 batch 2 (never driver-verified → must hold slots):
-    # repeated-span dedup, exact TF-IDF cosine pairs, SQL-defined UDFs,
-    # k-hop BFS, snapshot diff. The five round-6 code-change canaries
-    # (minhash_containment, join_asof_last_order, window_time_range_7d,
-    # stream_dedup_watermark, stream_interval_join) rotate to the tail:
-    # all are driver-green in r05 and their changed paths were
-    # re-verified by this session's full-registry sf0.01 sweep.
+    "scd2_late_correction", "join_asof_forward", "seq_packing_bins",
+    "vocab_oov_coverage", "dpp_partitioned_join", "http_pyds_scan",
     "dedup_repeated_spans", "similarity_tfidf_pairs", "sql_udf_scalar",
-    "graph_khop_reach", "snapshot_table_diff",
-]
-
-_TAIL = [
-    # driver-green in earlier rounds; every entry still locally
-    # oracle-verified per round at sf0.001 (rows-only entries verified
-    # by their dedicated pinned tests).
-    "minhash_containment", "join_asof_last_order", "window_time_range_7d",
-    "stream_dedup_watermark", "stream_interval_join",
+    "graph_khop_reach", "snapshot_table_diff", "join_asof_last_order",
+    "window_time_range_7d", "stream_dedup_watermark", "stream_interval_join",
     "agg_corr_regr", "corpus_idf", "decontaminate_13gram",
     "dedup_incremental", "embedding_quantize", "higher_order_fns",
-    "map_fns_suite", "mixture_weighted_sample", "orc_roundtrip",
-    "outlier_trim", "pipeline_corpus_filter", "posexplode_tokens",
-    "sessionize_events", "skew_diagnostic", "sql_q6_forecast",
-    "sql_q7_volume", "sql_q13_custdist", "sql_q14_promo",
-    "sql_q18_large_orders", "sql_q19_disjunctive", "table_profile",
-    "text_repetition", "time_trunc_suite", "window_value_suite",
-    "zorder_locality", "dedup_clusters", "sql_q3_shipping",
-    "sql_q5_local_volume", "sql_q10_returned", "approx_quantile_sketch",
-    "dedup_bloom_prefilter", "token_stats_bpe", "json_table_extract",
-    "lateral_tokens_topk", "interval_overlap_agg", "sql_q2_min_cost_supplier",
-    "sql_q11_important_stock", "sql_q16_supplier_cnt", "sql_q22_global_sales",
-    "event_path_3gram", "first_touch_attribution", "text_near_template",
-    "cdc_scd2_history", "range_bucket_join", "project_select",
-    "filter_time_range", "filter_term", "nested_json_extract",
-    "drop_null_required", "join_inner_revenue", "join_left_counts",
-    "join_star_dims", "agg_pricing_summary", "window_running_total",
-    "dedup_keep_first", "upsert_keyed", "tolerant_select",
-    "agg_distinct", "window_lag_lead", "topk_limit",
-    "set_union_halves", "set_intersect", "time_derive_parts",
-    "iso_normalize", "sanitize_values", "placeholder_extract",
-    "constant_columns", "window_tumbling_1h", "window_session_30m",
-    "dedup_exact_docs", "similarity_topk", "similarity_ivf",
-    "join_salted_skew", "text_quality", "text_token_counts",
+    "map_fns_suite", "orc_roundtrip", "outlier_trim",
+    "pipeline_corpus_filter", "posexplode_tokens", "skew_diagnostic",
+    "sql_q6_forecast", "sql_q7_volume", "sql_q13_custdist",
+    "sql_q14_promo", "sql_q18_large_orders", "sql_q19_disjunctive",
+    "table_profile", "text_repetition", "time_trunc_suite",
+    "window_value_suite", "zorder_locality", "dedup_clusters",
+    "sql_q3_shipping", "sql_q5_local_volume", "sql_q10_returned",
+    "approx_quantile_sketch", "dedup_bloom_prefilter", "token_stats_bpe",
+    "json_table_extract", "lateral_tokens_topk", "interval_overlap_agg",
+    "sql_q2_min_cost_supplier", "sql_q11_important_stock", "sql_q16_supplier_cnt",
+    "sql_q22_global_sales", "event_path_3gram", "first_touch_attribution",
+    "text_near_template", "cdc_scd2_history", "range_bucket_join",
+    "project_select", "filter_time_range", "filter_term",
+    "nested_json_extract", "drop_null_required", "join_inner_revenue",
+    "join_left_counts", "join_star_dims", "agg_pricing_summary",
+    "window_running_total", "dedup_keep_first", "upsert_keyed",
+    "tolerant_select", "agg_distinct", "window_lag_lead",
+    "topk_limit", "set_union_halves", "set_intersect",
+    "time_derive_parts", "iso_normalize", "sanitize_values",
+    "placeholder_extract", "constant_columns", "window_tumbling_1h",
+    "window_session_30m", "dedup_exact_docs", "similarity_topk",
+    "similarity_ivf", "text_quality", "text_token_counts",
     "text_lang_id", "text_fingerprint", "multimodal_decode",
     "multimodal_resize", "multimodal_features", "agg_approx_distinct",
     "stream_capped_sessions", "stream_capped_sessions_checksum", "http_api_extract",
@@ -107,10 +115,8 @@ _TAIL = [
     "pivot_type_counts", "unpivot_part_metrics", "array_math_suite",
     "time_tz_trimode", "udf_registry_iso_parts", "sample_split_counts",
     "sample_deterministic", "sample_stratified_docs", "ndjson_roundtrip",
-    "dedup_minhash_lsh", "dedup_simhash", "embedding_near_dups",
-    "embedding_near_dups_lsh", "multimodal_frames", "embedding_kmeans",
-    "scan_checksum", "dedup_ngram_jaccard", "stream_static_enrich",
-    "csv_roundtrip",
+    "embedding_near_dups", "multimodal_frames", "embedding_kmeans",
+    "scan_checksum", "stream_static_enrich", "csv_roundtrip",
 ]
 
 

@@ -1,14 +1,9 @@
-"""Round-7 PENDING queries — implemented and differentially tested now,
-REGISTERED next round.
-
-Why deferred: the driver's CORRECTNESS gate records exactly the first 50
-registry entries, and every round-6 slot is already owned by a
-never-driver-verified entry (tests/test_window_rotation.py enforces
-"oracle-backed ⇒ driver-green row OR window slot", so registering these
-now would break the invariant with no slot to give). They are verified
-THIS round by tests/test_round7_pending.py — the exact harness the
-registry tests use — and round 7 promotes them by moving the @-free
-functions below into a registered module and granting freed slots.
+"""Round-7 operators — staged (and differentially verified) as
+round7_pending during round 6 while every driver-window slot was owned
+by a never-driver-verified entry; registered round 7 with the freed
+slots (tests/test_window_rotation.py enforces the slot invariant). The
+non-vacuity pins live in tests/test_round7_ops.py; every entry also
+runs through the registry oracle sweep (tests/test_queries_oracle.py).
 
 Contents (batch 1): PPJoin-style exact Jaccard set-similarity join
 (lossless prefix/length/positional filters vs a naive all-pairs
@@ -73,20 +68,9 @@ attribution (conservation-pinned fair-share credit).
 
 from etl_mini_spark.operators import text as TX
 from etl_mini_spark.queries._base import _t
+from etl_mini_spark.queries._base import q as pq
 from pyspark.sql import Window
 from pyspark.sql import functions as F
-
-PENDING_QUERIES = {}
-PENDING_ORACLE = {}
-
-
-def pq(name, sql):
-    def deco(fn):
-        PENDING_QUERIES[name] = fn
-        PENDING_ORACLE[name] = sql
-        return fn
-
-    return deco
 
 
 # --- exact Jaccard set-similarity join with prefix filtering ---------------
@@ -1804,22 +1788,26 @@ def funnel_with_timeouts(spark, sf_dir):
     funnel_conversion's unconstrained ordering says what eventually
     happened; deadlines say whether the product flow actually worked.
     Each step is a keyed aggregate joined to the previous step's
-    timestamps (the step tables shrink monotonically, so each join's
-    right side is at most |users| rows and broadcasts); timestamp
-    deadlines compare exact µs instants. Scale: three passes over
-    events, each pre-filtered by event type and joined on user_id."""
+    timestamps on user_id; the step tables shrink monotonically but are
+    O(|users|) — NOT bounded — so no broadcast is forced: the joins are
+    keyed equi joins either way and AQE picks broadcast only when the
+    step table is actually small (round-7 verdict: a forced broadcast
+    of an events-derived table is a driver-OOM risk at 100x users).
+    Timestamp deadlines compare exact µs instants. Scale: three passes
+    over events, each pre-filtered by event type and joined on
+    user_id."""
     e = _t(spark, sf_dir, "events")
     a = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("a"))
     b = (
         e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(a), "user_id")
+        .join(a, "user_id")
         .filter((F.col("ts") >= F.col("a")) & (F.col("ts") <= F.col("a") + F.expr("INTERVAL 6 HOUR")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("b"))
     )
     c = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(b), "user_id")
+        .join(b, "user_id")
         .filter((F.col("ts") >= F.col("b")) & (F.col("ts") <= F.col("b") + F.expr("INTERVAL 48 HOUR")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c"))
@@ -2316,4 +2304,151 @@ def attribution_linear_multitouch(spark, sf_dir):
     return touch.groupBy("event_type").agg(
         F.count("*").alias("n_touchpoints"),
         F.round(F.sum(1.0 / F.col("n_touches")), 4).alias("credited_conversions"),
+    )
+
+
+# =========================================================================
+# Round-7 session additions (never staged — registered directly with
+# window slots): the nearest×bucketed as-of composition, Welford-merge
+# incremental state over a NULL-key group, and real-binary multimodal
+# ingest through spark.read.format("binaryFile").
+# =========================================================================
+
+
+@pq("join_asof_nearest_bucketed", _ASOF_NEAR_SQL)
+def join_asof_nearest_bucketed(spark, sf_dir):
+    """join_asof_nearest through the skew-hardened path: the SAME oracle
+    (quadratic rank by absolute µs distance, backward-preference ties)
+    verifies direction='nearest' × bucket_seconds — the one as-of
+    combination that raised NotImplementedError through round 6. The
+    bucketed plan runs BOTH direction carries as two window passes over
+    one (key, 7-day-bucket) partitioning plus two O(keys×buckets)
+    boundary tables, so a celebrity user's history spans
+    history/bucket_seconds parallel tasks instead of one straggler
+    sort; the µs-gap pick is identical to the plain nearest path
+    (row-identical contract, also pinned by
+    tests/test_operators.py::test_asof_join_nearest_bucketed_matches_unbucketed
+    and the bucketed arm of the pandas hypothesis sweep)."""
+    from etl_mini_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    res = asof_join(
+        e.withColumnRenamed("user_id", "o_custkey"),
+        o,
+        on=["o_custkey"],
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey"],
+        tiebreak="o_orderkey",
+        direction="nearest",
+        bucket_seconds=7 * 86400,
+    )
+    return res.select("event_id", "o_orderkey")
+
+
+# Welford merge over a NULLABLE group key: nullif() folds the 'error'
+# type into a NULL-key group, so the driver verifies the null-safe
+# totals join inside merge_agg_state_welford (round-7 advice fix) —
+# groupBy keeps NULL as a regular group and the merge must too.
+_WELFORD_SQL = """
+    SELECT nullif(event_type, 'error') AS etype,
+           CAST(count(value) AS BIGINT) AS cnt,
+           round(avg(value), 6) AS vavg,
+           round(stddev_samp(value), 6) AS vstddev
+    FROM events GROUP BY 1
+"""
+
+
+@pq("incremental_welford_merge", _WELFORD_SQL)
+def incremental_welford_merge(spark, sf_dir):
+    """Numerically-robust incremental aggregates: per-key (n, mean, M2)
+    Welford state built over three disjoint user shards and folded with
+    the Chan et al. pairwise merge — no ss−s²/n cancellation at any
+    magnitude, so (unlike incremental_agg_merge's 4dp stddev) the
+    merged stddev matches the oracle's direct two-pass recompute at the
+    full 6dp ratio rounding. The group key is nullif(event_type,
+    'error'): a NULL-key state group must survive the merge's totals
+    join (eqNullSafe — operators/incremental.py). At 100 TB the merge
+    input is |keys| rows per slice; only the newest shard is ever
+    rescanned."""
+    from etl_mini_spark.operators.incremental import (
+        agg_state_welford,
+        finalize_agg_state_welford,
+        merge_agg_state_welford,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.expr("nullif(event_type, 'error')").alias("etype"), "user_id", "value"
+    )
+    parts = [
+        agg_state_welford(e.filter(F.col("user_id") % 3 == i), ["etype"], "value")
+        for i in range(3)
+    ]
+    state = merge_agg_state_welford(
+        merge_agg_state_welford(parts[0], parts[1], ["etype"]), parts[2], ["etype"]
+    )
+    f = finalize_agg_state_welford(state, ["etype"])
+    return f.select(
+        "etype",
+        "cnt",
+        F.round("vavg", 6).alias("vavg"),
+        F.round("vstddev", 6).alias("vstddev"),
+    )
+
+
+# Real-binary multimodal ingest. The fixture files are committed binary
+# blobs with real media magic bytes (tests/fixtures/media/*.bin); the
+# oracle reads the SAME files through DuckDB's read_blob. n_bytes and
+# the content digest are REAL metadata; width/height/n_frames are the
+# documented deterministic stub formulas of _fake_decode (the container
+# has no PIL/torchaudio — swap the kernel, not the plumbing, in
+# production), which the oracle replays from the byte size. Content is
+# digested as md5(hex(bytes)) because both engines hash the identical
+# uppercase-hex STRING (DuckDB's md5/sha256 accept only VARCHAR).
+_MEDIA_GLOB = "/root/repo/tests/fixtures/media/*.bin"
+_BINARY_INGEST_SQL = f"""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           CAST(size AS BIGINT) AS n_bytes,
+           md5(hex(content)) AS content_md5,
+           CAST(size % 640 + 1 AS INT) AS width,
+           CAST((size * 7) % 480 + 1 AS INT) AS height,
+           CAST(size % 16 + 1 AS INT) AS n_frames
+    FROM read_blob('{_MEDIA_GLOB}')
+"""
+
+
+@pq("multimodal_binary_ingest", _BINARY_INGEST_SQL)
+def multimodal_binary_ingest(spark, sf_dir):
+    """Raw media ingest, end to end on REAL bytes: a binaryFile scan
+    (path, length, content) over committed media fixtures → stable
+    per-file ids → operators/multimodal.py decode_media streaming the
+    binary payloads through an Arrow mapInPandas batch kernel → typed
+    metadata joined back to the JVM-side file name and content digest.
+    Replaces attach_binary_payload's string-encode stand-in as the
+    ingest story: this is exactly the
+    `spark.read.format("binaryFile")` → decode → metadata pipeline a
+    production image/audio corpus runs, minus only the real decoder
+    kernel. The metadata join is a 6-row broadcast; at scale the scan
+    parallelizes per file and decode stays one Python roundtrip per
+    Arrow batch."""
+    from etl_mini_spark.operators.multimodal import decode_media
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(_MEDIA_GLOB)
+        .select(
+            F.regexp_extract(F.col("path"), r"[^/]+$", 0).alias("file_name"),
+            F.col("content"),
+        )
+        # stable numeric id from the name (binaryFile has no row id)
+        .withColumn("media_id", F.xxhash64("file_name"))
+    )
+    meta = decode_media(raw.select("media_id", F.col("content").alias("payload")), "media_id")
+    names = raw.select(
+        "media_id", "file_name", F.md5(F.hex(F.col("content"))).alias("content_md5")
+    )
+    return (
+        meta.join(F.broadcast(names), "media_id")
+        .select("file_name", "n_bytes", "content_md5", "width", "height", "n_frames")
     )

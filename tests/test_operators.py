@@ -150,6 +150,45 @@ def test_asof_join_forward_bucketed_matches_unbucketed(spark):
     assert any(rid is None for _, rid in plain)  # rows after the last right
 
 
+def test_asof_join_nearest_bucketed_matches_unbucketed(spark):
+    """Round-7 closure of the one as-of combination that used to raise:
+    direction='nearest' × bucket_seconds. Two bucketed direction passes
+    + the µs-gap pick must be row-identical to the plain nearest path on
+    a skewed fixture where rights are bunched mid-history, so early left
+    rows resolve FORWARD across empty buckets, late ones BACKWARD, and
+    in-bucket ties go backward."""
+    from etl_mini_spark.operators.joins import asof_join
+
+    left = spark.range(1200).select(
+        F.lit(1).alias("k"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 4019).alias("t"),
+        F.col("id").alias("lid"),
+    ).unionByName(
+        spark.range(4).select(  # cold key with no rights at all
+            F.lit(2).alias("k"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 86400).alias("t"),
+            (F.col("id") + 10_000).alias("lid"),
+        )
+    )
+    right = spark.range(10).select(
+        F.lit(1).alias("k"),
+        # bunched into ~2 mid-history weeks
+        F.timestamp_seconds(F.lit(1705500000) + F.col("id") * 120_000).alias("rt"),
+        F.col("id").alias("rid"),
+    )
+    kwargs = dict(on=["k"], left_time="t", right_time="rt",
+                  right_cols=["rid"], tiebreak="rid", direction="nearest")
+    plain = {(r["lid"], r["rid"]) for r in asof_join(left, right, **kwargs).collect()}
+    bucketed = {
+        (r["lid"], r["rid"])
+        for r in asof_join(left, right, bucket_seconds=7 * 86400, **kwargs).collect()
+    }
+    assert bucketed == plain
+    assert {rid for _, rid in plain} > {None}  # both null and real matches
+    matched = {lid: rid for lid, rid in plain}
+    assert matched[0] == 0 and matched[1199] == 9  # forward + backward resolution
+
+
 def test_asof_join_bucketed_keeps_null_keys_and_times(spark):
     """The bucketed path must keep rows a plain inner carry-join drops:
     NULL key columns (NULL never equals NULL) and NULL left times

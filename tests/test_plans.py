@@ -328,6 +328,19 @@ def test_text_repetition_no_forced_broadcast(spark):
     assert "ResolvedHint" not in analyzed, analyzed
 
 
+def test_funnel_timeouts_no_forced_broadcast(spark):
+    """funnel_with_timeouts' step tables are O(|users|) events-derived
+    aggregates — NOT bounded — so no broadcast may be forced on them
+    (round-7 verdict: a forced broadcast there is a driver-OOM risk at
+    100x users). The joins stay keyed equi joins; AQE may still choose
+    broadcast at runtime when a step table is actually small."""
+    from etl_mini_spark.queries import QUERIES
+
+    df = QUERIES["funnel_with_timeouts"](spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
 def test_q6_predicates_reach_scan(spark):
     """TPC-H Q6 is THE pushdown benchmark: date, discount, and quantity
     predicates must all reach the parquet scan, leaving a single

@@ -352,11 +352,14 @@ def test_asof_tolerance_matches_pandas(spark, left, right, tol, direction):
 @given(
     left=st.lists(st.tuples(_keys, _times), min_size=1, max_size=15),
     right=st.lists(st.tuples(_keys, _times, _vals), min_size=1, max_size=15),
+    bucketed=st.booleans(),
 )
 @settings(**SETTINGS)
-def test_asof_nearest_matches_pandas(spark, left, right):
+def test_asof_nearest_matches_pandas(spark, left, right, bucketed):
     """asof_join(direction='nearest') ≡ pandas.merge_asof nearest —
-    closer side wins, exact matches and backward ties included."""
+    closer side wins, exact matches and backward ties included — on
+    both the plain path and the time-bucketed skew path (two direction
+    passes over the same (key, bucket) partitioning)."""
     import pandas as _pd
 
     from etl_mini_spark.operators.joins import asof_join
@@ -372,17 +375,16 @@ def test_asof_nearest_matches_pandas(spark, left, right):
             ldt, rdt, left_on="t", right_on="rt", by="k", direction="nearest"
         ).iterrows()
     }
+    kwargs = dict(
+        on=["k"], left_time="t", right_time="rt", right_cols=["rv"],
+        tiebreak="rv", direction="nearest",
+    )
+    if bucketed:
+        kwargs["bucket_seconds"] = 7  # several buckets over the 0-20s domain
     got = {
         r["lid"]: r["rv"]
         for r in asof_join(
-            spark.createDataFrame(ldt),
-            spark.createDataFrame(rdt),
-            on=["k"],
-            left_time="t",
-            right_time="rt",
-            right_cols=["rv"],
-            tiebreak="rv",
-            direction="nearest",
+            spark.createDataFrame(ldt), spark.createDataFrame(rdt), **kwargs
         ).collect()
     }
     assert got == want

@@ -1,30 +1,22 @@
-"""Round-7 pending queries (etl_mini_spark/queries/round7_pending.py):
-differentially verified NOW with the registry harness; registration is
-deferred to round 7 because every round-6 driver-window slot is owned by
-a never-driver-verified entry (see the module docstring)."""
+"""Non-vacuity pins for the round-7 operators
+(etl_mini_spark/queries/round7_ops.py). The oracle equivalence itself is
+covered by the registry-wide sweep (tests/test_queries_oracle.py) now
+that the entries are registered; these tests pin that each detector /
+filter / invariant is actually EXERCISED at smoke SF — an oracle match
+on a constant-flag output proves arithmetic, not behavior."""
 
 from __future__ import annotations
 
-import pytest
-
 from tests.conftest import SF_SMOKE
-from tests.oracle_harness import compare
 
 
-def _pending():
-    from etl_mini_spark.queries.round7_pending import PENDING_ORACLE, PENDING_QUERIES
+def _registry():
+    from etl_mini_spark.queries import QUERIES
 
-    return PENDING_QUERIES, PENDING_ORACLE
-
-
-PENDING_QUERIES, PENDING_ORACLE = _pending()
+    return QUERIES
 
 
-@pytest.mark.parametrize("name", sorted(PENDING_QUERIES))
-def test_pending_query_matches_oracle(spark, name):
-    df = PENDING_QUERIES[name](spark, SF_SMOKE)
-    ok, msg = compare(df, PENDING_ORACLE[name], SF_SMOKE)
-    assert ok, f"{name}: {msg}"
+PENDING_QUERIES = _registry()
 
 
 def test_interpolation_not_vacuous(spark):
@@ -237,16 +229,6 @@ def test_kaplan_meier_curve_actually_drops(spark):
     assert sum(r["deaths"] for r in rows) < rows[0]["at_risk"], "nobody censored"
 
 
-def test_pending_names_do_not_collide_with_registry():
-    """Round-7 promotion moves these names into the registry verbatim —
-    a collision would silently shadow an existing entry."""
-    from etl_mini_spark.queries import QUERIES
-
-    clash = set(PENDING_QUERIES) & set(QUERIES)
-    assert not clash, clash
-    assert set(PENDING_ORACLE) == set(PENDING_QUERIES)
-
-
 def test_funnel_timeouts_all_steps_populated(spark):
     """Deadlines are sized so every funnel stage fires at smoke SF and
     strictly shrinks — a zero stage would make its deadline filter and
@@ -255,13 +237,21 @@ def test_funnel_timeouts_all_steps_populated(spark):
     assert r["n_view"] > r["n_click_6h"] > r["n_purchase_48h"] > 0, dict(r.asDict())
 
 
-def test_every_pending_query_documents_itself():
-    """Discipline guard: each pending entry carries a real docstring
+def test_every_round7_query_documents_itself():
+    """Discipline guard: each round7_ops entry carries a real docstring
     (semantics + scale rationale — the registry convention) and a
     non-trivial oracle."""
-    for name, fn in PENDING_QUERIES.items():
+    import re
+
+    from etl_mini_spark.queries import ORACLE, QUERIES
+
+    src = open("etl_mini_spark/queries/round7_ops.py").read()
+    names = re.findall(r'@pq\("([a-z0-9_]+)"', src)
+    assert len(names) >= 42
+    for name in names:
+        fn = QUERIES[name]
         assert fn.__doc__ and len(fn.__doc__) > 120, name
-        assert len(PENDING_ORACLE[name].strip()) > 40, name
+        assert len(ORACLE[name].strip()) > 40, name
 
 
 def test_curation_pipeline_stages_actually_drop(spark):
