@@ -1,0 +1,373 @@
+#!/usr/bin/env python
+"""Scale-probe harness: the synthetic stress probes that caught both
+round-6 scale-killers (exact-Jaccard candidate-mass cliff at a 100k-doc
+zipf corpus; fixed-width LSH buckets at 205k vectors), made REPEATABLE
+so corpus-tier regressions are caught mechanically instead of living in
+SURVEY prose (round-6 verdict item 7).
+
+Tiers (all data deterministic — no RNG state leaks across partitionings):
+- corpus  : 100k zipf-skewed synthetic docs, 5% planted near-dups —
+            MinHash-LSH vs exact n-gram Jaccard (must agree on planted
+            pairs) and SimHash.
+- vector  : 1M 64-d vectors around 16 centers — IVF ANN vs brute
+            recall on the probe set, cell-partitioned layout scan-bytes
+            at nprobe 1/4/16 (bytes must drop), hyperplane LSH near-dup
+            recall at 205k vectors with planted dups.
+- event   : 9M-row celebrity-key (89% on one user) as-of probe, plain
+            vs bucket_seconds (checksums must match), and the 400k-row
+            skewed budget_cap sharded-vs-window equivalence.
+
+Prints ONE JSON line:
+{"metric": "scale_probe_wallclock", "value": N, "unit": "sec",
+ "probes": {name: {"seconds": s, ...invariants...}}, ...}
+Run per round and commit the output as SCALE_r{N}.json:
+    python bench_scale.py > SCALE_r07.json
+Every probe also carries a hard invariant (recall / agreement /
+checksum equality); "ok": false in any probe means a functional
+regression, not just a slow run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+N_DOCS = 100_000
+N_VECS = 1_000_000
+N_EVENTS = 9_000_000
+RESULTS: dict[str, dict] = {}
+
+
+def probe(name):
+    def deco(fn):
+        def run(*a, **kw):
+            t0 = time.monotonic()
+            out = fn(*a, **kw)
+            out["seconds"] = round(time.monotonic() - t0, 2)
+            RESULTS[name] = out
+            print(f"  {name}: {out}", file=sys.stderr)
+
+        return run
+
+    return deco
+
+
+# --- deterministic generators ----------------------------------------------
+
+
+def gen_corpus(spark, n_docs=N_DOCS, planted_frac=0.05, vocab=30_000, seed=7):
+    """Zipf-head corpus with planted near-exact duplicates, built
+    driver-side with one seeded RandomState (same corpus every run,
+    every partitioning) and parallelized for the operators."""
+    rs = np.random.RandomState(seed)
+    zipf = rs.zipf(1.3, size=(n_docs, 120)) % vocab
+    lengths = rs.randint(20, 121, size=n_docs)
+    docs = []
+    for i in range(n_docs):
+        toks = [f"w{t}" for t in zipf[i, : lengths[i]]]
+        docs.append((i, " ".join(toks)))
+    n_planted = int(n_docs * planted_frac)
+    for j in range(n_planted):
+        src = int(rs.randint(0, n_docs))
+        toks = docs[src][1].split(" ")
+        # one-token edit keeps Jaccard >= ~0.95 — well above threshold
+        toks[int(rs.randint(0, len(toks)))] = f"w{int(rs.randint(0, vocab))}"
+        docs.append((n_docs + j, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(64)
+    df.persist()
+    df.count()
+    return df
+
+
+def gen_vectors(spark, n=N_VECS, d=64, centers=16):
+    """Distributed deterministic vectors: center = id % centers, noise
+    from the GLSL-style fract(sin) hash — a pure function of (id, dim),
+    so the dataset is identical under any partitioning with no RNG
+    state to ship."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rs = np.random.RandomState(11)
+    C = rs.normal(size=(centers, d))
+    C /= np.linalg.norm(C, axis=1)[:, None]
+    b = spark.sparkContext.broadcast(C)
+
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("embedding", T.ArrayType(T.FloatType()))]
+    )
+
+    def make(batches):
+        CC = b.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            base = CC[ids % centers]
+            j = np.arange(d)[None, :]
+            noise = np.sin(ids[:, None] * 12.9898 + j * 78.233) * 43758.5453
+            noise = (noise - np.floor(noise) - 0.5) * 0.2
+            vecs = (base + noise).astype(np.float32)
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+
+    df = spark.range(n).repartition(64).mapInPandas(make, schema)
+    return df
+
+
+def gen_events(spark, n=N_EVENTS):
+    """Celebrity-key event stream: 89% of rows on user 1, the rest
+    spread over 15k users; timestamps span ~3 years."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .repartition(64)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.pmod(F.xxhash64("id"), 100) < 89, F.lit(1))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), 15_000) + 2)
+            .alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1609459200) + F.pmod(F.xxhash64("id", F.lit(2)), 94_608_000)
+            ).alias("ts"),
+        )
+    )
+
+
+# --- corpus tier ------------------------------------------------------------
+
+
+@probe("corpus_minhash_lsh")
+def p_minhash(docs):
+    from etl_mini_spark.operators.dedup import near_dup_pairs_minhash_lsh
+
+    pairs = near_dup_pairs_minhash_lsh(docs, "doc_id", "text", threshold=0.8)
+    got = {(r["d1"], r["d2"]) for r in pairs.collect()}
+    return {"n_pairs": len(got), "ok": len(got) > 0, "_pairs": got}
+
+
+@probe("corpus_ngram_jaccard")
+def p_jaccard(docs):
+    from etl_mini_spark.operators.dedup import near_dup_pairs_ngram_jaccard
+
+    pairs = near_dup_pairs_ngram_jaccard(docs, "doc_id", "text", threshold=0.8)
+    got = {(r["d1"], r["d2"]) for r in pairs.collect()}
+    mh = RESULTS["corpus_minhash_lsh"].pop("_pairs")
+    # MinHash (verified) and exact Jaccard must find the SAME pair set
+    agree = len(got & mh)
+    return {"n_pairs": len(got), "n_agree_minhash": agree, "ok": got == mh}
+
+
+@probe("corpus_simhash")
+def p_simhash(docs):
+    from etl_mini_spark.operators.dedup import simhash_near_dup_pairs
+
+    n = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).count()
+    return {"n_pairs": n, "ok": n > 0}
+
+
+# --- vector tier ------------------------------------------------------------
+
+
+@probe("vector_ivf_recall")
+def p_ivf(spark, vecs):
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    probes = vecs.filter(F.col("vec_id") % 100_000 == 17)  # 10 probes
+    C = train_ivf_centroids(vecs, n_cells=16)
+    ivf = cosine_topk_ivf(vecs, probes, k=5, nprobe=4, centroids=C)
+    got = {(r["probe_id"], r["neighbor_id"]) for r in ivf.collect()}
+    brute = cosine_topk_bruteforce(vecs, probes, k=5)
+    want = {(r["probe_id"], r["neighbor_id"]) for r in brute.collect()}
+    recall = len(got & want) / max(1, len(want))
+    return {"recall_vs_brute": round(recall, 4), "ok": recall >= 0.95}
+
+
+@probe("vector_ivf_partitioned_scan")
+def p_ivf_layout(spark, vecs, tmpdir):
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.similarity import (
+        cosine_topk_ivf_partitioned,
+        write_ivf_partitioned,
+    )
+    from etl_mini_spark.plans.explain import scan_read_metrics
+
+    layout = str(Path(tmpdir) / "ivf_layout_probe")
+    C = write_ivf_partitioned(vecs, layout, n_cells=16)
+    probes = spark.read.parquet(layout).filter(F.col("vec_id") % 100_000 == 17).drop("cell")
+    bytes_at = {}
+    for nprobe in (1, 4, 16):
+        df = cosine_topk_ivf_partitioned(spark, layout, probes, C, k=5, nprobe=nprobe)
+        bytes_at[nprobe] = scan_read_metrics(df)["filesSize"]
+    return {
+        "scan_bytes": {str(k): v for k, v in bytes_at.items()},
+        "ok": bytes_at[1] < bytes_at[4] < bytes_at[16],
+    }
+
+
+@probe("vector_lsh_near_dups")
+def p_lsh(spark, vecs):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_mini_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    base = vecs.filter(F.col("vec_id") < 200_000)
+    n_planted = 5000
+
+    # planted dups: tiny deterministic perturbation of the first 5k
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("embedding", T.ArrayType(T.FloatType()))]
+    )
+
+    def perturb(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.asarray(pdf["embedding"].to_list(), dtype=np.float32)
+            mat = mat + 0.001
+            yield pd.DataFrame({"vec_id": ids + 1_000_000, "embedding": list(mat)})
+
+    dups = base.filter(F.col("vec_id") < n_planted).mapInPandas(perturb, schema)
+    corpus = base.unionByName(dups)
+    pairs = embedding_near_dup_pairs_lsh(corpus, threshold=0.99)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    hit = sum((i, i + 1_000_000) in got or (i + 1_000_000, i) in got for i in range(n_planted))
+    recall = hit / n_planted
+    return {"n_pairs": len(got), "planted_recall": round(recall, 4), "ok": recall >= 0.99}
+
+
+# --- event tier -------------------------------------------------------------
+
+
+@probe("event_asof_celebrity")
+def p_asof(spark, events):
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.joins import asof_join
+
+    right = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.pmod(F.xxhash64("id"), 15_000) + 2).alias("user_id"),
+        F.timestamp_seconds(F.lit(1609459200) + F.pmod(F.xxhash64("id", F.lit(3)), 94_608_000)).alias("rt"),
+        F.col("id").alias("rid"),
+    )
+    kwargs = dict(on=["user_id"], left_time="ts", right_time="rt", right_cols=["rid"], tiebreak="rid")
+
+    def checksum(df):
+        return df.agg(
+            F.sum(F.xxhash64("event_id", "rid")).alias("c"), F.count("*").alias("n")
+        ).collect()[0]
+
+    t0 = time.monotonic()
+    plain = checksum(asof_join(events, right, **kwargs))
+    t_plain = time.monotonic() - t0
+    t0 = time.monotonic()
+    bucketed = checksum(asof_join(events, right, bucket_seconds=14 * 86400, **kwargs))
+    t_bucketed = time.monotonic() - t0
+    return {
+        "plain_seconds": round(t_plain, 2),
+        "bucketed_seconds": round(t_bucketed, 2),
+        "rows": plain["n"],
+        "ok": (plain["c"], plain["n"]) == (bucketed["c"], bucketed["n"]),
+    }
+
+
+@probe("event_budget_cap_skew")
+def p_budget(spark):
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.sampling import budget_cap
+
+    df = spark.range(400_000).select(
+        F.when(F.pmod(F.xxhash64("id"), 10) < 8, F.lit("hot")).otherwise(
+            F.concat(F.lit("g"), F.pmod(F.xxhash64("id", F.lit(1)), 50).cast("string"))
+        ).alias("grp"),
+        F.col("id").alias("k"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), 23) + 1).alias("wt"),
+    )
+    df.persist()
+    df.count()
+
+    def checksum(sharded):
+        out = budget_cap(df, ["grp"], "wt", 500_000, "k", sharded=sharded)
+        return tuple(
+            out.agg(F.sum(F.xxhash64("grp", "k", "cum_weight")).alias("c"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+
+    t0 = time.monotonic()
+    sharded = checksum(True)
+    t_sharded = time.monotonic() - t0
+    t0 = time.monotonic()
+    naive = checksum(False)
+    t_naive = time.monotonic() - t0
+    df.unpersist()
+    return {
+        "sharded_seconds": round(t_sharded, 2),
+        "window_seconds": round(t_naive, 2),
+        "rows": sharded[1],
+        "ok": sharded == naive,
+    }
+
+
+def main() -> None:
+    import tempfile
+
+    from etl_mini_spark.session import get_spark
+
+    spark = get_spark("etl-mini-spark-scale-probe")
+    t0 = time.monotonic()
+
+    print("generating corpus...", file=sys.stderr)
+    docs = gen_corpus(spark)
+    p_minhash(docs)
+    p_jaccard(docs)
+    p_simhash(docs)
+    docs.unpersist()
+
+    print("generating vectors...", file=sys.stderr)
+    vecs = gen_vectors(spark)
+    vecs.persist()
+    vecs.count()
+    p_ivf(spark, vecs)
+    with tempfile.TemporaryDirectory() as tmpdir:
+        p_ivf_layout(spark, vecs, tmpdir)
+        p_lsh(spark, vecs)
+        vecs.unpersist()
+
+        print("generating events...", file=sys.stderr)
+        p_asof(spark, gen_events(spark))
+        p_budget(spark)
+
+    total = round(time.monotonic() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_wallclock",
+                "value": total,
+                "unit": "sec",
+                "probes": RESULTS,
+                "n_docs": N_DOCS,
+                "n_vecs": N_VECS,
+                "n_events": N_EVENTS,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "all_ok": all(p.get("ok") for p in RESULTS.values()),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -196,8 +196,10 @@ def cosine_topk_ivf(
     1000-probe x 1M-corpus run locally; this form moves O(corpus x d)
     exactly once -- same scan cost as brute force -- while scoring only
     ~nprobe/n_cells of the pair space. At 100 TB you additionally
-    cell-partition the corpus LAYOUT (zorder_write-style) so files of
-    non-routed cells are pruned from the scan itself."""
+    cell-partition the corpus LAYOUT so files of non-routed cells are
+    pruned from the scan itself -- that is
+    :func:`write_ivf_partitioned` + :func:`cosine_topk_ivf_partitioned`
+    (scan-metric-asserted in tests)."""
     from etl_mini_spark.session import spread
 
     spark = corpus.sparkSession
@@ -255,6 +257,92 @@ def cosine_topk_ivf(
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(probe_id_col, "neighbor_id", "cosine")
+    )
+
+
+def assign_ivf_cells(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Attach each vector's IVF cell id (argmax cosine against the
+    broadcast centroids) — one Arrow-batched GEMM per batch, no
+    shuffle."""
+    spark = corpus.sparkSession
+    b = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(v: pd.Series) -> pd.Series:
+        C = b.value
+        mat = np.asarray(v.to_list(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((mat / norms[:, None]) @ C.T, axis=1).astype(np.int32))
+
+    return corpus.withColumn(cell_col, _cell(F.col(vec_col)))
+
+
+def write_ivf_partitioned(
+    corpus: DataFrame,
+    path: str,
+    centroids: np.ndarray | None = None,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> np.ndarray:
+    """Materialize the corpus CELL-PARTITIONED (one parquet directory
+    per IVF cell) — the layout step cosine_topk_ivf's docstring
+    promises: with it, a probe routed to ``nprobe`` of ``n_cells``
+    cells scans only those cells' FILES; the other cells never leave
+    the object store. Scan bytes then scale with nprobe/n_cells, not
+    corpus size — the difference between "score fewer pairs" and "read
+    less data", and the part that matters at 100 TB.
+
+    Returns the centroids actually used — persist them next to the
+    layout (they ARE the routing index; production would write them to
+    ``{path}/_centroids``)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    assigned = assign_ivf_cells(corpus, centroids, vec_col=vec_col, cell_col=cell_col)
+    assigned.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+    return centroids
+
+
+def cosine_topk_ivf_partitioned(
+    spark,
+    path: str,
+    probes: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF ANN over a :func:`write_ivf_partitioned` layout: probes are
+    routed driver-side to their ``nprobe`` nearest cells, and the scan
+    carries a static ``cell IN (...)`` partition filter, so files of
+    non-routed cells are PRUNED from the read (assert with
+    ``df.inputFiles()`` / the scan's PartitionFilters). Scoring then
+    reuses :func:`cosine_topk_ivf` with the same centroids — cell
+    assignment is a pure function of (vector, centroids), so results
+    are identical to the unpartitioned path with identical routing."""
+    p_ids, p_mat = _gather_unit_matrix(probes, id_col, vec_col)
+    order = np.argsort(-(p_mat @ centroids.T), axis=1)[:, :nprobe]
+    routed = sorted({int(c) for c in order.ravel()})
+    pruned = spark.read.parquet(path).filter(F.col(cell_col).isin(routed))
+    return cosine_topk_ivf(
+        pruned.select(id_col, vec_col),
+        probes,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        probe_id_col=probe_id_col,
+        centroids=centroids,
     )
 
 

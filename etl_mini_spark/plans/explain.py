@@ -67,3 +67,38 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         if "WholeStageCodegen" in line:
             s.has_codegen = True
     return s
+
+
+def scan_read_metrics(df: DataFrame) -> dict[str, int]:
+    """EXECUTE the plan and sum the file-scan leaves' read metrics:
+    ``{"numFiles", "filesSize", "numPartitions"}``. This is the ground
+    truth for partition/file pruning — ``DataFrame.inputFiles()`` lists
+    the relation's whole file index and ignores partition filters, so
+    only executed scan metrics can prove a layout pruned the read."""
+    df.collect()
+    totals = {"numFiles": 0, "filesSize": 0, "numPartitions": 0}
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        # AQE wraps the final plan; query stages wrap their stage plans —
+        # descend through both or the scans (and their metrics) are
+        # invisible from the top-level leaves.
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if node.nodeName().strip().startswith("Scan"):
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() in totals:
+                    totals[kv._1()] += kv._2().value()
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return totals

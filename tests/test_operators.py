@@ -937,6 +937,55 @@ def test_welford_state_merge_matches_direct_variance(spark):
     assert abs(got["vstddev"] - want["sd"]) / want["sd"] < 1e-6, (got["vstddev"], want["sd"])
 
 
+def test_ivf_partitioned_layout_prunes_scan_and_matches_unpartitioned(spark, tmp_path):
+    """write_ivf_partitioned closes the docstring promise of
+    cosine_topk_ivf: the corpus is materialized partitionBy(cell), the
+    routed read carries a static cell IN (...) partition filter, and
+    (a) the pruned scan reads STRICTLY fewer files than the layout
+    holds, (b) scan files grow with nprobe (more routed cells → more
+    bytes — the scan-bytes-scale-with-nprobe contract), and (c) results
+    are row-identical to cosine_topk_ivf on the unpartitioned corpus
+    with the same centroids."""
+    from etl_mini_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_partitioned,
+        train_ivf_centroids,
+        write_ivf_partitioned,
+    )
+    from etl_mini_spark.session import load_table
+
+    from etl_mini_spark.plans.explain import scan_read_metrics
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") % 211 == 0).limit(3)
+    layout = str(tmp_path / "ivf_layout")
+    C = write_ivf_partitioned(emb, layout, n_cells=16)
+
+    full = scan_read_metrics(spark.read.parquet(layout))
+    assert full["numPartitions"] == 16
+    kwargs = dict(k=5, id_col="vec_id", vec_col="embedding", probe_id_col="probe_id")
+
+    got = cosine_topk_ivf_partitioned(spark, layout, probes, C, nprobe=4, **kwargs)
+    # PartitionFilters on the scan, not a post-scan filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    read4 = scan_read_metrics(got)
+    assert 0 < read4["numFiles"] < full["numFiles"], (read4, full)
+    assert read4["filesSize"] < full["filesSize"]
+    assert read4["numPartitions"] <= 3 * 4  # ≤ probes × nprobe routed cells
+
+    read1 = scan_read_metrics(
+        cosine_topk_ivf_partitioned(spark, layout, probes, C, nprobe=1, **kwargs)
+    )
+    assert read1["numFiles"] < read4["numFiles"], (read1, read4)
+
+    want = cosine_topk_ivf(emb, probes, nprobe=4, centroids=C, n_cells=16, **kwargs)
+    snap = lambda df: sorted(  # noqa: E731
+        (r["probe_id"], r["neighbor_id"], round(r["cosine"], 6)) for r in df.collect()
+    )
+    assert snap(got) == snap(want)
+
+
 def test_budget_cap_sharded_keeps_null_group(spark):
     """Regression (round-7 advice): the sharded path's offset join must
     be null-safe — [('a',1),(None,2),(None,3)] used to come back as

@@ -47,6 +47,50 @@ def test_flagship_pipeline_spec(spark, tmp_path_factory):
     assert back.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
 
 
+def test_cli_runner_round_trips_flagship(spark, capsys):
+    """`python -m etl_mini_spark.run config.json` shape parity with the
+    reference's JSON-config argv runner (internal_raw_to_dwh.py): the
+    flagship spec as a JSON file round-trips through spec_from_dict +
+    main() and produces the same parquet output; a typo'd config fails
+    loudly with exit code 1, not a silently different pipeline."""
+    from etl_mini_spark.run import main
+
+    out = str(TMP / "cli_out")
+    cfg = {
+        "name": "events_to_dwh_cli",
+        "source": {"path": f"{SF_SMOKE}/events.parquet"},
+        "transforms": [
+            {"op": "filter", "expr": "event_type <> 'error'"},
+            {"op": "time_derive", "ts_col": "ts"},
+            {"op": "ordered_dedup", "dedup_by": ["user_id", "event_type"],
+             "order_by": ["ts", "event_id"]},
+            {"op": "select", "columns": ["event_id", "user_id", "event_type", "datetime_s"]},
+        ],
+        "sink": {"path": out, "format": "parquet"},
+    }
+    cfg_path = TMP / "cli_cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main([str(cfg_path)]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["status"] == "ok" and report["pipeline"] == "events_to_dwh_cli"
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert set(back.columns) == {"event_id", "user_id", "event_type", "datetime_s"}
+
+    bad = dict(cfg, transforms=[{"op": "no_such_op"}])
+    bad_path = TMP / "cli_bad.json"
+    bad_path.write_text(json.dumps(bad))
+    assert main([str(bad_path)]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert err["status"] == "error" and "no_such_op" in err["error"]
+
+    typo = dict(cfg)
+    typo["windw_end"] = "2024-01-01T00:00:00"
+    typo_path = TMP / "cli_typo.json"
+    typo_path.write_text(json.dumps(typo))
+    assert main([str(typo_path)]) == 1
+
+
 def test_pipeline_missing_source_gate(spark):
     from etl_mini_spark.plans.pipeline import PipelineSpec, SinkSpec, SourceSpec, run_pipeline
     from etl_mini_spark.sources.readers import SourceMissingError

@@ -648,9 +648,9 @@ def test_sliding_distinct_has_no_range_join(spark):
     aggregation — never the naive range join (BroadcastNestedLoop /
     Cartesian) the oracle runs."""
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round7_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES
 
-    s = plan_summary(PENDING_QUERIES["sliding_distinct_users_7d"](spark, SF_SMOKE))
+    s = plan_summary(QUERIES["sliding_distinct_users_7d"](spark, SF_SMOKE))
     assert not any(j in ("BroadcastNestedLoopJoin", "CartesianProduct") for j in s.joins), s.joins
     assert "Generate explode" in s.text
 
@@ -660,17 +660,17 @@ def test_transition_matrix_is_join_free(spark):
     aggs — a join anywhere means the rewrite regressed to the pair-join
     formulation."""
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round7_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES
 
-    s = plan_summary(PENDING_QUERIES["event_transition_matrix"](spark, SF_SMOKE))
+    s = plan_summary(QUERIES["event_transition_matrix"](spark, SF_SMOKE))
     assert s.joins == [], s.joins
 
 
 def test_inverted_index_joins_are_keyed(spark):
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round7_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES
 
-    s = plan_summary(PENDING_QUERIES["text_inverted_index"](spark, SF_SMOKE))
+    s = plan_summary(QUERIES["text_inverted_index"](spark, SF_SMOKE))
     assert s.joins and not any(
         j in ("BroadcastNestedLoopJoin", "CartesianProduct") for j in s.joins
     ), s.joins
@@ -681,17 +681,17 @@ def test_skipgram_is_join_free(spark):
     the plan means the positional self-join (the oracle's naive form)
     leaked into the Spark side."""
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round7_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES
 
-    s = plan_summary(PENDING_QUERIES["corpus_skipgram_pairs"](spark, SF_SMOKE))
+    s = plan_summary(QUERIES["corpus_skipgram_pairs"](spark, SF_SMOKE))
     assert s.joins == [], s.joins
 
 
 def test_stickiness_has_no_range_join(spark):
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round7_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES
 
-    s = plan_summary(PENDING_QUERIES["dau_mau_stickiness"](spark, SF_SMOKE))
+    s = plan_summary(QUERIES["dau_mau_stickiness"](spark, SF_SMOKE))
     assert not any(j in ("BroadcastNestedLoopJoin", "CartesianProduct") for j in s.joins), s.joins
 
 
@@ -722,9 +722,13 @@ def test_pending_tier_no_cartesian_blanket(spark):
     size, grand totals, funnel stage counts, audit counters) — a 1-row
     broadcast is a constant, not a quadratic join. New pending entries
     with an unlisted nested-loop fail here before staging."""
-    from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round7_pending import PENDING_QUERIES
+    import re as _re
 
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    src = open("etl_mini_spark/queries/round7_ops.py").read()
+    ROUND7 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
     ONE_ROW_SCALAR_OK = {
         "basket_rules_lift",        # grand order count
         "benford_first_digit",      # grand total
@@ -735,8 +739,8 @@ def test_pending_tier_no_cartesian_blanket(spark):
         "split_leakage_safe",       # cross-split audit counter
         "survival_kaplan_meier",    # observation-end scalar
     }
-    for name in sorted(PENDING_QUERIES):
-        s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
+    for name in ROUND7:
+        s = plan_summary(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in ONE_ROW_SCALAR_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
