@@ -1,0 +1,459 @@
+"""Round-8 PENDING queries — implemented and differentially tested now,
+REGISTERED next round.
+
+Why deferred: the driver's CORRECTNESS gate records exactly the first 50
+registry entries, and every round-7 slot is owned by a
+never-driver-verified entry (the 39 promoted round7_ops queries + this
+round's new operators + code-change canaries;
+tests/test_window_rotation.py enforces "oracle-backed ⇒ driver-green
+row OR window slot"). They are verified THIS round by
+tests/test_round8_pending.py — the exact harness the registry tests
+use — and round 8 promotes them into freed slots, the same path the
+round-7 batch took.
+
+Contents:
+- timeseries_ema          : per-type daily EMA — the classic "SQL can't
+                            do linear recursion" op, linearized as a
+                            higher-order array fold (one pass, bounded
+                            per-group state) vs a recursive-CTE oracle.
+- agg_weighted_median     : weighted quantiles via cumulative-weight
+                            cutoffs (the unweighted percentile suite
+                            can't express per-row mass).
+- cdc_apply_log           : CDC change-log application with tombstone
+                            deletes → current snapshot.
+- pivot_multi_agg         : pivot carrying TWO aggregates per cell
+                            (sum + count), explicit value list.
+- interval_union_coverage : merged-interval coverage per user (union
+                            length + island count) — the sweep-line
+                            cousin of interval_overlap_agg's
+                            max-concurrency.
+- quality_threshold_sweep : corpus keep-rate curve over a threshold
+                            grid — the report that picks a quality
+                            filter's operating point.
+- sample_weighted_topk    : deterministic weighted sampling without
+                            replacement (Efraimidis–Spirakis) per
+                            group, hash-derived uniforms.
+- pareto_front_parts      : skyline (non-dominated price/size parts)
+                            via a running-extreme window — no
+                            quadratic dominance join.
+"""
+
+from __future__ import annotations
+
+from etl_mini_spark.queries._base import _t
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+PENDING_QUERIES = {}
+PENDING_ORACLE = {}
+
+
+def pq(name, sql):
+    def deco(fn):
+        PENDING_QUERIES[name] = fn
+        PENDING_ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --- EMA via higher-order fold ---------------------------------------------
+# Daily revenue is pre-rounded to 2dp so both engines fold IDENTICAL
+# doubles through the identical recursion ema_t = a·x_t + (1−a)·ema_{t−1};
+# the result is bit-equal bar the final 6dp rounding. The oracle runs the
+# literal recursion as a recursive CTE over per-type day indexes.
+_EMA_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 2) AS rev,
+             row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS rn
+      FROM events GROUP BY 1, 2),
+    r(event_type, d, rn, rev, ema) AS (
+        SELECT event_type, d, rn, rev, rev FROM daily WHERE rn = 1
+      UNION ALL
+        SELECT daily.event_type, daily.d, daily.rn, daily.rev,
+               0.3 * daily.rev + 0.7 * r.ema
+        FROM r JOIN daily ON daily.event_type = r.event_type AND daily.rn = r.rn + 1)
+    SELECT event_type, CAST(d AS VARCHAR) AS d, rev, round(ema, 6) AS ema
+    FROM r
+"""
+
+
+@pq("timeseries_ema", _EMA_SQL)
+def timeseries_ema(spark, sf_dir):
+    """Exponential moving average (α=0.3) over each type's daily
+    revenue — the canonical linear recursion no window frame can
+    express. Linearized engine-side as ONE higher-order fold:
+    collect each group's (bounded, |days|-sized) series sorted, then
+    ``aggregate`` builds the EMA sequence functionally and posexplode
+    restores rows. Per-group state is the |days| array — fine for
+    per-key series (types × ~30 days); an unbounded-key variant would
+    shard like budget_cap. The oracle runs the literal recursion as a
+    recursive CTE, so the fold is proven equal to the textbook
+    definition, not just to itself. Daily pre-rounding (2dp) pins both
+    engines to identical fold inputs; 6dp output rounding absorbs
+    nothing more than display noise."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 2).alias("rev")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "rev"))).alias("s")
+    )
+    # fold: acc is the EMA array built so far; element_at(acc, -1) is
+    # ema_{t-1}; the first step seeds with x_1 via the coalesce.
+    ema_arr = F.expr(
+        """aggregate(
+             s, CAST(array() AS ARRAY<DOUBLE>),
+             (acc, x) -> array_append(
+               acc,
+               coalesce(0.3D * x.rev + 0.7D * try_element_at(acc, -1), x.rev)))"""
+    )
+    unpacked = series.withColumn("ema_arr", ema_arr).select(
+        "event_type", F.posexplode(F.arrays_zip("s", "ema_arr")).alias("i", "z")
+    )
+    return unpacked.select(
+        "event_type",
+        F.col("z.s.d").cast("string").alias("d"),
+        F.col("z.s.rev").alias("rev"),
+        F.round(F.col("z.ema_arr"), 6).alias("ema"),
+    )
+
+
+# --- weighted median --------------------------------------------------------
+# Lower weighted median: the smallest value whose cumulative weight
+# reaches half the total. Weights are integral quantities summed as
+# BIGINT, so the threshold comparison is exact in both engines; ties in
+# price cannot change the selected VALUE (any order within a tie run
+# crosses the cutoff at the same price).
+_WMEDIAN_SQL = """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem),
+    c AS (
+      SELECT l_returnflag, v, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w)
+    SELECT l_returnflag, round(min(v), 2) AS weighted_median,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cw >= tw GROUP BY 1
+"""
+
+
+@pq("agg_weighted_median", _WMEDIAN_SQL)
+def agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag: one cumulative-
+    weight window over the value sort, then min(value) past the
+    half-mass cutoff — the percentile suite's percentile_approx/
+    percentile cannot weight rows. The 2·cw ≥ tw comparison is all-
+    integer (quantities are integral), so the cutoff is engine-exact;
+    intra-tie ordering is irrelevant to the selected value. One shuffle
+    on the group key; the window carries one BIGINT."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = li.withColumn("cw", F.sum("wt").over(wc)).withColumn(
+        "tw", F.sum("wt").over(Window.partitionBy("l_returnflag"))
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("v"), 2).alias("weighted_median"),
+            F.min("tw").alias("total_weight"),
+        )
+    )
+
+
+# --- CDC log application with tombstones -----------------------------------
+# The events stream read as a change log: per user, ops apply in
+# (ts, event_id) order; 'error' rows are DELETE tombstones, everything
+# else upserts the user's current (event_type, value). The snapshot is
+# the latest surviving row per key — users whose LAST op is a delete
+# are absent entirely (not nulled).
+_CDC_SQL = """
+    SELECT user_id, event_type AS last_type, round(value, 2) AS last_value,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@pq("cdc_apply_log", _CDC_SQL)
+def cdc_apply_log(spark, sf_dir):
+    """Apply a CDC change log to produce the current snapshot: latest
+    op per key wins (total order ts, event_id), and a trailing DELETE
+    tombstone removes the key from the snapshot rather than nulling it
+    — the Debezium-consumer semantics merge_upsert (which has no
+    delete action) cannot express. One window shuffle on the key; at
+    100 TB the log is first compacted per partition by the same
+    row_number (map-side), so the shuffle carries one row per key per
+    partition, not the whole log."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count("*").over(Window.partitionBy("user_id")))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+            "n_ops",
+        )
+    )
+
+
+# --- pivot with two aggregates per cell ------------------------------------
+_PIVOT2_SQL = """
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click_sum,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click_n,
+           round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2) AS view_sum,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view_n,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_sum,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase_n
+    FROM events GROUP BY 1
+"""
+
+
+@pq("pivot_multi_agg", _PIVOT2_SQL)
+def pivot_multi_agg(spark, sf_dir):
+    """Pivot carrying TWO aggregates per pivot cell (value sum + row
+    count per event type) — pivot_type_counts covers the single-agg
+    shape; multi-agg pivots compile to one pass of conditional
+    aggregates, NOT one pass per measure. Explicit value list as
+    always (an unpinned pivot needs an extra distinct pass at scale).
+    Missing cells surface as 0 (sum over empty set) to match the
+    oracle's ELSE 0 arms."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("sum"),
+            # count(*) is rejected inside Pivot — count a literal instead
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for t in ("click", "view", "purchase"):
+        cols.append(F.round(F.coalesce(F.col(f"{t}_sum"), F.lit(0.0)), 2).alias(f"{t}_sum"))
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
+    return out.select(*cols)
+
+
+# --- merged-interval coverage ----------------------------------------------
+# Each event opens a [ts, ts+10min) interval; per user, overlapping
+# intervals merge into islands. A new island starts where ts exceeds
+# the running max end of ALL earlier intervals (not just the previous
+# row's — intervals can nest). Island count and total covered seconds
+# are exact integer µs arithmetic.
+_COVERAGE_SQL = """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+      FROM events),
+    m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+    g AS (
+      SELECT user_id, island, min(s) AS s0, max(e) AS e1
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(e1 - s0) // 1000000 AS BIGINT) AS covered_seconds
+    FROM g GROUP BY 1
+"""
+
+
+@pq("interval_union_coverage", _COVERAGE_SQL)
+def interval_union_coverage(spark, sf_dir):
+    """Union length of overlapping per-user intervals (gaps-and-islands
+    over TIME RANGES): each event opens 10 minutes; islands form where
+    an interval starts past the running max end of all earlier ones
+    (running max, not lag — intervals nest), then one grouped pass
+    sums merged spans. interval_overlap_agg reports peak concurrency;
+    this reports total covered time — the sweep-line twin. Everything
+    is integer µs; one shuffle on user_id reused by both windows and
+    the island rollup."""
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(600_000_000)).alias("e"),
+    )
+    wp = (
+        Window.partitionBy("user_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wi = (
+        Window.partitionBy("user_id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        iv.withColumn("prev_max", F.max("e").over(wp))
+        .withColumn(
+            "new_isl",
+            F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(wi))
+    )
+    g = isl.groupBy("user_id", "island").agg(F.min("s").alias("s0"), F.max("e").alias("e1"))
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        # floor division in BOTH engines: a plain `/` + CAST truncates in
+        # Spark but rounds-to-nearest in DuckDB (caught as an off-by-one)
+        F.floor(F.sum(F.col("e1") - F.col("s0")) / 1_000_000).cast("bigint").alias("covered_seconds"),
+    )
+
+
+# --- quality threshold sweep ------------------------------------------------
+_SWEEP_SQL = """
+    WITH base AS (
+      SELECT len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n_tokens
+      FROM documents),
+    t AS (SELECT unnest([20, 40, 60, 80, 100]) AS threshold),
+    tot AS (SELECT count(*) AS n FROM base)
+    SELECT threshold, CAST(count(CASE WHEN n_tokens >= threshold THEN 1 END) AS BIGINT) AS n_keep,
+           round(count(CASE WHEN n_tokens >= threshold THEN 1 END)
+                 / CAST(min(tot.n) AS DOUBLE), 6) AS keep_rate
+    FROM base CROSS JOIN t CROSS JOIN tot
+    GROUP BY 1
+"""
+
+
+@pq("quality_threshold_sweep", _SWEEP_SQL)
+def quality_threshold_sweep(spark, sf_dir):
+    """Operating-point sweep for a token-count quality gate: keep-count
+    and keep-rate at each threshold in one pass — the report a
+    training-data team reads before fixing a filter's cutoff, and the
+    grid shape any hyperparameter sweep compiles to. The threshold
+    grid is a 5-element exploded literal (a 5× row multiplier on a
+    1-column projection, partial-aggregated map-side), NOT five scans;
+    the corpus count rides along as a 1-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    base = d.select(F.size(toks).alias("n_tokens"))
+    swept = base.select(
+        "n_tokens", F.explode(F.array(*[F.lit(t) for t in (20, 40, 60, 80, 100)])).alias("threshold")
+    )
+    tot = base.agg(F.count("*").alias("n"))
+    return (
+        swept.groupBy("threshold")
+        .agg(F.count(F.when(F.col("n_tokens") >= F.col("threshold"), 1)).alias("n_keep"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "n_keep",
+            F.round(F.col("n_keep") / F.col("n").cast("double"), 6).alias("keep_rate"),
+        )
+    )
+
+
+# --- deterministic weighted sampling (Efraimidis–Spirakis) ------------------
+# Weighted reservoir key: r = ln(u) / w with u a hash-derived uniform in
+# (0,1); the k LARGEST r win (equivalently u^(1/w)). Both engines
+# compute r from the IDENTICAL md5-bucket uniform; r is pre-rounded to
+# 9dp before ranking so a 1-ulp ln() divergence cannot flip a rank, and
+# doc_id breaks exact ties.
+_WSAMPLE_SQL = """
+    WITH u AS (
+      SELECT lang, doc_id, n_chars,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 15))
+                   AS BIGINT) % 100000 + 0.5) / 100000.0 AS uni
+      FROM documents),
+    r AS (
+      SELECT lang, doc_id, n_chars,
+             round(ln(uni) / n_chars, 9) AS rkey
+      FROM u),
+    k AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY rkey DESC, doc_id) AS rn
+      FROM r)
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM k WHERE rn <= 5
+"""
+
+
+@pq("sample_weighted_topk", _WSAMPLE_SQL)
+def sample_weighted_topk(spark, sf_dir):
+    """Deterministic weighted sampling WITHOUT replacement, 5 docs per
+    language, inclusion probability ∝ n_chars: the Efraimidis–Spirakis
+    reservoir key ln(u)/w ranked descending, with u derived from the
+    same md5 hash-bucket construction as every sampler here — so the
+    sample is reproducible on any engine and any partitioning, which
+    df.sample's seed+partition dependence cannot give. The rank key is
+    pre-rounded to 9dp (libm ln() is only ulp-reproducible, the
+    doc_keywords_tfidf_topk lesson) with doc_id tie-break. One shuffle
+    on lang; k rows of state per group."""
+    from etl_mini_spark.operators.sampling import N_BUCKETS, hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    uni = (hash_bucket(F.col("doc_id"), "ws") + 0.5) / F.lit(float(N_BUCKETS))
+    r = d.select(
+        "lang", "doc_id", "n_chars",
+        F.round(F.log(uni) / F.col("n_chars"), 9).alias("rkey"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("rkey").desc(), "doc_id")
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+# --- skyline / Pareto front -------------------------------------------------
+_SKYLINE_SQL = """
+    WITH s AS (
+      SELECT p_partkey, p_retailprice, p_size,
+             max(p_size) OVER (ORDER BY p_retailprice, p_size DESC, p_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_size_cheaper
+      FROM part)
+    SELECT p_partkey, round(p_retailprice, 2) AS p_retailprice,
+           CAST(p_size AS INT) AS p_size
+    FROM s
+    WHERE best_size_cheaper IS NULL OR p_size > best_size_cheaper
+"""
+
+
+@pq("pareto_front_parts", _SKYLINE_SQL)
+def pareto_front_parts(spark, sf_dir):
+    """Skyline query: parts not dominated on (cheaper price, larger
+    size) — a part survives iff no strictly cheaper-or-equal part has
+    size ≥ its own. One sort by price with a running max of size over
+    strictly-preceding rows replaces the quadratic dominance self-join
+    (the classic skyline rewrite; the window order's size DESC arm
+    makes equal-price domination exact). Single window, no join
+    anywhere; at 100 TB the global sort is the only exchange and the
+    running max carries one INT."""
+    p = _t(spark, sf_dir, "part")
+    w = (
+        Window.orderBy("p_retailprice", F.col("p_size").desc(), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = p.withColumn("best_size_cheaper", F.max("p_size").over(w))
+    return (
+        s.filter(F.col("best_size_cheaper").isNull() | (F.col("p_size") > F.col("best_size_cheaper")))
+        .select("p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"), F.col("p_size").cast("int").alias("p_size"))
+    )

@@ -1,0 +1,174 @@
+"""Round-8 pending queries (etl_mini_spark/queries/round8_pending.py):
+differentially verified NOW with the registry harness; registration is
+deferred to round 8 because every round-7 driver-window slot is owned by
+a never-driver-verified entry (see the module docstring — the same
+staged-promotion path the round-7 batch took)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import compare
+
+
+def _pending():
+    from etl_mini_spark.queries.round8_pending import PENDING_ORACLE, PENDING_QUERIES
+
+    return PENDING_QUERIES, PENDING_ORACLE
+
+
+PENDING_QUERIES, PENDING_ORACLE = _pending()
+
+
+@pytest.mark.parametrize("name", sorted(PENDING_QUERIES))
+def test_pending_query_matches_oracle(spark, name):
+    df = PENDING_QUERIES[name](spark, SF_SMOKE)
+    ok, msg = compare(df, PENDING_ORACLE[name], SF_SMOKE)
+    assert ok, f"{name}: {msg}"
+
+
+def test_pending_names_do_not_collide_with_registry():
+    """Round-8 promotion moves these names into the registry verbatim —
+    a collision would silently shadow an existing entry."""
+    from etl_mini_spark.queries import QUERIES
+
+    clash = set(PENDING_QUERIES) & set(QUERIES)
+    assert not clash, clash
+    assert set(PENDING_ORACLE) == set(PENDING_QUERIES)
+
+
+def test_every_pending_query_documents_itself():
+    """Discipline guard: each pending entry carries a real docstring
+    (semantics + scale rationale — the registry convention) and a
+    non-trivial oracle."""
+    for name, fn in PENDING_QUERIES.items():
+        assert fn.__doc__ and len(fn.__doc__) > 120, name
+        assert len(PENDING_ORACLE[name].strip()) > 40, name
+
+
+# --- non-vacuity pins -------------------------------------------------------
+
+
+def test_ema_differs_from_raw_series(spark):
+    """The EMA must actually smooth: per type, ema != rev on most days
+    (identical everywhere would mean the fold degenerated to identity),
+    and day 1 must seed ema = rev exactly."""
+    from pyspark.sql import functions as F
+
+    df = PENDING_QUERIES["timeseries_ema"](spark, SF_SMOKE)
+    rows = df.orderBy("event_type", "d").collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, series in by_type.items():
+        assert series[0]["ema"] == round(series[0]["rev"], 6), t
+        n_diff = sum(1 for r in series[1:] if abs(r["ema"] - r["rev"]) > 1e-9)
+        assert n_diff >= len(series) // 2, (t, n_diff, len(series))
+
+
+def test_weighted_median_differs_from_unweighted(spark):
+    """Weights must matter: for at least one flag the quantity-weighted
+    median differs from the plain median — otherwise the cumulative-
+    weight cutoff was never exercised beyond uniform weights."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    got = {
+        r["l_returnflag"]: r["weighted_median"]
+        for r in PENDING_QUERIES["agg_weighted_median"](spark, SF_SMOKE).collect()
+    }
+    plain = {
+        r["l_returnflag"]: r["m"]
+        for r in _t(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+        .collect()
+    }
+    assert set(got) == set(plain) and len(got) >= 2
+    assert any(abs(got[k] - plain[k]) > 0.01 for k in got), (got, plain)
+
+
+def test_cdc_tombstones_remove_keys(spark):
+    """Users whose LAST op is a delete must be absent from the
+    snapshot — and such users must exist at this SF (else the tombstone
+    branch is dead code)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    e = _t(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last = e.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    deleted = {r["user_id"] for r in last.filter("event_type = 'error'").collect()}
+    assert deleted, "no user ends on a tombstone at this SF — pin is vacuous"
+    snap = {r["user_id"] for r in PENDING_QUERIES["cdc_apply_log"](spark, SF_SMOKE).collect()}
+    assert snap and not (snap & deleted)
+
+
+def test_coverage_islands_actually_merge(spark):
+    """Some user must have overlapping intervals (covered_seconds <
+    600s × n_events) AND some user must have multiple islands —
+    otherwise the merge or the split path is untested."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    cov = {
+        r["user_id"]: (r["n_islands"], r["covered_seconds"])
+        for r in PENDING_QUERIES["interval_union_coverage"](spark, SF_SMOKE).collect()
+    }
+    n_events = {
+        r["user_id"]: r["n"]
+        for r in _t(spark, SF_SMOKE, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert any(cov[u][1] < 600 * n_events[u] for u in cov), "no intervals ever merged"
+    assert any(n > 1 for n, _ in cov.values()), "every user is one island"
+
+
+def test_threshold_sweep_is_monotone(spark):
+    """keep_rate must be non-increasing in the threshold and strictly
+    between 0 and 1 somewhere — a flat sweep means the grid missed the
+    distribution entirely."""
+    rows = PENDING_QUERIES["quality_threshold_sweep"](spark, SF_SMOKE).orderBy("threshold").collect()
+    rates = [r["keep_rate"] for r in rows]
+    assert rates == sorted(rates, reverse=True)
+    assert any(0 < x < 1 for x in rates), rates
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Inclusion ∝ n_chars: the sampled docs' mean length must exceed
+    the corpus mean (with 5×|langs| draws this holds by a wide margin
+    unless the key direction is inverted)."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    got = PENDING_QUERIES["sample_weighted_topk"](spark, SF_SMOKE)
+    m_sample = got.agg(F.avg("n_chars")).collect()[0][0]
+    m_all = _t(spark, SF_SMOKE, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    assert m_sample > m_all, (m_sample, m_all)
+    # exactly 5 per language
+    sizes = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 5 for n in sizes.values()), sizes
+
+
+def test_pareto_front_is_mutually_non_dominated(spark):
+    """No surviving part may dominate another (cheaper-or-equal AND
+    larger-or-equal with one strict) — and the front must be a strict
+    subset of the table."""
+    from etl_mini_spark.queries._base import _t
+
+    rows = PENDING_QUERIES["pareto_front_parts"](spark, SF_SMOKE).collect()
+    n_all = _t(spark, SF_SMOKE, "part").count()
+    assert 0 < len(rows) < n_all
+    pts = [(r["p_retailprice"], r["p_size"]) for r in rows]
+    for i, (pa, sa) in enumerate(pts):
+        for j, (pb, sb) in enumerate(pts):
+            if i == j:
+                continue
+            dominates = pa <= pb and sa >= sb and (pa < pb or sa > sb)
+            assert not dominates, (pts[i], pts[j])
