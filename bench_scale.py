@@ -17,11 +17,11 @@ Tiers (all data deterministic — no RNG state leaks across partitionings):
             vs bucket_seconds (checksums must match), and the 400k-row
             skewed budget_cap sharded-vs-window equivalence.
 
-Prints ONE JSON line:
-{"metric": "scale_probe_wallclock", "value": N, "unit": "sec",
- "probes": {name: {"seconds": s, ...invariants...}}, ...}
-Run per round and commit the output as SCALE_r{N}.json:
-    python bench_scale.py > SCALE_r07.json
+Prints ONE JSON line to stdout AND (because the driver JVM can write
+GC warnings to stdout under memory pressure, which would corrupt a
+shell redirect) to the file given as argv[1].
+Run per round and commit the artifact:
+    python bench_scale.py SCALE_r07.json
 Every probe also carries a hard invariant (recall / agreement /
 checksum equality); "ok": false in any probe means a functional
 regression, not just a slow run.
@@ -102,14 +102,22 @@ def gen_vectors(spark, n=N_VECS, d=64, centers=16):
     """Distributed deterministic vectors: center = id % centers, noise
     from the GLSL-style fract(sin) hash — a pure function of (id, dim),
     so the dataset is identical under any partitioning with no RNG
-    state to ship."""
+    state to ship. ``centers=0`` drops the cluster structure (pure
+    noise, pairwise cosine ~0) — the LSH near-dup probe needs that:
+    on 16-cluster data same-cluster cosines sit ~0.83, hyperplane
+    buckets collide at ~0.8^bits, and candidate mass explodes to tens
+    of millions of pairs (measured: executor memory thrash) without a
+    single true near-dup among them."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     rs = np.random.RandomState(11)
-    C = rs.normal(size=(centers, d))
-    C /= np.linalg.norm(C, axis=1)[:, None]
+    if centers > 0:
+        C = rs.normal(size=(centers, d))
+        C /= np.linalg.norm(C, axis=1)[:, None]
+    else:
+        C = np.zeros((1, d))
     b = spark.sparkContext.broadcast(C)
 
     schema = T.StructType(
@@ -120,7 +128,7 @@ def gen_vectors(spark, n=N_VECS, d=64, centers=16):
         CC = b.value
         for pdf in batches:
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            base = CC[ids % centers]
+            base = CC[ids % max(centers, 1)]
             j = np.arange(d)[None, :]
             noise = np.sin(ids[:, None] * 12.9898 + j * 78.233) * 43758.5453
             noise = (noise - np.floor(noise) - 0.5) * 0.2
@@ -230,14 +238,14 @@ def p_ivf_layout(spark, vecs, tmpdir):
 
 
 @probe("vector_lsh_near_dups")
-def p_lsh(spark, vecs):
+def p_lsh(spark):
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from etl_mini_spark.operators.similarity import embedding_near_dup_pairs_lsh
 
-    base = vecs.filter(F.col("vec_id") < 200_000)
+    base = gen_vectors(spark, n=200_000, centers=0)
     n_planted = 5000
 
     # planted dups: tiny deterministic perturbation of the first 5k
@@ -278,8 +286,10 @@ def p_asof(spark, events):
     kwargs = dict(on=["user_id"], left_time="ts", right_time="rt", right_cols=["rid"], tiebreak="rid")
 
     def checksum(df):
+        # bit_xor: order-independent and overflow-free (ANSI mode raises
+        # on a 9M-row SUM of int64 hashes)
         return df.agg(
-            F.sum(F.xxhash64("event_id", "rid")).alias("c"), F.count("*").alias("n")
+            F.bit_xor(F.xxhash64("event_id", "rid")).alias("c"), F.count("*").alias("n")
         ).collect()[0]
 
     t0 = time.monotonic()
@@ -315,7 +325,7 @@ def p_budget(spark):
     def checksum(sharded):
         out = budget_cap(df, ["grp"], "wt", 500_000, "k", sharded=sharded)
         return tuple(
-            out.agg(F.sum(F.xxhash64("grp", "k", "cum_weight")).alias("c"), F.count("*").alias("n"))
+            out.agg(F.bit_xor(F.xxhash64("grp", "k", "cum_weight")).alias("c"), F.count("*").alias("n"))
             .collect()[0]
         )
 
@@ -356,29 +366,30 @@ def main() -> None:
     p_ivf(spark, vecs)
     with tempfile.TemporaryDirectory() as tmpdir:
         p_ivf_layout(spark, vecs, tmpdir)
-        p_lsh(spark, vecs)
         vecs.unpersist()
+        p_lsh(spark)
 
         print("generating events...", file=sys.stderr)
         p_asof(spark, gen_events(spark))
         p_budget(spark)
 
     total = round(time.monotonic() - t0, 2)
-    print(
-        json.dumps(
-            {
-                "metric": "scale_probe_wallclock",
-                "value": total,
-                "unit": "sec",
-                "probes": RESULTS,
-                "n_docs": N_DOCS,
-                "n_vecs": N_VECS,
-                "n_events": N_EVENTS,
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-                "all_ok": all(p.get("ok") for p in RESULTS.values()),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "scale_probe_wallclock",
+            "value": total,
+            "unit": "sec",
+            "probes": RESULTS,
+            "n_docs": N_DOCS,
+            "n_vecs": N_VECS,
+            "n_events": N_EVENTS,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "all_ok": all(p.get("ok") for p in RESULTS.values()),
+        }
     )
+    print(payload)
+    if len(sys.argv) > 1:
+        Path(sys.argv[1]).write_text(payload + "\n")
 
 
 if __name__ == "__main__":

@@ -457,3 +457,274 @@ def pareto_front_parts(spark, sf_dir):
         s.filter(F.col("best_size_cheaper").isNull() | (F.col("p_size") > F.col("best_size_cheaper")))
         .select("p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"), F.col("p_size").cast("int").alias("p_size"))
     )
+
+
+# =========================================================================
+# Batch 2: streaming left-outer interval join (watermark-flush sentinel),
+# audience overlap, dynamic partition overwrite, salted exact
+# count-distinct, time-decay attribution. (A PMI-collocation query was
+# drafted and DROPPED: the synthetic documents table has a ~31-token
+# vocabulary where almost every token co-occurs with every other in
+# nearly every doc — PMI over it is numerical noise, and a pinned
+# oracle on noise would be a vacuous test, not coverage.)
+# =========================================================================
+
+
+_STREAM_OUTER_SQL = """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+"""
+
+
+@pq("stream_interval_join_outer", _STREAM_OUTER_SQL)
+def stream_interval_join_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: every click appears,
+    null-padded when no purchase followed within 10 minutes. The
+    semantics gap vs batch: outer rows flush only when the WATERMARK
+    passes their eviction point, so a bounded (AvailableNow) run would
+    silently withhold nulls for the final watermark window — the fix
+    is a far-future sentinel row appended to BOTH streams that drags
+    the final watermark past all real data, then filtered back out.
+    That sentinel trick is the practitioner contract for draining
+    outer-join state on bounded replays; with it the stream equals the
+    batch LEFT JOIN exactly and the oracle is plain SQL. State stays
+    O(watermark + max_delay) either way."""
+    import shutil
+    import uuid
+
+    from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
+    from etl_mini_spark.streaming.windows import stream_interval_join as ssj
+
+    from etl_mini_spark.queries._base import _TMP
+
+    for old in _TMP.glob("stream_oj_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    tmp = _TMP / f"stream_oj_{uuid.uuid4().hex[:8]}"
+    src, out, ckpt = str(tmp / "src"), str(tmp / "out"), str(tmp / "ckpt")
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    # watermark-advancer sentinel: one click + one purchase 30 days past
+    # the horizon on an impossible user; evicts every real row's state
+    horizon = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "click", horizon), (-2, -1, "purchase", horizon)],
+        e.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAY"))
+    e.unionByName(sentinel).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    clicks = (
+        read_stream_parquet(spark, src, schema)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        read_stream_parquet(spark, src, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = ssj(
+        clicks, purchases,
+        left_key="user_id", right_key="p_user_id",
+        left_ts="c_ts", right_ts="p_ts",
+        max_delay="10 minutes", how="leftOuter",
+    )
+    run_to_completion(joined, checkpoint_dir=ckpt, output_path=out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)  # drop the sentinel
+        .select("click_id", "purchase_id", "user_id")
+    )
+
+
+# --- audience overlap (Jaccard of user sets per event-type pair) ------------
+_AUDIENCE_SQL = """
+    WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, count(*) AS n FROM m GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS isect
+      FROM m a JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT t1, t2, CAST(isect AS BIGINT) AS isect,
+           CAST(x.n + y.n - isect AS BIGINT) AS un,
+           round(isect / CAST(x.n + y.n - isect AS DOUBLE), 6) AS jaccard
+    FROM inter JOIN sz x ON x.event_type = t1 JOIN sz y ON y.event_type = t2
+"""
+
+
+@pq("audience_overlap_jaccard", _AUDIENCE_SQL)
+def audience_overlap_jaccard(spark, sf_dir):
+    """Audience overlap matrix: Jaccard similarity of the USER SETS
+    behind each event-type pair — the segmentation question ("do
+    clickers also purchase?") answered with the same
+    intersection-join + inclusion-exclusion shape as the document
+    set-similarity tier, but over membership sets. One distinct pass,
+    one keyed self-join on user_id (|types|² pairs via co-membership,
+    never a cross join), sizes joined back by type."""
+    e = _t(spark, sf_dir, "events")
+    m = e.select("event_type", "user_id").distinct()
+    sz = m.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = m.select(F.col("event_type").alias("t1"), "user_id")
+    b = m.select(F.col("event_type").alias("t2"), F.col("user_id").alias("uid2"))
+    inter = (
+        a.join(b, (F.col("user_id") == F.col("uid2")) & (F.col("t1") < F.col("t2")))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("isect"))
+    )
+    x = sz.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))
+    y = sz.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))
+    un = F.col("n1") + F.col("n2") - F.col("isect")
+    return (
+        inter.join(F.broadcast(x), "t1")
+        .join(F.broadcast(y), "t2")
+        .select(
+            "t1", "t2", F.col("isect").cast("bigint").alias("isect"),
+            un.cast("bigint").alias("un"),
+            F.round(F.col("isect") / un.cast("double"), 6).alias("jaccard"),
+        )
+    )
+
+
+# --- dynamic partition overwrite -------------------------------------------
+_DPO_SQL = """
+    WITH base AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+      WHERE o_orderpriority <> '1-URGENT'),
+    rewritten AS (
+      -- +10.00 keeps every value exact at 2dp: a multiplicative patch
+      -- (x*0.9) manufactures half-way rounding cases that Spark and
+      -- DuckDB settle differently (measured: one cent off at this SF)
+      SELECT o_orderpriority, o_orderkey, o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0),
+    final AS (SELECT * FROM base UNION ALL SELECT * FROM rewritten)
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM final GROUP BY 1
+"""
+
+
+@pq("dynamic_partition_overwrite", _DPO_SQL)
+def dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic):
+    overwrite mode replaces ONLY the partitions present in the
+    incoming batch — the incremental-reprocessing write path (re-run
+    one day/priority without clobbering the rest of the layout; STATIC
+    mode would truncate the whole table first). Here the 1-URGENT
+    partition is rewritten with an adjusted even-key subset while
+    every other partition survives untouched; the read-back rollup
+    proves partition-level surgery. Conf is scoped and restored."""
+    from pathlib import Path as _P
+
+    from etl_mini_spark.queries._base import _TMP
+
+    path = str(_TMP / f"dpo_{_P(sf_dir).name}")
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    patch = (
+        o.filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 2 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        patch.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    finally:
+        spark.conf.set(key, prev if prev is not None else "static")
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# --- salted exact count-distinct -------------------------------------------
+_SALTED_CD_SQL = """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+"""
+
+
+@pq("agg_distinct_salted", _SALTED_CD_SQL)
+def agg_distinct_salted(spark, sf_dir):
+    """EXACT count-distinct through a salt: stage 1 dedups
+    (type, salt, user) with the shuffle keyed on (type, SALT) — 16-way
+    parallel per type — stage 2 sums tiny per-salt counts. This is the
+    manual rewrite for when one celebrity group melts the single
+    reducer a plain count(DISTINCT) hash-aggregates into; salting the
+    DEDUP stage is the aggregation twin of salted_join. Salt =
+    pmod(xxhash64(user), 16) is deterministic, so the result is exact,
+    not approximate — proven by the plain count(DISTINCT) oracle."""
+    e = _t(spark, sf_dir, "events")
+    staged = (
+        e.select("event_type", "user_id", F.pmod(F.xxhash64("user_id"), F.lit(16)).alias("salt"))
+        .groupBy("event_type", "salt", "user_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    per_salt = staged.groupBy("event_type", "salt").agg(F.count("*").alias("c"))
+    return per_salt.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("n_users"))
+
+
+# --- time-decay attribution -------------------------------------------------
+# Weights w = exp(-Δhours / 24) are pre-rounded to 9dp in BOTH engines
+# before normalization and summation, so libm exp() ulp divergence
+# cannot move the 4dp credited totals.
+_DECAY_SQL = """
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id AS cu, ts AS cts FROM events
+      WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT e.event_type, conv.conv_id,
+             round(exp(-(epoch_us(conv.cts) - epoch_us(e.ts)) / 86400000000.0), 9) AS w
+      FROM events e JOIN conv
+        ON e.user_id = conv.cu AND e.ts < conv.cts
+       AND e.ts >= conv.cts - INTERVAL 7 DAY
+      WHERE e.event_type IN ('view', 'click', 'signup')),
+    tot AS (SELECT conv_id, sum(w) AS tw FROM touch GROUP BY 1)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_touchpoints,
+           round(sum(w / tw), 4) AS credited_conversions
+    FROM touch JOIN tot USING (conv_id)
+    GROUP BY 1
+"""
+
+
+@pq("attribution_time_decay", _DECAY_SQL)
+def attribution_time_decay(spark, sf_dir):
+    """Time-decay multi-touch attribution: each purchase's credit
+    splits over its trailing-7-day touches with weight
+    exp(-age/24h) — recent touches earn more, unlike
+    attribution_linear_multitouch's equal split. Same conservation
+    shape (per-conversion weights normalize to 1); the decay weight is
+    pre-rounded to 9dp in both engines before normalization so libm
+    exp() divergence cannot move the totals. The per-conversion weight
+    sum is a window over the interval join's output — one shuffle on
+    conv_id."""
+    e = _t(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    age_us = F.unix_micros("cts") - F.unix_micros("ts")
+    touch = (
+        e.filter(F.col("event_type").isin("view", "click", "signup"))
+        .join(
+            conv,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("ts") < F.col("cts"))
+            & (F.col("ts") >= F.col("cts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .select("event_type", "conv_id", F.round(F.exp(-age_us / 86_400_000_000.0), 9).alias("w"))
+    )
+    tw = F.sum("w").over(Window.partitionBy("conv_id"))
+    return (
+        touch.withColumn("tw", tw)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_touchpoints"),
+            F.round(F.sum(F.col("w") / F.col("tw")), 4).alias("credited_conversions"),
+        )
+    )

@@ -90,10 +90,11 @@ def stream_interval_join(
     right_ts: str,
     max_delay: str = "10 minutes",
     late_threshold: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INNER join with an event-time interval condition
-    (ST7): right-side events within [left_ts, left_ts + max_delay] per
-    key — e.g. purchases attributed to the click they followed.
+    """Stream-stream join with an event-time interval condition (ST7):
+    right-side events within [left_ts, left_ts + max_delay] per key —
+    e.g. purchases attributed to the click they followed.
 
     Both sides carry a watermark, and the join condition bounds
     right_ts relative to left_ts, so Spark derives a state-eviction
@@ -102,10 +103,20 @@ def stream_interval_join(
     the eventual output equal to the batch interval join — the batch
     twin is exact SQL, so the oracle is a plain interval join. Caller
     must pre-disambiguate column names (distinct key/ts names per
-    side)."""
+    side).
+
+    ``how="leftOuter"`` emits null-padded rows for unmatched left
+    events — but only once the WATERMARK passes a row's eviction
+    point. Left rows inside the final watermark window of a bounded
+    (AvailableNow) run therefore never flush their null match; to get
+    batch-equal output on a bounded source, advance the watermark past
+    the data with a sentinel row on both streams and drop it afterward
+    (see queries/round8_pending.stream_interval_join_outer)."""
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"stream_interval_join: overlapping columns {sorted(overlap)}")
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"stream_interval_join: how must be inner|leftOuter, got {how!r}")
     l = left.withWatermark(left_ts, late_threshold)
     r = right.withWatermark(right_ts, late_threshold)
     cond = (
@@ -113,4 +124,4 @@ def stream_interval_join(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)

@@ -172,3 +172,102 @@ def test_pareto_front_is_mutually_non_dominated(spark):
                 continue
             dominates = pa <= pb and sa >= sb and (pa < pb or sa > sb)
             assert not dominates, (pts[i], pts[j])
+
+
+# --- batch-2 non-vacuity pins -----------------------------------------------
+
+
+def test_stream_outer_join_emits_nulls_and_matches(spark):
+    """The left-outer stream must emit BOTH matched purchases and
+    null-padded unmatched clicks — no nulls means the watermark
+    sentinel failed to flush the outer state and the run silently
+    degenerated to inner-join output."""
+    rows = PENDING_QUERIES["stream_interval_join_outer"](spark, SF_SMOKE).collect()
+    n_null = sum(1 for r in rows if r["purchase_id"] is None)
+    n_match = sum(1 for r in rows if r["purchase_id"] is not None)
+    assert n_null > 0 and n_match > 0, (n_null, n_match)
+    assert all(r["user_id"] >= 0 for r in rows), "sentinel leaked"
+
+
+def test_audience_overlap_covers_all_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    rows = PENDING_QUERIES["audience_overlap_jaccard"](spark, SF_SMOKE).collect()
+    n_types = _t(spark, SF_SMOKE, "events").select("event_type").distinct().count()
+    assert len(rows) == n_types * (n_types - 1) // 2, (len(rows), n_types)
+    assert all(0 < r["jaccard"] <= 1 for r in rows)
+
+
+def test_dpo_touches_only_the_patched_partition(spark):
+    """Partitions absent from the patch batch must be byte-identical to
+    the base write — only 1-URGENT may change, and it must SHRINK to
+    the even-key subset."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    got = {
+        r["o_orderpriority"]: r["n"]
+        for r in PENDING_QUERIES["dynamic_partition_overwrite"](spark, SF_SMOKE).collect()
+    }
+    base = {
+        r["o_orderpriority"]: r["n"]
+        for r in _t(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(base)
+    for k in base:
+        if k == "1-URGENT":
+            assert got[k] < base[k], (k, got[k], base[k])
+        else:
+            assert got[k] == base[k], (k, got[k], base[k])
+
+
+def test_salted_distinct_shuffles_on_salt(spark):
+    """The stage-1 dedup must hash-partition on (type, salt, ...) — if
+    the salt column vanished from the exchange, the rewrite silently
+    degenerated to the single-reducer plan it exists to avoid."""
+    from etl_mini_spark.plans.explain import plan_summary
+
+    s = plan_summary(PENDING_QUERIES["agg_distinct_salted"](spark, SF_SMOKE))
+    assert "salt" in s.text, s.text
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", s.text)
+    assert any("salt" in e for e in exchanges), exchanges
+
+
+def test_time_decay_credit_conserves_conversions(spark):
+    """Per-conversion weights normalize to 1, so total credited
+    conversions == purchases with at least one in-window touch — the
+    same conservation pin the linear attribution carries."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    e = _t(spark, SF_SMOKE, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    with_touch = (
+        e.filter(F.col("event_type").isin("view", "click", "signup"))
+        .join(
+            conv,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("ts") < F.col("cts"))
+            & (F.col("ts") >= F.col("cts") - F.expr("INTERVAL 7 DAY")),
+        )
+        .select("conv_id")
+        .distinct()
+        .count()
+    )
+    total = (
+        PENDING_QUERIES["attribution_time_decay"](spark, SF_SMOKE)
+        .agg(F.sum("credited_conversions"))
+        .collect()[0][0]
+    )
+    assert abs(total - with_touch) < 0.01, (total, with_touch)
