@@ -46,11 +46,17 @@ _DRIVER_WINDOW = [
     "join_salted_skew", "embedding_near_dups_lsh",
     # (c) new round-7 queries (binaryFile multimodal ingest with a
     #     read_blob oracle, the nearest×bucketed as-of composition,
-    #     Welford-merge incremental state incl. a NULL-key group,
-    #     sampling-fix canaries). Rows-only entries stay OUT — they
-    #     cannot hash-match a DuckDB oracle (machine-checked).
+    #     Welford-merge incremental state incl. a NULL-key group),
+    #     plus round-7 code-change canaries: try_arithmetic_suite's
+    #     rounding was re-pinned after the sf0.1 sweep caught a
+    #     HALF_UP/half-even divergence on an exact power-of-two
+    #     division; dedup_minhash_lsh's Arrow kernel changed in r6;
+    #     window_time_range_7d's moving average was re-pinned (same sweep,
+    #     ulp-at-the-half-case class).
+    #     Rows-only entries stay OUT — they cannot hash-match a DuckDB
+    #     oracle (machine-checked).
     "multimodal_binary_ingest", "join_asof_nearest_bucketed", "incremental_welford_merge",
-    "dedup_minhash_lsh", "sessionize_events", "mixture_weighted_sample",
+    "dedup_minhash_lsh", "try_arithmetic_suite", "window_time_range_7d",
 ]
 
 _TAIL = [
@@ -62,7 +68,7 @@ _TAIL = [
     "sql_q12_late_lines", "sql_q15_top_supplier", "sql_q17_small_qty",
     "sql_q20_promo_suppliers", "sql_q21_waiting_supplier", "sql_recursive_series",
     "sql_lateral_topn", "listagg_sorted", "variant_shred_extract",
-    "collation_distinct", "try_arithmetic_suite", "cohort_retention",
+    "collation_distinct", "sessionize_events", "cohort_retention",
     "rfm_segments", "ratio_to_report", "churn_gap_flag",
     "corpus_token_entropy", "mad_outliers", "dedup_canonical_pick",
     "window_tumbling_distinct", "graph_triangle_count", "graph_pagerank_parts",
@@ -75,7 +81,7 @@ _TAIL = [
     "vocab_oov_coverage", "dpp_partitioned_join", "http_pyds_scan",
     "dedup_repeated_spans", "similarity_tfidf_pairs", "sql_udf_scalar",
     "graph_khop_reach", "snapshot_table_diff", "join_asof_last_order",
-    "window_time_range_7d", "stream_dedup_watermark", "stream_interval_join",
+    "mixture_weighted_sample", "stream_dedup_watermark", "stream_interval_join",
     "agg_corr_regr", "corpus_idf", "decontaminate_13gram",
     "dedup_incremental", "embedding_quantize", "higher_order_fns",
     "map_fns_suite", "orc_roundtrip", "outlier_trim",

@@ -334,9 +334,13 @@ def string_fns_suite(spark, sf_dir):
 @q(
     "window_time_range_7d",
     """SELECT event_id, user_id,
-              round(avg(value) OVER (
-                PARTITION BY user_id ORDER BY ts
-                RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 6)
+              floor(round(sum(value) OVER (
+                      PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2)
+                    / count(*) OVER (
+                      PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+                    * 1000000 + 0.5) / 1000000
                 AS avg_7d,
               CAST(count(*) OVER (
                 PARTITION BY user_id ORDER BY ts
@@ -353,17 +357,29 @@ def window_time_range_7d(spark, sf_dir):
     engine that compares timestamps exactly (unix_timestamp() would
     truncate to seconds and create frame peers the oracle doesn't
     have). Frames are tie-safe by construction: every row with the same
-    ts is in the same frame, so no tie-breaker is needed."""
+    ts is in the same frame, so no tie-breaker is needed.
+
+    The moving average is pinned engine-exact (round-7 sf0.1 sweep
+    finding): the frame SUM is rounded at 2dp first — sums of 2dp
+    values are decimal multiples of 0.01, never half-cases, so ulp
+    accumulation-order noise collapses identically in both engines —
+    then divided and HALF_UP-rounded via floor(x*1e6 + 0.5)/1e6. A
+    plain round(avg, 6) hit an exact half at the 6th decimal (count 16)
+    where Spark's HALF_UP and DuckDB's half-even split, with ulp noise
+    deciding which side each engine saw."""
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
     )
+    avg_pinned = F.floor(
+        F.round(F.sum("value").over(w), 2) / F.count("*").over(w) * 1_000_000 + F.lit(0.5)
+    ) / 1_000_000
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 6).alias("avg_7d"),
+        avg_pinned.alias("avg_7d"),
         F.count("*").over(w).alias("n_7d"),
     )
 

@@ -161,11 +161,17 @@ def collation_distinct(spark, sf_dir):
 # try_* safe arithmetic (ANSI mode without the blast radius)
 # =========================================================================
 
+# Rounding is pinned as floor(x*1e6 + 0.5)/1e6 in BOTH engines:
+# division by an exact power of two (66917.51 / 32 = 2091.1721875 at
+# sf0.1) produces representable halves at the 6th decimal, where
+# Spark's BigDecimal HALF_UP and DuckDB's half-even round apart —
+# caught by the round-7 sf0.1 full-registry sweep.
 _TRY_ARITH_ORACLE = """
     SELECT l_orderkey, l_linenumber,
-           round(CASE WHEN l_discount = 0 THEN NULL
-                      ELSE l_extendedprice / l_discount END, 6) AS price_per_disc,
-           round(l_extendedprice / l_quantity, 6) AS unit_price
+           floor(CASE WHEN l_discount = 0 THEN NULL
+                      ELSE l_extendedprice / l_discount END * 1000000 + 0.5)
+             / 1000000 AS price_per_disc,
+           floor(l_extendedprice / l_quantity * 1000000 + 0.5) / 1000000 AS unit_price
     FROM lineitem WHERE l_orderkey % 100 = 0
 """
 
@@ -178,12 +184,12 @@ def try_arithmetic_suite(spark, sf_dir):
     default) without a single dirty row killing a 100 TB pipeline.
     Oracle states the same semantics as an explicit CASE."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+
+    def r6(c):  # engine-exact HALF_UP (see the oracle comment)
+        return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
     return li.select(
         "l_orderkey", "l_linenumber",
-        F.round(F.expr("try_divide(l_extendedprice, l_discount)"), 6).alias(
-            "price_per_disc"
-        ),
-        F.round(F.expr("try_divide(l_extendedprice, l_quantity)"), 6).alias(
-            "unit_price"
-        ),
+        r6(F.expr("try_divide(l_extendedprice, l_discount)")).alias("price_per_disc"),
+        r6(F.expr("try_divide(l_extendedprice, l_quantity)")).alias("unit_price"),
     )

@@ -28,10 +28,16 @@ def approx_quantile_sketch(spark, sf_dir):
     """Quantile sketch over lineitem prices via percentile_approx
     (Greenwald-Khanna, mergeable per-partition sketches — the 100 TB
     path: each task summarizes locally, driver merges summaries; no
-    global sort). Accuracy 1e6 exceeds the row count at bench scale, so
-    the sketch degrades to the exact order statistic and hash-matches
-    DuckDB's quantile_disc; at cluster scale the same plan stays
-    bounded-memory and becomes ε-approximate."""
+    global sort). Accuracy 1e6 exceeds the row count at the driver's
+    verification scales, so the sketch degrades to the exact order
+    statistic and hash-matches DuckDB's quantile_disc; at cluster scale
+    the same plan stays bounded-memory and becomes ε-approximate. The
+    exactness window is real and measured: at sf0.1 (600k rows — rank
+    error bound n/accuracy ≈ 0.6 rows) the round-7 sweep caught the
+    p25 answer one order statistic away from quantile_disc's
+    lower-rank pick, so beyond sf0.01 this entry's oracle match is
+    ε-bounded, not exact — inherent to approximate aggregates, not a
+    defect."""
     li = _t(spark, sf_dir, "lineitem")
     qs = li.agg(
         F.expr(
