@@ -36,6 +36,17 @@ Contents:
 - pareto_front_parts      : skyline (non-dominated price/size parts)
                             via a running-extreme window — no
                             quadratic dominance join.
+
+Batch 2: stream_interval_join_outer (left-outer stream-stream join +
+the sentinel watermark-flush contract), audience_overlap_jaccard,
+dynamic_partition_overwrite, agg_distinct_salted (exact count-distinct
+with a salted dedup stage), attribution_time_decay.
+
+Batch 3: stream_tumbling_late_drop (the measured append-mode late-row
+semantics, pinned at the post-eviction boundary where Spark actually
+guarantees the drop), dq_referential_integrity (FK-level anti-join
+audit), psi_population_stability and embedding_centroid_drift (the
+ML-ops drift-monitoring tier).
 """
 
 from __future__ import annotations
@@ -727,4 +738,268 @@ def attribution_time_decay(spark, sf_dir):
             F.count("*").alias("n_touchpoints"),
             F.round(F.sum(F.col("w") / F.col("tw")), 4).alias("credited_conversions"),
         )
+    )
+
+
+# =========================================================================
+# Batch 3: watermark late-row dropping made observable (multi-batch
+# replay), referential-integrity DQ, PSI distribution drift, and
+# embedding-centroid drift — the ML-ops monitoring tier.
+# =========================================================================
+
+
+_LATE_DROP_SQL = """
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    allr AS (SELECT ts FROM events UNION ALL SELECT mx FROM m)
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM allr GROUP BY 1
+"""
+
+
+@pq("stream_tumbling_late_drop", _LATE_DROP_SQL)
+def stream_tumbling_late_drop(spark, sf_dir):
+    """Watermark late-row dropping, pinned at the boundary where Spark
+    actually guarantees it. Measured semantics (Spark 4.1, append-mode
+    tumbling aggregation, minimal multi-batch repros): a late row —
+    event time behind the watermark — still MERGES into its window as
+    long as that window's state has not been evicted, even when the
+    row is the window's first; the drop only happens once the
+    watermark passed the window END and the window was EMITTED. What
+    IS guaranteed: each window emits exactly once, and rows arriving
+    after their window's emission vanish without re-emission.
+
+    This query makes that drop observable on a bounded replay — which
+    a single batch can never do (the watermark only advances BETWEEN
+    micro-batches): maxFilesPerTrigger=1 over controlled file order
+    (modtime + name) runs batch 0 = the real events (watermark climbs
+    to max(ts)−1h), batch 1 = one on-time row at max(ts) (its
+    processing EVICTS every window ending before the watermark),
+    batch 2 = late re-deliveries of every event older than
+    max(ts)−2h — all targeting already-emitted windows, so every one
+    must vanish — and batch 3 = a far-future sentinel that flushes the
+    remaining state (its window is filtered from the output). The
+    oracle is the batch aggregation over events + the on-time row
+    ONLY: if Spark leaked a late row (or re-emitted an evicted
+    window), counts or row count shift and the hash breaks."""
+    import os
+    import shutil
+    import uuid
+
+    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
+
+    for old in _TMP.glob("stream_late_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    tmp = _TMP / f"stream_late_{uuid.uuid4().hex[:8]}"
+    src, out, ckpt = tmp / "src", str(tmp / "out"), str(tmp / "ckpt")
+    src.mkdir(parents=True)
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    mx = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
+
+    ontime = spark.createDataFrame([(-2, -1, mx)], e.schema)
+    # late re-deliveries: same timestamps, new ids; ts < mx-2h keeps a
+    # full hour of margin past the eviction boundary (wm = mx-1h)
+    late = (
+        e.filter(F.col("ts") < F.lit(mx) - F.expr("INTERVAL 2 HOUR"))
+        .withColumn("event_id", F.col("event_id") + F.lit(1_000_000_000))
+    )
+    sentinel = spark.createDataFrame([(-1, -1, mx)], e.schema).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 2 DAY")
+    )
+
+    def emit(df, name, mtime):
+        d = tmp / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(d))
+        part = next(p for p in d.glob("part-*.parquet"))
+        dst = src / f"{name}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    emit(e, "000_base", 1_000_000_000)
+    emit(ontime, "001_ontime", 1_000_000_100)
+    emit(late, "002_late", 1_000_000_200)
+    emit(sentinel, "003_sentinel", 1_000_000_300)
+
+    stream = read_stream_parquet(
+        spark, str(src), spark.read.parquet(str(src)).schema,
+        options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+    )
+    run_to_completion(agg, checkpoint_dir=ckpt, output_path=out)
+    res = spark.read.parquet(out)
+    return (
+        res.filter(F.col("window.start") <= F.lit(mx))  # drop the sentinel window
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("count").cast("bigint").alias("n"),
+        )
+    )
+
+
+# --- referential-integrity DQ audit ------------------------------------------
+_REFINT_SQL = """
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS n_orphan_lineitems,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        AS n_childless_orders,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS n_customerless_orders,
+      (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        AS n_orderless_customers
+"""
+
+
+@pq("dq_referential_integrity", _REFINT_SQL)
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit across the star schema: orphan facts
+    (lineitems without an order), childless orders, orders pointing at
+    missing customers, and customers with no orders — the
+    FOREIGN-KEY-level DQ report that complements
+    dq_expectations_report's column-level checks. Each count is a
+    LEFT ANTI join (never a collected key set); four keyed joins, no
+    driver-side state, counts assembled via a 1-row cross of scalar
+    aggregates. At 100 TB each anti join is one shuffle (or broadcast
+    when the dimension side is small)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def cnt(df, alias):
+        return df.agg(F.count("*").alias(alias))
+
+    orphans = cnt(li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti"), "n_orphan_lineitems")
+    childless = cnt(o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti"), "n_childless_orders")
+    custless = cnt(o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti"), "n_customerless_orders")
+    orderless = cnt(c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti"), "n_orderless_customers")
+    return orphans.crossJoin(childless).crossJoin(custless).crossJoin(orderless)
+
+
+# --- PSI population-stability drift ------------------------------------------
+# Fixed bin edges and +0.5 count smoothing in BOTH engines; each PSI
+# term is pre-rounded to 9dp before summation (libm ln ulp rule), the
+# sum to 6dp.
+_PSI_SQL = """
+    WITH binned AS (
+      SELECT event_type, event_id % 2 AS half,
+             CASE WHEN value < 50 THEN 0 WHEN value < 100 THEN 1
+                  WHEN value < 200 THEN 2 WHEN value < 400 THEN 3 ELSE 4 END AS bin
+      FROM events),
+    c AS (
+      SELECT event_type, bin,
+             count(CASE WHEN half = 0 THEN 1 END) + 0.5 AS c0,
+             count(CASE WHEN half = 1 THEN 1 END) + 0.5 AS c1
+      FROM binned GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, bin, c0 / sum(c0) OVER (PARTITION BY event_type) AS p,
+             c1 / sum(c1) OVER (PARTITION BY event_type) AS q
+      FROM c)
+    SELECT event_type,
+           round(sum(round((p - q) * ln(p / q), 9)), 6) AS psi
+    FROM t GROUP BY 1
+"""
+
+
+@pq("psi_population_stability", _PSI_SQL)
+def psi_population_stability(spark, sf_dir):
+    """Population Stability Index between two deterministic halves of
+    the value distribution per event type — THE production drift
+    monitor for model inputs (PSI < 0.1 stable, > 0.25 drifted). Five
+    fixed value bins with +0.5 smoothing (a zero bin would put ±inf in
+    the sum); each (p−q)·ln(p/q) term pre-rounds at 9dp so libm ln()
+    ulp divergence cannot move the 6dp total. Two aggregation passes
+    over |types|×|bins| rows after one binning scan — at 100 TB the
+    scan dominates and the PSI arithmetic is free."""
+    e = _t(spark, sf_dir, "events")
+    bin_col = (
+        F.when(F.col("value") < 50, 0)
+        .when(F.col("value") < 100, 1)
+        .when(F.col("value") < 200, 2)
+        .when(F.col("value") < 400, 3)
+        .otherwise(4)
+    )
+    binned = e.select("event_type", (F.col("event_id") % 2).alias("half"), bin_col.alias("bin"))
+    c = binned.groupBy("event_type", "bin").agg(
+        (F.count(F.when(F.col("half") == 0, 1)) + 0.5).alias("c0"),
+        (F.count(F.when(F.col("half") == 1, 1)) + 0.5).alias("c1"),
+    )
+    wt = Window.partitionBy("event_type")
+    t = c.select(
+        "event_type",
+        (F.col("c0") / F.sum("c0").over(wt)).alias("p"),
+        (F.col("c1") / F.sum("c1").over(wt)).alias("q"),
+    )
+    term = F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 9)
+    return t.groupBy("event_type").agg(F.round(F.sum(term), 6).alias("psi"))
+
+
+# --- embedding-centroid drift ------------------------------------------------
+# Per-dimension centroid averages pre-round at 9dp in BOTH engines, so
+# the cosine consumes identical doubles regardless of each engine's
+# summation order.
+_EMB_DRIFT_SQL = """
+    WITH dims AS (
+      -- two unnests in one SELECT zip positionally (DuckDB 1.0 has no
+      -- WITH ORDINALITY)
+      SELECT label, vec_id % 2 AS half,
+             unnest(range(len(embedding))) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label, dim,
+             round(avg(CASE WHEN half = 0 THEN v END), 9) AS a,
+             round(avg(CASE WHEN half = 1 THEN v END), 9) AS b,
+             round(avg(v * v), 9) AS m2
+      FROM dims GROUP BY 1, 2)
+    SELECT CAST(label AS BIGINT) AS label,
+           round(sqrt(sum((a - b) * (a - b))), 6) AS centroid_l2,
+           round(sqrt(sum(m2)), 6) AS rms_norm,
+           round(sqrt(sum((a - b) * (a - b))) / sqrt(sum(m2)), 6) AS drift_ratio
+    FROM cent GROUP BY 1
+"""
+
+
+@pq("embedding_centroid_drift", _EMB_DRIFT_SQL)
+def embedding_centroid_drift(spark, sf_dir):
+    """Embedding drift monitor: per label, the L2 distance between the
+    centroids of two deterministic corpus halves, NORMALIZED by the
+    population RMS vector norm — the check an embedding pipeline runs
+    after a model/preprocessing change (drift_ratio ≈ sqrt(2/n) for
+    same-distribution halves; a jump flags drift). Distance-over-norm
+    rather than centroid cosine deliberately: for zero-mean embedding
+    distributions the centroids sit near the origin and their cosine
+    is pure noise (measured ±0.2 on this corpus) — a drift metric that
+    alarms randomly is worse than none. Fully relational: posexplode
+    to (label, half, dim, value); per-(label, dim) averages and second
+    moments — 9dp-pre-rounded so both engines' sums collapse to
+    identical doubles — then the distance and norm assembled from
+    dim-level sums; rms² = Σ_d avg(v²) needs no per-vector state at
+    all. At 100 TB this is one explode scan + two tiny keyed
+    aggregations (|labels|×|dims| rows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = dims.groupBy("label", "dim").agg(
+        F.round(F.avg(F.when(F.col("half") == 0, F.col("v"))), 9).alias("a"),
+        F.round(F.avg(F.when(F.col("half") == 1, F.col("v"))), 9).alias("b"),
+        F.round(F.avg(F.col("v") * F.col("v")), 9).alias("m2"),
+    )
+    d2 = F.sum((F.col("a") - F.col("b")) * (F.col("a") - F.col("b")))
+    n2 = F.sum("m2")
+    return cent.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.round(F.sqrt(d2), 6).alias("centroid_l2"),
+        F.round(F.sqrt(n2), 6).alias("rms_norm"),
+        F.round(F.sqrt(d2) / F.sqrt(n2), 6).alias("drift_ratio"),
     )

@@ -40,9 +40,18 @@ def _ltz_type(dt: T.DataType) -> T.DataType:
     return dt
 
 
-def read_stream_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def read_stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
     """File-source stream over a parquet directory (new files become
     micro-batches). Schema is mandatory for streaming file sources.
+    ``options`` pass through to the reader — e.g.
+    ``{"maxFilesPerTrigger": "1"}`` to force one file per micro-batch
+    (the lever that makes watermark ADVANCEMENT between batches, and
+    therefore late-row dropping, observable on a bounded replay).
 
     TIMESTAMP_NTZ fields in a probed schema are rewritten to TIMESTAMP
     (LTZ) recursively (see ``_ltz_type``): naive-parquet testdata probed
@@ -53,7 +62,10 @@ def read_stream_parquet(spark: SparkSession, path: str, schema: T.StructType) ->
 
     with _force_ltz_timestamps(spark):
         schema = _ltz_type(schema)
-        return spark.readStream.schema(schema).parquet(path)
+        reader = spark.readStream.schema(schema)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        return reader.parquet(path)
 
 
 def read_stream_ndjson(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

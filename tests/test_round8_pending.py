@@ -271,3 +271,70 @@ def test_time_decay_credit_conserves_conversions(spark):
         .collect()[0][0]
     )
     assert abs(total - with_touch) < 0.01, (total, with_touch)
+
+
+# --- batch-3 non-vacuity pins -----------------------------------------------
+
+
+def test_late_drop_late_rows_overlap_and_vanish(spark):
+    """The late re-deliveries must target windows PRESENT in the output
+    (same timestamps as real events), and the output counts must equal
+    base+ontime exactly — the oracle proves the equality; this pin
+    proves the late set was non-empty and aimed at emitted windows, so
+    the equality actually demonstrates dropping."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    out = {r["window_start"]: r["n"]
+           for r in PENDING_QUERIES["stream_tumbling_late_drop"](spark, SF_SMOKE).collect()}
+    e = _t(spark, SF_SMOKE, "events")
+    mx = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    late_windows = {
+        r["w"]
+        for r in e.filter(F.col("ts") < F.lit(mx) - F.expr("INTERVAL 2 HOUR"))
+        .select(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("w"))
+        .distinct()
+        .collect()
+    }
+    assert late_windows and late_windows <= set(out), "late set empty or missed the output"
+    # a leaked late row would have doubled these windows' counts
+    base = {
+        r["w"]: r["n"]
+        for r in e.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("w")
+        ).groupBy("w").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(out[w] == base[w] for w in late_windows), "late rows leaked into counts"
+
+
+def test_referential_audit_finds_childless_orders(spark):
+    """The fixture really contains childless orders (so the anti-join
+    direction is exercised) while lineitem→orders integrity holds —
+    a report of all zeros would prove nothing."""
+    r = PENDING_QUERIES["dq_referential_integrity"](spark, SF_SMOKE).collect()[0]
+    assert r["n_orphan_lineitems"] == 0
+    assert r["n_childless_orders"] > 0
+    assert r["n_customerless_orders"] == 0
+
+
+def test_psi_is_nonnegative_and_nonzero(spark):
+    """PSI is mathematically ≥ 0; random halves must give small but
+    NONZERO values (an exactly-zero PSI means the smoothing or binning
+    degenerated)."""
+    rows = PENDING_QUERIES["psi_population_stability"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["psi"] >= 0 for r in rows)
+    assert all(r["psi"] > 0 for r in rows)
+
+
+def test_embedding_drift_ratio_in_sane_band(spark):
+    """Same-distribution halves must give a small-but-positive drift
+    ratio (≈ sqrt(2/n) sampling noise) — a ratio near 0 means the
+    halves were identical (split broken), near 1 means the metric lost
+    its normalization."""
+    rows = PENDING_QUERIES["embedding_centroid_drift"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["drift_ratio"] < 0.8, (r["label"], r["drift_ratio"])
+        assert r["rms_norm"] > 0
