@@ -47,6 +47,11 @@ semantics, pinned at the post-eviction boundary where Spark actually
 guarantees the drop), dq_referential_integrity (FK-level anti-join
 audit), psi_population_stability and embedding_centroid_drift (the
 ML-ops drift-monitoring tier).
+
+Batch 4: inventory_wac_ledger (weighted-average-cost ledger — sells
+never move the WAC, so the recursion collapses to two conditional
+cumsums) and text_zipf_fit (rank-frequency Zipf slope, the corpus
+health check).
 """
 
 from __future__ import annotations
@@ -1002,4 +1007,124 @@ def embedding_centroid_drift(spark, sf_dir):
         F.round(F.sqrt(d2), 6).alias("centroid_l2"),
         F.round(F.sqrt(n2), 6).alias("rms_norm"),
         F.round(F.sqrt(d2) / F.sqrt(n2), 6).alias("drift_ratio"),
+    )
+
+
+# =========================================================================
+# Batch 4: weighted-average-cost inventory ledger (the costing method
+# FIFO can't express as interval overlap) and a Zipf-law fit over the
+# corpus rank-frequency curve.
+# =========================================================================
+
+# WAC insight that keeps this window-only: SELLS NEVER CHANGE the
+# weighted average cost — only purchases move it — so WAC at any row is
+# the ratio of two CONDITIONAL running sums (buy cost / buy quantity),
+# and each sell's COGS is qty × that ratio. FIFO needed interval
+# matching; WAC needs two cumsums. l_linestatus 'F' rows act as buys
+# (cost = extendedprice), 'O' rows as sells.
+_WAC_SQL = """
+    WITH ledger AS (
+      SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS qty, l_extendedprice AS cost,
+             sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END)
+               OVER w AS cum_buy_cost,
+             sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+               OVER w AS cum_buy_qty
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING)),
+    sells AS (
+      SELECT l_partkey, qty,
+             floor(cum_buy_cost / cum_buy_qty * 1000000 + 0.5) / 1000000 AS wac
+      FROM ledger
+      WHERE l_linestatus = 'O' AND cum_buy_qty > 0)
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_sells,
+           CAST(sum(qty) AS BIGINT) AS sold_qty,
+           round(sum(floor(qty * wac * 100 + 0.5) / 100), 2) AS cogs
+    FROM sells GROUP BY 1
+"""
+
+
+@pq("inventory_wac_ledger", _WAC_SQL)
+def inventory_wac_ledger(spark, sf_dir):
+    """Weighted-average-cost inventory ledger: per part, each sell
+    realizes COGS at the RUNNING weighted average cost of all buys so
+    far. The load-bearing identity: sells never move the WAC — only
+    buys do — so the 'recursive' ledger collapses to TWO conditional
+    running sums per part (cum buy cost, cum buy qty) and a ratio; the
+    costing sibling of fifo_lot_matching without its interval-overlap
+    machinery. One window shuffle on l_partkey; per-row state is two
+    numbers. Division rounding pinned floor(x·1e6+0.5)/1e6 and per-sell
+    COGS pinned at cents (the try_arithmetic lesson: ratios of 2dp
+    money manufacture cross-engine half-cases); sells before any buy
+    are excluded (WAC undefined)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_buy = F.col("l_linestatus") == "F"
+    ledger = li.select(
+        "l_partkey",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.sum(F.when(is_buy, F.col("l_extendedprice")).otherwise(0.0)).over(w).alias("cum_buy_cost"),
+        F.sum(F.when(is_buy, F.col("l_quantity").cast("bigint")).otherwise(0)).over(w).alias("cum_buy_qty"),
+    )
+    sells = ledger.filter((F.col("l_linestatus") == "O") & (F.col("cum_buy_qty") > 0)).select(
+        "l_partkey",
+        "qty",
+        (F.floor(F.col("cum_buy_cost") / F.col("cum_buy_qty") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("wac"),
+    )
+    return sells.groupBy("l_partkey").agg(
+        F.count("*").alias("n_sells"),
+        F.sum("qty").cast("bigint").alias("sold_qty"),
+        F.round(F.sum(F.floor(F.col("qty") * F.col("wac") * 100 + F.lit(0.5)) / 100), 2).alias("cogs"),
+    )
+
+
+# --- Zipf-law fit over the corpus rank-frequency curve ----------------------
+# Pre-rounded ln() inputs (9dp) feed regr_slope in both engines; the
+# slope and intercept round at 4dp (regression over ~identical doubles,
+# the residual noise is far below that).
+_ZIPF_SQL = """
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents),
+    freq AS (SELECT t, count(*) AS f FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r
+      FROM freq)
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           round(regr_slope(round(ln(CAST(f AS DOUBLE)), 9),
+                            round(ln(CAST(r AS DOUBLE)), 9)), 4) AS zipf_slope,
+           round(regr_intercept(round(ln(CAST(f AS DOUBLE)), 9),
+                                round(ln(CAST(r AS DOUBLE)), 9)), 4) AS zipf_intercept
+    FROM ranked
+"""
+
+
+@pq("text_zipf_fit", _ZIPF_SQL)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the corpus rank-frequency curve: regress
+    ln(frequency) on ln(rank) over the full vocabulary — the corpus
+    health check (natural text sits near slope −1; a flat slope means
+    synthetic/templated text, a cliff means boilerplate domination).
+    One token-count aggregation, one rank window over |vocab| rows,
+    one regr_slope/intercept pass — vocabulary is tiny relative to the
+    corpus, so the token scan dominates at any scale. ln() inputs
+    pre-round at 9dp (libm rule); slope/intercept at 4dp."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    freq = d.select(F.explode(toks).alias("t")).groupBy("t").agg(F.count("*").alias("f"))
+    ranked = freq.select(
+        "f", F.row_number().over(Window.orderBy(F.col("f").desc(), "t")).alias("r")
+    )
+    lf = F.round(F.log(F.col("f").cast("double")), 9)
+    lr = F.round(F.log(F.col("r").cast("double")), 9)
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
     )

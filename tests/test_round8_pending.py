@@ -338,3 +338,46 @@ def test_embedding_drift_ratio_in_sane_band(spark):
     for r in rows:
         assert 0 < r["drift_ratio"] < 0.8, (r["label"], r["drift_ratio"])
         assert r["rms_norm"] > 0
+
+
+# --- batch-4 non-vacuity pins -----------------------------------------------
+
+
+def test_wac_conserves_quantity_and_costs_positive(spark):
+    """Every counted sell must realize positive COGS, and sold_qty must
+    equal the raw count of post-first-buy 'O' quantity per part (no
+    sells silently dropped beyond the documented WAC-undefined ones)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    rows = PENDING_QUERIES["inventory_wac_ledger"](spark, SF_SMOKE).collect()
+    assert rows and all(r["cogs"] > 0 for r in rows)
+    li = _t(spark, SF_SMOKE, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    eligible = (
+        li.withColumn(
+            "cq",
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity").cast("bigint")).otherwise(0)).over(w),
+        )
+        .filter((F.col("l_linestatus") == "O") & (F.col("cq") > 0))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    want = {r["l_partkey"]: r["q"] for r in eligible.collect()}
+    got = {r["l_partkey"]: r["sold_qty"] for r in rows}
+    assert got == want
+
+
+def test_zipf_slope_is_negative_and_sane(spark):
+    """The corpus must actually be rank-skewed: slope strictly negative
+    and in a plausible band (a near-zero slope means the fit or the
+    ranking degenerated)."""
+    r = PENDING_QUERIES["text_zipf_fit"](spark, SF_SMOKE).collect()[0]
+    assert r["n_types"] > 10
+    assert -5.0 < r["zipf_slope"] < -0.05, r["zipf_slope"]
