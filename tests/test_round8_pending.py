@@ -381,3 +381,26 @@ def test_zipf_slope_is_negative_and_sane(spark):
     r = PENDING_QUERIES["text_zipf_fit"](spark, SF_SMOKE).collect()[0]
     assert r["n_types"] > 10
     assert -5.0 < r["zipf_slope"] < -0.05, r["zipf_slope"]
+
+
+def test_round8_pending_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of every round-8 pending query: no
+    CartesianProduct anywhere; BroadcastNestedLoopJoin only where the
+    crossJoin side is a 1-row scalar aggregate (audit counters, corpus
+    totals) — a 1-row broadcast is a constant, not a quadratic join.
+    Streaming entries are exercised end-to-end by their oracle tests
+    and skipped here (executedPlan materializes the whole run)."""
+    from etl_mini_spark.plans.explain import plan_summary
+
+    ONE_ROW_SCALAR_OK = {
+        "dq_referential_integrity",   # four scalar audit counters
+        "quality_threshold_sweep",    # corpus-total denominator
+    }
+    STREAMING = {"stream_interval_join_outer", "stream_tumbling_late_drop"}
+    for name in sorted(PENDING_QUERIES):
+        if name in STREAMING:
+            continue
+        s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in ONE_ROW_SCALAR_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
