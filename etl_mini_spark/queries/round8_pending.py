@@ -52,6 +52,9 @@ Batch 4: inventory_wac_ledger (weighted-average-cost ledger — sells
 never move the WAC, so the recursion collapses to two conditional
 cumsums) and text_zipf_fit (rank-frequency Zipf slope, the corpus
 health check).
+
+Batch 5: ndjson_corrupt_quarantine (PERMISSIVE JSON ingestion with a
+corrupt-record quarantine — the JSON twin of csv_malformed_tolerant).
 """
 
 from __future__ import annotations
@@ -59,6 +62,7 @@ from __future__ import annotations
 from etl_mini_spark.queries._base import _t
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 PENDING_QUERIES = {}
 PENDING_ORACLE = {}
@@ -1127,4 +1131,72 @@ def text_zipf_fit(spark, sf_dir):
         F.count("*").alias("n_types"),
         F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
         F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
+    )
+
+
+# =========================================================================
+# Batch 5: tolerant NDJSON ingestion — the JSON sibling of
+# csv_malformed_tolerant (S3/F6 hardening applied to the other wire
+# format the reference reads).
+# =========================================================================
+
+_JSON_QUAR_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_clean,
+           CAST(23 AS BIGINT) AS n_corrupt,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           round(sum(value), 2) AS sum_value
+    FROM events WHERE event_id % 3 = 0
+"""
+
+
+@pq("ndjson_corrupt_quarantine", _JSON_QUAR_SQL)
+def ndjson_corrupt_quarantine(spark, sf_dir):
+    """Tolerant NDJSON ingestion: a directory with 23 planted corrupt
+    lines (truncated objects, bare garbage) reads in PERMISSIVE mode
+    with a corrupt-record column — clean rows flow through typed,
+    corrupt rows are quarantined and counted, the job never dies. The
+    JSON twin of csv_malformed_tolerant: same one-dirty-row-must-not-
+    kill-the-ingest contract, but exercised through the JSON parser
+    (whose failure modes — truncation mid-object, non-JSON lines —
+    differ from CSV's column-count mismatches). Clean rows are written
+    distributed by executors; only the corrupt file is driver-side.
+    The oracle derives the clean aggregate from the source table plus
+    the planted constant."""
+    from pathlib import Path as _P
+
+    from etl_mini_spark.queries._base import _TMP
+
+    tmp = _TMP / f"json_quarantine_{_P(sf_dir).name}"
+    (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite")
+        .json(str(tmp))
+    )
+    with open(tmp / "zz_corrupt.json", "w") as fh:
+        for i in range(12):
+            fh.write(f'{{"event_id": {i}, "event_type": "view", "value": 1.0\n')  # truncated
+        for i in range(11):
+            fh.write(f"utterly not json {i}\n")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(schema)
+        .json(str(tmp))
+        .cache()  # one scan: corrupt-record column forbids split aggregation
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_clean"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("event_id"))).alias("sum_id"),
+        F.round(F.sum(F.when(F.col("_corrupt").isNull(), F.col("value"))), 2).alias("sum_value"),
     )

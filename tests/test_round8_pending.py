@@ -404,3 +404,39 @@ def test_round8_pending_no_cartesian_blanket(spark):
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in ONE_ROW_SCALAR_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_json_quarantine_contains_both_failure_modes(spark):
+    """The quarantined set must carry BOTH planted failure classes —
+    truncated objects and bare non-JSON — and exactly the planted 23;
+    clean rows must parse typed (no nulls in event_id)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    PENDING_QUERIES["ndjson_corrupt_quarantine"](spark, SF_SMOKE).collect()
+    tmp = Path("/root/repo/tmp") / "json_quarantine_sf0.001"
+    # a DIFFERENT corrupt-column name on purpose: an identical plan
+    # would hit the query's own cache entry, which may pin a pre-
+    # overwrite file listing when the query ran earlier in the session
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_c2", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_c2")
+        .schema(schema)
+        .json(str(tmp))
+        .cache()
+    )
+    bad = [r["_c2"] for r in back.filter(F.col("_c2").isNotNull()).collect()]
+    assert len(bad) == 23
+    assert any(b.startswith("{") for b in bad), "no truncated-object case"
+    assert any(b.startswith("utterly") for b in bad), "no bare-garbage case"
+    assert back.filter(F.col("_c2").isNull() & F.col("event_id").isNull()).count() == 0
