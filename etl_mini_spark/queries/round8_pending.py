@@ -55,6 +55,10 @@ health check).
 
 Batch 5: ndjson_corrupt_quarantine (PERMISSIVE JSON ingestion with a
 corrupt-record quarantine — the JSON twin of csv_malformed_tolerant).
+
+Batch 6: timeseries_seasonal_decompose (centered-MA trend + ISO-dow
+seasonal effects — the additive decomposition behind the naive
+forecast baseline).
 """
 
 from __future__ import annotations
@@ -1199,4 +1203,71 @@ def ndjson_corrupt_quarantine(spark, sf_dir):
         F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
         F.sum(F.when(F.col("_corrupt").isNull(), F.col("event_id"))).alias("sum_id"),
         F.round(F.sum(F.when(F.col("_corrupt").isNull(), F.col("value"))), 2).alias("sum_value"),
+    )
+
+
+# =========================================================================
+# Batch 6: classical seasonal decomposition — the trend/seasonal split
+# behind every "is this growth or just Friday?" question
+# (forecast_seasonal_naive_eval scores a baseline; this EXPLAINS the
+# series).
+# =========================================================================
+
+# Rounding discipline end to end: daily revenue at 2dp; the centered MA
+# divides a 2dp-rounded frame sum (multiples of 0.01 — never
+# half-cases) with the pinned floor(x·1e6+0.5)/1e6; detrended values
+# round at 6dp before the per-(type, dow) seasonal average repeats the
+# same pinned division.
+_DECOMP_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, isodow(CAST(ts AS DATE)) AS dow,
+             round(sum(value), 2) AS rev
+      FROM events GROUP BY 1, 2, 3),
+    tr AS (
+      SELECT event_type, d, dow, rev,
+             floor(round(sum(rev) OVER w, 2) / count(*) OVER w * 1000000 + 0.5)
+               / 1000000 AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT event_type, dow, round(rev - trend, 6) AS detrended FROM tr)
+    SELECT event_type, CAST(dow AS INT) AS dow,
+           floor(round(sum(detrended), 6) / count(*) * 1000000 + 0.5) / 1000000
+             AS seasonal,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM det GROUP BY 1, 2
+"""
+
+
+@pq("timeseries_seasonal_decompose", _DECOMP_SQL)
+def timeseries_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of each type's daily
+    revenue: trend = centered 7-day moving average, seasonal = mean
+    detrended value per ISO weekday — the decomposition behind every
+    "is this growth or just Friday?" question, and the missing sibling
+    of forecast_seasonal_naive_eval (which scores a baseline but
+    explains nothing). Two window passes over |types|×|days| rows
+    after the daily pre-aggregation — at scale the events scan
+    dominates and the decomposition arithmetic is free. Every division
+    uses the round-7 pinned HALF_UP convention; ISO weekday
+    (weekday()+1 = isodow) keeps both engines on Monday=1."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        (F.weekday(F.to_date("ts")) + 1).alias("dow"),
+    ).agg(F.round(F.sum("value"), 2).alias("rev"))
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    trend = F.floor(
+        F.round(F.sum("rev").over(w), 2) / F.count("*").over(w) * 1_000_000 + F.lit(0.5)
+    ) / 1_000_000
+    det = daily.withColumn("trend", trend).select(
+        "event_type", "dow", F.round(F.col("rev") - F.col("trend"), 6).alias("detrended")
+    )
+    seasonal = F.floor(
+        F.round(F.sum("detrended"), 6) / F.count("*") * 1_000_000 + F.lit(0.5)
+    ) / 1_000_000
+    return det.groupBy("event_type", F.col("dow").cast("int").alias("dow")).agg(
+        seasonal.alias("seasonal"), F.count("*").alias("n_days")
     )

@@ -440,3 +440,21 @@ def test_json_quarantine_contains_both_failure_modes(spark):
     assert any(b.startswith("{") for b in bad), "no truncated-object case"
     assert any(b.startswith("utterly") for b in bad), "no bare-garbage case"
     assert back.filter(F.col("_c2").isNull() & F.col("event_id").isNull()).count() == 0
+
+
+def test_seasonal_decomposition_is_complete_and_balanced(spark):
+    """Every (type, ISO weekday) cell must be populated, seasonal
+    effects must not all vanish (a zero decomposition means the
+    detrending degenerated), and per type the day-weighted seasonal
+    effects must roughly cancel (additive-decomposition identity —
+    detrended values average ~0 by construction of the centered MA)."""
+    rows = PENDING_QUERIES["timeseries_seasonal_decompose"](spark, SF_SMOKE).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["dow"]] = r
+    for t, dows in by_type.items():
+        assert set(dows) == set(range(1, 8)), (t, sorted(dows))
+        assert any(abs(r["seasonal"]) > 1e-6 for r in dows.values()), t
+        total = sum(r["seasonal"] * r["n_days"] for r in dows.values())
+        scale = sum(abs(r["seasonal"]) * r["n_days"] for r in dows.values())
+        assert abs(total) < max(1.0, 0.2 * scale), (t, total, scale)
