@@ -59,6 +59,9 @@ corrupt-record quarantine — the JSON twin of csv_malformed_tolerant).
 Batch 6: timeseries_seasonal_decompose (centered-MA trend + ISO-dow
 seasonal effects — the additive decomposition behind the naive
 forecast baseline).
+
+Batch 7: impute_missing_values (per-group mean/median/mode imputation
+over deterministically planted NULLs — the ML feature-prep pass).
 """
 
 from __future__ import annotations
@@ -1270,4 +1273,111 @@ def timeseries_seasonal_decompose(spark, sf_dir):
     ) / 1_000_000
     return det.groupBy("event_type", F.col("dow").cast("int").alias("dow")).agg(
         seasonal.alias("seasonal"), F.count("*").alias("n_days")
+    )
+
+
+# =========================================================================
+# Batch 7: per-group missing-value imputation — the ML-prep primitive
+# (planted NULLs → mean / median / mode strategies side by side).
+# =========================================================================
+
+# NULLs are planted deterministically (event_id % 11 = 0) so both
+# engines impute the same holes; the mean imputation value is pinned
+# with the HALF_UP convention, the median uses the exact lower order
+# statistic (engine-identical on the same doubles), the mode breaks
+# frequency ties on the smaller rounded value.
+_IMPUTE_SQL = """
+    WITH holes AS (
+      SELECT event_type,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+      FROM events),
+    stats AS (
+      SELECT event_type,
+             floor(round(sum(v), 2) / count(v) * 1000000 + 0.5) / 1000000 AS mean_v,
+             quantile_disc(v, 0.5) AS median_v,
+             (SELECT round(h2.v, 0) FROM holes h2
+               WHERE h2.event_type = h.event_type AND h2.v IS NOT NULL
+               GROUP BY round(h2.v, 0)
+               ORDER BY count(*) DESC, round(h2.v, 0) LIMIT 1) AS mode_v
+      FROM holes h GROUP BY event_type)
+    SELECT h.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN h.v IS NULL THEN 1 END) AS BIGINT) AS n_imputed,
+           round(s.mean_v, 6) AS mean_v,
+           round(s.median_v, 2) AS median_v,
+           round(s.mode_v, 0) AS mode_v,
+           round(sum(coalesce(h.v, s.mean_v)), 2) AS sum_mean_imputed,
+           round(sum(coalesce(h.v, s.median_v)), 2) AS sum_median_imputed
+    FROM holes h JOIN stats s USING (event_type)
+    GROUP BY h.event_type, s.mean_v, s.median_v, s.mode_v
+"""
+
+
+@pq("impute_missing_values", _IMPUTE_SQL)
+def impute_missing_values(spark, sf_dir):
+    """Per-group missing-value imputation, three strategies side by
+    side: group mean (HALF_UP-pinned), exact lower-median, and integer
+    mode (frequency ties to the smaller value) — the feature-prep pass
+    every training pipeline runs before a model sees the table, with
+    the imputed totals proving the fill actually happened. NULLs are
+    planted deterministically (event_id % 11) so the hole pattern is
+    engine-identical. One stats aggregation per group joined back as a
+    broadcast (|types| rows); the imputation itself is a narrow
+    coalesce — at 100 TB the scan dominates and the fill is free."""
+    e = _t(spark, sf_dir, "events")
+    holes = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("double")).otherwise(F.col("value")).alias("v"),
+    )
+    mean_v = F.floor(
+        F.round(F.sum("v"), 2) / F.count("v") * 1_000_000 + F.lit(0.5)
+    ) / 1_000_000
+    stats = holes.groupBy("event_type").agg(
+        mean_v.alias("mean_v"),
+        F.count("v").alias("n_nonnull"),
+    )
+    # exact lower median (= DuckDB quantile_disc): Spark's percentile()
+    # interpolates, so take the cumulative-count definition directly
+    nonnull = holes.filter(F.col("v").isNotNull())
+    wc = Window.partitionBy("event_type").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        nonnull.withColumn("cw", F.count("*").over(wc))
+        .join(stats.select("event_type", "n_nonnull"), "event_type")
+        .filter(2 * F.col("cw") >= F.col("n_nonnull"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("median_v"))
+    )
+    mode = (
+        nonnull.groupBy("event_type", F.round("v", 0).alias("mv"))
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.col("c").desc(), "mv")
+            ),
+        )
+        .filter("rn = 1")
+        .select("event_type", F.col("mv").alias("mode_v"))
+    )
+    s = (
+        stats.select("event_type", "mean_v")
+        .join(med, "event_type")
+        .join(mode, "event_type")
+    )
+    return (
+        holes.join(F.broadcast(s), "event_type")
+        .groupBy("event_type", "mean_v", "median_v", "mode_v")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("v").isNull(), 1)).alias("n_imputed"),
+            F.round(F.sum(F.coalesce("v", "mean_v")), 2).alias("sum_mean_imputed"),
+            F.round(F.sum(F.coalesce("v", "median_v")), 2).alias("sum_median_imputed"),
+        )
+        .select(
+            "event_type", "n_rows", "n_imputed",
+            F.round("mean_v", 6).alias("mean_v"),
+            F.round("median_v", 2).alias("median_v"),
+            F.round("mode_v", 0).alias("mode_v"),
+            "sum_mean_imputed", "sum_median_imputed",
+        )
     )

@@ -458,3 +458,26 @@ def test_seasonal_decomposition_is_complete_and_balanced(spark):
         total = sum(r["seasonal"] * r["n_days"] for r in dows.values())
         scale = sum(abs(r["seasonal"]) * r["n_days"] for r in dows.values())
         assert abs(total) < max(1.0, 0.2 * scale), (t, total, scale)
+
+
+def test_imputation_fills_all_holes_and_strategies_differ(spark):
+    """Holes must exist per type, imputed totals must differ between
+    the mean and median strategies somewhere (identical everywhere
+    means one strategy silently shadowed the other), and the filled
+    total must exceed the raw non-null total (positive values)."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    rows = PENDING_QUERIES["impute_missing_values"](spark, SF_SMOKE).collect()
+    assert rows and all(r["n_imputed"] > 0 for r in rows)
+    assert any(abs(r["sum_mean_imputed"] - r["sum_median_imputed"]) > 0.01 for r in rows)
+    raw = {
+        r["event_type"]: r["s"]
+        for r in _t(spark, SF_SMOKE, "events")
+        .filter(F.col("event_id") % 11 != 0)
+        .groupBy("event_type")
+        .agg(F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert all(r["sum_mean_imputed"] > raw[r["event_type"]] for r in rows)
