@@ -62,6 +62,9 @@ forecast baseline).
 
 Batch 7: impute_missing_values (per-group mean/median/mode imputation
 over deterministically planted NULLs — the ML feature-prep pass).
+
+Batch 8: feature_crosses_hashed (the hashing trick over categorical
+crosses, collision cost reported per bucket).
 """
 
 from __future__ import annotations
@@ -1380,4 +1383,57 @@ def impute_missing_values(spark, sf_dir):
             F.round("mode_v", 0).alias("mode_v"),
             "sum_mean_imputed", "sum_median_imputed",
         )
+    )
+
+
+# =========================================================================
+# Batch 8: hashed feature crosses — the featurization primitive that
+# turns unbounded categorical combinations into a fixed-width model
+# input, with its collision trade-off REPORTED instead of hidden.
+# =========================================================================
+
+# The bucket comes from the same engine-portable md5 construction as
+# every sampler here (first 15 hex chars → BIGINT → mod D), so the
+# hashed feature space is identical on any engine. D = 64 on purpose:
+# ~35 live crosses into 64 buckets guarantees observable collisions —
+# the thing feature hashing trades for fixed width.
+_FCROSS_SQL = """
+    WITH crossed AS (
+      SELECT event_type || '#' || CAST(isodow(CAST(ts AS DATE)) AS VARCHAR) AS cross_key
+      FROM events),
+    hashed AS (
+      SELECT cross_key,
+             CAST(concat('0x', substr(md5(cross_key || ':fx'), 1, 15)) AS BIGINT) % 64
+               AS bucket
+      FROM crossed)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT cross_key) AS BIGINT) AS n_crosses
+    FROM hashed GROUP BY 1
+"""
+
+
+@pq("feature_crosses_hashed", _FCROSS_SQL)
+def feature_crosses_hashed(spark, sf_dir):
+    """Hashed feature crosses (the hashing trick): event_type ×
+    ISO-weekday crossed into a fixed 64-bucket feature space via the
+    repo's engine-portable md5 bucket — the featurization primitive
+    that keeps unbounded categorical combinations at model-input
+    width, with the collision cost REPORTED per bucket (n_crosses > 1
+    = colliding features) instead of silently folded. At 100 TB the
+    cross+hash is a narrow map and the report is one partial-agg
+    shuffle over ≤ D groups; the same construction scales to billions
+    of distinct crosses because the width is fixed by D, not by
+    cardinality."""
+    from etl_mini_spark.operators.sampling import hash_bucket
+
+    e = _t(spark, sf_dir, "events")
+    crossed = e.select(
+        F.concat_ws("#", "event_type", (F.weekday(F.to_date("ts")) + 1).cast("string")).alias("cross_key")
+    )
+    hashed = crossed.select(
+        "cross_key", hash_bucket(F.col("cross_key"), "fx", 64).alias("bucket")
+    )
+    return hashed.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("cross_key").alias("n_crosses"),
     )

@@ -481,3 +481,20 @@ def test_imputation_fills_all_holes_and_strategies_differ(spark):
         .collect()
     }
     assert all(r["sum_mean_imputed"] > raw[r["event_type"]] for r in rows)
+
+
+def test_feature_crosses_collide_observably(spark):
+    """35 live crosses into 64 buckets must produce at least one
+    colliding bucket (n_crosses > 1) AND fewer used buckets than
+    crosses — the trade feature hashing makes; total rows must
+    conserve."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    rows = PENDING_QUERIES["feature_crosses_hashed"](spark, SF_SMOKE).collect()
+    n_events = _t(spark, SF_SMOKE, "events").count()
+    assert sum(r["n_rows"] for r in rows) == n_events
+    n_crosses = sum(r["n_crosses"] for r in rows)
+    assert any(r["n_crosses"] > 1 for r in rows), "no collisions at D=64 — pin vacuous"
+    assert len(rows) < n_crosses
