@@ -65,6 +65,9 @@ over deterministically planted NULLs — the ML feature-prep pass).
 
 Batch 8: feature_crosses_hashed (the hashing trick over categorical
 crosses, collision cost reported per bucket).
+
+Batch 9: train_test_temporal_split (time-keyed split + the
+entity-leakage audit temporal splits make necessary).
 """
 
 from __future__ import annotations
@@ -1436,4 +1439,69 @@ def feature_crosses_hashed(spark, sf_dir):
     return hashed.groupBy("bucket").agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("cross_key").alias("n_crosses"),
+    )
+
+
+# =========================================================================
+# Batch 9: temporal train/test split + entity-leakage audit — the
+# time-series counterpart of split_leakage_safe (which keys on
+# near-dup clusters; forecasting work must key on TIME, and that
+# choice leaks ENTITIES by construction — so report it).
+# =========================================================================
+
+_TSPLIT_SQL = """
+    WITH tagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00' THEN 'train' ELSE 'test' END
+               AS split
+      FROM events),
+    ent AS (
+      SELECT user_id,
+             count(CASE WHEN split = 'train' THEN 1 END) AS n_train,
+             count(CASE WHEN split = 'test' THEN 1 END) AS n_test
+      FROM tagged GROUP BY 1)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN e.n_train > 0 AND e.n_test > 0
+                                    THEN t.user_id END) AS BIGINT) AS n_leaked_users,
+           CAST(min(CAST(t.ts AS DATE)) AS VARCHAR) AS min_date,
+           CAST(max(CAST(t.ts AS DATE)) AS VARCHAR) AS max_date
+    FROM tagged t JOIN ent e USING (user_id)
+    GROUP BY 1
+"""
+
+
+@pq("train_test_temporal_split", _TSPLIT_SQL)
+def train_test_temporal_split(spark, sf_dir):
+    """Temporal train/test split at a fixed cutoff with the
+    ENTITY-LEAKAGE audit attached: time-keyed splits are mandatory for
+    forecasting (a hash split would train on the future), but they
+    leak entities by construction — the same user appears on both
+    sides — which is exactly what a practitioner must know before
+    fitting per-user features. Reports per split: rows, distinct
+    users, users present on BOTH sides, and the date range (which must
+    not overlap the other split's — the one guarantee a temporal split
+    does make). One pass to tag, one per-user aggregate joined back;
+    the split column is a narrow expression, same as split_assign."""
+    e = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-24 00:00:00"
+    tagged = e.select(
+        "user_id", "ts",
+        F.when(F.col("ts") < cutoff, "train").otherwise("test").alias("split"),
+    )
+    ent = tagged.groupBy("user_id").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("n_test"),
+    )
+    leaked = (F.col("n_train") > 0) & (F.col("n_test") > 0)
+    return (
+        tagged.join(ent, "user_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.when(leaked, F.col("user_id"))).alias("n_leaked_users"),
+            F.min(F.to_date("ts")).cast("string").alias("min_date"),
+            F.max(F.to_date("ts")).cast("string").alias("max_date"),
+        )
     )

@@ -498,3 +498,18 @@ def test_feature_crosses_collide_observably(spark):
     n_crosses = sum(r["n_crosses"] for r in rows)
     assert any(r["n_crosses"] > 1 for r in rows), "no collisions at D=64 — pin vacuous"
     assert len(rows) < n_crosses
+
+
+def test_temporal_split_ranges_disjoint_and_leakage_real(spark):
+    """The split date ranges must not overlap (the temporal guarantee),
+    both splits must be populated, and entity leakage must be real and
+    non-trivial (some users cross the cutoff, some do not — otherwise
+    the audit column is a constant)."""
+    rows = {r["split"]: r for r in
+            PENDING_QUERIES["train_test_temporal_split"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"train", "test"}
+    assert rows["train"]["max_date"] < rows["test"]["min_date"]
+    for r in rows.values():
+        assert r["n_rows"] > 0 and r["n_users"] > 0
+        assert 0 < r["n_leaked_users"] <= r["n_users"]
+    assert rows["train"]["n_leaked_users"] == rows["test"]["n_leaked_users"]
