@@ -13,6 +13,15 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 # - EVERY query — window and tail — is still differentially verified
 #   every round by tests/test_queries_oracle.py at sf0.001 (same
 #   DuckDB-oracle check the driver runs at sf0.01).
+#
+# Round-8 rotation plan (for the next session, assuming CORRECTNESS_r07
+# comes back green): the 24 round8_pending entries register and take
+# slots (every one already verified at sf0.001/0.01/0.1); remaining
+# slots go to code-change canaries accumulated next round. No round-7
+# code paths are pending canary rotation beyond what this window
+# already covers (the sampling/incremental fixes, both rounding
+# re-pins, the as-of nearest×bucket composition, and the shuffle_hash
+# pins all hold current slots).
 # =========================================================================
 
 _DRIVER_WINDOW = [
