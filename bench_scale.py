@@ -162,22 +162,32 @@ def gen_events(spark, n=N_EVENTS):
 # --- corpus tier ------------------------------------------------------------
 
 
-@probe("corpus_minhash_lsh")
-def p_minhash(docs):
+def _minhash_pairs(docs):
+    """Shared by the two corpus probes: the MinHash pair set is both
+    p_minhash's result and p_jaccard's comparison target, passed
+    explicitly (not smuggled through RESULTS — ADVICE r07) so either
+    probe can run alone or twice."""
     from etl_mini_spark.operators.dedup import near_dup_pairs_minhash_lsh
 
     pairs = near_dup_pairs_minhash_lsh(docs, "doc_id", "text", threshold=0.8)
-    got = {(r["d1"], r["d2"]) for r in pairs.collect()}
-    return {"n_pairs": len(got), "ok": len(got) > 0, "_pairs": got}
+    return {(r["d1"], r["d2"]) for r in pairs.collect()}
+
+
+@probe("corpus_minhash_lsh")
+def p_minhash(docs, out_pairs=None):
+    got = _minhash_pairs(docs)
+    if out_pairs is not None:
+        out_pairs.update(got)
+    return {"n_pairs": len(got), "ok": len(got) > 0}
 
 
 @probe("corpus_ngram_jaccard")
-def p_jaccard(docs):
+def p_jaccard(docs, mh_pairs=None):
     from etl_mini_spark.operators.dedup import near_dup_pairs_ngram_jaccard
 
     pairs = near_dup_pairs_ngram_jaccard(docs, "doc_id", "text", threshold=0.8)
     got = {(r["d1"], r["d2"]) for r in pairs.collect()}
-    mh = RESULTS["corpus_minhash_lsh"].pop("_pairs")
+    mh = _minhash_pairs(docs) if mh_pairs is None else mh_pairs
     # MinHash (verified) and exact Jaccard must find the SAME pair set
     agree = len(got & mh)
     return {"n_pairs": len(got), "n_agree_minhash": agree, "ok": got == mh}
@@ -354,8 +364,9 @@ def main() -> None:
 
     print("generating corpus...", file=sys.stderr)
     docs = gen_corpus(spark)
-    p_minhash(docs)
-    p_jaccard(docs)
+    mh_pairs: set = set()
+    p_minhash(docs, out_pairs=mh_pairs)
+    p_jaccard(docs, mh_pairs=mh_pairs)
     p_simhash(docs)
     docs.unpersist()
 

@@ -14,22 +14,53 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #   every round by tests/test_queries_oracle.py at sf0.001 (same
 #   DuckDB-oracle check the driver runs at sf0.01).
 #
-# Round-8 rotation plan (for the next session, assuming CORRECTNESS_r07
-# comes back green): the 24 round8_pending entries register and take
-# slots (every one already verified at sf0.001/0.01/0.1); remaining
-# slots go to code-change canaries accumulated next round. No round-7
-# code paths are pending canary rotation beyond what this window
-# already covers (the sampling/incremental fixes, both rounding
-# re-pins, the as-of nearest×bucket composition, and the shuffle_hash
-# pins all hold current slots).
+# Round-8 rotation (CORRECTNESS_r07 came back 50/50 green, so every
+# round-7 slot owner rotates to the tail):
+# (a) the 24 round8_ops entries staged during round 7 — locally
+#     oracle-verified at sf0.001/0.01/0.1, never driver-verified, so
+#     each must hold a slot (tests/test_window_rotation.py);
+# (b) code-change canaries: multimodal_binary_ingest's fixture glob is
+#     now derived from the module location instead of a hardcoded
+#     absolute path (ADVICE r07), changing both the query and its
+#     oracle SQL string;
+# (c) the remaining 25 slots re-verify the STALEST green entries (last
+#     driver-green row in r01/r02 — six rounds ago); new queries built
+#     this round displace them slot-by-slot (new ⇒ must hold a slot,
+#     stale-green ⇒ merely nice to re-check).
 # =========================================================================
 
 _DRIVER_WINDOW = [
-    # round-7 rotation (CORRECTNESS_r06 went 50/50, so every round-6
-    # slot owner rotates to the tail):
-    # (a) the 39 round7_ops entries staged during round 6 — locally
-    #     oracle-verified all round, never driver-verified, so each
-    #     must hold a slot (tests/test_window_rotation.py);
+    # (a) round-8 promotions:
+    "timeseries_ema", "agg_weighted_median", "cdc_apply_log",
+    "pivot_multi_agg", "interval_union_coverage", "quality_threshold_sweep",
+    "sample_weighted_topk", "pareto_front_parts", "stream_interval_join_outer",
+    "audience_overlap_jaccard", "dynamic_partition_overwrite", "agg_distinct_salted",
+    "attribution_time_decay", "stream_tumbling_late_drop", "dq_referential_integrity",
+    "psi_population_stability", "embedding_centroid_drift", "inventory_wac_ledger",
+    "text_zipf_fit", "ndjson_corrupt_quarantine", "timeseries_seasonal_decompose",
+    "impute_missing_values", "feature_crosses_hashed", "train_test_temporal_split",
+    # (b) code-change canaries:
+    "multimodal_binary_ingest",
+    # (c) stale-green re-verification (displaced first by new queries):
+    "constant_columns", "dedup_exact_docs",
+    "iso_normalize", "multimodal_decode", "placeholder_extract",
+    "sanitize_values", "set_intersect", "set_union_halves",
+    "similarity_topk", "text_fingerprint", "text_lang_id",
+    "text_quality", "text_token_counts", "time_derive_parts",
+    "tolerant_select", "topk_limit", "window_lag_lead",
+    "window_session_30m", "window_tumbling_1h",
+    # (d) new round-8 queries (ML evaluation tier), displacing six
+    #     stale-green re-verification slots back to the tail:
+    "roc_auc_exact", "ks_statistic_2sample", "lift_gains_deciles",
+    "target_encoding_loo", "feature_scaler_leakage_safe", "class_balance_downsample",
+]
+
+_TAIL = [
+    # driver-green in earlier rounds; every entry still locally
+    # oracle-verified per round at sf0.001 (rows-only entries verified
+    # by their dedicated pinned tests).
+    "agg_pricing_summary", "dedup_keep_first", "drop_null_required",
+    "filter_term", "filter_time_range", "agg_distinct",
     "setjoin_prefix_filter", "timeseries_interpolate_linear", "privacy_k_anonymity",
     "sql_pipe_syntax", "mixture_temperature_weights", "set_ops_all",
     "text_bigram_lm_score", "window_rolling_median", "sliding_distinct_users_7d",
@@ -43,79 +74,44 @@ _DRIVER_WINDOW = [
     "funnel_with_timeouts", "pareto_revenue_curve", "business_days_to_ship",
     "join_asof_tolerance", "join_asof_nearest", "corpus_curation_pipeline",
     "trend_theil_sen", "fifo_lot_matching", "attribution_linear_multitouch",
-    # (b) code-changed canaries whose last driver-green row predates the
-    #     change (round-6 verdict item 3): the shuffle_hash strategy
-    #     pins landed after the r06 window froze and touch the postings
-    #     self-join (dedup_ngram_jaccard), the containment index
-    #     (minhash_containment), the SimHash block join (dedup_simhash)
-    #     and the salted-join hint (join_salted_skew);
-    #     embedding_near_dups_lsh's bucket-width autoscale also changed
-    #     in round 6 from the tail.
     "dedup_ngram_jaccard", "minhash_containment", "dedup_simhash",
-    "join_salted_skew", "embedding_near_dups_lsh",
-    # (c) new round-7 queries (binaryFile multimodal ingest with a
-    #     read_blob oracle, the nearest×bucketed as-of composition,
-    #     Welford-merge incremental state incl. a NULL-key group),
-    #     plus round-7 code-change canaries: try_arithmetic_suite's
-    #     rounding was re-pinned after the sf0.1 sweep caught a
-    #     HALF_UP/half-even divergence on an exact power-of-two
-    #     division; dedup_minhash_lsh's Arrow kernel changed in r6;
-    #     window_time_range_7d's moving average was re-pinned (same sweep,
-    #     ulp-at-the-half-case class).
-    #     Rows-only entries stay OUT — they cannot hash-match a DuckDB
-    #     oracle (machine-checked).
-    "multimodal_binary_ingest", "join_asof_nearest_bucketed", "incremental_welford_merge",
-    "dedup_minhash_lsh", "try_arithmetic_suite", "window_time_range_7d",
-]
-
-_TAIL = [
-    # driver-green in earlier rounds (the first 50 are the round-6
-    # window, all green in CORRECTNESS_r06); every entry still locally
-    # oracle-verified per round at sf0.001 (rows-only entries verified
-    # by their dedicated pinned tests).
-    "sql_q4_priority", "sql_q8_mkt_share", "sql_q9_product_profit",
-    "sql_q12_late_lines", "sql_q15_top_supplier", "sql_q17_small_qty",
-    "sql_q20_promo_suppliers", "sql_q21_waiting_supplier", "sql_recursive_series",
-    "sql_lateral_topn", "listagg_sorted", "variant_shred_extract",
-    "collation_distinct", "sessionize_events", "cohort_retention",
-    "rfm_segments", "ratio_to_report", "churn_gap_flag",
-    "corpus_token_entropy", "mad_outliers", "dedup_canonical_pick",
-    "window_tumbling_distinct", "graph_triangle_count", "graph_pagerank_parts",
-    "geo_radius_pairs", "dedup_levenshtein_blocked", "timeseries_ohlc_twap",
-    "dq_expectations_report", "co_purchase_pairs", "scd2_point_in_time_join",
-    "xml_roundtrip", "join_null_safe", "partitioned_roundtrip",
-    "bucketed_join_roundtrip", "csv_malformed_tolerant", "parquet_schema_evolution",
-    "stream_foreachbatch_upsert", "join_asof_bucketed", "graph_pagerank_converged",
-    "scd2_late_correction", "join_asof_forward", "seq_packing_bins",
-    "vocab_oov_coverage", "dpp_partitioned_join", "http_pyds_scan",
-    "dedup_repeated_spans", "similarity_tfidf_pairs", "sql_udf_scalar",
-    "graph_khop_reach", "snapshot_table_diff", "join_asof_last_order",
-    "mixture_weighted_sample", "stream_dedup_watermark", "stream_interval_join",
-    "agg_corr_regr", "corpus_idf", "decontaminate_13gram",
-    "dedup_incremental", "embedding_quantize", "higher_order_fns",
-    "map_fns_suite", "orc_roundtrip", "outlier_trim",
-    "pipeline_corpus_filter", "posexplode_tokens", "skew_diagnostic",
-    "sql_q6_forecast", "sql_q7_volume", "sql_q13_custdist",
-    "sql_q14_promo", "sql_q18_large_orders", "sql_q19_disjunctive",
-    "table_profile", "text_repetition", "time_trunc_suite",
-    "window_value_suite", "zorder_locality", "dedup_clusters",
-    "sql_q3_shipping", "sql_q5_local_volume", "sql_q10_returned",
-    "approx_quantile_sketch", "dedup_bloom_prefilter", "token_stats_bpe",
-    "json_table_extract", "lateral_tokens_topk", "interval_overlap_agg",
-    "sql_q2_min_cost_supplier", "sql_q11_important_stock", "sql_q16_supplier_cnt",
-    "sql_q22_global_sales", "event_path_3gram", "first_touch_attribution",
-    "text_near_template", "cdc_scd2_history", "range_bucket_join",
-    "project_select", "filter_time_range", "filter_term",
-    "nested_json_extract", "drop_null_required", "join_inner_revenue",
-    "join_left_counts", "join_star_dims", "agg_pricing_summary",
-    "window_running_total", "dedup_keep_first", "upsert_keyed",
-    "tolerant_select", "agg_distinct", "window_lag_lead",
-    "topk_limit", "set_union_halves", "set_intersect",
-    "time_derive_parts", "iso_normalize", "sanitize_values",
-    "placeholder_extract", "constant_columns", "window_tumbling_1h",
-    "window_session_30m", "dedup_exact_docs", "similarity_topk",
-    "similarity_ivf", "text_quality", "text_token_counts",
-    "text_lang_id", "text_fingerprint", "multimodal_decode",
+    "join_salted_skew", "embedding_near_dups_lsh", "join_asof_nearest_bucketed",
+    "incremental_welford_merge", "dedup_minhash_lsh", "try_arithmetic_suite",
+    "window_time_range_7d", "sql_q4_priority", "sql_q8_mkt_share",
+    "sql_q9_product_profit", "sql_q12_late_lines", "sql_q15_top_supplier",
+    "sql_q17_small_qty", "sql_q20_promo_suppliers", "sql_q21_waiting_supplier",
+    "sql_recursive_series", "sql_lateral_topn", "listagg_sorted",
+    "variant_shred_extract", "collation_distinct", "sessionize_events",
+    "cohort_retention", "rfm_segments", "ratio_to_report",
+    "churn_gap_flag", "corpus_token_entropy", "mad_outliers",
+    "dedup_canonical_pick", "window_tumbling_distinct", "graph_triangle_count",
+    "graph_pagerank_parts", "geo_radius_pairs", "dedup_levenshtein_blocked",
+    "timeseries_ohlc_twap", "dq_expectations_report", "co_purchase_pairs",
+    "scd2_point_in_time_join", "xml_roundtrip", "join_null_safe",
+    "partitioned_roundtrip", "bucketed_join_roundtrip", "csv_malformed_tolerant",
+    "parquet_schema_evolution", "stream_foreachbatch_upsert", "join_asof_bucketed",
+    "graph_pagerank_converged", "scd2_late_correction", "join_asof_forward",
+    "seq_packing_bins", "vocab_oov_coverage", "dpp_partitioned_join",
+    "http_pyds_scan", "dedup_repeated_spans", "similarity_tfidf_pairs",
+    "sql_udf_scalar", "graph_khop_reach", "snapshot_table_diff",
+    "join_asof_last_order", "mixture_weighted_sample", "stream_dedup_watermark",
+    "stream_interval_join", "agg_corr_regr", "corpus_idf",
+    "decontaminate_13gram", "dedup_incremental", "embedding_quantize",
+    "higher_order_fns", "map_fns_suite", "orc_roundtrip",
+    "outlier_trim", "pipeline_corpus_filter", "posexplode_tokens",
+    "skew_diagnostic", "sql_q6_forecast", "sql_q7_volume",
+    "sql_q13_custdist", "sql_q14_promo", "sql_q18_large_orders",
+    "sql_q19_disjunctive", "table_profile", "text_repetition",
+    "time_trunc_suite", "window_value_suite", "zorder_locality",
+    "dedup_clusters", "sql_q3_shipping", "sql_q5_local_volume",
+    "sql_q10_returned", "approx_quantile_sketch", "dedup_bloom_prefilter",
+    "token_stats_bpe", "json_table_extract", "lateral_tokens_topk",
+    "interval_overlap_agg", "sql_q2_min_cost_supplier", "sql_q11_important_stock",
+    "sql_q16_supplier_cnt", "sql_q22_global_sales", "event_path_3gram",
+    "first_touch_attribution", "text_near_template", "cdc_scd2_history",
+    "range_bucket_join", "project_select", "nested_json_extract",
+    "join_inner_revenue", "join_left_counts", "join_star_dims",
+    "window_running_total", "upsert_keyed", "similarity_ivf",
     "multimodal_resize", "multimodal_features", "agg_approx_distinct",
     "stream_capped_sessions", "stream_capped_sessions_checksum", "http_api_extract",
     "text_redact_pii", "doc_chunks", "corpus_top_bigrams",

@@ -66,6 +66,8 @@ linearized via cumulative-interval overlap) and linear multi-touch
 attribution (conservation-pinned fair-share credit).
 """
 
+from pathlib import Path
+
 from etl_mini_spark.operators import text as TX
 from etl_mini_spark.queries._base import _t
 from etl_mini_spark.queries._base import q as pq
@@ -2406,7 +2408,9 @@ def incremental_welford_merge(spark, sf_dir):
 # production), which the oracle replays from the byte size. Content is
 # digested as md5(hex(bytes)) because both engines hash the identical
 # uppercase-hex STRING (DuckDB's md5/sha256 accept only VARCHAR).
-_MEDIA_GLOB = "/root/repo/tests/fixtures/media/*.bin"
+# derived from the module location so the query (and the oracle SQL
+# literal it is baked into) survives any checkout path (ADVICE r07)
+_MEDIA_GLOB = str(Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "media" / "*.bin")
 _BINARY_INGEST_SQL = f"""
     SELECT regexp_extract(filename, '[^/]+$') AS file_name,
            CAST(size AS BIGINT) AS n_bytes,

@@ -1,15 +1,9 @@
-"""Round-8 PENDING queries — implemented and differentially tested now,
-REGISTERED next round.
-
-Why deferred: the driver's CORRECTNESS gate records exactly the first 50
-registry entries, and every round-7 slot is owned by a
-never-driver-verified entry (the 39 promoted round7_ops queries + this
-round's new operators + code-change canaries;
-tests/test_window_rotation.py enforces "oracle-backed ⇒ driver-green
-row OR window slot"). They are verified THIS round by
-tests/test_round8_pending.py — the exact harness the registry tests
-use — and round 8 promotes them into freed slots, the same path the
-round-7 batch took.
+"""Round-8 operators — staged (and differentially verified) as
+round8_pending during round 7 while every driver-window slot was owned
+by a never-driver-verified entry; registered round 8 with the freed
+slots (tests/test_window_rotation.py enforces the slot invariant). The
+non-vacuity pins live in tests/test_round8_ops.py; every entry also
+runs through the registry oracle sweep (tests/test_queries_oracle.py).
 
 Contents:
 - timeseries_ema          : per-type daily EMA — the classic "SQL can't
@@ -77,17 +71,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-PENDING_QUERIES = {}
-PENDING_ORACLE = {}
-
-
-def pq(name, sql):
-    def deco(fn):
-        PENDING_QUERIES[name] = fn
-        PENDING_ORACLE[name] = sql
-        return fn
-
-    return deco
+from etl_mini_spark.queries._base import q as pq
 
 
 # --- EMA via higher-order fold ---------------------------------------------

@@ -37,6 +37,8 @@ def spec_from_dict(cfg: dict[str, Any]) -> PipelineSpec:
     """Validate a JSON config dict into a PipelineSpec. Unknown keys
     raise (a typo'd config must fail loudly, not run a subtly different
     pipeline — the closed-registry rule applied to config)."""
+    if not isinstance(cfg, dict):
+        raise ValueError("invalid pipeline config: JSON root must be an object")
     cfg = dict(cfg)
     cfg.pop("spark", None)  # session opts are consumed by main(), not the spec
     try:
@@ -46,6 +48,8 @@ def spec_from_dict(cfg: dict[str, Any]) -> PipelineSpec:
         if window_end is not None:
             window_end = datetime.fromisoformat(window_end)
         return PipelineSpec(source=source, sink=sink, window_end=window_end, **cfg)
+    except KeyError as e:
+        raise ValueError(f"invalid pipeline config: missing required key {e}") from e
     except TypeError as e:
         raise ValueError(f"invalid pipeline config: {e}") from e
 
@@ -57,7 +61,7 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     try:
         cfg = json.loads(open(argv[0]).read())
-        spark_opts = cfg.get("spark", {})
+        spark_opts = cfg.get("spark", {}) if isinstance(cfg, dict) else {}
         spec = spec_from_dict(cfg)
     except (OSError, ValueError) as e:
         print(json.dumps({"status": "error", "error": str(e)}))

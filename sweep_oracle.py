@@ -65,13 +65,18 @@ def compare_with_watchdog(spark_df, sql):
 
 def main():
     from etl_mini_spark.queries import ORACLE, QUERIES
-    from etl_mini_spark.queries.round8_pending import PENDING_ORACLE, PENDING_QUERIES
 
+    # a staged pending tier, when one exists, sweeps alongside the registry
+    todo = [(n, QUERIES[n], ORACLE[n]) for n in ORACLE]
+    try:
+        from etl_mini_spark.queries.round9_pending import PENDING_ORACLE, PENDING_QUERIES
+
+        todo += [(n, PENDING_QUERIES[n], PENDING_ORACLE[n]) for n in PENDING_ORACLE]
+    except ImportError:
+        pass
     skip_from = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark("sweep-sf01")
     spark.sparkContext.setLogLevel("ERROR")
-    todo = [(n, QUERIES[n], ORACLE[n]) for n in ORACLE]
-    todo += [(n, PENDING_QUERIES[n], PENDING_ORACLE[n]) for n in PENDING_ORACLE]
     if skip_from:
         names = [n for n, _, _ in todo]
         todo = todo[names.index(skip_from):]

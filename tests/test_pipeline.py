@@ -89,6 +89,18 @@ def test_cli_runner_round_trips_flagship(spark, capsys):
     typo_path = TMP / "cli_typo.json"
     typo_path.write_text(json.dumps(typo))
     assert main([str(typo_path)]) == 1
+    capsys.readouterr()
+
+    # missing required keys and a non-object root must keep the
+    # machine-readable error contract (ADVICE r07), not traceback
+    for broken in ({"name": "x", "sink": cfg["sink"]},          # no source
+                   {"name": "x", "source": cfg["source"]},      # no sink
+                   ["not", "an", "object"]):                    # non-dict root
+        broken_path = TMP / "cli_broken.json"
+        broken_path.write_text(json.dumps(broken))
+        assert main([str(broken_path)]) == 1
+        err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert err["status"] == "error" and "invalid pipeline config" in err["error"]
 
 
 def test_pipeline_missing_source_gate(spark):

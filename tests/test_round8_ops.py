@@ -1,50 +1,35 @@
-"""Round-8 pending queries (etl_mini_spark/queries/round8_pending.py):
-differentially verified NOW with the registry harness; registration is
-deferred to round 8 because every round-7 driver-window slot is owned by
-a never-driver-verified entry (see the module docstring — the same
-staged-promotion path the round-7 batch took)."""
+"""Non-vacuity pins for the round-8 operators
+(etl_mini_spark/queries/round8_ops.py). The oracle equivalence itself is
+covered by the registry-wide sweep (tests/test_queries_oracle.py) now
+that the entries are registered; these tests pin that each detector /
+filter / invariant is actually EXERCISED at smoke SF — an oracle match
+on a constant-flag output proves arithmetic, not behavior."""
 
 from __future__ import annotations
 
-import pytest
-
 from tests.conftest import SF_SMOKE
-from tests.oracle_harness import compare
+
+# the round-8 batch, for the blanket plan audit below
+ROUND8_NAMES = [
+    "timeseries_ema", "agg_weighted_median", "cdc_apply_log",
+    "pivot_multi_agg", "interval_union_coverage", "quality_threshold_sweep",
+    "sample_weighted_topk", "pareto_front_parts", "stream_interval_join_outer",
+    "audience_overlap_jaccard", "dynamic_partition_overwrite",
+    "agg_distinct_salted", "attribution_time_decay", "stream_tumbling_late_drop",
+    "dq_referential_integrity", "psi_population_stability",
+    "embedding_centroid_drift", "inventory_wac_ledger", "text_zipf_fit",
+    "ndjson_corrupt_quarantine", "timeseries_seasonal_decompose",
+    "impute_missing_values", "feature_crosses_hashed", "train_test_temporal_split",
+]
 
 
-def _pending():
-    from etl_mini_spark.queries.round8_pending import PENDING_ORACLE, PENDING_QUERIES
-
-    return PENDING_QUERIES, PENDING_ORACLE
-
-
-PENDING_QUERIES, PENDING_ORACLE = _pending()
-
-
-@pytest.mark.parametrize("name", sorted(PENDING_QUERIES))
-def test_pending_query_matches_oracle(spark, name):
-    df = PENDING_QUERIES[name](spark, SF_SMOKE)
-    ok, msg = compare(df, PENDING_ORACLE[name], SF_SMOKE)
-    assert ok, f"{name}: {msg}"
-
-
-def test_pending_names_do_not_collide_with_registry():
-    """Round-8 promotion moves these names into the registry verbatim —
-    a collision would silently shadow an existing entry."""
+def _registry():
     from etl_mini_spark.queries import QUERIES
 
-    clash = set(PENDING_QUERIES) & set(QUERIES)
-    assert not clash, clash
-    assert set(PENDING_ORACLE) == set(PENDING_QUERIES)
+    return QUERIES
 
 
-def test_every_pending_query_documents_itself():
-    """Discipline guard: each pending entry carries a real docstring
-    (semantics + scale rationale — the registry convention) and a
-    non-trivial oracle."""
-    for name, fn in PENDING_QUERIES.items():
-        assert fn.__doc__ and len(fn.__doc__) > 120, name
-        assert len(PENDING_ORACLE[name].strip()) > 40, name
+PENDING_QUERIES = _registry()
 
 
 # --- non-vacuity pins -------------------------------------------------------
@@ -383,8 +368,8 @@ def test_zipf_slope_is_negative_and_sane(spark):
     assert -5.0 < r["zipf_slope"] < -0.05, r["zipf_slope"]
 
 
-def test_round8_pending_no_cartesian_blanket(spark):
-    """Blanket physical-plan audit of every round-8 pending query: no
+def test_round8_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of every round-8 query: no
     CartesianProduct anywhere; BroadcastNestedLoopJoin only where the
     crossJoin side is a 1-row scalar aggregate (audit counters, corpus
     totals) — a 1-row broadcast is a constant, not a quadratic join.
@@ -397,7 +382,7 @@ def test_round8_pending_no_cartesian_blanket(spark):
         "quality_threshold_sweep",    # corpus-total denominator
     }
     STREAMING = {"stream_interval_join_outer", "stream_tumbling_late_drop"}
-    for name in sorted(PENDING_QUERIES):
+    for name in sorted(ROUND8_NAMES):
         if name in STREAMING:
             continue
         s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
