@@ -2411,6 +2411,9 @@ def incremental_welford_merge(spark, sf_dir):
 # derived from the module location so the query (and the oracle SQL
 # literal it is baked into) survives any checkout path (ADVICE r07)
 _MEDIA_GLOB = str(Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "media" / "*.bin")
+# the glob is baked into a SQL string literal below — a checkout path
+# with SQL-significant characters must fail loudly, not corrupt the SQL
+assert "'" not in _MEDIA_GLOB, f"media glob contains a quote: {_MEDIA_GLOB!r}"
 _BINARY_INGEST_SQL = f"""
     SELECT regexp_extract(filename, '[^/]+$') AS file_name,
            CAST(size AS BIGINT) AS n_bytes,

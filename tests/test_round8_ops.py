@@ -29,7 +29,7 @@ def _registry():
     return QUERIES
 
 
-PENDING_QUERIES = _registry()
+QUERIES = _registry()
 
 
 # --- non-vacuity pins -------------------------------------------------------
@@ -41,7 +41,7 @@ def test_ema_differs_from_raw_series(spark):
     and day 1 must seed ema = rev exactly."""
     from pyspark.sql import functions as F
 
-    df = PENDING_QUERIES["timeseries_ema"](spark, SF_SMOKE)
+    df = QUERIES["timeseries_ema"](spark, SF_SMOKE)
     rows = df.orderBy("event_type", "d").collect()
     assert rows
     by_type: dict = {}
@@ -63,7 +63,7 @@ def test_weighted_median_differs_from_unweighted(spark):
 
     got = {
         r["l_returnflag"]: r["weighted_median"]
-        for r in PENDING_QUERIES["agg_weighted_median"](spark, SF_SMOKE).collect()
+        for r in QUERIES["agg_weighted_median"](spark, SF_SMOKE).collect()
     }
     plain = {
         r["l_returnflag"]: r["m"]
@@ -90,7 +90,7 @@ def test_cdc_tombstones_remove_keys(spark):
     last = e.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
     deleted = {r["user_id"] for r in last.filter("event_type = 'error'").collect()}
     assert deleted, "no user ends on a tombstone at this SF — pin is vacuous"
-    snap = {r["user_id"] for r in PENDING_QUERIES["cdc_apply_log"](spark, SF_SMOKE).collect()}
+    snap = {r["user_id"] for r in QUERIES["cdc_apply_log"](spark, SF_SMOKE).collect()}
     assert snap and not (snap & deleted)
 
 
@@ -104,7 +104,7 @@ def test_coverage_islands_actually_merge(spark):
 
     cov = {
         r["user_id"]: (r["n_islands"], r["covered_seconds"])
-        for r in PENDING_QUERIES["interval_union_coverage"](spark, SF_SMOKE).collect()
+        for r in QUERIES["interval_union_coverage"](spark, SF_SMOKE).collect()
     }
     n_events = {
         r["user_id"]: r["n"]
@@ -118,7 +118,7 @@ def test_threshold_sweep_is_monotone(spark):
     """keep_rate must be non-increasing in the threshold and strictly
     between 0 and 1 somewhere — a flat sweep means the grid missed the
     distribution entirely."""
-    rows = PENDING_QUERIES["quality_threshold_sweep"](spark, SF_SMOKE).orderBy("threshold").collect()
+    rows = QUERIES["quality_threshold_sweep"](spark, SF_SMOKE).orderBy("threshold").collect()
     rates = [r["keep_rate"] for r in rows]
     assert rates == sorted(rates, reverse=True)
     assert any(0 < x < 1 for x in rates), rates
@@ -132,7 +132,7 @@ def test_weighted_sample_prefers_heavy_docs(spark):
 
     from etl_mini_spark.queries._base import _t
 
-    got = PENDING_QUERIES["sample_weighted_topk"](spark, SF_SMOKE)
+    got = QUERIES["sample_weighted_topk"](spark, SF_SMOKE)
     m_sample = got.agg(F.avg("n_chars")).collect()[0][0]
     m_all = _t(spark, SF_SMOKE, "documents").agg(F.avg("n_chars")).collect()[0][0]
     assert m_sample > m_all, (m_sample, m_all)
@@ -147,7 +147,7 @@ def test_pareto_front_is_mutually_non_dominated(spark):
     subset of the table."""
     from etl_mini_spark.queries._base import _t
 
-    rows = PENDING_QUERIES["pareto_front_parts"](spark, SF_SMOKE).collect()
+    rows = QUERIES["pareto_front_parts"](spark, SF_SMOKE).collect()
     n_all = _t(spark, SF_SMOKE, "part").count()
     assert 0 < len(rows) < n_all
     pts = [(r["p_retailprice"], r["p_size"]) for r in rows]
@@ -167,7 +167,7 @@ def test_stream_outer_join_emits_nulls_and_matches(spark):
     null-padded unmatched clicks — no nulls means the watermark
     sentinel failed to flush the outer state and the run silently
     degenerated to inner-join output."""
-    rows = PENDING_QUERIES["stream_interval_join_outer"](spark, SF_SMOKE).collect()
+    rows = QUERIES["stream_interval_join_outer"](spark, SF_SMOKE).collect()
     n_null = sum(1 for r in rows if r["purchase_id"] is None)
     n_match = sum(1 for r in rows if r["purchase_id"] is not None)
     assert n_null > 0 and n_match > 0, (n_null, n_match)
@@ -179,7 +179,7 @@ def test_audience_overlap_covers_all_pairs(spark):
 
     from etl_mini_spark.queries._base import _t
 
-    rows = PENDING_QUERIES["audience_overlap_jaccard"](spark, SF_SMOKE).collect()
+    rows = QUERIES["audience_overlap_jaccard"](spark, SF_SMOKE).collect()
     n_types = _t(spark, SF_SMOKE, "events").select("event_type").distinct().count()
     assert len(rows) == n_types * (n_types - 1) // 2, (len(rows), n_types)
     assert all(0 < r["jaccard"] <= 1 for r in rows)
@@ -195,7 +195,7 @@ def test_dpo_touches_only_the_patched_partition(spark):
 
     got = {
         r["o_orderpriority"]: r["n"]
-        for r in PENDING_QUERIES["dynamic_partition_overwrite"](spark, SF_SMOKE).collect()
+        for r in QUERIES["dynamic_partition_overwrite"](spark, SF_SMOKE).collect()
     }
     base = {
         r["o_orderpriority"]: r["n"]
@@ -218,7 +218,7 @@ def test_salted_distinct_shuffles_on_salt(spark):
     degenerated to the single-reducer plan it exists to avoid."""
     from etl_mini_spark.plans.explain import plan_summary
 
-    s = plan_summary(PENDING_QUERIES["agg_distinct_salted"](spark, SF_SMOKE))
+    s = plan_summary(QUERIES["agg_distinct_salted"](spark, SF_SMOKE))
     assert "salt" in s.text, s.text
     import re
 
@@ -251,7 +251,7 @@ def test_time_decay_credit_conserves_conversions(spark):
         .count()
     )
     total = (
-        PENDING_QUERIES["attribution_time_decay"](spark, SF_SMOKE)
+        QUERIES["attribution_time_decay"](spark, SF_SMOKE)
         .agg(F.sum("credited_conversions"))
         .collect()[0][0]
     )
@@ -272,7 +272,7 @@ def test_late_drop_late_rows_overlap_and_vanish(spark):
     from etl_mini_spark.queries._base import _t
 
     out = {r["window_start"]: r["n"]
-           for r in PENDING_QUERIES["stream_tumbling_late_drop"](spark, SF_SMOKE).collect()}
+           for r in QUERIES["stream_tumbling_late_drop"](spark, SF_SMOKE).collect()}
     e = _t(spark, SF_SMOKE, "events")
     mx = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
     late_windows = {
@@ -297,7 +297,7 @@ def test_referential_audit_finds_childless_orders(spark):
     """The fixture really contains childless orders (so the anti-join
     direction is exercised) while lineitem→orders integrity holds —
     a report of all zeros would prove nothing."""
-    r = PENDING_QUERIES["dq_referential_integrity"](spark, SF_SMOKE).collect()[0]
+    r = QUERIES["dq_referential_integrity"](spark, SF_SMOKE).collect()[0]
     assert r["n_orphan_lineitems"] == 0
     assert r["n_childless_orders"] > 0
     assert r["n_customerless_orders"] == 0
@@ -307,7 +307,7 @@ def test_psi_is_nonnegative_and_nonzero(spark):
     """PSI is mathematically ≥ 0; random halves must give small but
     NONZERO values (an exactly-zero PSI means the smoothing or binning
     degenerated)."""
-    rows = PENDING_QUERIES["psi_population_stability"](spark, SF_SMOKE).collect()
+    rows = QUERIES["psi_population_stability"](spark, SF_SMOKE).collect()
     assert rows
     assert all(r["psi"] >= 0 for r in rows)
     assert all(r["psi"] > 0 for r in rows)
@@ -318,7 +318,7 @@ def test_embedding_drift_ratio_in_sane_band(spark):
     ratio (≈ sqrt(2/n) sampling noise) — a ratio near 0 means the
     halves were identical (split broken), near 1 means the metric lost
     its normalization."""
-    rows = PENDING_QUERIES["embedding_centroid_drift"](spark, SF_SMOKE).collect()
+    rows = QUERIES["embedding_centroid_drift"](spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert 0 < r["drift_ratio"] < 0.8, (r["label"], r["drift_ratio"])
@@ -337,7 +337,7 @@ def test_wac_conserves_quantity_and_costs_positive(spark):
 
     from etl_mini_spark.queries._base import _t
 
-    rows = PENDING_QUERIES["inventory_wac_ledger"](spark, SF_SMOKE).collect()
+    rows = QUERIES["inventory_wac_ledger"](spark, SF_SMOKE).collect()
     assert rows and all(r["cogs"] > 0 for r in rows)
     li = _t(spark, SF_SMOKE, "lineitem")
     w = (
@@ -363,7 +363,7 @@ def test_zipf_slope_is_negative_and_sane(spark):
     """The corpus must actually be rank-skewed: slope strictly negative
     and in a plausible band (a near-zero slope means the fit or the
     ranking degenerated)."""
-    r = PENDING_QUERIES["text_zipf_fit"](spark, SF_SMOKE).collect()[0]
+    r = QUERIES["text_zipf_fit"](spark, SF_SMOKE).collect()[0]
     assert r["n_types"] > 10
     assert -5.0 < r["zipf_slope"] < -0.05, r["zipf_slope"]
 
@@ -385,7 +385,7 @@ def test_round8_no_cartesian_blanket(spark):
     for name in sorted(ROUND8_NAMES):
         if name in STREAMING:
             continue
-        s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
+        s = plan_summary(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in ONE_ROW_SCALAR_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
@@ -400,7 +400,7 @@ def test_json_quarantine_contains_both_failure_modes(spark):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    PENDING_QUERIES["ndjson_corrupt_quarantine"](spark, SF_SMOKE).collect()
+    QUERIES["ndjson_corrupt_quarantine"](spark, SF_SMOKE).collect()
     tmp = Path("/root/repo/tmp") / "json_quarantine_sf0.001"
     # a DIFFERENT corrupt-column name on purpose: an identical plan
     # would hit the query's own cache entry, which may pin a pre-
@@ -433,7 +433,7 @@ def test_seasonal_decomposition_is_complete_and_balanced(spark):
     detrending degenerated), and per type the day-weighted seasonal
     effects must roughly cancel (additive-decomposition identity —
     detrended values average ~0 by construction of the centered MA)."""
-    rows = PENDING_QUERIES["timeseries_seasonal_decompose"](spark, SF_SMOKE).collect()
+    rows = QUERIES["timeseries_seasonal_decompose"](spark, SF_SMOKE).collect()
     by_type: dict = {}
     for r in rows:
         by_type.setdefault(r["event_type"], {})[r["dow"]] = r
@@ -454,7 +454,7 @@ def test_imputation_fills_all_holes_and_strategies_differ(spark):
 
     from etl_mini_spark.queries._base import _t
 
-    rows = PENDING_QUERIES["impute_missing_values"](spark, SF_SMOKE).collect()
+    rows = QUERIES["impute_missing_values"](spark, SF_SMOKE).collect()
     assert rows and all(r["n_imputed"] > 0 for r in rows)
     assert any(abs(r["sum_mean_imputed"] - r["sum_median_imputed"]) > 0.01 for r in rows)
     raw = {
@@ -477,7 +477,7 @@ def test_feature_crosses_collide_observably(spark):
 
     from etl_mini_spark.queries._base import _t
 
-    rows = PENDING_QUERIES["feature_crosses_hashed"](spark, SF_SMOKE).collect()
+    rows = QUERIES["feature_crosses_hashed"](spark, SF_SMOKE).collect()
     n_events = _t(spark, SF_SMOKE, "events").count()
     assert sum(r["n_rows"] for r in rows) == n_events
     n_crosses = sum(r["n_crosses"] for r in rows)
@@ -491,7 +491,7 @@ def test_temporal_split_ranges_disjoint_and_leakage_real(spark):
     non-trivial (some users cross the cutoff, some do not — otherwise
     the audit column is a constant)."""
     rows = {r["split"]: r for r in
-            PENDING_QUERIES["train_test_temporal_split"](spark, SF_SMOKE).collect()}
+            QUERIES["train_test_temporal_split"](spark, SF_SMOKE).collect()}
     assert set(rows) == {"train", "test"}
     assert rows["train"]["max_date"] < rows["test"]["min_date"]
     for r in rows.values():
