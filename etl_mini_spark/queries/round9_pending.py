@@ -1,0 +1,525 @@
+"""Round-9 staged tier: statistical inference / ML-evaluation depth,
+corpus distribution tooling, and the data-engineering ops (DQ audits,
+calendar spines, URL/IP parsing) an analytics engine runs daily.
+
+Staged (module-local PENDING_QUERIES/PENDING_ORACLE, swept by
+sweep_oracle.py alongside the registry) until registration rotates
+them into the driver window — the same two-step rounds 7 and 8 used.
+
+Float-parity rules extend FIXTURES.md §C with the round-9 refinement:
+when a query SUMS libm-derived terms (ln/sqrt/pow), each term is
+pre-rounded at 9dp AND cast to DECIMAL(28,9) before the sum, so the
+total is exact decimal arithmetic — immune to accumulation order on
+BOTH engines — and only then rounded for display. (round-8's psi
+summed the rounded doubles directly; correct at 5 bins, but the
+decimal sum removes the residual order sensitivity for good.)
+
+Scale notes are per-query docstrings; the common themes:
+- contingency/binned statistics are one hash-agg to a tiny cell grid,
+  then driver-free scalar algebra — the 100-TB cost is the scan;
+- every per-row ln/sqrt is a codegen'd Column expression, no UDFs
+  anywhere in this tier except the Misra-Gries sketch, which is the
+  point (a mergeable per-partition summary in Arrow batches);
+- nothing here materializes pairs except item_item_cosine_topk, whose
+  pair expansion is bounded by order size (≤12 lines/order in this
+  schema; cap documented for heavy-tailed baskets).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_spark.queries._base import _t
+
+PENDING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+PENDING_ORACLE: dict[str, str] = {}
+
+
+def pq(name: str, sql: str | None = None):
+    def deco(fn):
+        PENDING_QUERIES[name] = fn
+        if sql is not None:
+            PENDING_ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --- chi-square independence + Cramér's V ------------------------------------
+# Contingency: event_type (5) × value band (8 fixed log-ish edges — fixed
+# edges, not quantiles, so no rank-boundary flips between engines).
+# Observed counts are BIGINT; each cell's (o−e)²/e term pre-rounds at
+# 9dp and sums as DECIMAL(28,9), so chi2 is order-free exact.
+_CHI2_SQL = """
+    WITH c AS (
+      SELECT event_type AS x,
+             least(CAST(floor(value / 40) AS INT), 7) AS y,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT x, y, o,
+             sum(o) OVER (PARTITION BY x) AS rx,
+             sum(o) OVER (PARTITION BY y) AS cy,
+             sum(o) OVER () AS n
+      FROM c),
+    terms AS (
+      SELECT n,
+             CAST(round(pow(o - rx * cy / (1.0 * n), 2) / (rx * cy / (1.0 * n)), 9)
+                  AS DECIMAL(28,9)) AS term
+      FROM t),
+    s AS (
+      SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+             sum(term) AS chi2_d
+      FROM terms),
+    dims AS (
+      SELECT CAST(count(DISTINCT x) AS BIGINT) AS kx,
+             CAST(count(DISTINCT y) AS BIGINT) AS ky
+      FROM c)
+    SELECT s.n, s.n_cells,
+           CAST((dims.kx - 1) * (dims.ky - 1) AS BIGINT) AS dof,
+           round(CAST(s.chi2_d AS DOUBLE), 6) AS chi2,
+           round(sqrt(CAST(s.chi2_d AS DOUBLE)
+                      / (s.n * least(dims.kx - 1, dims.ky - 1))), 6) AS cramers_v
+    FROM s CROSS JOIN dims
+"""
+
+
+@pq("chi_square_cramers_v", _CHI2_SQL)
+def chi_square_cramers_v(spark, sf_dir):
+    """Pearson chi-square test of independence between event_type and
+    a fixed-edge value band, plus Cramér's V effect size — the first
+    question any feature audit asks of two categoricals. Expected
+    counts come from the margins (r·c/n); each cell's (o−e)²/e term is
+    pre-rounded at 9dp and summed as DECIMAL(28,9), so the statistic
+    is exact regardless of accumulation order. Plan: one hash-agg to a
+    ≤40-cell grid, margin windows over those 40 rows, one scalar
+    finish — at 100 TB the corpus scan is the entire cost; the cell
+    grid is constant-size."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.col("event_type").alias("x"),
+        F.least(F.floor(F.col("value") / 40).cast("int"), F.lit(7)).alias("y"),
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    t = c.select(
+        "x", "y", "o",
+        F.sum("o").over(Window.partitionBy("x")).alias("rx"),
+        F.sum("o").over(Window.partitionBy("y")).alias("cy"),
+        F.sum("o").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    terms = t.select(
+        "n",
+        F.round(
+            F.pow(F.col("o") - F.col("rx") * F.col("cy") / (1.0 * F.col("n")), 2)
+            / (F.col("rx") * F.col("cy") / (1.0 * F.col("n"))),
+            9,
+        ).cast("decimal(28,9)").alias("term"),
+    )
+    s = terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("term").alias("chi2_d"),
+    )
+    dims = c.agg(
+        F.countDistinct("x").cast("bigint").alias("kx"),
+        F.countDistinct("y").cast("bigint").alias("ky"),
+    )
+    return s.crossJoin(F.broadcast(dims)).select(
+        "n",
+        "n_cells",
+        ((F.col("kx") - 1) * (F.col("ky") - 1)).cast("bigint").alias("dof"),
+        F.round(F.col("chi2_d").cast("double"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_d").cast("double")
+                / (F.col("n") * F.least(F.col("kx") - 1, F.col("ky") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --- mutual information of two discrete columns -------------------------------
+# MI (nats) = Σ_xy (o/n)·ln(o·n/(rx·cy)); per-cell terms pre-round 9dp,
+# decimal sum. Entropies use the same trick, so NMI = MI/min(H) is a
+# ratio of exact decimals with one double division at the end.
+_MI_SQL = """
+    WITH c AS (
+      SELECT event_type AS x,
+             least(CAST(floor(value / 40) AS INT), 7) AS y,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT x, y, o,
+             sum(o) OVER (PARTITION BY x) AS rx,
+             sum(o) OVER (PARTITION BY y) AS cy,
+             sum(o) OVER () AS n
+      FROM c),
+    mi AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             sum(CAST(round((o / (1.0 * n)) * ln(o * 1.0 * n / (rx * 1.0 * cy)), 9)
+                      AS DECIMAL(28,9))) AS mi_d
+      FROM t),
+    hx AS (
+      SELECT sum(CAST(round(-(rx / (1.0 * n)) * ln(rx / (1.0 * n)), 9)
+                      AS DECIMAL(28,9))) AS h_x
+      FROM (SELECT DISTINCT x, rx, n FROM t)),
+    hy AS (
+      SELECT sum(CAST(round(-(cy / (1.0 * n)) * ln(cy / (1.0 * n)), 9)
+                      AS DECIMAL(28,9))) AS h_y
+      FROM (SELECT DISTINCT y, cy, n FROM t))
+    SELECT mi.n,
+           round(CAST(mi.mi_d AS DOUBLE), 6) AS mi_nats,
+           round(CAST(hx.h_x AS DOUBLE), 6) AS h_x,
+           round(CAST(hy.h_y AS DOUBLE), 6) AS h_y,
+           round(CAST(mi.mi_d AS DOUBLE)
+                 / least(CAST(hx.h_x AS DOUBLE), CAST(hy.h_y AS DOUBLE)), 6) AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+@pq("mutual_information_discrete", _MI_SQL)
+def mutual_information_discrete(spark, sf_dir):
+    """Mutual information (nats) between event_type and the fixed-edge
+    value band, with marginal entropies and the min-entropy-normalized
+    NMI — the feature-selection screen chi-square can't provide (MI
+    sees nonlinear association). Identical contingency plan to
+    chi_square_cramers_v: one hash-agg to the cell grid, margin
+    windows over ≤40 rows, per-cell ln terms pre-rounded at 9dp and
+    summed as DECIMAL(28,9). 100-TB cost = the one scan."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.col("event_type").alias("x"),
+        F.least(F.floor(F.col("value") / 40).cast("int"), F.lit(7)).alias("y"),
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    t = c.select(
+        "x", "y", "o",
+        F.sum("o").over(Window.partitionBy("x")).alias("rx"),
+        F.sum("o").over(Window.partitionBy("y")).alias("cy"),
+        F.sum("o").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    mi = t.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(
+            F.round(
+                (F.col("o") / (1.0 * F.col("n")))
+                * F.log(F.col("o") * 1.0 * F.col("n") / (F.col("rx") * 1.0 * F.col("cy"))),
+                9,
+            ).cast("decimal(28,9)")
+        ).alias("mi_d"),
+    )
+    hx = (
+        t.select("x", "rx", "n").distinct()
+        .agg(
+            F.sum(
+                F.round(
+                    -(F.col("rx") / (1.0 * F.col("n")))
+                    * F.log(F.col("rx") / (1.0 * F.col("n"))),
+                    9,
+                ).cast("decimal(28,9)")
+            ).alias("h_x")
+        )
+    )
+    hy = (
+        t.select("y", "cy", "n").distinct()
+        .agg(
+            F.sum(
+                F.round(
+                    -(F.col("cy") / (1.0 * F.col("n")))
+                    * F.log(F.col("cy") / (1.0 * F.col("n"))),
+                    9,
+                ).cast("decimal(28,9)")
+            ).alias("h_y")
+        )
+    )
+    return mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy)).select(
+        "n",
+        F.round(F.col("mi_d").cast("double"), 6).alias("mi_nats"),
+        F.round(F.col("h_x").cast("double"), 6).alias("h_x"),
+        F.round(F.col("h_y").cast("double"), 6).alias("h_y"),
+        F.round(
+            F.col("mi_d").cast("double")
+            / F.least(F.col("h_x").cast("double"), F.col("h_y").cast("double")),
+            6,
+        ).alias("nmi"),
+    )
+
+
+# --- Gini coefficient of customer revenue -------------------------------------
+# Gini = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over revenues sorted asc
+# (ties broken by custkey). Revenues are DECIMAL(18,2) sums; i·x_i is
+# BIGINT×DECIMAL — exact — so the numerator never floats.
+_GINI_SQL = """
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i FROM rev),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(r) AS tot,
+             sum(i * r) AS weighted
+      FROM ranked)
+    SELECT n, round(CAST(tot AS DOUBLE), 2) AS total_rev,
+           round((2.0 * CAST(weighted AS DOUBLE) - (n + 1) * CAST(tot AS DOUBLE))
+                 / (n * CAST(tot AS DOUBLE)), 6) AS gini
+    FROM s
+"""
+
+
+@pq("gini_lorenz", _GINI_SQL)
+def gini_lorenz(spark, sf_dir):
+    """Gini concentration coefficient of per-customer order revenue —
+    the inequality scalar behind every whale-dependence dashboard
+    (pareto_revenue_curve draws the Lorenz curve; this is its area
+    statistic). Uses the rank identity Gini = (2Σi·x_(i) − (n+1)Σx)
+    / (nΣx): revenues sum as DECIMAL(18,2), i·x stays decimal-exact,
+    and only the final ratio is a double. Plan: one keyed agg, one
+    global rank (range-partitioned two-pass prefix counts at scale —
+    the budget_cap shape), one 1-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    ranked = rev.select(
+        "r", F.row_number().over(Window.orderBy("r", "o_custkey")).alias("i")
+    )
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r").alias("tot"),
+        F.sum(F.col("i") * F.col("r")).alias("weighted"),
+    )
+    return s.select(
+        "n",
+        F.round(F.col("tot").cast("double"), 2).alias("total_rev"),
+        F.round(
+            (2.0 * F.col("weighted").cast("double") - (F.col("n") + 1) * F.col("tot").cast("double"))
+            / (F.col("n") * F.col("tot").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --- Herfindahl-Hirschman concentration by region ------------------------------
+# Supplier revenue shares within each region; HHI = Σ share² with the
+# 9dp-round + decimal-sum rule. Shares are ratios of DECIMAL sums.
+_HHI_SQL = """
+    WITH rev AS (
+      SELECT n.n_regionkey, s.s_nationkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    shares AS (
+      SELECT n_regionkey, r,
+             sum(r) OVER (PARTITION BY n_regionkey) AS tot
+      FROM rev),
+    terms AS (
+      SELECT n_regionkey,
+             CAST(round(pow(CAST(r AS DOUBLE) / CAST(tot AS DOUBLE), 2), 9)
+                  AS DECIMAL(28,9)) AS t2,
+             CAST(r AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+      FROM shares)
+    SELECT rg.r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           round(CAST(sum(t2) AS DOUBLE), 6) AS hhi,
+           round(max(share), 6) AS top_share
+    FROM terms JOIN region rg ON terms.n_regionkey = rg.r_regionkey
+    GROUP BY rg.r_name
+    ORDER BY rg.r_name
+"""
+
+
+@pq("herfindahl_concentration", _HHI_SQL)
+def herfindahl_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman index of supplier-nation revenue
+    concentration within each region — the market-concentration
+    measure (HHI→1 means one nation owns the region's supply). Revenue
+    sums are DECIMAL; each squared share pre-rounds at 9dp and sums as
+    DECIMAL(28,9) per region. Plan: one fact-side keyed agg (suppkey
+    is the shuffle key; supplier/nation/region dims broadcast), a
+    25-row share window, a 5-row finish."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rg = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "s_nationkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"))
+    )
+    shares = rev.select(
+        "n_regionkey",
+        "r",
+        F.sum("r").over(Window.partitionBy("n_regionkey")).alias("tot"),
+    )
+    terms = shares.select(
+        "n_regionkey",
+        F.round(
+            F.pow(F.col("r").cast("double") / F.col("tot").cast("double"), 2), 9
+        ).cast("decimal(28,9)").alias("t2"),
+        (F.col("r").cast("double") / F.col("tot").cast("double")).alias("share"),
+    )
+    return (
+        terms.join(F.broadcast(rg), terms.n_regionkey == rg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nations"),
+            F.round(F.sum("t2").cast("double"), 6).alias("hhi"),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --- Wilson score intervals for daily conversion -------------------------------
+# Conversion = purchases / (purchases + views) per day; the Wilson 95%
+# interval (z = 1.96) is the rate CI that behaves at small n and
+# extreme rates. Counts are BIGINT; the interval is per-row double
+# algebra (sqrt), deterministic — no cross-row float accumulation.
+_WILSON_SQL = """
+    WITH d AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY 1)
+    SELECT d, k, n,
+           round(k / (1.0 * n), 6) AS rate,
+           round((k / (1.0 * n) + 1.96 * 1.96 / (2.0 * n)
+                  - 1.96 * sqrt((k / (1.0 * n)) * (1 - k / (1.0 * n)) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+           round((k / (1.0 * n) + 1.96 * 1.96 / (2.0 * n)
+                  + 1.96 * sqrt((k / (1.0 * n)) * (1 - k / (1.0 * n)) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_hi
+    FROM d ORDER BY d
+"""
+
+
+@pq("wilson_ci_rates", _WILSON_SQL)
+def wilson_ci_rates(spark, sf_dir):
+    """Daily purchase-vs-view conversion rate with its Wilson 95%
+    score interval — the binomial CI that stays inside [0,1] and
+    doesn't collapse at k=0 or k=n, which is what rate dashboards
+    should plot instead of ±1.96·√(p̂q̂/n). Counts are exact BIGINT per
+    day; the interval is per-row closed-form double algebra (one sqrt,
+    no cross-row accumulation). Plan: one day-keyed agg, ~30 output
+    rows regardless of corpus size."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "view"))
+    d = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    p = F.col("k") / (1.0 * F.col("n"))
+    z2 = 1.96 * 1.96
+    center = p + z2 / (2.0 * F.col("n"))
+    margin = 1.96 * F.sqrt(p * (1 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n")))
+    denom = 1 + z2 / F.col("n")
+    return d.select(
+        "d",
+        "k",
+        "n",
+        F.round(p, 6).alias("rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+    ).orderBy("d")
+
+
+# --- autocorrelation of the hourly value series --------------------------------
+# Series: hourly sums of value as DECIMAL(18,2) (exact). For lag k the
+# paired sample joins hour h with h−k (co-observed hours only); all
+# five sufficient statistics (Σx, Σy, Σxy, Σx², Σy², n) are decimal-
+# exact, and Pearson r is one double formula per lag.
+_ACF_SQL = """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             sum(CAST(value AS DECIMAL(18,2))) AS x
+      FROM events GROUP BY 1),
+    lags AS (SELECT unnest([1, 2, 3, 24]) AS lag),
+    paired AS (
+      SELECT l.lag, a.x AS x, b.x AS y
+      FROM lags l
+      JOIN hourly a ON TRUE
+      JOIN hourly b ON b.h = a.h - l.lag),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS DECIMAL(38,4)) * y) AS sxy,
+             sum(CAST(x AS DECIMAL(38,4)) * x) AS sxx,
+             sum(CAST(y AS DECIMAL(38,4)) * y) AS syy
+      FROM paired GROUP BY lag)
+    SELECT lag, n_pairs,
+           round((n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS acf
+    FROM s ORDER BY lag
+"""
+
+
+@pq("acf_hourly_lags", _ACF_SQL)
+def acf_hourly_lags(spark, sf_dir):
+    """Sample autocorrelation of the hourly revenue series at lags
+    1/2/3/24 (lag 24 = the daily-seasonality check) — computed as the
+    Pearson correlation of the lag-paired series over co-observed
+    hours. The hourly sums are DECIMAL(18,2) (exact), the five
+    sufficient statistics per lag are decimal products/sums (exact),
+    and each r is one double formula. Plan: one hour-keyed agg
+    (bounded: 8,760 rows per year regardless of corpus size), then a
+    4×|hours| lag join on the TINY aggregated series — the raw corpus
+    is never joined."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(24))).alias("lag")
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("b.h") == F.col("a.h") - F.col("lag"))
+        .select("lag", F.col("a.x").alias("x"), F.col("b.x").alias("y"))
+    )
+    s = paired.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,4)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,4)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,4)") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        "lag",
+        "n_pairs",
+        F.round(
+            (
+                F.col("n_pairs") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / F.sqrt(
+                (
+                    F.col("n_pairs") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                )
+                * (
+                    F.col("n_pairs") * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy").cast("double")
+                )
+            ),
+            6,
+        ).alias("acf"),
+    ).orderBy("lag")
