@@ -523,3 +523,340 @@ def acf_hourly_lags(spark, sf_dir):
             6,
         ).alias("acf"),
     ).orderBy("lag")
+
+
+# --- exact PR AUC (average precision) ------------------------------------------
+# Same planted score as roc_auc_exact. Step-wise AP = Σ_k ΔR_k · P_k
+# over distinct scores descending: tp/fp are integer cumsums, each
+# threshold's term is one double op pre-rounded at 9dp, and the sum is
+# DECIMAL(28,9) — order-free.
+_PRAUC_SQL = """
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             value + CASE WHEN event_type = 'purchase' THEN 25.0 ELSE 0.0 END AS score
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    per AS (
+      SELECT score, CAST(sum(y) AS BIGINT) AS pos_c,
+             CAST(count(*) - sum(y) AS BIGINT) AS neg_c
+      FROM s GROUP BY score),
+    c AS (
+      SELECT sum(pos_c) OVER (ORDER BY score DESC) AS tp,
+             sum(neg_c) OVER (ORDER BY score DESC) AS fp,
+             pos_c,
+             sum(pos_c) OVER () AS n_pos, sum(neg_c) OVER () AS n_neg
+      FROM per),
+    terms AS (
+      SELECT n_pos, n_neg,
+             CAST(round((pos_c / (1.0 * n_pos)) * (tp / (1.0 * (tp + fp))), 9)
+                  AS DECIMAL(28,9)) AS term
+      FROM c)
+    SELECT CAST(max(n_pos) AS BIGINT) AS n_pos, CAST(max(n_neg) AS BIGINT) AS n_neg,
+           round(CAST(max(n_pos) AS DOUBLE) / (max(n_pos) + max(n_neg)), 6) AS prevalence,
+           round(CAST(sum(term) AS DOUBLE), 6) AS pr_auc
+    FROM terms
+"""
+
+
+@pq("pr_auc_exact", _PRAUC_SQL)
+def pr_auc_exact(spark, sf_dir):
+    """Exact precision-recall AUC (average precision) for the planted
+    purchase-vs-view score — the ranking metric that matters when
+    positives are rare and ROC AUC flatters. AP = Σ ΔR·P over distinct
+    score thresholds descending: tp/fp are BIGINT prefix sums, each
+    threshold term is one double expression pre-rounded at 9dp, and
+    the total accumulates as DECIMAL(28,9). Plan: one score-keyed agg,
+    one ordered prefix sum over distinct scores (range-partitioned
+    two-pass cumsum at scale), one scalar finish — no per-pair work."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "view"))
+    s = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (
+            F.col("value")
+            + F.when(F.col("event_type") == "purchase", F.lit(25.0)).otherwise(F.lit(0.0))
+        ).alias("score"),
+    )
+    per = s.groupBy("score").agg(
+        F.sum("y").cast("bigint").alias("pos_c"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("neg_c"),
+    )
+    wd = Window.orderBy(F.col("score").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = per.select(
+        F.sum("pos_c").over(wd).alias("tp"),
+        F.sum("neg_c").over(wd).alias("fp"),
+        "pos_c",
+        F.sum("pos_c").over(wall).alias("n_pos"),
+        F.sum("neg_c").over(wall).alias("n_neg"),
+    )
+    terms = c.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("pos_c") / (1.0 * F.col("n_pos")))
+            * (F.col("tp") / (1.0 * (F.col("tp") + F.col("fp")))),
+            9,
+        ).cast("decimal(28,9)").alias("term"),
+    )
+    return terms.agg(
+        F.max("n_pos").cast("bigint").alias("n_pos"),
+        F.max("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            F.max("n_pos").cast("double") / (F.max("n_pos") + F.max("n_neg")), 6
+        ).alias("prevalence"),
+        F.round(F.sum("term").cast("double"), 6).alias("pr_auc"),
+    )
+
+
+# --- Brier score + reliability bins in integer milli-probability ---------------
+# The synthetic predictor emits p in MILLI-units: a hash-spread base in
+# [0,700) plus a +300 boost for actual purchases, so it is informative
+# but miscalibrated — exactly what a reliability table should expose.
+# (p_milli − 1000·y)² is BIGINT; every reported figure is a ratio of
+# exact integers with one double division, rounded once.
+_BRIER_SQL = """
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) || ':p9'), 1, 15))
+                   AS BIGINT) % 700)
+             + CASE WHEN event_type = 'purchase' THEN 300 ELSE 0 END AS p_milli
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    b AS (
+      SELECT CAST(floor(p_milli / 100) AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(p_milli) AS BIGINT) AS sum_p,
+             CAST(sum((p_milli - 1000 * y) * (p_milli - 1000 * y)) AS BIGINT) AS sq
+      FROM s GROUP BY 1),
+    t AS (SELECT CAST(sum(sq) AS BIGINT) AS sq_tot, CAST(sum(n) AS BIGINT) AS n_tot FROM b)
+    SELECT bin, n, n_pos,
+           round(sum_p / (1000.0 * n), 6) AS mean_pred,
+           round(n_pos / (1.0 * n), 6) AS obs_rate,
+           round(t.sq_tot / (1000000.0 * t.n_tot), 6) AS brier_total
+    FROM b CROSS JOIN t
+    ORDER BY bin
+"""
+
+
+@pq("brier_calibration_bins", _BRIER_SQL)
+def brier_calibration_bins(spark, sf_dir):
+    """Brier score with a 10-bin reliability (calibration) table for a
+    deterministic synthetic predictor — mean predicted probability vs
+    observed rate per bin, plus the overall Brier. The predictor works
+    in integer MILLI-probability (hash base < 0.7 plus +0.3 for true
+    positives), so (p−y)² is exact BIGINT end-to-end and the only
+    float op is the final display division: the entire metric is
+    engine-exact by construction, not by rounding. Plan: one narrow
+    projection, one 10-cell hash-agg, a broadcast 1-row total."""
+    from etl_mini_spark.operators.sampling import hash_bucket
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "view"))
+    s = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (
+            hash_bucket(F.col("event_id"), "p9", 700)
+            + F.when(F.col("event_type") == "purchase", 300).otherwise(0)
+        ).alias("p_milli"),
+    )
+    b = s.groupBy(F.floor(F.col("p_milli") / 100).cast("int").alias("bin")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum("p_milli").cast("bigint").alias("sum_p"),
+        F.sum(
+            (F.col("p_milli") - 1000 * F.col("y")) * (F.col("p_milli") - 1000 * F.col("y"))
+        ).cast("bigint").alias("sq"),
+    )
+    t = b.agg(
+        F.sum("sq").cast("bigint").alias("sq_tot"), F.sum("n").cast("bigint").alias("n_tot")
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("sum_p") / (1000.0 * F.col("n")), 6).alias("mean_pred"),
+            F.round(F.col("n_pos") / (1.0 * F.col("n")), 6).alias("obs_rate"),
+            F.round(F.col("sq_tot") / (1000000.0 * F.col("n_tot")), 6).alias("brier_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --- Weight of Evidence + Information Value ------------------------------------
+# Fixed value bands vs the purchase label, +0.5 Laplace smoothing so
+# empty cells stay finite. WoE is per-row (safe double); the IV total
+# is the 9dp-round → DECIMAL(28,9) window sum.
+_WOE_SQL = """
+    WITH s AS (
+      SELECT least(CAST(floor(value / 40) AS INT), 7) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    b AS (
+      SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      FROM s GROUP BY bin),
+    t AS (
+      SELECT bin, n_pos, n_neg,
+             (n_pos + 0.5) / (sum(n_pos) OVER () + 4.0) AS dp,
+             (n_neg + 0.5) / (sum(n_neg) OVER () + 4.0) AS dn
+      FROM b),
+    w AS (
+      SELECT bin, n_pos, n_neg,
+             round(ln(dp / dn), 6) AS woe,
+             CAST(round((dp - dn) * ln(dp / dn), 9) AS DECIMAL(28,9)) AS iv_term
+      FROM t)
+    SELECT bin, n_pos, n_neg, woe,
+           round(CAST(sum(iv_term) OVER () AS DOUBLE), 6) AS iv_total
+    FROM w ORDER BY bin
+"""
+
+
+@pq("woe_iv_binning", _WOE_SQL)
+def woe_iv_binning(spark, sf_dir):
+    """Weight-of-Evidence encoding of the fixed-edge value bands
+    against the purchase label, with the Information Value total — the
+    credit-scoring-style predictive-power screen for a binned feature.
+    Laplace +0.5 smoothing keeps empty bins finite; WoE is a per-row
+    ln (safe, rounded once); the IV total pre-rounds each (dp−dn)·WoE
+    term at 9dp and window-sums as DECIMAL(28,9). Plan: one hash-agg
+    to ≤8 bins, windows over those 8 rows — scan-bound at any scale."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "view"))
+    s = e.select(
+        F.least(F.floor(F.col("value") / 40).cast("int"), F.lit(7)).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("n_neg"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = b.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        ((F.col("n_pos") + 0.5) / (F.sum("n_pos").over(wall) + 4.0)).alias("dp"),
+        ((F.col("n_neg") + 0.5) / (F.sum("n_neg").over(wall) + 4.0)).alias("dn"),
+    )
+    w = t.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.round(F.log(F.col("dp") / F.col("dn")), 6).alias("woe"),
+        F.round((F.col("dp") - F.col("dn")) * F.log(F.col("dp") / F.col("dn")), 9)
+        .cast("decimal(28,9)")
+        .alias("iv_term"),
+    )
+    return w.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        "woe",
+        F.round(F.sum("iv_term").over(wall).cast("double"), 6).alias("iv_total"),
+    ).orderBy("bin")
+
+
+# --- stratified k-fold assignment audit ----------------------------------------
+# fold = md5-bucket(event_id) % 5 — the registry's engine-portable
+# uniform, so folds are identical under any partitioning. The audit
+# reports per-fold size, positive rate, and deviation from the mean
+# fold size (the balance check a CV split must pass).
+_KFOLD_SQL = """
+    WITH s AS (
+      SELECT (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) || ':kf9'), 1, 15))
+                   AS BIGINT) % 100000) % 5 AS fold,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    b AS (
+      SELECT fold, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+      FROM s GROUP BY fold)
+    SELECT CAST(fold AS INT) AS fold, n, n_pos,
+           round(n_pos / (1.0 * n), 6) AS pos_rate,
+           round(n / (sum(n) OVER () / 5.0) - 1, 6) AS size_dev
+    FROM b ORDER BY fold
+"""
+
+
+@pq("stratified_kfold_assign", _KFOLD_SQL)
+def stratified_kfold_assign(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment with its
+    balance audit: fold membership is the md5-bucket uniform on
+    event_id (identical on any engine/partitioning — a CV contract,
+    unlike seed-and-partition-dependent randomSplit), and the output
+    verifies what CV needs: near-equal fold sizes and near-equal
+    positive rates. Plan: one narrow projection + one 5-cell hash-agg;
+    the fold column never shuffles the corpus."""
+    from etl_mini_spark.operators.sampling import hash_bucket
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "view"))
+    s = e.select(
+        (hash_bucket(F.col("event_id"), "kf9") % 5).alias("fold"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("y").cast("bigint").alias("n_pos")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return b.select(
+        F.col("fold").cast("int").alias("fold"),
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / (1.0 * F.col("n")), 6).alias("pos_rate"),
+        F.round(F.col("n") / (F.sum("n").over(wall) / 5.0) - 1, 6).alias("size_dev"),
+    ).orderBy("fold")
+
+
+# --- unigram^0.75 negative-sampling table --------------------------------------
+# The word2vec-style sampling distribution: freq^0.75 normalized, with
+# cumulative bucket bounds (the inversion table a sampler walks).
+# pow terms pre-round at 9dp, DECIMAL(28,9) prefix sums.
+_UNIGRAM_SQL = """
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents),
+    f AS (SELECT t, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY t),
+    w AS (
+      SELECT t, freq,
+             CAST(round(pow(freq, 0.75), 9) AS DECIMAL(28,9)) AS w
+      FROM f),
+    c AS (
+      SELECT t, freq, w,
+             sum(w) OVER (ORDER BY freq DESC, t) AS cum_w,
+             sum(w) OVER () AS tot
+      FROM w)
+    SELECT t, freq,
+           round(CAST(w AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS prob,
+           round(CAST(cum_w AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_hi
+    FROM c ORDER BY freq DESC, t
+"""
+
+
+@pq("unigram_sampling_table", _UNIGRAM_SQL)
+def unigram_sampling_table(spark, sf_dir):
+    """The word2vec negative-sampling table: token frequency smoothed
+    by the canonical ^0.75, normalized, with cumulative upper bounds —
+    the inversion table a sampler binary-searches with a uniform draw.
+    pow terms pre-round at 9dp and prefix-sum as DECIMAL(28,9), so
+    probabilities and bounds are identical across engines. Plan: one
+    token-count agg (the corpus scan), then windows over |vocab| rows —
+    vocabulary is tiny relative to tokens at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    f = d.select(F.explode(toks).alias("t")).groupBy("t").agg(
+        F.count("*").cast("bigint").alias("freq")
+    )
+    w = f.select(
+        "t", "freq", F.round(F.pow("freq", 0.75), 9).cast("decimal(28,9)").alias("w")
+    )
+    wc = Window.orderBy(F.col("freq").desc(), "t").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = w.select(
+        "t", "freq", "w",
+        F.sum("w").over(wc).alias("cum_w"),
+        F.sum("w").over(wall).alias("tot"),
+    )
+    return c.select(
+        "t",
+        "freq",
+        F.round(F.col("w").cast("double") / F.col("tot").cast("double"), 6).alias("prob"),
+        F.round(F.col("cum_w").cast("double") / F.col("tot").cast("double"), 6).alias("cum_hi"),
+    ).orderBy(F.col("freq").desc(), "t")
