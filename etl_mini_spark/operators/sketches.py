@@ -1,0 +1,72 @@
+"""Mergeable frequency sketches.
+
+Misra-Gries heavy hitters: the deterministic, mergeable summary for
+"which items exceed φ·N of the stream" — per-partition summaries of k
+counters each, whose candidate UNION provably contains every item with
+global frequency > N/(k+1) (Agarwal et al., "Mergeable Summaries",
+PODS'12: if f(x) > Σ_p N_p/(k+1), then f_p(x) > N_p/(k+1) in at least
+one partition, so x survives that partition's sketch). A second,
+candidates-only exact count then removes false positives, so the final
+answer is EXACT while the corpus is never shuffled on the token key —
+only the tiny candidate set moves.
+
+This is the sketch counterpart of dedup.py's bucketed-LSH philosophy:
+approximate candidate generation at map-side cost, exact verification
+over candidates only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_candidates(tokens: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """Per-partition Misra-Gries candidate tokens (capacity k).
+
+    Arrow-batched: each batch folds in via value_counts (the batch
+    variant of MG — add counts, then compress by subtracting the
+    (k+1)-th largest counter and dropping non-positives — is the
+    standard mergeable-summaries MERGE, same error bound N_p/(k+1)).
+    Returns a DataFrame with the distinct candidate values observed in
+    any partition's final sketch.
+    """
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf[col].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > k:
+                dec = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - dec for t, c in counters.items() if c > dec}
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return tokens.select(col).mapInPandas(part, schema=f"{col} string").distinct()
+
+
+def heavy_hitters_exact(
+    tokens: DataFrame, col: str, denom: int = 20, k: int = 64
+) -> DataFrame:
+    """Items with frequency strictly above N/denom, found at sketch
+    cost: MG candidates (superset guaranteed for denom < k+1), then an
+    exact recount restricted to candidates via a broadcast semi-join.
+    Output: (col, freq, share) — exact, deterministic."""
+    assert denom < k + 1, "MG capacity must exceed the report threshold"
+    cand = mg_candidates(tokens, col, k=k)
+    total = tokens.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        tokens.join(F.broadcast(cand), col)
+        .groupBy(col)
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * denom > F.col("n_total"))
+        .select(
+            col,
+            "freq",
+            F.round(F.col("freq") / (1.0 * F.col("n_total")), 6).alias("share"),
+        )
+    )

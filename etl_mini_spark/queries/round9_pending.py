@@ -860,3 +860,183 @@ def unigram_sampling_table(spark, sf_dir):
         F.round(F.col("w").cast("double") / F.col("tot").cast("double"), 6).alias("prob"),
         F.round(F.col("cum_w").cast("double") / F.col("tot").cast("double"), 6).alias("cum_hi"),
     ).orderBy(F.col("freq").desc(), "t")
+
+
+# --- PMI-scored adjacent bigrams ------------------------------------------------
+# PMI = ln((c12/Nb) / ((c1/Nu)(c2/Nu))) over ADJACENT token pairs.
+# All counts are exact integers; PMI is a per-row ln of an
+# integer-ratio expression (no cross-row float accumulation), so no
+# top-k rank depends on a float: the full c12 >= 5 set is returned.
+_PMI_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS l
+      FROM documents),
+    uni AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(l) AS t FROM toks) GROUP BY t),
+    nu AS (SELECT CAST(sum(c1) AS BIGINT) AS n_uni FROM uni),
+    bi AS (
+      SELECT t1, t2, CAST(count(*) AS BIGINT) AS c12
+      FROM (SELECT unnest(l[1:len(l)-1]) AS t1, unnest(l[2:len(l)]) AS t2 FROM toks)
+      GROUP BY t1, t2),
+    nb AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bi FROM bi)
+    SELECT b.t1, b.t2, b.c12,
+           round(ln((b.c12 / (1.0 * nb.n_bi))
+                    / ((u1.c1 / (1.0 * nu.n_uni)) * (u2.c1 / (1.0 * nu.n_uni)))), 6) AS pmi
+    FROM bi b
+    JOIN uni u1 ON b.t1 = u1.t
+    JOIN uni u2 ON b.t2 = u2.t
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE b.c12 >= 5
+    ORDER BY b.t1, b.t2
+"""
+
+
+@pq("token_pmi_bigrams", _PMI_SQL)
+def token_pmi_bigrams(spark, sf_dir):
+    """Pointwise mutual information of adjacent token bigrams — the
+    collocation detector (PMI >> 0 means the pair co-occurs far above
+    chance; it's how phrase vocabularies for tokenizers get mined).
+    Bigrams come from zipping each token array with its tail (narrow,
+    in-row), unigram and bigram counts are exact BIGINTs, and PMI is a
+    single per-row ln of their ratio — no float accumulates, no top-k
+    rank rides on a float: every pair with c12 >= 5 is returned. Plan:
+    two token-keyed aggs (the corpus scans) and two broadcast joins of
+    the tiny vocab onto the bigram table."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ").alias("l"),
+    )
+    uni = (
+        toks.select(F.explode("l").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("c1"))
+    )
+    nu = uni.agg(F.sum("c1").cast("bigint").alias("n_uni"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("l"), 1, F.size("l") - 1),
+                F.slice(F.col("l"), 2, F.size("l") - 1),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("t1"), F.col("p.1").alias("t2"))
+    bi = pairs.groupBy("t1", "t2").agg(F.count("*").cast("bigint").alias("c12"))
+    nb = bi.agg(F.sum("c12").cast("bigint").alias("n_bi"))
+    u1 = uni.select(F.col("t").alias("t1"), F.col("c1").alias("c1_a"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c1").alias("c1_b"))
+    return (
+        bi.filter(F.col("c12") >= 5)
+        .join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") / (1.0 * F.col("n_bi")))
+                    / (
+                        (F.col("c1_a") / (1.0 * F.col("n_uni")))
+                        * (F.col("c1_b") / (1.0 * F.col("n_uni")))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+# --- Misra-Gries heavy hitters with exact verification ---------------------------
+# Sketch candidates per partition (capacity 64), exact recount of
+# candidates only; report tokens with freq*20 > N. The oracle is the
+# plain exact query — the sketch path must reproduce it EXACTLY
+# (superset guarantee + verify), which is the whole point.
+_MG_SQL = """
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
+    SELECT t, CAST(count(*) AS BIGINT) AS freq,
+           round(count(*) / (1.0 * n.n_total), 6) AS share
+    FROM tok CROSS JOIN n
+    GROUP BY t, n.n_total
+    HAVING count(*) * 20 > n.n_total
+    ORDER BY t
+"""
+
+
+@pq("heavy_hitters_mg", _MG_SQL)
+def heavy_hitters_mg(spark, sf_dir):
+    """Heavy hitters (tokens above 5% of the stream) via a Misra-Gries
+    sketch with exact verification: each partition keeps 64 counters
+    (Arrow-batched mapInPandas; batch-merge + compress is the
+    mergeable-summaries MERGE), the candidate UNION provably contains
+    every token with freq > N/65, and an exact recount over ONLY the
+    candidates (broadcast semi-join) removes false positives. The
+    oracle is the naive exact GROUP BY — the sketch path must match it
+    bit-for-bit. Plan: map-side sketches (no token shuffle), one
+    candidate broadcast, one candidates-only agg — at 100 TB the full
+    token shuffle this replaces IS the bottleneck; here only ~64 rows
+    per partition move."""
+    from etl_mini_spark.operators.sketches import heavy_hitters_exact
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        ).alias("t")
+    )
+    return heavy_hitters_exact(toks, "t", denom=20, k=64).orderBy("t")
+
+
+# --- URL parsing suite -----------------------------------------------------------
+# Synthetic-but-realistic URLs assembled from document columns, parsed
+# with Spark's parse_url (host/path/query + one query param) vs the
+# equivalent regexes in the oracle. Thinned to doc_id % 5 = 0.
+_URL_SQL = """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc-' || doc_id
+             || '?page=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=' || source AS url
+      FROM documents WHERE doc_id % 5 = 0)
+    SELECT doc_id, url,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]page=([^&]*)', 1) AS page
+    FROM u ORDER BY doc_id
+"""
+
+
+@pq("url_parse_suite", _URL_SQL)
+def url_parse_suite(spark, sf_dir):
+    """URL decomposition — host, path, query string, and a single
+    query parameter — with Spark's built-in parse_url (a codegen'd JVM
+    expression; the oracle replays the same extraction as anchored
+    regexes). The URL itself is assembled deterministically from
+    document columns so the fixture needs no new table. Plan: narrow
+    per-row expressions only; at scale this is a zero-shuffle
+    projection pass, which is exactly what log-sessionization wants."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"), F.col("lang"),
+            F.lit("/doc-"), F.col("doc_id").cast("string"),
+            F.lit("?page="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("&ref="), F.col("source"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
+    ).orderBy("doc_id")
