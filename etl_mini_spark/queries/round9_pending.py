@@ -28,6 +28,7 @@ Scale notes are per-query docstrings; the common themes:
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1040,3 +1041,554 @@ def url_parse_suite(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
     ).orderBy("doc_id")
+
+
+# --- IPv4 subnet rollup ----------------------------------------------------------
+# Deterministic synthetic IPv4 per user (Knuth multiplicative hash mod
+# 2^32), rolled up to /16 subnets — the log-analytics shape for CIDR
+# aggregation. Pure 64-bit integer arithmetic on both engines (ANSI
+# overflow-safe: user_id * 2654435761 << 2^63 at any realistic id).
+_IPSUB_SQL = """
+    WITH ips AS (
+      SELECT user_id, (user_id * 2654435761) % 4294967296 AS ip32
+      FROM events),
+    oct AS (
+      SELECT user_id,
+             CAST(floor(ip32 / 16777216) AS BIGINT) AS o1,
+             CAST(floor(ip32 / 65536) AS BIGINT) % 256 AS o2
+      FROM ips)
+    SELECT CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.0.0/16' AS subnet,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM oct GROUP BY o1, o2
+    ORDER BY subnet
+"""
+
+
+@pq("ip_subnet_rollup", _IPSUB_SQL)
+def ip_subnet_rollup(spark, sf_dir):
+    """CIDR /16 subnet rollup of per-user synthetic IPv4 addresses
+    (Knuth multiplicative hash of user_id mod 2^32 — deterministic on
+    any engine, so the oracle replays it exactly): events and distinct
+    users per subnet. The octet math is pure BIGINT (floor-division and
+    modulo), no string parsing until the final label. Plan: narrow
+    per-row arithmetic, one subnet-keyed hash-agg with a partial
+    (map-side) phase — the canonical log-rollup shape."""
+    e = _t(spark, sf_dir, "events")
+    ips = e.select("user_id", ((F.col("user_id") * 2654435761) % 4294967296).alias("ip32"))
+    oct_ = ips.select(
+        "user_id",
+        F.floor(F.col("ip32") / 16777216).cast("bigint").alias("o1"),
+        (F.floor(F.col("ip32") / 65536).cast("bigint") % 256).alias("o2"),
+    )
+    return (
+        oct_.groupBy("o1", "o2")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(
+            F.concat(
+                F.col("o1").cast("string"), F.lit("."), F.col("o2").cast("string"),
+                F.lit(".0.0/16"),
+            ).alias("subnet"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("subnet")
+    )
+
+
+# --- calendar spine with gap fill -----------------------------------------------
+# A generated date dimension spanning [min, max] order dates,
+# left-joined to daily revenue: gap days appear with revenue 0 and
+# is_gap = true, and the trailing 7-row average runs over the FILLED
+# series (decimal sums, one double division).
+_SPINE_SQL = """
+    WITH bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS d0, CAST(max(o_orderdate) AS DATE) AS d1
+      FROM orders),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    filled AS (
+      SELECT spine.d, coalesce(daily.rev, CAST(0 AS DECIMAL(18,2))) AS rev,
+             daily.rev IS NULL AS is_gap
+      FROM spine LEFT JOIN daily ON spine.d = daily.d)
+    SELECT strftime(d, '%Y-%m-%d') AS d,
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           is_gap,
+           round(CAST(sum(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / count(*) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS run7
+    FROM filled ORDER BY d
+"""
+
+
+@pq("calendar_spine_fill", _SPINE_SQL)
+def calendar_spine_fill(spark, sf_dir):
+    """Date-spine densification: generate the full calendar between
+    the first and last order date (F.sequence + explode — the scaffold
+    every reporting pipeline joins against), left-join daily revenue,
+    zero-fill and flag the gap days, and run a trailing 7-day average
+    over the FILLED series (which is the point — a rolling mean over a
+    sparse series without the spine silently skips missing days).
+    Revenue sums are DECIMAL; the rolling figure divides decimal by an
+    integer row count once. Plan: the spine is |days| rows generated
+    from a 1-row aggregate — broadcast-joined against the daily agg;
+    the fact table shuffles once on day."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"), F.max(F.to_date("o_orderdate")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("d")
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    filled = (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("rev"), F.lit(0).cast("decimal(18,2)")).alias("rev"),
+            F.col("rev").isNull().alias("is_gap"),
+        )
+    )
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    return filled.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        "is_gap",
+        F.round(F.sum("rev").over(w7).cast("double") / F.count("*").over(w7), 2).alias("run7"),
+    ).orderBy("d")
+
+
+# --- freshness SLA audit -----------------------------------------------------------
+# Per event_type: newest record, its lag behind the global watermark in
+# whole minutes (exact microsecond integer arithmetic), and the SLA
+# verdict at 240 minutes.
+_FRESH_SQL = """
+    WITH per AS (
+      SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type),
+    g AS (SELECT max(ts) AS g_max FROM events)
+    SELECT event_type,
+           strftime(max_ts, '%Y-%m-%d %H:%M:%S') AS max_ts,
+           CAST(floor((epoch_us(g_max) - epoch_us(max_ts)) / 60000000) AS BIGINT) AS lag_min,
+           (epoch_us(g_max) - epoch_us(max_ts)) <= CAST(240 AS BIGINT) * 60000000 AS sla_ok
+    FROM per CROSS JOIN g
+    ORDER BY event_type
+"""
+
+
+@pq("dq_freshness_sla", _FRESH_SQL)
+def dq_freshness_sla(spark, sf_dir):
+    """Source-freshness audit: each event stream's newest record, its
+    lag behind the global watermark in whole minutes, and a 240-minute
+    SLA verdict — the first page of any ingestion health dashboard.
+    Lag math is exact integer microseconds (unix_micros / epoch_us),
+    no float time arithmetic. Plan: one partial-aggregating max per
+    type plus a broadcast 1-row global max; at 100 TB this is a
+    scan-bound metadata query (and with a date-partitioned layout the
+    max can prune to the newest partitions)."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(F.max("ts").alias("max_ts"))
+    g = e.agg(F.max("ts").alias("g_max"))
+    lag_us = F.unix_micros("g_max") - F.unix_micros("max_ts")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+            F.floor(lag_us / 60000000).cast("bigint").alias("lag_min"),
+            (lag_us <= 240 * 60000000).alias("sla_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- duplicate primary-key audit ----------------------------------------------------
+# Cross-table PK uniqueness census (single-column and composite keys):
+# the DQ check every warehouse load gates on.
+_DUPKEY_SQL = """
+    SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'events', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT event_id) AS BIGINT),
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT doc_id) AS BIGINT),
+           CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+    FROM lineitem
+    ORDER BY tbl
+"""
+
+
+@pq("dq_duplicate_key_audit", _DUPKEY_SQL)
+def dq_duplicate_key_audit(spark, sf_dir):
+    """Primary-key uniqueness census across four tables — including a
+    COMPOSITE key (lineitem's (orderkey, linenumber)) — reporting rows,
+    distinct keys, and duplicate-row counts per table. This is the DQ
+    gate every incremental load runs before a merge. Plan: one
+    count-distinct aggregate per table (partial aggregation map-side;
+    at scale, count(DISTINCT pk) on a bucketed-by-pk table needs no
+    shuffle at all), unioned into a 4-row report."""
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events")
+    d = _t(spark, sf_dir, "documents")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def census(df, tbl, *keys):
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct(*keys).cast("bigint").alias("n_keys"),
+            (F.count("*") - F.countDistinct(*keys)).cast("bigint").alias("n_dup_rows"),
+        )
+
+    return (
+        census(o, "orders", "o_orderkey")
+        .unionAll(census(e, "events", "event_id"))
+        .unionAll(census(d, "documents", "doc_id"))
+        .unionAll(census(li, "lineitem", "l_orderkey", "l_linenumber"))
+        .orderBy("tbl")
+    )
+
+
+# --- RFC-4180 multiline CSV --------------------------------------------------------
+# Committed fixture with quoted embedded newlines, commas, and doubled
+# quotes; Spark reads it with multiLine + escape='"', the oracle with
+# DuckDB's conformant read_csv. The parse itself is the test.
+_QCSV_PATH = str(Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "quoted_multiline.csv")
+assert "'" not in _QCSV_PATH, f"fixture path contains a quote: {_QCSV_PATH!r}"
+_QCSV_SQL = f"""
+    SELECT CAST(id AS BIGINT) AS id, name, notes
+    FROM read_csv('{_QCSV_PATH}', header = true,
+                  columns = {{'id': 'BIGINT', 'name': 'VARCHAR', 'notes': 'VARCHAR'}})
+    ORDER BY id
+"""
+
+
+@pq("csv_multiline_quoted", _QCSV_SQL)
+def csv_multiline_quoted(spark, sf_dir):
+    """RFC-4180 CSV with quoted fields containing embedded newlines,
+    commas, and doubled quotes — read with Spark's multiLine parser
+    (escape must be set to '\"' for doubled-quote semantics; the
+    default backslash escape silently mis-parses) against DuckDB's
+    conformant reader on the SAME committed fixture. At scale,
+    multiLine forces whole-file parsing (records cross line splits),
+    which is precisely why this entry exists: the engine must still
+    be correct when the cheap line-splittable path is unavailable."""
+    return (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .schema("id bigint, name string, notes string")
+        .csv(_QCSV_PATH)
+        .orderBy("id")
+    )
+
+
+# --- GROUP BY ALL / ORDER BY ALL (modern SQL surface) -------------------------------
+# The same SQL text runs on both engines (both support the ALL
+# shorthands); revenue sums as DECIMAL so the shared text is also
+# float-safe.
+_GBALL_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@pq("sql_groupby_all", _GBALL_SQL)
+def sql_groupby_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL — the modern-SQL shorthand (infer
+    grouping keys from the non-aggregate select items, order by the
+    full select list) that Spark 3.4+ and DuckDB both implement; the
+    IDENTICAL SQL text is submitted to both engines, which is the
+    parity point. Plan: one decimal-sum hash aggregation; the ALL
+    sugar compiles to the same Catalyst Aggregate as the explicit
+    form."""
+    from etl_mini_spark.session import register_tables
+
+    register_tables(spark, sf_dir, ["orders"])
+    return spark.sql(_GBALL_SQL)
+
+
+# --- item-item cosine neighbors ------------------------------------------------------
+# Co-occurrence cosine over order baskets: cos(i,j) =
+# c12/sqrt(n_i·n_j). Ranked per item by cosq = c12²/(n_i·n_j) — a
+# SINGLE IEEE division of exact integers, so the rank never rides on
+# libm — with the partner key as tie-break; sqrt is display-only.
+_IICOS_SQL = """
+    WITH d AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_ord FROM d GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS c12
+      FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk),
+    bidir AS (
+      SELECT p1 AS item, p2 AS other, c12 FROM pairs
+      UNION ALL
+      SELECT p2, p1, c12 FROM pairs),
+    scored AS (
+      SELECT item, other, c12,
+             c12 * c12 / (1.0 * ni.n_ord * nj.n_ord) AS cosq
+      FROM bidir JOIN n ni ON bidir.item = ni.pk
+      JOIN n nj ON bidir.other = nj.pk),
+    ranked AS (
+      SELECT item, other, c12,
+             round(sqrt(cosq), 6) AS cosine,
+             row_number() OVER (PARTITION BY item ORDER BY cosq DESC, other) AS rn
+      FROM scored)
+    SELECT item, other, c12, cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY item, rn
+"""
+
+
+@pq("item_item_cosine_topk", _IICOS_SQL)
+def item_item_cosine_topk(spark, sf_dir):
+    """Item-item collaborative-filtering neighbors: cosine similarity
+    over order-basket co-occurrence, top-3 partners per part. The rank
+    key is cosq = c12²/(n_i·n_j) — one IEEE division of exact integers
+    (bit-identical across engines; no libm in the ORDER BY) — and the
+    displayed cosine = sqrt(cosq) is computed only after ranking.
+    Plan: pair expansion is per-order and bounded by basket size (≤12
+    lines here; cap heavy baskets before the self-join on real data),
+    pairs aggregate on a composite key, item norms broadcast back —
+    the classic two-shuffle co-occurrence shape that survives 100 TB
+    because nothing is all-pairs across the catalog."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    n = d.groupBy("pk").agg(F.count("*").cast("bigint").alias("n_ord"))
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count("*").cast("bigint").alias("c12"))
+    )
+    both = pairs.select(
+        F.col("p1").alias("item"), F.col("p2").alias("other"), "c12"
+    ).unionAll(pairs.select(F.col("p2").alias("item"), F.col("p1").alias("other"), "c12"))
+    ni = n.select(F.col("pk").alias("item"), F.col("n_ord").alias("n_i"))
+    nj = n.select(F.col("pk").alias("other"), F.col("n_ord").alias("n_j"))
+    scored = (
+        both.join(F.broadcast(ni), "item")
+        .join(F.broadcast(nj), "other")
+        .select(
+            "item", "other", "c12",
+            (F.col("c12") * F.col("c12") / (1.0 * F.col("n_i") * F.col("n_j"))).alias("cosq"),
+        )
+    )
+    ranked = scored.select(
+        "item", "other", "c12",
+        F.round(F.sqrt("cosq"), 6).alias("cosine"),
+        F.row_number()
+        .over(Window.partitionBy("item").orderBy(F.col("cosq").desc(), "other"))
+        .alias("rn"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .select("item", "other", "c12", "cosine", F.col("rn").cast("bigint").alias("rn"))
+        .orderBy("item", "rn")
+    )
+
+
+# --- KL and Jensen-Shannon divergence over fixed bins --------------------------------
+# Purchase vs view value distributions over the 8 fixed bands with
+# +0.5 Laplace smoothing; every ln term pre-rounds at 9dp and sums as
+# DECIMAL(28,9). The full-outer band alignment keeps a band present in
+# only one distribution from silently vanishing.
+_KLJS_SQL = """
+    WITH s AS (
+      SELECT least(CAST(floor(value / 40) AS INT), 7) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    b AS (
+      SELECT bin, CAST(sum(y) AS BIGINT) AS cp,
+             CAST(count(*) - sum(y) AS BIGINT) AS cq
+      FROM s GROUP BY bin),
+    t AS (
+      SELECT bin,
+             (cp + 0.5) / (sum(cp) OVER () + 4.0) AS p,
+             (cq + 0.5) / (sum(cq) OVER () + 4.0) AS q
+      FROM b),
+    terms AS (
+      SELECT
+        CAST(round(p * ln(p / q), 9) AS DECIMAL(28,9)) AS kl_pq_t,
+        CAST(round(q * ln(q / p), 9) AS DECIMAL(28,9)) AS kl_qp_t,
+        CAST(round(0.5 * p * ln(p / ((p + q) / 2)) + 0.5 * q * ln(q / ((p + q) / 2)), 9)
+             AS DECIMAL(28,9)) AS js_t
+      FROM t)
+    SELECT round(CAST(sum(kl_pq_t) AS DOUBLE), 6) AS kl_pq,
+           round(CAST(sum(kl_qp_t) AS DOUBLE), 6) AS kl_qp,
+           round(CAST(sum(js_t) AS DOUBLE), 6) AS js
+    FROM terms
+"""
+
+
+@pq("kl_divergence_bins", _KLJS_SQL)
+def kl_divergence_bins(spark, sf_dir):
+    """KL divergence (both directions) and the symmetric bounded
+    Jensen-Shannon divergence between the purchase and view value
+    distributions over fixed bands — the drift metrics that complement
+    PSI (KL for model-centric monitoring, JS when a metric must stay
+    finite and symmetric). Laplace +0.5 smoothing; all ln terms
+    pre-round at 9dp and sum as DECIMAL(28,9). Plan: one hash-agg to
+    ≤8 cells, windows over those rows, a 1-row finish — scan-bound."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "view"))
+    s = e.select(
+        F.least(F.floor(F.col("value") / 40).cast("int"), F.lit(7)).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("cp"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("cq"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = b.select(
+        ((F.col("cp") + 0.5) / (F.sum("cp").over(wall) + 4.0)).alias("p"),
+        ((F.col("cq") + 0.5) / (F.sum("cq").over(wall) + 4.0)).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    terms = t.select(
+        F.round(F.col("p") * F.log(F.col("p") / F.col("q")), 9)
+        .cast("decimal(28,9)").alias("kl_pq_t"),
+        F.round(F.col("q") * F.log(F.col("q") / F.col("p")), 9)
+        .cast("decimal(28,9)").alias("kl_qp_t"),
+        F.round(
+            0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col("q") * F.log(F.col("q") / m),
+            9,
+        ).cast("decimal(28,9)").alias("js_t"),
+    )
+    return terms.agg(
+        F.round(F.sum("kl_pq_t").cast("double"), 6).alias("kl_pq"),
+        F.round(F.sum("kl_qp_t").cast("double"), 6).alias("kl_qp"),
+        F.round(F.sum("js_t").cast("double"), 6).alias("js"),
+    )
+
+
+# --- weekday seasonality index --------------------------------------------------------
+# Index = (avg daily revenue on ISO weekday k) / (overall avg daily
+# revenue), from decimal-exact daily sums. ISO weekday: Spark
+# weekday()+1 == DuckDB isodow (Mon=1..Sun=7).
+_WKIDX_SQL = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             isodow(o_orderdate) AS dow,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2),
+    per AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_days, sum(rev) AS rev_dow
+      FROM daily GROUP BY dow),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all, sum(rev) AS rev_all FROM daily)
+    SELECT CAST(dow AS INT) AS dow, n_days,
+           round(CAST(rev_dow AS DOUBLE) / n_days, 2) AS avg_daily_rev,
+           round((CAST(rev_dow AS DOUBLE) / n_days)
+                 / (CAST(rev_all AS DOUBLE) / n_all), 6) AS season_idx
+    FROM per CROSS JOIN tot
+    ORDER BY dow
+"""
+
+
+@pq("seasonal_weekday_index", _WKIDX_SQL)
+def seasonal_weekday_index(spark, sf_dir):
+    """Weekday seasonality indices of order revenue: average daily
+    revenue per ISO weekday relative to the overall daily average —
+    the multiplicative seasonal profile a demand forecaster divides
+    out first. Daily sums are DECIMAL-exact; each index is a ratio of
+    two exact aggregates with the divisions done in the same order on
+    both engines. ISO weekday aligns Spark's weekday()+1 with DuckDB's
+    isodow. Plan: one day-keyed agg (bounded rows), then 7-row
+    algebra."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        (F.weekday("o_orderdate") + 1).alias("dow"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    per = daily.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_days"), F.sum("rev").alias("rev_dow")
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n_all"), F.sum("rev").alias("rev_all")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            F.round(F.col("rev_dow").cast("double") / F.col("n_days"), 2).alias("avg_daily_rev"),
+            F.round(
+                (F.col("rev_dow").cast("double") / F.col("n_days"))
+                / (F.col("rev_all").cast("double") / F.col("n_all")),
+                6,
+            ).alias("season_idx"),
+        )
+        .orderBy("dow")
+    )
+
+
+# --- new vs returning users per day ----------------------------------------------------
+# An event is a user's FIRST (row_number over ts, event_id) or a
+# return visit; the daily report counts first-time users, returning
+# events, and distinct actives — the product-analytics daily triplet.
+_NEWRET_SQL = """
+    WITH r AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT strftime(ts, '%Y-%m-%d') AS d,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS returning_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM r GROUP BY 1 ORDER BY d
+"""
+
+
+@pq("events_new_vs_returning", _NEWRET_SQL)
+def events_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning split: each event is classified as its
+    user's first-ever event (row_number over (ts, event_id) — the
+    deterministic tie-break matters when two events share a
+    microsecond) or a return visit, then the day grain reports new
+    users, returning events, and distinct actives. Plan: one window
+    shuffle on user_id, one day-keyed agg with a distinct count — the
+    same two-exchange shape as sessionization; first-touch state could
+    fold incrementally via the checkpoint table for streaming
+    ingest."""
+    e = _t(spark, sf_dir, "events")
+    r = e.select(
+        "user_id",
+        "ts",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    return (
+        r.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("new_users"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("bigint").alias("returning_events"),
+            F.countDistinct("user_id").cast("bigint").alias("active_users"),
+        )
+        .orderBy("d")
+    )
