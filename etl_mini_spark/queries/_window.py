@@ -14,23 +14,47 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #   every round by tests/test_queries_oracle.py at sf0.001 (same
 #   DuckDB-oracle check the driver runs at sf0.01).
 #
-# Round-8 rotation (CORRECTNESS_r07 came back 50/50 green, so every
-# round-7 slot owner rotates to the tail):
-# (a) the 24 round8_ops entries staged during round 7 — locally
-#     oracle-verified at sf0.001/0.01/0.1, never driver-verified, so
-#     each must hold a slot (tests/test_window_rotation.py);
-# (b) code-change canaries: multimodal_binary_ingest's fixture glob is
-#     now derived from the module location instead of a hardcoded
-#     absolute path (ADVICE r07), changing both the query and its
-#     oracle SQL string;
-# (c) the remaining 25 slots re-verify the STALEST green entries (last
-#     driver-green row in r01/r02 — six rounds ago); new queries built
-#     this round displace them slot-by-slot (new ⇒ must hold a slot,
-#     stale-green ⇒ merely nice to re-check).
+# Round-9 rotation (CORRECTNESS_r08 came back 50/50 green, so every
+# round-8 slot owner rotates to the tail):
+# (a) the 24 round9_ops entries built and registered this round —
+#     swept vs DuckDB at sf0.001 + sf0.01 before registration, never
+#     driver-verified, so each must hold a slot
+#     (tests/test_window_rotation.py);
+# (b) no code-change canaries this round: the only registered-query
+#     file touched was round7_ops.py's loud-failure assert on the
+#     media glob, which does not alter the query or its oracle text;
+# (c) the remaining 26 slots re-verify the STALEST green entries
+#     (last driver-green row in r01/r02, then the r04 cohort in name
+#     order — five-plus rounds since last driver verification).
 # =========================================================================
 
 _DRIVER_WINDOW = [
-    # (a) round-8 promotions:
+    # (a) round-9 promotions:
+    "chi_square_cramers_v", "mutual_information_discrete", "gini_lorenz",
+    "herfindahl_concentration", "wilson_ci_rates", "acf_hourly_lags",
+    "pr_auc_exact", "brier_calibration_bins", "woe_iv_binning",
+    "stratified_kfold_assign", "unigram_sampling_table", "token_pmi_bigrams",
+    "heavy_hitters_mg", "url_parse_suite", "ip_subnet_rollup",
+    "calendar_spine_fill", "dq_freshness_sla", "dq_duplicate_key_audit",
+    "csv_multiline_quoted", "sql_groupby_all", "item_item_cosine_topk",
+    "kl_divergence_bins", "seasonal_weekday_index", "events_new_vs_returning",
+    # (c) stale-green re-verification — r01/r02 cohort:
+    "agg_distinct", "agg_pricing_summary", "dedup_keep_first",
+    "drop_null_required", "filter_term", "filter_time_range",
+    "join_inner_revenue", "join_left_counts", "join_star_dims",
+    "nested_json_extract", "project_select", "scan_checksum",
+    "upsert_keyed", "window_running_total",
+    # (c) stale-green re-verification — r04 cohort, name order:
+    "agg_cube", "agg_grouping_sets", "agg_histogram",
+    "agg_minmax_by", "agg_percentiles", "agg_rollup",
+    "agg_stats_suite", "array_math_suite", "corpus_top_bigrams",
+    "csv_roundtrip", "doc_chunks", "embedding_near_dups",
+]
+
+_TAIL = [
+    # driver-green in earlier rounds (the round-8 window cohort
+    # leads); every entry still locally oracle-verified per round at
+    # sf0.001 (rows-only entries verified by dedicated pinned tests).
     "timeseries_ema", "agg_weighted_median", "cdc_apply_log",
     "pivot_multi_agg", "interval_union_coverage", "quality_threshold_sweep",
     "sample_weighted_topk", "pareto_front_parts", "stream_interval_join_outer",
@@ -39,95 +63,75 @@ _DRIVER_WINDOW = [
     "psi_population_stability", "embedding_centroid_drift", "inventory_wac_ledger",
     "text_zipf_fit", "ndjson_corrupt_quarantine", "timeseries_seasonal_decompose",
     "impute_missing_values", "feature_crosses_hashed", "train_test_temporal_split",
-    # (b) code-change canaries:
-    "multimodal_binary_ingest",
-    # (c) stale-green re-verification (displaced first by new queries):
-    "constant_columns", "dedup_exact_docs",
+    "multimodal_binary_ingest", "constant_columns", "dedup_exact_docs",
     "iso_normalize", "multimodal_decode", "placeholder_extract",
     "sanitize_values", "set_intersect", "set_union_halves",
     "similarity_topk", "text_fingerprint", "text_lang_id",
     "text_quality", "text_token_counts", "time_derive_parts",
     "tolerant_select", "topk_limit", "window_lag_lead",
-    "window_session_30m", "window_tumbling_1h",
-    # (d) new round-8 queries (ML evaluation tier), displacing six
-    #     stale-green re-verification slots back to the tail:
-    "roc_auc_exact", "ks_statistic_2sample", "lift_gains_deciles",
-    "target_encoding_loo", "feature_scaler_leakage_safe", "class_balance_downsample",
-]
-
-_TAIL = [
-    # driver-green in earlier rounds; every entry still locally
-    # oracle-verified per round at sf0.001 (rows-only entries verified
-    # by their dedicated pinned tests).
-    "agg_pricing_summary", "dedup_keep_first", "drop_null_required",
-    "filter_term", "filter_time_range", "agg_distinct",
-    "setjoin_prefix_filter", "timeseries_interpolate_linear", "privacy_k_anonymity",
-    "sql_pipe_syntax", "mixture_temperature_weights", "set_ops_all",
-    "text_bigram_lm_score", "window_rolling_median", "sliding_distinct_users_7d",
-    "event_transition_matrix", "timeseries_anomaly_zscore", "corpus_quota_cap",
-    "text_inverted_index", "corpus_ngram_novelty", "ab_test_lift",
-    "benford_first_digit", "timeseries_cusum_changepoint", "basket_rules_lift",
-    "user_activity_streaks", "corpus_skipgram_pairs", "dau_mau_stickiness",
-    "incremental_agg_merge", "forecast_seasonal_naive_eval", "doc_keywords_tfidf_topk",
-    "split_leakage_safe", "survival_kaplan_meier", "rolling_corr_click_purchase",
-    "running_distinct_types", "daily_value_bands", "time_since_last_purchase",
-    "funnel_with_timeouts", "pareto_revenue_curve", "business_days_to_ship",
-    "join_asof_tolerance", "join_asof_nearest", "corpus_curation_pipeline",
-    "trend_theil_sen", "fifo_lot_matching", "attribution_linear_multitouch",
-    "dedup_ngram_jaccard", "minhash_containment", "dedup_simhash",
-    "join_salted_skew", "embedding_near_dups_lsh", "join_asof_nearest_bucketed",
-    "incremental_welford_merge", "dedup_minhash_lsh", "try_arithmetic_suite",
-    "window_time_range_7d", "sql_q4_priority", "sql_q8_mkt_share",
-    "sql_q9_product_profit", "sql_q12_late_lines", "sql_q15_top_supplier",
-    "sql_q17_small_qty", "sql_q20_promo_suppliers", "sql_q21_waiting_supplier",
-    "sql_recursive_series", "sql_lateral_topn", "listagg_sorted",
-    "variant_shred_extract", "collation_distinct", "sessionize_events",
-    "cohort_retention", "rfm_segments", "ratio_to_report",
-    "churn_gap_flag", "corpus_token_entropy", "mad_outliers",
-    "dedup_canonical_pick", "window_tumbling_distinct", "graph_triangle_count",
-    "graph_pagerank_parts", "geo_radius_pairs", "dedup_levenshtein_blocked",
-    "timeseries_ohlc_twap", "dq_expectations_report", "co_purchase_pairs",
-    "scd2_point_in_time_join", "xml_roundtrip", "join_null_safe",
-    "partitioned_roundtrip", "bucketed_join_roundtrip", "csv_malformed_tolerant",
-    "parquet_schema_evolution", "stream_foreachbatch_upsert", "join_asof_bucketed",
-    "graph_pagerank_converged", "scd2_late_correction", "join_asof_forward",
-    "seq_packing_bins", "vocab_oov_coverage", "dpp_partitioned_join",
-    "http_pyds_scan", "dedup_repeated_spans", "similarity_tfidf_pairs",
-    "sql_udf_scalar", "graph_khop_reach", "snapshot_table_diff",
-    "join_asof_last_order", "mixture_weighted_sample", "stream_dedup_watermark",
-    "stream_interval_join", "agg_corr_regr", "corpus_idf",
-    "decontaminate_13gram", "dedup_incremental", "embedding_quantize",
-    "higher_order_fns", "map_fns_suite", "orc_roundtrip",
-    "outlier_trim", "pipeline_corpus_filter", "posexplode_tokens",
-    "skew_diagnostic", "sql_q6_forecast", "sql_q7_volume",
-    "sql_q13_custdist", "sql_q14_promo", "sql_q18_large_orders",
-    "sql_q19_disjunctive", "table_profile", "text_repetition",
-    "time_trunc_suite", "window_value_suite", "zorder_locality",
-    "dedup_clusters", "sql_q3_shipping", "sql_q5_local_volume",
-    "sql_q10_returned", "approx_quantile_sketch", "dedup_bloom_prefilter",
-    "token_stats_bpe", "json_table_extract", "lateral_tokens_topk",
-    "interval_overlap_agg", "sql_q2_min_cost_supplier", "sql_q11_important_stock",
-    "sql_q16_supplier_cnt", "sql_q22_global_sales", "event_path_3gram",
-    "first_touch_attribution", "text_near_template", "cdc_scd2_history",
-    "range_bucket_join", "project_select", "nested_json_extract",
-    "join_inner_revenue", "join_left_counts", "join_star_dims",
-    "window_running_total", "upsert_keyed", "similarity_ivf",
-    "multimodal_resize", "multimodal_features", "agg_approx_distinct",
-    "stream_capped_sessions", "stream_capped_sessions_checksum", "http_api_extract",
-    "text_redact_pii", "doc_chunks", "corpus_top_bigrams",
-    "join_full_outer", "window_rank_suite", "string_fns_suite",
-    "timeseries_resample_fill", "funnel_conversion", "groupwise_zscore",
-    "upsert_null_update", "join_anti_no_orders", "join_semi_active",
-    "join_range_followups", "sql_exists_urgent", "sql_scalar_above_avg",
-    "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_stats_suite", "agg_percentiles", "agg_minmax_by",
-    "agg_histogram", "groupby_date_type", "window_topk_per_group",
-    "window_sliding_15m", "order_by_hash", "set_except",
-    "pivot_type_counts", "unpivot_part_metrics", "array_math_suite",
+    "window_session_30m", "window_tumbling_1h", "roc_auc_exact",
+    "ks_statistic_2sample", "lift_gains_deciles", "target_encoding_loo",
+    "feature_scaler_leakage_safe", "class_balance_downsample", "setjoin_prefix_filter",
+    "timeseries_interpolate_linear", "privacy_k_anonymity", "sql_pipe_syntax",
+    "mixture_temperature_weights", "set_ops_all", "text_bigram_lm_score",
+    "window_rolling_median", "sliding_distinct_users_7d", "event_transition_matrix",
+    "timeseries_anomaly_zscore", "corpus_quota_cap", "text_inverted_index",
+    "corpus_ngram_novelty", "ab_test_lift", "benford_first_digit",
+    "timeseries_cusum_changepoint", "basket_rules_lift", "user_activity_streaks",
+    "corpus_skipgram_pairs", "dau_mau_stickiness", "incremental_agg_merge",
+    "forecast_seasonal_naive_eval", "doc_keywords_tfidf_topk", "split_leakage_safe",
+    "survival_kaplan_meier", "rolling_corr_click_purchase", "running_distinct_types",
+    "daily_value_bands", "time_since_last_purchase", "funnel_with_timeouts",
+    "pareto_revenue_curve", "business_days_to_ship", "join_asof_tolerance",
+    "join_asof_nearest", "corpus_curation_pipeline", "trend_theil_sen",
+    "fifo_lot_matching", "attribution_linear_multitouch", "dedup_ngram_jaccard",
+    "minhash_containment", "dedup_simhash", "join_salted_skew",
+    "embedding_near_dups_lsh", "join_asof_nearest_bucketed", "incremental_welford_merge",
+    "dedup_minhash_lsh", "try_arithmetic_suite", "window_time_range_7d",
+    "sql_q4_priority", "sql_q8_mkt_share", "sql_q9_product_profit",
+    "sql_q12_late_lines", "sql_q15_top_supplier", "sql_q17_small_qty",
+    "sql_q20_promo_suppliers", "sql_q21_waiting_supplier", "sql_recursive_series",
+    "sql_lateral_topn", "listagg_sorted", "variant_shred_extract",
+    "collation_distinct", "sessionize_events", "cohort_retention",
+    "rfm_segments", "ratio_to_report", "churn_gap_flag",
+    "corpus_token_entropy", "mad_outliers", "dedup_canonical_pick",
+    "window_tumbling_distinct", "graph_triangle_count", "graph_pagerank_parts",
+    "geo_radius_pairs", "dedup_levenshtein_blocked", "timeseries_ohlc_twap",
+    "dq_expectations_report", "co_purchase_pairs", "scd2_point_in_time_join",
+    "xml_roundtrip", "join_null_safe", "partitioned_roundtrip",
+    "bucketed_join_roundtrip", "csv_malformed_tolerant", "parquet_schema_evolution",
+    "stream_foreachbatch_upsert", "join_asof_bucketed", "graph_pagerank_converged",
+    "scd2_late_correction", "join_asof_forward", "seq_packing_bins",
+    "vocab_oov_coverage", "dpp_partitioned_join", "http_pyds_scan",
+    "dedup_repeated_spans", "similarity_tfidf_pairs", "sql_udf_scalar",
+    "graph_khop_reach", "snapshot_table_diff", "join_asof_last_order",
+    "mixture_weighted_sample", "stream_dedup_watermark", "stream_interval_join",
+    "agg_corr_regr", "corpus_idf", "decontaminate_13gram",
+    "dedup_incremental", "embedding_quantize", "higher_order_fns",
+    "map_fns_suite", "orc_roundtrip", "outlier_trim",
+    "pipeline_corpus_filter", "posexplode_tokens", "skew_diagnostic",
+    "sql_q6_forecast", "sql_q7_volume", "sql_q13_custdist",
+    "sql_q14_promo", "sql_q18_large_orders", "sql_q19_disjunctive",
+    "table_profile", "text_repetition", "time_trunc_suite",
+    "window_value_suite", "zorder_locality", "dedup_clusters",
+    "sql_q3_shipping", "sql_q5_local_volume", "sql_q10_returned",
+    "approx_quantile_sketch", "dedup_bloom_prefilter", "token_stats_bpe",
+    "json_table_extract", "lateral_tokens_topk", "interval_overlap_agg",
+    "sql_q2_min_cost_supplier", "sql_q11_important_stock", "sql_q16_supplier_cnt",
+    "sql_q22_global_sales", "event_path_3gram", "first_touch_attribution",
+    "text_near_template", "cdc_scd2_history", "range_bucket_join",
+    "similarity_ivf", "multimodal_resize", "multimodal_features",
+    "agg_approx_distinct", "stream_capped_sessions", "stream_capped_sessions_checksum",
+    "http_api_extract", "text_redact_pii", "join_full_outer",
+    "window_rank_suite", "string_fns_suite", "timeseries_resample_fill",
+    "funnel_conversion", "groupwise_zscore", "upsert_null_update",
+    "join_anti_no_orders", "join_semi_active", "join_range_followups",
+    "sql_exists_urgent", "sql_scalar_above_avg", "groupby_date_type",
+    "window_topk_per_group", "window_sliding_15m", "order_by_hash",
+    "set_except", "pivot_type_counts", "unpivot_part_metrics",
     "time_tz_trimode", "udf_registry_iso_parts", "sample_split_counts",
     "sample_deterministic", "sample_stratified_docs", "ndjson_roundtrip",
-    "embedding_near_dups", "multimodal_frames", "embedding_kmeans",
-    "scan_checksum", "stream_static_enrich", "csv_roundtrip",
+    "multimodal_frames", "embedding_kmeans", "stream_static_enrich",
 ]
 
 

@@ -1,10 +1,8 @@
-"""Round-9 staged tier: statistical inference / ML-evaluation depth,
-corpus distribution tooling, and the data-engineering ops (DQ audits,
+"""Round-9 tier: statistical inference / ML-evaluation depth, corpus
+distribution tooling, and the data-engineering ops (DQ audits,
 calendar spines, URL/IP parsing) an analytics engine runs daily.
-
-Staged (module-local PENDING_QUERIES/PENDING_ORACLE, swept by
-sweep_oracle.py alongside the registry) until registration rotates
-them into the driver window — the same two-step rounds 7 and 8 used.
+Registered round 9; every entry swept vs DuckDB at sf0.001 + sf0.01
+before registration; non-vacuity pins in tests/test_round9_ops.py.
 
 Float-parity rules extend FIXTURES.md §C with the round-9 refinement:
 when a query SUMS libm-derived terms (ln/sqrt/pow), each term is
@@ -27,26 +25,13 @@ Scale notes are per-query docstrings; the common themes:
 
 from __future__ import annotations
 
-from collections.abc import Callable
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mini_spark.queries._base import _t
-
-PENDING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-PENDING_ORACLE: dict[str, str] = {}
-
-
-def pq(name: str, sql: str | None = None):
-    def deco(fn):
-        PENDING_QUERIES[name] = fn
-        if sql is not None:
-            PENDING_ORACLE[name] = sql
-        return fn
-
-    return deco
+from etl_mini_spark.queries._base import q as pq
 
 
 # --- chi-square independence + Cramér's V ------------------------------------
@@ -954,9 +939,11 @@ def token_pmi_bigrams(spark, sf_dir):
 
 # --- Misra-Gries heavy hitters with exact verification ---------------------------
 # Sketch candidates per partition (capacity 64), exact recount of
-# candidates only; report tokens with freq*20 > N. The oracle is the
-# plain exact query — the sketch path must reproduce it EXACTLY
-# (superset guarantee + verify), which is the whole point.
+# candidates only; report tokens with freq*31 > N (the corpus vocab is
+# deliberately flat at ~1/31 each, so this threshold DISCRIMINATES —
+# ~25 of ~30 tokens qualify — instead of being all-or-nothing). The
+# oracle is the plain exact query — the sketch path must reproduce it
+# EXACTLY (superset guarantee + verify), which is the whole point.
 _MG_SQL = """
     WITH tok AS (
       SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
@@ -966,14 +953,14 @@ _MG_SQL = """
            round(count(*) / (1.0 * n.n_total), 6) AS share
     FROM tok CROSS JOIN n
     GROUP BY t, n.n_total
-    HAVING count(*) * 20 > n.n_total
+    HAVING count(*) * 31 > n.n_total
     ORDER BY t
 """
 
 
 @pq("heavy_hitters_mg", _MG_SQL)
 def heavy_hitters_mg(spark, sf_dir):
-    """Heavy hitters (tokens above 5% of the stream) via a Misra-Gries
+    """Heavy hitters (tokens above 1/31 of the stream) via a Misra-Gries
     sketch with exact verification: each partition keeps 64 counters
     (Arrow-batched mapInPandas; batch-merge + compress is the
     mergeable-summaries MERGE), the candidate UNION provably contains
@@ -992,7 +979,7 @@ def heavy_hitters_mg(spark, sf_dir):
             F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
         ).alias("t")
     )
-    return heavy_hitters_exact(toks, "t", denom=20, k=64).orderBy("t")
+    return heavy_hitters_exact(toks, "t", denom=31, k=64).orderBy("t")
 
 
 # --- URL parsing suite -----------------------------------------------------------
