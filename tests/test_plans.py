@@ -744,3 +744,35 @@ def test_pending_tier_no_cartesian_blanket(spark):
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in ONE_ROW_SCALAR_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_round9_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of every round-9 query: no
+    CartesianProduct anywhere; BroadcastNestedLoopJoin only where the
+    crossJoin side is a 1-row scalar aggregate (grand totals, global
+    watermarks, contingency dimensions) or the 4-row lag literal in
+    the ACF probe — bounded constants, not quadratic joins."""
+    import re as _re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    src = open("etl_mini_spark/queries/round9_ops.py").read()
+    ROUND9 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
+    assert len(ROUND9) == 24
+    ONE_ROW_SCALAR_OK = {
+        "chi_square_cramers_v",        # (kx, ky) dims row
+        "mutual_information_discrete", # marginal-entropy rows
+        "brier_calibration_bins",      # grand (sq_tot, n_tot)
+        "heavy_hitters_mg",            # total token count
+        "dq_freshness_sla",            # global watermark
+        "seasonal_weekday_index",      # overall daily average
+        "token_pmi_bigrams",           # unigram/bigram grand totals
+        "acf_hourly_lags",             # 4-row lag literal × hourly agg
+        "calendar_spine_fill",         # 1-row (d0, d1) bounds explode
+    }
+    for name in ROUND9:
+        s = plan_summary(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in ONE_ROW_SCALAR_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
