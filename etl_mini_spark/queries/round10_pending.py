@@ -384,3 +384,346 @@ def seasonal_strength_eta(spark, sf_dir):
     sst = F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
     ssb = F.col("bsum").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
     return tot.select("n", F.round(ssb / sst, 6).alias("eta_sq"))
+
+
+# --- Holt linear (double-exponential) smoothing ---------------------------------------
+# The level/trend recursion is NOT a windowed aggregate — it is the
+# canonical "custom stateful op" case: Spark runs it as one
+# applyInPandas pass per series key; the oracle replays it as a
+# recursive CTE. BOTH sides evaluate the IDENTICAL IEEE expression
+# sequence (l' = 0.5·x + 0.5·(l+b); b' = 0.3·(l'−l) + 0.7·b), so the
+# doubles agree bit-for-bit and 6dp rounding is display only.
+_HOLT_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+    ser AS (
+      SELECT event_type, d, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+      FROM daily),
+    rec AS (
+      SELECT s1.event_type, CAST(1 AS BIGINT) AS i,
+             s1.x AS l, s2.x - s1.x AS b, s1.x AS f
+      FROM ser s1 JOIN ser s2
+        ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2
+      UNION ALL
+      SELECT r.event_type, r.i + 1,
+             0.5 * s.x + 0.5 * (r.l + r.b),
+             0.3 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b,
+             r.l + r.b
+      FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.i = r.i + 1)
+    SELECT rec.event_type AS event_type, ser.d AS d,
+           round(rec.l, 6) AS level, round(rec.b, 6) AS trend,
+           round(rec.f, 6) AS fitted
+    FROM rec JOIN ser ON rec.event_type = ser.event_type AND rec.i = ser.i
+    ORDER BY 1, 2
+"""
+
+
+@pq("holt_linear_trend", _HOLT_SQL)
+def holt_linear_trend(spark, sf_dir):
+    """Holt double-exponential smoothing (level + trend, α=0.5 β=0.3)
+    of each event type's daily revenue, with the one-step-ahead fitted
+    value — the sequential recursion no window aggregate expresses.
+    Spark side: one Arrow-batched applyInPandas pass per series key;
+    oracle side: a recursive CTE. Both evaluate the IDENTICAL IEEE
+    expression sequence, so the trajectories agree bit-for-bit — this
+    entry is the differential test for custom stateful operators. Plan:
+    one day agg, one shuffle on the series key, then O(days) sequential
+    work per key in parallel across keys — at 100 TB the keys (series)
+    parallelize; the recursion length is bounded by the calendar."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x"))
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        xs = pdf["x"].to_numpy()
+        if len(xs) < 2:
+            return pd.DataFrame(
+                {"event_type": pdf["event_type"], "d": pdf["d"],
+                 "level": xs, "trend": [0.0] * len(xs), "fitted": xs}
+            )
+        l = xs[0]
+        b = xs[1] - xs[0]
+        ls, bs, fs = [l], [b], [xs[0]]
+        for t in range(1, len(xs)):
+            f = l + b
+            l_new = 0.5 * xs[t] + 0.5 * (l + b)
+            b_new = 0.3 * (l_new - l) + 0.7 * b
+            l, b = l_new, b_new
+            ls.append(l)
+            bs.append(b)
+            fs.append(f)
+        return pd.DataFrame(
+            {"event_type": pdf["event_type"], "d": pdf["d"],
+             "level": ls, "trend": bs, "fitted": fs}
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(
+        holt, schema="event_type string, d string, level double, trend double, fitted double"
+    )
+    return out.select(
+        "event_type", "d",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("fitted", 6).alias("fitted"),
+    ).orderBy("event_type", "d")
+
+
+# --- cohort LTV accumulation curves -----------------------------------------------------
+# Cohort = a customer's first order month; the curve is cumulative
+# revenue per cohort member by months-since-first-order. Month math is
+# integer (y*12+m); revenue decimal; the per-customer normalization is
+# the single double division.
+_LTV_SQL = """
+    WITH fo AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS cohort_ym
+      FROM orders GROUP BY o_custkey),
+    sized AS (
+      SELECT cohort_ym, CAST(count(*) AS BIGINT) AS n_cust FROM fo GROUP BY cohort_ym),
+    facts AS (
+      SELECT fo.cohort_ym,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) - fo.cohort_ym AS age,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+      FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey),
+    agg AS (
+      SELECT cohort_ym, age, sum(rev) AS rev_age
+      FROM facts GROUP BY cohort_ym, age),
+    cum AS (
+      SELECT cohort_ym, age,
+             sum(rev_age) OVER (PARTITION BY cohort_ym ORDER BY age) AS cum_rev
+      FROM agg)
+    SELECT CAST(floor(cohort_ym / 12) AS BIGINT) AS cohort_y,
+           CAST(cohort_ym % 12 + 1 AS INT) AS cohort_m,
+           CAST(age AS INT) AS age,
+           round(CAST(cum_rev AS DOUBLE) / n_cust, 2) AS ltv_per_cust
+    FROM cum JOIN sized USING (cohort_ym)
+    WHERE age <= 12
+    ORDER BY cohort_y, cohort_m, age
+"""
+
+
+@pq("cohort_ltv_curve", _LTV_SQL)
+def cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curves: customers grouped by
+    first-order month, cumulative revenue per cohort member tracked by
+    months-since-first-order (first year shown) — the curve
+    subscription and retail growth models are fit on. Month arithmetic
+    is integer (y·12+m; the label splits it back with floor/mod),
+    revenue accumulates as DECIMAL, and the per-member normalization is
+    the single double op. Plan: one custkey agg for cohorts (broadcast
+    back over orders), one (cohort, age) agg, a prefix sum over the
+    tiny curve table."""
+    o = _t(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    fo = o.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    sized = fo.groupBy("cohort_ym").agg(F.count("*").cast("bigint").alias("n_cust"))
+    facts = o.join(F.broadcast(fo), "o_custkey").select(
+        "cohort_ym",
+        (ym - F.col("cohort_ym")).alias("age"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    agg = facts.groupBy("cohort_ym", "age").agg(F.sum("rev").alias("rev_age"))
+    cum = agg.select(
+        "cohort_ym",
+        "age",
+        F.sum("rev_age").over(
+            Window.partitionBy("cohort_ym").orderBy("age")
+        ).alias("cum_rev"),
+    )
+    return (
+        cum.join(F.broadcast(sized), "cohort_ym")
+        .filter(F.col("age") <= 12)
+        .select(
+            F.floor(F.col("cohort_ym") / 12).cast("bigint").alias("cohort_y"),
+            (F.col("cohort_ym") % 12 + 1).cast("int").alias("cohort_m"),
+            F.col("age").cast("int").alias("age"),
+            F.round(F.col("cum_rev").cast("double") / F.col("n_cust"), 2).alias("ltv_per_cust"),
+        )
+        .orderBy("cohort_y", "cohort_m", "age")
+    )
+
+
+# --- 2-D histogram with margins -----------------------------------------------------------
+# Fixed grid: 8 value bands × 6 hour-of-day bands; counts plus row and
+# column marginal shares — all ratios of exact BIGINTs.
+_H2D_SQL = """
+    WITH g AS (
+      SELECT least(CAST(floor(value / 40) AS INT), 7) AS vband,
+             CAST(floor(hour(ts) / 4) AS INT) AS hband,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT vband, hband, n,
+           round(n / (1.0 * sum(n) OVER (PARTITION BY vband)), 6) AS row_share,
+           round(n / (1.0 * sum(n) OVER (PARTITION BY hband)), 6) AS col_share,
+           round(n / (1.0 * sum(n) OVER ()), 6) AS cell_share
+    FROM g ORDER BY vband, hband
+"""
+
+
+@pq("histogram2d_margins", _H2D_SQL)
+def histogram2d_margins(spark, sf_dir):
+    """Two-dimensional histogram on a FIXED grid (8 value bands × 6
+    hour-of-day bands) with row, column, and global marginal shares —
+    the heatmap backing table for any value-by-time-of-day panel.
+    Fixed edges keep the grid engine-stable; all shares are ratios of
+    exact counts. Plan: one hash-agg to ≤48 cells, margin windows over
+    those cells — the scan is the entire cost at scale."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy(
+        F.least(F.floor(F.col("value") / 40).cast("int"), F.lit(7)).alias("vband"),
+        F.floor(F.hour("ts") / 4).cast("int").alias("hband"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return g.select(
+        "vband",
+        "hband",
+        "n",
+        F.round(F.col("n") / (1.0 * F.sum("n").over(Window.partitionBy("vband"))), 6).alias("row_share"),
+        F.round(F.col("n") / (1.0 * F.sum("n").over(Window.partitionBy("hband"))), 6).alias("col_share"),
+        F.round(
+            F.col("n")
+            / (1.0 * F.sum("n").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))),
+            6,
+        ).alias("cell_share"),
+    ).orderBy("vband", "hband")
+
+
+# --- confusion matrices at fixed thresholds --------------------------------------------
+# The integer milli-probability score from brier_calibration_bins cut
+# at 300/500/700: TP/FP/TN/FN are exact counts; accuracy, precision,
+# recall, and F1 = 2TP/(2TP+FP+FN) are single integer-ratio divisions.
+_CONF_SQL = """
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) || ':p9'), 1, 15))
+                   AS BIGINT) % 700)
+             + CASE WHEN event_type = 'purchase' THEN 300 ELSE 0 END AS p_milli
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    thr AS (SELECT unnest([300, 500, 700]) AS thr),
+    m AS (
+      SELECT thr,
+             CAST(sum(CASE WHEN p_milli >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN p_milli >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN p_milli < thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN p_milli < thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM s CROSS JOIN thr GROUP BY thr)
+    SELECT CAST(thr AS INT) AS thr, tp, fp, tn, fn,
+           round((tp + tn) / (1.0 * (tp + fp + tn + fn)), 6) AS accuracy,
+           round(tp / (1.0 * (tp + fp)), 6) AS precision_,
+           round(tp / (1.0 * (tp + fn)), 6) AS recall_,
+           round(2 * tp / (1.0 * (2 * tp + fp + fn)), 6) AS f1
+    FROM m ORDER BY thr
+"""
+
+
+@pq("confusion_matrix_thresholds", _CONF_SQL)
+def confusion_matrix_thresholds(spark, sf_dir):
+    """Confusion matrices (TP/FP/TN/FN with accuracy, precision,
+    recall, F1) at three fixed operating points over the deterministic
+    milli-probability score — the table that turns a ranking metric
+    into a deployment decision. Every figure is a ratio of exact
+    BIGINTs (F1 via the single-division 2TP/(2TP+FP+FN) identity).
+    Plan: one narrow projection crossed with a 3-row threshold literal
+    (bounded broadcast), one 3-cell agg."""
+    from etl_mini_spark.operators.sampling import hash_bucket
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "view"))
+    s = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (
+            hash_bucket(F.col("event_id"), "p9", 700)
+            + F.when(F.col("event_type") == "purchase", 300).otherwise(0)
+        ).alias("p_milli"),
+    )
+    thr = spark.range(1).select(
+        F.explode(F.array(F.lit(300), F.lit(500), F.lit(700))).alias("thr")
+    )
+    m = (
+        s.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when((F.col("p_milli") >= F.col("thr")) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint").alias("tp"),
+            F.sum(F.when((F.col("p_milli") >= F.col("thr")) & (F.col("y") == 0), 1).otherwise(0))
+            .cast("bigint").alias("fp"),
+            F.sum(F.when((F.col("p_milli") < F.col("thr")) & (F.col("y") == 0), 1).otherwise(0))
+            .cast("bigint").alias("tn"),
+            F.sum(F.when((F.col("p_milli") < F.col("thr")) & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint").alias("fn"),
+        )
+    )
+    tot = F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")
+    return m.select(
+        F.col("thr").cast("int").alias("thr"),
+        "tp", "fp", "tn", "fn",
+        F.round((F.col("tp") + F.col("tn")) / (1.0 * tot), 6).alias("accuracy"),
+        F.round(F.col("tp") / (1.0 * (F.col("tp") + F.col("fp"))), 6).alias("precision_"),
+        F.round(F.col("tp") / (1.0 * (F.col("tp") + F.col("fn"))), 6).alias("recall_"),
+        F.round(2 * F.col("tp") / (1.0 * (2 * F.col("tp") + F.col("fp") + F.col("fn"))), 6).alias("f1"),
+    ).orderBy("thr")
+
+
+# --- feature-hashing collision audit ----------------------------------------------------
+# Vocabulary hashed into 256 buckets with the portable md5 bucket;
+# occupancy and max load are exact integers, and the birthday-problem
+# expectation m·(1−(1−1/m)^v) is one libm pow for display.
+_FHASH_SQL = """
+    WITH tok AS (
+      SELECT DISTINCT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents),
+    h AS (
+      SELECT t,
+             (CAST(concat('0x', substr(md5(t || ':fh'), 1, 15)) AS BIGINT) % 100000) % 256 AS b
+      FROM tok),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab,
+             CAST(count(DISTINCT b) AS BIGINT) AS occupied
+      FROM h),
+    ml AS (
+      SELECT CAST(max(cnt) AS BIGINT) AS max_load
+      FROM (SELECT b, count(*) AS cnt FROM h GROUP BY b) g)
+    SELECT vocab, occupied, max_load,
+           CAST(vocab - occupied AS BIGINT) AS collided,
+           round(256 * (1 - pow(255.0 / 256.0, vocab)), 6) AS expected_occupied
+    FROM s CROSS JOIN ml
+"""
+
+
+@pq("feature_hash_collision_audit", _FHASH_SQL)
+def feature_hash_collision_audit(spark, sf_dir):
+    """Feature-hashing (hashing-trick) collision audit: the vocabulary
+    hashed into 256 buckets with the engine-portable md5 bucket,
+    reporting occupancy, max bucket load, collided-token count, and
+    the birthday-problem expectation m·(1−(1−1/m)^v) to compare
+    against. Occupancy/load are exact integers; the expectation is one
+    display pow. Plan: one distinct over tokens, one 256-cell agg —
+    vocabulary-sized work regardless of corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    from etl_mini_spark.operators.sampling import hash_bucket
+
+    tok = d.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        ).alias("t")
+    ).distinct()
+    h = tok.select("t", (hash_bucket(F.col("t"), "fh") % 256).alias("b"))
+    loads = h.groupBy("b").agg(F.count("*").alias("cnt"))
+    s = h.agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        F.countDistinct("b").cast("bigint").alias("occupied"),
+    ).crossJoin(F.broadcast(loads.agg(F.max("cnt").cast("bigint").alias("max_load"))))
+    return s.select(
+        "vocab",
+        "occupied",
+        "max_load",
+        (F.col("vocab") - F.col("occupied")).cast("bigint").alias("collided"),
+        F.round(256 * (1 - F.pow(F.lit(255.0 / 256.0), F.col("vocab"))), 6).alias(
+            "expected_occupied"
+        ),
+    )
