@@ -727,3 +727,328 @@ def feature_hash_collision_audit(spark, sf_dir):
             "expected_occupied"
         ),
     )
+
+
+# --- BM25 document scoring ----------------------------------------------------------
+# Okapi BM25 (k1=1.2, b=0.75) for a fixed three-term query. tf/df/dl
+# are exact integers, avgdl is one integer ratio; each (doc, term)
+# contribution pre-rounds at 9dp and sums per doc as DECIMAL(28,9), so
+# the ranking key is an exact decimal and the tie-break is doc_id.
+_BM25_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_toks
+      FROM dl),
+    q AS (SELECT unnest(['spark', 'join', 'window']) AS t),
+    tf AS (
+      SELECT toks.doc_id, toks.t, CAST(count(*) AS BIGINT) AS tf
+      FROM toks JOIN q ON toks.t = q.t
+      GROUP BY toks.doc_id, toks.t),
+    df AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY t),
+    terms AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (s.total_toks / (1.0 * s.n_docs)))),
+               9) AS DECIMAL(28,9)) AS term
+      FROM tf JOIN df ON tf.t = df.t
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT doc_id, sum(term) AS score_d FROM terms GROUP BY doc_id)
+    SELECT doc_id, round(CAST(score_d AS DOUBLE), 6) AS bm25
+    FROM scored ORDER BY score_d DESC, doc_id LIMIT 20
+"""
+
+
+@pq("bm25_topk_docs", _BM25_SQL)
+def bm25_topk_docs(spark, sf_dir):
+    """Okapi BM25 top-20 documents for a fixed three-term query — the
+    lexical-retrieval scorer every search/RAG pipeline starts from.
+    tf/df/doclen are exact integers; each per-(doc, term) contribution
+    pre-rounds at 9dp and sums per document as DECIMAL(28,9), so the
+    ORDER BY rides on an exact decimal (doc_id tie-break), never on
+    accumulated libm noise. Plan: one token scan feeding tf (filtered
+    to the query terms by a broadcast semi-join — the corpus never
+    shuffles on token), tiny df/dl/stat aggregates broadcast back, one
+    top-k."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        ).alias("t"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_toks"),
+    )
+    q = spark.range(1).select(
+        F.explode(F.array(F.lit("spark"), F.lit("join"), F.lit("window"))).alias("t")
+    )
+    tf = toks.join(F.broadcast(q), "t").groupBy("doc_id", "t").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df_ = tf.groupBy("t").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    terms = (
+        tf.join(F.broadcast(df_), "t")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf") * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / (F.col("total_toks") / (1.0 * F.col("n_docs"))))
+                ),
+                9,
+            ).cast("decimal(28,9)").alias("term"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(F.sum("term").alias("score_d"))
+    return (
+        scored.orderBy(F.col("score_d").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round(F.col("score_d").cast("double"), 6).alias("bm25"))
+    )
+
+
+# --- character trigram profile -------------------------------------------------------
+# The lang-ID feature extractor: top character trigrams per language by
+# exact count (integer ranks, trigram tie-break). Spark expands via
+# transform(sequence(...)); the oracle via a list comprehension.
+_CNGRAM_SQL = """
+    WITH tg AS (
+      SELECT lang,
+             unnest([substr(text, CAST(i AS INT), 3)
+                     for i in range(1, length(text) - 1)]) AS tri
+      FROM documents),
+    c AS (
+      SELECT lang, tri, CAST(count(*) AS BIGINT) AS n
+      FROM tg GROUP BY lang, tri),
+    r AS (
+      SELECT lang, tri, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS rn
+      FROM c)
+    SELECT lang, tri, n, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 10
+    ORDER BY lang, rn
+"""
+
+
+@pq("char_ngram_profile", _CNGRAM_SQL)
+def char_ngram_profile(spark, sf_dir):
+    """Per-language character-trigram profile (top 10 by exact count,
+    trigram tie-break) — the classic lang-ID feature table: char
+    n-gram distributions separate languages better than words and need
+    no tokenizer. Trigrams expand IN-ROW (transform over a sequence —
+    narrow, no join), counts aggregate once on (lang, trigram), and
+    ranks ride on integers only. Plan: one keyed agg over the expanded
+    stream + a per-lang top-k window over the tiny profile table."""
+    d = _t(spark, sf_dir, "documents")
+    tg = d.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("tri"),
+    )
+    c = tg.groupBy("lang", "tri").agg(F.count("*").cast("bigint").alias("n"))
+    r = c.select(
+        "lang", "tri", "n",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.col("n").desc(), "tri"))
+        .alias("rn"),
+    )
+    return (
+        r.filter(F.col("rn") <= 10)
+        .select("lang", "tri", "n", F.col("rn").cast("int").alias("rn"))
+        .orderBy("lang", "rn")
+    )
+
+
+# --- regexp_extract_all suite ----------------------------------------------------------
+# Vectorized multi-match extraction: all >=5-char tokens per document
+# (thinned doc_id % 7 = 0), with match count, first and last match —
+# Spark's regexp_extract_all + element_at vs DuckDB's list ops.
+_REXALL_SQL = """
+    SELECT doc_id,
+           CAST(len(m) AS INT) AS n_matches,
+           CASE WHEN len(m) > 0 THEN m[1] ELSE NULL END AS first_match,
+           CASE WHEN len(m) > 0 THEN m[-1] ELSE NULL END AS last_match
+    FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]{5,}') AS m
+          FROM documents WHERE doc_id % 7 = 0)
+    ORDER BY doc_id
+"""
+
+
+@pq("regex_extract_all_suite", _REXALL_SQL)
+def regex_extract_all_suite(spark, sf_dir):
+    """Multi-match regex extraction — regexp_extract_all with count /
+    first / last accessors, the workhorse of log scraping and pattern
+    mining — exercised identically on both engines (Spark element_at
+    handles the ±index access like DuckDB's list indexing). Plan: pure
+    per-row expressions, zero shuffles; at scale this is a codegen'd
+    projection pass."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    m = d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit("[a-z]{5,}"), F.lit(0)).alias("m"),
+    )
+    has = F.size("m") > 0
+    return m.select(
+        "doc_id",
+        F.size("m").cast("int").alias("n_matches"),
+        F.when(has, F.element_at("m", 1)).alias("first_match"),
+        F.when(has, F.element_at("m", -1)).alias("last_match"),
+    ).orderBy("doc_id")
+
+
+# --- degree histogram of the co-purchase graph ------------------------------------------
+# Node degree = distinct co-purchase partners; the histogram and its
+# cumulative share describe the graph's tail (all exact integers).
+_DEGHIST_SQL = """
+    WITH d AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.pk AS p1, b.pk AS p2
+      FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk),
+    bidir AS (
+      SELECT p1 AS node, p2 AS nb FROM edges
+      UNION ALL SELECT p2, p1 FROM edges),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM bidir GROUP BY node),
+    h AS (
+      SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree)
+    SELECT degree, n_nodes,
+           round(sum(n_nodes) OVER (ORDER BY degree)
+                 / (1.0 * sum(n_nodes) OVER ()), 6) AS cum_share
+    FROM h ORDER BY degree
+"""
+
+
+@pq("graph_degree_histogram", _DEGHIST_SQL)
+def graph_degree_histogram(spark, sf_dir):
+    """Degree histogram of the part co-purchase graph (degree =
+    distinct basket partners) with the cumulative node share — the
+    first structural profile of any graph (is the tail power-law or
+    capped?). Edges come from bounded per-order pair expansion, the
+    DISTINCT collapses multi-edges, and everything downstream is
+    integer. Plan: pair expansion per order (basket-size bounded), one
+    distinct, one degree agg, windows over the tiny histogram."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    a = d.alias("a")
+    b = d.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .distinct()
+    )
+    bidir = edges.select(F.col("p1").alias("node"), F.col("p2").alias("nb")).unionAll(
+        edges.select(F.col("p2").alias("node"), F.col("p1").alias("nb"))
+    )
+    deg = bidir.groupBy("node").agg(F.count("*").cast("bigint").alias("degree"))
+    h = deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_nodes"))
+    wc = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return h.select(
+        "degree",
+        "n_nodes",
+        F.round(F.sum("n_nodes").over(wc) / (1.0 * F.sum("n_nodes").over(wall)), 6).alias(
+            "cum_share"
+        ),
+    ).orderBy("degree")
+
+
+# --- price-volume-mix decomposition ------------------------------------------------------
+# ΔRevenue between 1996 and 1997, per part present in both years,
+# split into price effect (Δp·q0), volume effect (p0·Δq), and the
+# cross term (Δp·Δq). Unit prices are ratios of DECIMAL sums; each
+# part's effects pre-round at 9dp and total as DECIMAL(28,9).
+_PVM_SQL = """
+    WITH yr AS (
+      SELECT l_partkey AS pk, year(l_shipdate) AS y,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2),
+    w AS (
+      SELECT a.pk,
+             CAST(a.rev AS DOUBLE) / CAST(a.qty AS DOUBLE) AS p0,
+             CAST(a.qty AS DOUBLE) AS q0,
+             CAST(b.rev AS DOUBLE) / CAST(b.qty AS DOUBLE) AS p1,
+             CAST(b.qty AS DOUBLE) AS q1,
+             a.rev AS rev0, b.rev AS rev1
+      FROM yr a JOIN yr b ON a.pk = b.pk AND a.y = 1996 AND b.y = 1997),
+    eff AS (
+      SELECT sum(rev0) AS rev0, sum(rev1) AS rev1,
+             sum(CAST(round((p1 - p0) * q0, 9) AS DECIMAL(28,9))) AS price_eff,
+             sum(CAST(round(p0 * (q1 - q0), 9) AS DECIMAL(28,9))) AS volume_eff,
+             sum(CAST(round((p1 - p0) * (q1 - q0), 9) AS DECIMAL(28,9))) AS cross_eff
+      FROM w)
+    SELECT round(CAST(rev0 AS DOUBLE), 2) AS rev0,
+           round(CAST(rev1 AS DOUBLE), 2) AS rev1,
+           round(CAST(price_eff AS DOUBLE), 2) AS price_effect,
+           round(CAST(volume_eff AS DOUBLE), 2) AS volume_effect,
+           round(CAST(cross_eff AS DOUBLE), 2) AS cross_effect
+    FROM eff
+"""
+
+
+@pq("price_volume_mix_decomp", _PVM_SQL)
+def price_volume_mix_decomp(spark, sf_dir):
+    """Price-volume-mix decomposition of the 1996→1997 revenue change
+    over parts shipped in BOTH years: ΔR = Σ(Δp·q0 + p0·Δq + Δp·Δq) —
+    the finance-BI bridge that says how much of growth was price vs
+    units. Yearly per-part revenue/quantity are DECIMAL sums; unit
+    prices are one IEEE division each; the three per-part effects
+    pre-round at 9dp and total as DECIMAL(28,9). Plan: one
+    (part, year)-keyed agg, a self-join on the tiny per-part table,
+    one scalar finish."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate").isin(1996, 1997))
+    yr = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.year("l_shipdate").alias("y")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+    )
+    a = yr.filter("y = 1996").alias("a")
+    b = yr.filter("y = 1997").alias("b")
+    w = a.join(b, F.col("a.pk") == F.col("b.pk")).select(
+        (F.col("a.rev").cast("double") / F.col("a.qty").cast("double")).alias("p0"),
+        F.col("a.qty").cast("double").alias("q0"),
+        (F.col("b.rev").cast("double") / F.col("b.qty").cast("double")).alias("p1"),
+        F.col("b.qty").cast("double").alias("q1"),
+        F.col("a.rev").alias("rev0"),
+        F.col("b.rev").alias("rev1"),
+    )
+    eff = w.agg(
+        F.sum("rev0").alias("rev0"),
+        F.sum("rev1").alias("rev1"),
+        F.sum(
+            F.round((F.col("p1") - F.col("p0")) * F.col("q0"), 9).cast("decimal(28,9)")
+        ).alias("price_eff"),
+        F.sum(
+            F.round(F.col("p0") * (F.col("q1") - F.col("q0")), 9).cast("decimal(28,9)")
+        ).alias("volume_eff"),
+        F.sum(
+            F.round((F.col("p1") - F.col("p0")) * (F.col("q1") - F.col("q0")), 9).cast(
+                "decimal(28,9)"
+            )
+        ).alias("cross_eff"),
+    )
+    return eff.select(
+        F.round(F.col("rev0").cast("double"), 2).alias("rev0"),
+        F.round(F.col("rev1").cast("double"), 2).alias("rev1"),
+        F.round(F.col("price_eff").cast("double"), 2).alias("price_effect"),
+        F.round(F.col("volume_eff").cast("double"), 2).alias("volume_effect"),
+        F.round(F.col("cross_eff").cast("double"), 2).alias("cross_effect"),
+    )
