@@ -1052,3 +1052,539 @@ def price_volume_mix_decomp(spark, sf_dir):
         F.round(F.col("volume_eff").cast("double"), 2).alias("volume_effect"),
         F.round(F.col("cross_eff").cast("double"), 2).alias("cross_effect"),
     )
+
+
+# --- order-independent table checksums -------------------------------------------------
+# Cross-engine content checksum: canonical row string → md5 → 15-hex
+# BIGINT → SUM as DECIMAL(38,0) (exact, order-free, overflow-free at
+# any row count). The float column rides along as its DECIMAL(18,2)
+# string rendering, which both engines print identically.
+_ROWSUM_SQL = """
+    SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(CAST(concat('0x', substr(md5(
+                 CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|'
+                 || event_type || '|' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f')), 1, 15))
+               AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+    FROM events
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(CAST(concat('0x', substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|'
+                 || o_orderstatus || '|' || o_orderpriority || '|'
+                 || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)), 1, 15))
+               AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+    FROM orders
+    ORDER BY tbl
+"""
+
+
+@pq("table_row_checksum", _ROWSUM_SQL)
+def table_row_checksum(spark, sf_dir):
+    """Order-independent table content checksums — the dual-write /
+    migration verification primitive: each row renders to a canonical
+    string (timestamps at microsecond precision, floats via their
+    DECIMAL(18,2) rendering), hashes to a 60-bit integer, and SUMS as
+    DECIMAL(38,0), so the checksum is exact, partitioning-independent,
+    and overflow-free at any scale. Two tables differing in ANY row
+    disagree with probability ~1−2⁻⁶⁰. Plan: narrow per-row hashing +
+    one scalar agg per table; at 100 TB this is the cheapest possible
+    full-content comparison (one scan, no shuffle, no sort)."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+
+    def chk(df, canon):
+        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(h.cast("decimal(38,0)")).cast("string").alias("checksum"),
+        )
+
+    ev = chk(
+        e,
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        ),
+    ).select(F.lit("events").alias("tbl"), "n_rows", "checksum")
+    od = chk(
+        o,
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        ),
+    ).select(F.lit("orders").alias("tbl"), "n_rows", "checksum")
+    return ev.unionAll(od).orderBy("tbl")
+
+
+# --- partition-skew advisor ------------------------------------------------------------
+# Per-day row counts → the skew diagnosis a partitioning strategy
+# needs: max/mean ratio and the integer salt factor ceil(max/mean),
+# computed entirely in integer arithmetic.
+_SKEWADV_SQL = """
+    WITH per AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS total_rows,
+             CAST(max(n) AS BIGINT) AS max_day
+      FROM per)
+    SELECT n_days, total_rows, max_day,
+           round(max_day * n_days / (1.0 * total_rows), 4) AS skew_ratio,
+           CAST(floor((max_day * n_days + total_rows - 1) / total_rows) AS BIGINT)
+             AS salt_factor
+    FROM s
+"""
+
+
+@pq("partition_skew_advisor", _SKEWADV_SQL)
+def partition_skew_advisor(spark, sf_dir):
+    """Partition-skew advisor over the day key: rows per day, the
+    max/mean skew ratio, and the recommended salt factor
+    ceil(max/mean) — the number a salted repartition or AQE skew
+    threshold would use. The ceiling is pure integer arithmetic
+    ((max·days + total − 1) div total), so the recommendation is
+    engine-exact. Plan: one day-keyed count, one 1-row reduction —
+    the metadata query you run BEFORE choosing a partitioning at
+    100 TB."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").cast("bigint").alias("n"))
+    s = per.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.max("n").cast("bigint").alias("max_day"),
+    )
+    return s.select(
+        "n_days",
+        "total_rows",
+        "max_day",
+        F.round(F.col("max_day") * F.col("n_days") / (1.0 * F.col("total_rows")), 4).alias(
+            "skew_ratio"
+        ),
+        F.floor(
+            (F.col("max_day") * F.col("n_days") + F.col("total_rows") - 1) / F.col("total_rows")
+        ).cast("bigint").alias("salt_factor"),
+    )
+
+
+# --- GDPR-style erasure audit -----------------------------------------------------------
+# Tombstoned users (deterministic user_id % 13 = 0) anti-joined out of
+# events; the audit reports per-type before/erased/after counts and a
+# REAL residual check (count of tombstoned rows left after erasure).
+_ERASE_SQL = """
+    WITH tomb AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0),
+    before AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_before FROM events GROUP BY 1),
+    erased AS (
+      SELECT e.event_type,
+             CAST(count(*) AS BIGINT) AS n_after,
+             CAST(sum(CASE WHEN e.user_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_residual
+      FROM events e ANTI JOIN tomb t ON e.user_id = t.user_id
+      GROUP BY e.event_type)
+    SELECT b.event_type, b.n_before, a.n_after,
+           CAST(b.n_before - a.n_after AS BIGINT) AS n_erased,
+           a.n_residual = 0 AS clean
+    FROM before b JOIN erased a USING (event_type)
+    ORDER BY event_type
+"""
+
+
+@pq("privacy_erasure_audit", _ERASE_SQL)
+def privacy_erasure_audit(spark, sf_dir):
+    """Right-to-erasure audit: a deterministic tombstone set of users
+    is anti-joined out of the event stream, and the report shows
+    before/after/erased counts per event type plus a REAL residual
+    check (tombstoned rows remaining after erasure — must be zero, and
+    is recomputed from the output, not assumed). Plan: the tombstone
+    set broadcasts into a left-anti hash join (no fact shuffle), then
+    one type-keyed agg — the compliance pass a 100-TB store runs
+    nightly."""
+    e = _t(spark, sf_dir, "events")
+    tomb = e.filter(F.col("user_id") % 13 == 0).select("user_id").distinct()
+    before = e.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_before"))
+    after = (
+        e.join(F.broadcast(tomb), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_after"),
+            F.sum(F.when(F.col("user_id") % 13 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_residual"),
+        )
+    )
+    return (
+        before.join(after, "event_type")
+        .select(
+            "event_type",
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after")).cast("bigint").alias("n_erased"),
+            (F.col("n_residual") == 0).alias("clean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- exact discrete shipping-lead percentiles ---------------------------------------------
+# Lead time in whole days; p50/p90/p99 are the EXACT order statistics
+# (smallest value whose cumulative count reaches ceil(q*n)) — integer
+# logic both sides, no interpolation semantics to align.
+_LEADPCT_SQL = """
+    WITH lead AS (
+      SELECT o.o_orderpriority AS pri,
+             date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    c AS (
+      SELECT pri, days, CAST(count(*) AS BIGINT) AS cnt FROM lead GROUP BY pri, days),
+    cum AS (
+      SELECT pri, days,
+             sum(cnt) OVER (PARTITION BY pri ORDER BY days) AS cum_n,
+             sum(cnt) OVER (PARTITION BY pri) AS n
+      FROM c)
+    SELECT pri, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum_n * 2 >= n THEN days END) AS BIGINT) AS p50_days,
+           CAST(min(CASE WHEN cum_n * 10 >= n * 9 THEN days END) AS BIGINT) AS p90_days,
+           CAST(min(CASE WHEN cum_n * 100 >= n * 99 THEN days END) AS BIGINT) AS p99_days
+    FROM cum GROUP BY pri ORDER BY pri
+"""
+
+
+@pq("shipping_lead_percentiles", _LEADPCT_SQL)
+def shipping_lead_percentiles(spark, sf_dir):
+    """Exact p50/p90/p99 of order-to-ship lead time (whole days) per
+    order priority — the SLA table. Percentiles are exact discrete
+    order statistics selected by INTEGER cross-multiplied rank
+    comparisons (cum·k ≥ n·q — no float quantile semantics to align
+    between engines, no interpolation). Plan: the fact join shuffles
+    once on orderkey, then a (priority, days)-keyed agg collapses to a
+    tiny value-count table where the windows run."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lead = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("days"),
+    )
+    c = lead.groupBy("pri", "days").agg(F.count("*").cast("bigint").alias("cnt"))
+    wc = Window.partitionBy("pri").orderBy("days").rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy("pri")
+    cum = c.select(
+        "pri", "days",
+        F.sum("cnt").over(wc).alias("cum_n"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+    return (
+        cum.groupBy("pri")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.min(F.when(F.col("cum_n") * 2 >= F.col("n"), F.col("days")))
+            .cast("bigint").alias("p50_days"),
+            F.min(F.when(F.col("cum_n") * 10 >= F.col("n") * 9, F.col("days")))
+            .cast("bigint").alias("p90_days"),
+            F.min(F.when(F.col("cum_n") * 100 >= F.col("n") * 99, F.col("days")))
+            .cast("bigint").alias("p99_days"),
+        )
+        .orderBy("pri")
+    )
+
+
+# --- DISTINCT ON semantics ------------------------------------------------------------------
+# DuckDB's DISTINCT ON (latest event per user) vs Spark's
+# row_number-over-window rewrite — same semantics, the idiomatic form
+# on each engine; the ORDER BY tie-break makes the winner unique.
+_DISTON_SQL = """
+    SELECT DISTINCT ON (user_id)
+           user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+    FROM events
+    ORDER BY user_id, ts DESC, event_id DESC
+"""
+
+
+@pq("sql_distinct_on", _DISTON_SQL)
+def sql_distinct_on(spark, sf_dir):
+    """Latest event per user — DuckDB's DISTINCT ON against Spark's
+    row_number()-over-window rewrite (the canonical translation of
+    that Postgres-family idiom). The (ts DESC, event_id DESC) order
+    makes the winner unique, so both engines must agree exactly.
+    Plan: one window shuffle on user_id with rank-limit pushdown
+    (Spark's WindowGroupLimit keeps only the top row per key before
+    the sort completes)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        )
+    )
+
+
+# --- fixed-width record parsing -----------------------------------------------------------
+# Committed mainframe-style fixture: id(4) name(10) amount(8) date(8).
+# Spark reads it as text + substring slices; the oracle reads the same
+# file through read_csv with an unused delimiter.
+_FW_PATH = str(Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "fixed_width.txt")
+assert "'" not in _FW_PATH, f"fixture path contains a quote: {_FW_PATH!r}"
+_FW_SQL = f"""
+    SELECT CAST(substr(line, 1, 4) AS BIGINT) AS id,
+           trim(substr(line, 5, 10)) AS name,
+           round(CAST(CAST(substr(line, 15, 8) AS DECIMAL(10,2)) AS DOUBLE), 2) AS amount,
+           substr(line, 23, 4) || '-' || substr(line, 27, 2) || '-' || substr(line, 29, 2) AS d
+    FROM read_csv('{_FW_PATH}', columns = {{'line': 'VARCHAR'}}, header = false, delim = chr(1))
+    ORDER BY id
+"""
+
+
+@pq("fixed_width_parse", _FW_SQL)
+def fixed_width_parse(spark, sf_dir):
+    """Fixed-width (mainframe/COBOL-style) record parsing from a
+    committed fixture: positional substring slices → typed columns
+    (BIGINT id, trimmed name, DECIMAL amount, ISO date) — the legacy
+    ingest format every warehouse still meets. Spark reads the file as
+    raw text lines and slices with codegen'd substrings; the oracle
+    slices the same bytes. Plan: narrow line-parallel parsing — unlike
+    multiline CSV, fixed-width IS line-splittable, so at 100 TB this
+    scan parallelizes perfectly."""
+    lines = spark.read.text(_FW_PATH).withColumnRenamed("value", "line")
+    return lines.select(
+        F.substring("line", 1, 4).cast("bigint").alias("id"),
+        F.trim(F.substring("line", 5, 10)).alias("name"),
+        F.round(F.substring("line", 15, 8).cast("decimal(10,2)").cast("double"), 2).alias("amount"),
+        F.concat_ws(
+            "-",
+            F.substring("line", 23, 4),
+            F.substring("line", 27, 2),
+            F.substring("line", 29, 2),
+        ).alias("d"),
+    ).orderBy("id")
+
+
+# --- multiline JSON array source ------------------------------------------------------------
+# A committed pretty-printed JSON ARRAY file (the REST-dump shape):
+# Spark's multiLine JSON reader vs DuckDB's read_json(format='array'),
+# including nested-struct and array accessors.
+_JARR_PATH = str(Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "records_array.json")
+assert "'" not in _JARR_PATH, f"fixture path contains a quote: {_JARR_PATH!r}"
+_JARR_SQL = f"""
+    SELECT CAST(id AS BIGINT) AS id, name,
+           round(score, 6) AS score,
+           CAST(len(tags) AS INT) AS n_tags,
+           CASE WHEN len(tags) > 0 THEN tags[1] ELSE NULL END AS first_tag,
+           CAST(meta.k AS BIGINT) AS meta_k
+    FROM read_json('{_JARR_PATH}', format = 'array')
+    ORDER BY id
+"""
+
+
+@pq("json_multiline_array_read", _JARR_SQL)
+def json_multiline_array_read(spark, sf_dir):
+    """Pretty-printed JSON ARRAY ingestion (the shape REST dumps and
+    API exports arrive in): Spark's multiLine JSON source turns the
+    array into rows with nested structs/arrays intact, checked against
+    DuckDB's read_json(format='array') on the SAME committed fixture —
+    including struct dot-access and array length/first accessors. At
+    scale, multiLine JSON (like multiline CSV) defeats line splitting,
+    which is why the entry exists: correctness must survive the
+    whole-file parse path."""
+    df = (
+        spark.read.option("multiLine", True)
+        .schema(
+            "id bigint, name string, score double, tags array<string>, meta struct<k: bigint>"
+        )
+        .json(_JARR_PATH)
+    )
+    has = F.size("tags") > 0
+    return df.select(
+        "id",
+        "name",
+        F.round("score", 6).alias("score"),
+        F.size("tags").cast("int").alias("n_tags"),
+        F.when(has, F.element_at("tags", 1)).alias("first_tag"),
+        F.col("meta.k").cast("bigint").alias("meta_k"),
+    ).orderBy("id")
+
+
+# --- Heaps' law fit over shingle vocabulary ---------------------------------------------------
+# Vocabulary growth V(T) ~ K·T^β measured on word-TRIGRAM shingles
+# (the unigram vocab here is deliberately tiny and saturates
+# instantly; the 31³ shingle space does not). Checkpoints are per-doc
+# cumulative (positions, new-shingle counts) — all integers; the
+# log-log regression follows the zipf_fit precedent (9dp-rounded ln
+# inputs into regr_slope/intercept, 4dp outputs).
+_HEAPS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS l
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                     for i in range(1, len(l) - 1)]) AS s
+      FROM toks WHERE len(l) >= 3),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos FROM sh GROUP BY doc_id),
+    firsts AS (
+      SELECT min(doc_id) AS doc_id, count(*) AS one
+      FROM (SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY s) f
+      GROUP BY f.doc_id),
+    curve AS (
+      SELECT p.doc_id,
+             sum(p.n_pos) OVER (ORDER BY p.doc_id) AS t_cum,
+             sum(coalesce(f.one, 0)) OVER (ORDER BY p.doc_id) AS v_cum
+      FROM per_doc p LEFT JOIN firsts f ON p.doc_id = f.doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(t_cum) AS BIGINT) AS total_shingles,
+           CAST(max(v_cum) AS BIGINT) AS vocab,
+           round(regr_slope(round(ln(CAST(v_cum AS DOUBLE)), 9),
+                            round(ln(CAST(t_cum AS DOUBLE)), 9)), 4) AS heaps_beta,
+           round(exp(regr_intercept(round(ln(CAST(v_cum AS DOUBLE)), 9),
+                                    round(ln(CAST(t_cum AS DOUBLE)), 9))), 4) AS heaps_k
+    FROM curve
+"""
+
+
+@pq("corpus_heaps_law", _HEAPS_SQL)
+def corpus_heaps_law(spark, sf_dir):
+    """Heaps'-law fit of vocabulary growth V(T) = K·T^β over word-
+    trigram shingles (the unigram vocabulary here saturates instantly
+    by design; the shingle space doesn't) — the corpus-health
+    companion to the Zipf fit: β near 1 means the corpus keeps
+    producing novel phrasing, β near 0 means templated text.
+    Checkpoints are per-document cumulative integers (positions via
+    prefix sum; new-vocab via each shingle's min doc); the log-log
+    regression follows the zipf precedent (9dp-rounded ln inputs,
+    regr_slope/intercept, 4dp out). Plan: one shingle expansion (in-
+    row), one min-agg over shingles (THE shuffle), prefix sums over
+    the |docs| curve."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ").alias("l"),
+    ).filter(F.size("l") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 2),"
+                " i -> concat_ws(' ', l[i-1], l[i], l[i+1]))"
+            )
+        ).alias("s"),
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_pos"))
+    firsts = (
+        sh.groupBy("s")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("one"))
+    )
+    wc = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_pos").over(wc).alias("t_cum"),
+            F.sum(F.coalesce(F.col("one"), F.lit(0))).over(wc).alias("v_cum"),
+        )
+    )
+    lnv = F.round(F.log(F.col("v_cum").cast("double")), 9)
+    lnt = F.round(F.log(F.col("t_cum").cast("double")), 9)
+    return curve.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("t_cum").cast("bigint").alias("total_shingles"),
+        F.max("v_cum").cast("bigint").alias("vocab"),
+        F.round(F.regr_slope(lnv, lnt), 4).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(lnv, lnt)), 4).alias("heaps_k"),
+    )
+
+
+# --- exponential-fit audit of inter-arrival gaps -------------------------------------------
+# Per event type: mean gap via the telescoping identity
+# (last − first)/(n − 1) — EXACT integer microseconds — plus the exact
+# discrete median gap and the median/mean ratio (≈ ln 2 ≈ 0.693 iff
+# the arrivals are Poisson).
+_IARR_SQL = """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      FROM events),
+    gaps AS (SELECT event_type, CAST(gap AS BIGINT) AS gap FROM g WHERE gap IS NOT NULL),
+    c AS (
+      SELECT event_type, gap, CAST(count(*) AS BIGINT) AS cnt
+      FROM gaps GROUP BY event_type, gap),
+    cum AS (
+      SELECT event_type, gap,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY gap) AS cum_n,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c),
+    med AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+             CAST(min(CASE WHEN cum_n * 2 >= n THEN gap END) AS BIGINT) AS median_us
+      FROM cum GROUP BY event_type),
+    mean_ AS (
+      SELECT event_type,
+             CAST(sum(gap) AS BIGINT) AS total_us
+      FROM gaps GROUP BY event_type)
+    SELECT m.event_type, m.n_gaps,
+           round(a.total_us / (1000000.0 * m.n_gaps), 6) AS mean_gap_s,
+           round(m.median_us / 1000000.0, 6) AS median_gap_s,
+           round(m.median_us * 1.0 / (a.total_us / (1.0 * m.n_gaps)), 4) AS med_mean_ratio
+    FROM med m JOIN mean_ a USING (event_type)
+    ORDER BY m.event_type
+"""
+
+
+@pq("event_interarrival_expfit", _IARR_SQL)
+def event_interarrival_expfit(spark, sf_dir):
+    """Inter-arrival analysis per event type: mean gap, exact discrete
+    median gap, and the median/mean ratio — the one-number Poisson
+    check (exponential arrivals give ln 2 ≈ 0.693; bursty traffic
+    sits far below). Gaps are exact integer microseconds from a lag
+    window with a deterministic (ts, event_id) order; the median is an
+    integer cross-multiplied order statistic; only the final seconds
+    conversions divide. Plan: one window shuffle on the type key, one
+    (type, gap)-keyed agg, windows over the tiny gap-histogram."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    gaps = g.select("event_type", F.col("gap").cast("bigint").alias("gap"))
+    c = gaps.groupBy("event_type", "gap").agg(F.count("*").cast("bigint").alias("cnt"))
+    wc = Window.partitionBy("event_type").orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type", "gap",
+        F.sum("cnt").over(wc).alias("cum_n"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min(F.when(F.col("cum_n") * 2 >= F.col("n"), F.col("gap")))
+        .cast("bigint").alias("median_us"),
+    )
+    mean_ = gaps.groupBy("event_type").agg(F.sum("gap").cast("bigint").alias("total_us"))
+    return (
+        med.join(mean_, "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round(F.col("total_us") / (1000000.0 * F.col("n_gaps")), 6).alias("mean_gap_s"),
+            F.round(F.col("median_us") / 1000000.0, 6).alias("median_gap_s"),
+            F.round(
+                F.col("median_us") * 1.0 / (F.col("total_us") / (1.0 * F.col("n_gaps"))), 4
+            ).alias("med_mean_ratio"),
+        )
+        .orderBy("event_type")
+    )
