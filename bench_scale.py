@@ -354,6 +354,57 @@ def p_budget(spark):
     }
 
 
+@probe("token_heavy_hitters_mg")
+def p_heavy_hitters(spark):
+    """20M zipf-skewed tokens: the Misra-Gries sketch path (map-side
+    64-counter summaries + candidates-only exact recount) must return
+    the EXACT same heavy-hitter set and counts as the naive full
+    token-shuffle GROUP BY — and do it without shuffling the stream."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.sketches import heavy_hitters_exact
+
+    n = 20_000_000
+    # zipf-ish: rank r with weight ~ 1/r over 50k token ids via inverse
+    # CDF on a deterministic hash-uniform (u in (0,1])
+    toks = spark.range(n).select(
+        F.concat(
+            F.lit("tok"),
+            F.floor(
+                F.exp(
+                    (F.pmod(F.xxhash64("id"), 1_000_000) + 1) / 1_000_000.0 * 10.8198
+                )
+            ).cast("long").cast("string"),
+        ).alias("t")
+    )
+    toks.persist()
+    toks.count()
+    t0 = time.monotonic()
+    sketch = {
+        (r["t"], r["freq"])
+        for r in heavy_hitters_exact(toks, "t", denom=50, k=256).collect()
+    }
+    t_sketch = time.monotonic() - t0
+    t0 = time.monotonic()
+    total = toks.count()
+    naive = {
+        (r["t"], r["freq"])
+        for r in toks.groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .filter(F.col("freq") * 50 > total)
+        .collect()
+    }
+    t_naive = time.monotonic() - t0
+    toks.unpersist()
+    naive_cmp = naive
+    return {
+        "sketch_seconds": round(t_sketch, 2),
+        "naive_seconds": round(t_naive, 2),
+        "n_heavy": len(sketch),
+        "ok": bool(sketch == naive_cmp and len(sketch) > 0),
+    }
+
+
 def main() -> None:
     import tempfile
 
@@ -383,6 +434,8 @@ def main() -> None:
         print("generating events...", file=sys.stderr)
         p_asof(spark, gen_events(spark))
         p_budget(spark)
+        print("generating tokens...", file=sys.stderr)
+        p_heavy_hitters(spark)
 
     total = round(time.monotonic() - t0, 2)
     payload = json.dumps(
