@@ -414,8 +414,9 @@ _HOLT_SQL = """
              r.l + r.b
       FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.i = r.i + 1)
     SELECT rec.event_type AS event_type, ser.d AS d,
-           round(rec.l, 6) AS level, round(rec.b, 6) AS trend,
-           round(rec.f, 6) AS fitted
+           floor(rec.l * 1000000 + 0.5) / 1000000 AS level,
+           floor(rec.b * 1000000 + 0.5) / 1000000 AS trend,
+           floor(rec.f * 1000000 + 0.5) / 1000000 AS fitted
     FROM rec JOIN ser ON rec.event_type = ser.event_type AND rec.i = ser.i
     ORDER BY 1, 2
 """
@@ -467,11 +468,17 @@ def holt_linear_trend(spark, sf_dir):
     out = daily.groupBy("event_type").applyInPandas(
         holt, schema="event_type string, d string, level double, trend double, fitted double"
     )
+    def pin6(c):
+        # floor(x*1e6+0.5)/1e6: the repo's pinned HALF_UP — identical on
+        # both engines even when a trajectory double lands 1 ulp from a
+        # 6dp half boundary (the sf0.1 sweep caught round() diverging)
+        return F.floor(F.col(c) * 1_000_000 + F.lit(0.5)) / 1_000_000
+
     return out.select(
         "event_type", "d",
-        F.round("level", 6).alias("level"),
-        F.round("trend", 6).alias("trend"),
-        F.round("fitted", 6).alias("fitted"),
+        pin6("level").alias("level"),
+        pin6("trend").alias("trend"),
+        pin6("fitted").alias("fitted"),
     ).orderBy("event_type", "d")
 
 
@@ -502,7 +509,7 @@ _LTV_SQL = """
     SELECT CAST(floor(cohort_ym / 12) AS BIGINT) AS cohort_y,
            CAST(cohort_ym % 12 + 1 AS INT) AS cohort_m,
            CAST(age AS INT) AS age,
-           round(CAST(cum_rev AS DOUBLE) / n_cust, 2) AS ltv_per_cust
+           floor(CAST(cum_rev AS DOUBLE) / n_cust * 100 + 0.5) / 100 AS ltv_per_cust
     FROM cum JOIN sized USING (cohort_ym)
     WHERE age <= 12
     ORDER BY cohort_y, cohort_m, age
@@ -544,7 +551,7 @@ def cohort_ltv_curve(spark, sf_dir):
             F.floor(F.col("cohort_ym") / 12).cast("bigint").alias("cohort_y"),
             (F.col("cohort_ym") % 12 + 1).cast("int").alias("cohort_m"),
             F.col("age").cast("int").alias("age"),
-            F.round(F.col("cum_rev").cast("double") / F.col("n_cust"), 2).alias("ltv_per_cust"),
+            (F.floor(F.col("cum_rev").cast("double") / F.col("n_cust") * 100 + F.lit(0.5)) / 100).alias("ltv_per_cust"),
         )
         .orderBy("cohort_y", "cohort_m", "age")
     )

@@ -776,3 +776,34 @@ def test_round9_tier_no_cartesian_blanket(spark):
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in ONE_ROW_SCALAR_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_round10_staged_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-10 STAGED tier (same
+    contract as the round-7/9 blankets, applied before registration):
+    no CartesianProduct; BroadcastNestedLoopJoin only where the
+    crossJoin side is a bounded scalar/literal (grand totals, tie
+    sums, fitted stats, 3-row threshold literals)."""
+    import re as _re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round10_pending import PENDING_QUERIES
+
+    src = open("etl_mini_spark/queries/round10_pending.py").read()
+    ROUND10 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
+    assert len(ROUND10) == 24
+    ONE_ROW_SCALAR_OK = {
+        "mann_whitney_u",              # 1-row tie-correction aggregate
+        "durbin_watson_autocorr",      # 1-row denominator aggregate
+        "confusion_matrix_thresholds", # 3-row threshold literal
+        "feature_hash_collision_audit",# 1-row max-load aggregate
+        "bm25_topk_docs",              # 1-row corpus stats
+        "price_volume_mix_decomp",     # scalar effect totals
+        "partition_skew_advisor",      # 1-row reduction
+        "holt_linear_trend",           # trivially join-free; listed for clarity
+    }
+    for name in ROUND10:
+        s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in ONE_ROW_SCALAR_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
