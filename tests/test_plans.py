@@ -807,3 +807,34 @@ def test_round10_staged_tier_no_cartesian_blanket(spark):
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in ONE_ROW_SCALAR_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_distinct_on_uses_window_group_limit(spark):
+    """sql_distinct_on's docstring claims the row_number rewrite gets
+    Spark's WindowGroupLimit pushdown (top-1 per key pruned BEFORE the
+    full sort materializes) — pin it so a refactor can't silently lose
+    the optimization."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round10_pending import PENDING_QUERIES
+
+    s = plan_summary(PENDING_QUERIES["sql_distinct_on"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in s.text
+
+
+def test_heavy_hitters_token_stream_never_shuffles_raw(spark):
+    """heavy_hitters_mg's contract: the raw token stream reaches the
+    Misra-Gries sketch with NO exchange upstream (map-side summaries),
+    candidates join back via broadcast (no SortMergeJoin anywhere),
+    and the final recount aggregates partially before its exchange."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["heavy_hitters_mg"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in s.joins and "CartesianProduct" not in s.joins, s.joins
+    assert s.n_broadcast_exchanges >= 1  # candidate set broadcasts
+    # the sketch node's direct input chain (lines under MapInPandas up to
+    # the file scan) must be exchange-free: tokens are summarized in place
+    lines = s.text.splitlines()
+    i = next(i for i, l in enumerate(lines) if "MapInPandas" in l)
+    j = next(j for j in range(i, len(lines)) if "FileScan" in lines[j])
+    assert not any("Exchange" in l for l in lines[i:j]), "\n".join(lines[i:j])
