@@ -1595,3 +1595,155 @@ def event_interarrival_expfit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- incremental Holt smoothing via foreachBatch ------------------------------------------
+# The streaming counterpart of holt_linear_trend: the daily series
+# arrives as THREE date-chunked files processed one per micro-batch
+# (maxFilesPerTrigger=1), and a (level, trend, seed) state table carries
+# the recursion across batches. Because the fold is the same sequential
+# IEEE op sequence whether run in one pass or restarted from persisted
+# float64 state, the incremental output must equal the batch recursion
+# BIT-FOR-BIT — which is exactly what the shared recursive-CTE oracle
+# checks. Day-1 output is emitted only when day 2 arrives (its trend
+# b1 = x2 − x1 depends on the future point), including across a batch
+# boundary.
+_HOLT_STREAM_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+    ser AS (
+      SELECT event_type, d, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+      FROM daily),
+    rec AS (
+      SELECT s1.event_type, CAST(1 AS BIGINT) AS i,
+             s1.x AS l, s2.x - s1.x AS b, s1.x AS f
+      FROM ser s1 JOIN ser s2
+        ON s1.event_type = s2.event_type AND s1.i = 1 AND s2.i = 2
+      UNION ALL
+      SELECT r.event_type, r.i + 1,
+             0.5 * s.x + 0.5 * (r.l + r.b),
+             0.3 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b,
+             r.l + r.b
+      FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.i = r.i + 1)
+    SELECT rec.event_type AS event_type, ser.d AS d,
+           floor(rec.l * 1000000 + 0.5) / 1000000 AS level,
+           floor(rec.b * 1000000 + 0.5) / 1000000 AS trend,
+           floor(rec.f * 1000000 + 0.5) / 1000000 AS fitted
+    FROM rec JOIN ser ON rec.event_type = ser.event_type AND rec.i = ser.i
+    ORDER BY 1, 2
+"""
+
+
+@pq("stream_holt_incremental", _HOLT_STREAM_SQL)
+def stream_holt_incremental(spark, sf_dir):
+    """Holt level+trend smoothing maintained INCREMENTALLY: the daily
+    series streams in as three date-chunked files (one micro-batch
+    each, maxFilesPerTrigger=1), a foreachBatch sink folds each batch
+    from a persisted (level, trend, seed) state table and appends the
+    per-day outputs, and the final table must equal the one-pass batch
+    recursion bit-for-bit — persisted float64 state restarts the exact
+    IEEE sequence, so "incremental" is not "approximate". The day-1
+    row is withheld until day 2 arrives (its trend is x2−x1), across
+    batch boundaries too. This is the streaming-stateful-maintenance
+    counterpart of holt_linear_trend, same oracle. Plan: per batch one
+    tiny keyed fold (state rows = |series keys|), the corpus-side day
+    aggregation happening once upstream — the incremental-agg shape
+    that replaces full-history rescans at 100 TB."""
+    import shutil
+    import uuid
+
+    import pandas as pd
+
+    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
+
+    for old in _TMP.glob("holt_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    tmp = _TMP / f"holt_{uuid.uuid4().hex[:8]}"
+    src, out, state, ckpt = tmp / "src", tmp / "out", tmp / "state", tmp / "ckpt"
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x"))
+    cuts = ["0000-00-00", "2024-01-11", "2024-01-21", "9999-12-31"]
+    src.mkdir(parents=True, exist_ok=True)
+    all_daily = daily.toPandas()
+    for i in range(3):
+        chunk = all_daily[(all_daily["d"] >= cuts[i]) & (all_daily["d"] < cuts[i + 1])]
+        # one plain file per chunk, written in order => one micro-batch
+        # each under maxFilesPerTrigger=1 (mtime+path both increase)
+        chunk.sort_values(["event_type", "d"]).to_parquet(
+            src / f"{i:02d}.parquet", index=False
+        )
+
+    schema = spark.read.parquet(str(src / "00.parquet")).schema
+
+    def sink(batch_df, batch_id):
+        pdf = batch_df.toPandas().sort_values(["event_type", "d"])
+        if pdf.empty:
+            return
+        try:
+            st = pd.read_parquet(state / "state.parquet").set_index("event_type")
+        except (FileNotFoundError, OSError):
+            st = pd.DataFrame(
+                columns=["l", "b", "n_seen", "seed_x", "seed_d"]
+            ).set_index(pd.Index([], name="event_type"))
+        outs = []
+        for key, g in pdf.groupby("event_type", sort=True):
+            if key in st.index:
+                l, b, n_seen, seed_x, seed_d = st.loc[key]
+                n_seen = int(n_seen)
+            else:
+                l = b = seed_x = float("nan")
+                seed_d = None
+                n_seen = 0
+            for _, r in g.iterrows():
+                x, d = float(r["x"]), r["d"]
+                if n_seen == 0:
+                    seed_x, seed_d, n_seen = x, d, 1
+                elif n_seen == 1:
+                    l = seed_x
+                    b = x - seed_x
+                    # retro-emit day 1 now that its trend is known
+                    outs.append((key, seed_d, l, b, seed_x))
+                    l_new = 0.5 * x + 0.5 * (l + b)
+                    b_new = 0.3 * (l_new - l) + 0.7 * b
+                    outs.append((key, d, l_new, b_new, l + b))
+                    l, b, n_seen = l_new, b_new, 2
+                else:
+                    f = l + b
+                    l_new = 0.5 * x + 0.5 * (l + b)
+                    b_new = 0.3 * (l_new - l) + 0.7 * b
+                    outs.append((key, d, l_new, b_new, f))
+                    l, b, n_seen = l_new, b_new, n_seen + 1
+            st.loc[key] = [l, b, n_seen, seed_x, seed_d]
+        out.mkdir(parents=True, exist_ok=True)
+        state.mkdir(parents=True, exist_ok=True)
+        if outs:
+            pd.DataFrame(
+                outs, columns=["event_type", "d", "level", "trend", "fitted"]
+            ).to_parquet(out / f"batch_{batch_id}.parquet", index=False)
+        st.reset_index().to_parquet(state / "state.parquet", index=False)
+
+    stream = read_stream_parquet(
+        spark, str(src), schema, options={"maxFilesPerTrigger": "1"}
+    )
+    run_to_completion(stream, checkpoint_dir=str(ckpt), sink=sink)
+
+    res = spark.read.schema(
+        "event_type string, d string, level double, trend double, fitted double"
+    ).parquet(str(out))
+
+    def pin6(c):
+        return F.floor(F.col(c) * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    return res.select(
+        "event_type", "d",
+        pin6("level").alias("level"),
+        pin6("trend").alias("trend"),
+        pin6("fitted").alias("fitted"),
+    ).orderBy("event_type", "d")

@@ -791,7 +791,9 @@ def test_round10_staged_tier_no_cartesian_blanket(spark):
 
     src = open("etl_mini_spark/queries/round10_pending.py").read()
     ROUND10 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
-    assert len(ROUND10) == 24
+    assert len(ROUND10) == 25
+    SKIP_SIDE_EFFECTS = {"stream_holt_incremental"}  # runs a streaming job; plan is a plain output scan
+    ROUND10 = [n for n in ROUND10 if n not in SKIP_SIDE_EFFECTS]
     ONE_ROW_SCALAR_OK = {
         "mann_whitney_u",              # 1-row tie-correction aggregate
         "durbin_watson_autocorr",      # 1-row denominator aggregate

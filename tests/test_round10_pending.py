@@ -211,3 +211,13 @@ def test_interarrival_ratio_bounded(spark):
     for r in rows:
         assert r["mean_gap_s"] > 0 and r["median_gap_s"] >= 0
         assert 0.0 <= r["med_mean_ratio"] < 2.0
+
+
+def test_stream_holt_matches_batch_exactly(spark):
+    """The incremental foreachBatch Holt must reproduce the registered
+    batch recursion BIT-FOR-BIT (state restart = same IEEE sequence) —
+    the whole claim of incremental stateful maintenance."""
+    inc = PENDING["stream_holt_incremental"](spark, SF_SMOKE).collect()
+    bat = PENDING["holt_linear_trend"](spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in bat]
+    assert len(inc) == 150  # 5 series x 30 days
