@@ -1747,3 +1747,197 @@ def stream_holt_incremental(spark, sf_dir):
         pin6("trend").alias("trend"),
         pin6("fitted").alias("fitted"),
     ).orderBy("event_type", "d")
+
+
+# --- session bounce rate ---------------------------------------------------------------
+# 30-minute-gap sessions (the registry's session definition) classified
+# single-event vs multi-event per day: bounce rate is the ratio of two
+# exact counts.
+_BOUNCE_SQL = """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    y AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM x),
+    s AS (
+      SELECT user_id, sess, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+      FROM y GROUP BY user_id, sess)
+    SELECT strftime(session_start, '%Y-%m-%d') AS d,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) / (1.0 * count(*)), 6)
+             AS bounce_rate
+    FROM s GROUP BY 1 ORDER BY d
+"""
+
+
+@pq("session_bounce_rate", _BOUNCE_SQL)
+def session_bounce_rate(spark, sf_dir):
+    """Daily bounce rate: 30-minute-gap sessions (session_window —
+    the same definition the streaming tier uses) classified
+    single-event vs multi-event, attributed to the session's start
+    day. Bounce rate is a ratio of exact session counts. Plan: one
+    user-keyed session window (the sessionization shuffle), one
+    session agg, one day agg — nothing new moves at scale beyond what
+    sessionization already pays."""
+    e = _t(spark, sf_dir, "events")
+    s = e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"), F.min("ts").alias("session_start")
+    )
+    return (
+        s.groupBy(F.date_format("session_start", "yyyy-MM-dd").alias("d"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+        .select(
+            "d",
+            "n_sessions",
+            "n_bounces",
+            F.round(F.col("n_bounces") / (1.0 * F.col("n_sessions")), 6).alias("bounce_rate"),
+        )
+        .orderBy("d")
+    )
+
+
+# --- hapax legomena / type-token ratio ---------------------------------------------------
+# Lexical-richness scalars over trigram shingles (the unigram vocab is
+# saturated by design): hapax share of the vocabulary and the
+# type-token ratio — exact integer counts, two display divisions.
+_HAPAX_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS l
+      FROM documents),
+    sh AS (
+      SELECT unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                     for i in range(1, len(l) - 1)]) AS s
+      FROM toks WHERE len(l) >= 3),
+    f AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY s)
+    SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / (1.0 * count(*)), 6) AS hapax_share,
+           round(count(*) / (1.0 * sum(c)), 6) AS type_token_ratio
+    FROM f
+"""
+
+
+@pq("text_hapax_ratio", _HAPAX_SQL)
+def text_hapax_ratio(spark, sf_dir):
+    """Lexical-richness scalars over trigram shingles: the hapax-
+    legomena share (fraction of vocabulary seen exactly once — high in
+    fresh text, collapsing under boilerplate) and the type-token
+    ratio. Counts are exact integers; the two ratios are single
+    display divisions. Plan: in-row shingle expansion, ONE shingle-
+    keyed agg, a scalar reduction — the Heaps'-law companion at the
+    same shuffle cost."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ").alias("l")
+    ).filter(F.size("l") >= 3)
+    sh = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 2),"
+                " i -> concat_ws(' ', l[i-1], l[i], l[i+1]))"
+            )
+        ).alias("s")
+    )
+    f = sh.groupBy("s").agg(F.count("*").cast("bigint").alias("c"))
+    return f.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("n_hapax"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) / (1.0 * F.count("*")), 6
+        ).alias("hapax_share"),
+        F.round(F.count("*") / (1.0 * F.sum("c")), 6).alias("type_token_ratio"),
+    )
+
+
+# --- Brown-Forsythe (mean-based Levene) variance-equality test ----------------------------
+# ANOVA-F applied to absolute deviations from each group's mean: the
+# robust are-the-variances-equal screen. Group means are exact decimal
+# ratios; each |x−mean| pre-rounds at 9dp and sums (and sums of
+# squares) accumulate as DECIMAL(28,9)/DECIMAL(38,8) — order-free.
+_LEVENE_SQL = """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS x FROM events),
+    means AS (
+      SELECT g, CAST(sum(x) AS DOUBLE) / count(*) AS mu,
+             CAST(count(*) AS BIGINT) AS n_g
+      FROM base GROUP BY g),
+    dev AS (
+      SELECT base.g,
+             CAST(round(abs(CAST(base.x AS DOUBLE) - m.mu), 9) AS DECIMAL(28,9)) AS z
+      FROM base JOIN means m ON base.g = m.g),
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g, sum(z) AS s_g,
+             sum(CAST(z AS DECIMAL(38,8)) * z) AS ss_g
+      FROM dev GROUP BY g),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(s_g) AS s, sum(ss_g) AS ss,
+             sum(CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 9)
+                      AS DECIMAL(28,9))) AS bsum
+      FROM per)
+    SELECT n, k,
+           round(((CAST(bsum AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1))
+                 / ((CAST(ss AS DOUBLE) - CAST(bsum AS DOUBLE)) / (n - k)), 6) AS levene_w
+    FROM tot
+"""
+
+
+@pq("levene_brown_forsythe", _LEVENE_SQL)
+def levene_brown_forsythe(spark, sf_dir):
+    """Levene's test (mean-centered / Brown-Forsythe family) for
+    equality of value variances across event types — the
+    heteroscedasticity screen run before trusting ANOVA. It is the
+    ANOVA F applied to |x − group mean|: means are exact decimal
+    ratios, each deviation pre-rounds at 9dp, and all downstream sums
+    accumulate in decimal — order-free on both engines. Plan: two
+    passes over the fact table (means, then deviations — the means
+    broadcast back), one k-row finish."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(F.col("event_type").alias("g"), F.col("value").cast("decimal(18,2)").alias("x"))
+    means = base.groupBy("g").agg(
+        (F.sum("x").cast("double") / F.count("*")).alias("mu"),
+        F.count("*").cast("bigint").alias("n_g0"),
+    )
+    dev = base.join(F.broadcast(means), "g").select(
+        "g",
+        F.round(F.abs(F.col("x").cast("double") - F.col("mu")), 9)
+        .cast("decimal(28,9)")
+        .alias("z"),
+    )
+    per = dev.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum(F.col("z").cast("decimal(38,8)") * F.col("z")).alias("ss_g"),
+    )
+    tot = per.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(
+            F.round(
+                F.col("s_g").cast("double") * F.col("s_g").cast("double") / F.col("n_g"), 9
+            ).cast("decimal(28,9)")
+        ).alias("bsum"),
+    )
+    ssb = F.col("bsum").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ssw = F.col("ss").cast("double") - F.col("bsum").cast("double")
+    return tot.select(
+        "n",
+        "k",
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6).alias("levene_w"),
+    )

@@ -791,7 +791,7 @@ def test_round10_staged_tier_no_cartesian_blanket(spark):
 
     src = open("etl_mini_spark/queries/round10_pending.py").read()
     ROUND10 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
-    assert len(ROUND10) == 25
+    assert len(ROUND10) == 28
     SKIP_SIDE_EFFECTS = {"stream_holt_incremental"}  # runs a streaming job; plan is a plain output scan
     ROUND10 = [n for n in ROUND10 if n not in SKIP_SIDE_EFFECTS]
     ONE_ROW_SCALAR_OK = {

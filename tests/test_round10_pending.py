@@ -221,3 +221,24 @@ def test_stream_holt_matches_batch_exactly(spark):
     bat = PENDING["holt_linear_trend"](spark, SF_SMOKE).collect()
     assert [tuple(r) for r in inc] == [tuple(r) for r in bat]
     assert len(inc) == 150  # 5 series x 30 days
+
+
+def test_bounce_rate_bounded_and_daily(spark):
+    rows = PENDING["session_bounce_rate"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+
+
+def test_hapax_consistent(spark):
+    row = PENDING["text_hapax_ratio"](spark, SF_SMOKE).collect()[0]
+    assert 0 < row["n_hapax"] <= row["n_types"] <= row["n_tokens"]
+    assert 0.0 < row["hapax_share"] < 1.0
+    assert 0.0 < row["type_token_ratio"] < 1.0
+
+
+def test_levene_positive(spark):
+    row = PENDING["levene_brown_forsythe"](spark, SF_SMOKE).collect()[0]
+    assert row["k"] == 5 and row["n"] > 500
+    assert row["levene_w"] >= 0
