@@ -1941,3 +1941,520 @@ def levene_brown_forsythe(spark, sf_dir):
         "k",
         F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6).alias("levene_w"),
     )
+
+
+# --- rolling regression slope ------------------------------------------------------------
+# 14-day rolling OLS slope of purchase revenue on click revenue: the
+# five sufficient statistics per frame are DECIMAL window sums (the
+# daily series is decimal, zero-filled on a shared day grid), and each
+# slope is one double formula.
+_ROLLREG_SQL = """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d,
+             sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1),
+    f AS (
+      SELECT d,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(CAST(x AS DECIMAL(38,4)) * y) OVER w AS sxy,
+             sum(CAST(x AS DECIMAL(38,4)) * x) OVER w AS sxx
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT d,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS beta
+    FROM f WHERE n = 14 ORDER BY d
+"""
+
+
+@pq("rolling_regression_slope", _ROLLREG_SQL)
+def rolling_regression_slope(spark, sf_dir):
+    """14-day rolling OLS slope of daily purchase revenue on daily
+    click revenue — the rolling-beta shape every marketing-mix or
+    pairs-trading dashboard computes. Both series share one day grid
+    (zero-filled via conditional aggregation), the frame's sufficient
+    statistics are DECIMAL window sums (exact), and each slope is one
+    double formula. Plan: one day agg, one ordered window over the
+    tiny daily series — at scale the frame sums are incremental, not
+    recomputed per row."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    z = F.lit(0).cast("decimal(18,2)")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value").cast("decimal(18,2)")).otherwise(z)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)")).otherwise(z)
+        ).alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    f = daily.select(
+        "d",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,4)") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,4)") * F.col("x")).over(w).alias("sxx"),
+    )
+    return (
+        f.filter("n = 14")
+        .select(
+            "d",
+            F.round(
+                (F.col("n") * F.col("sxy").cast("double")
+                 - F.col("sx").cast("double") * F.col("sy").cast("double"))
+                / (F.col("n") * F.col("sxx").cast("double")
+                   - F.col("sx").cast("double") * F.col("sx").cast("double")),
+                6,
+            ).alias("beta"),
+        )
+        .orderBy("d")
+    )
+
+
+# --- week-over-week movers ----------------------------------------------------------------
+# Weekly part revenue on an epoch-anchored integer week index (no ISO
+# week-numbering semantics to align); the report ranks risers and
+# fallers of the last COMPLETE week by the exact decimal delta.
+_WOW_SQL = """
+    WITH wk AS (
+      SELECT l_partkey AS pk,
+             CAST(floor(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) / 7)
+                  AS BIGINT) AS w,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    last_w AS (SELECT max(w) - 1 AS w1 FROM wk),
+    pair AS (
+      SELECT a.pk, a.rev AS rev_cur, coalesce(b.rev, CAST(0 AS DECIMAL(18,2))) AS rev_prev,
+             a.rev - coalesce(b.rev, CAST(0 AS DECIMAL(18,2))) AS delta
+      FROM wk a
+      LEFT JOIN wk b ON a.pk = b.pk AND b.w = a.w - 1
+      CROSS JOIN last_w WHERE a.w = last_w.w1),
+    ranked AS (
+      SELECT pk, rev_cur, rev_prev, delta,
+             row_number() OVER (ORDER BY delta DESC, pk) AS rise_rn,
+             row_number() OVER (ORDER BY delta ASC, pk) AS fall_rn
+      FROM pair)
+    SELECT CASE WHEN rise_rn <= 5 THEN 'riser' ELSE 'faller' END AS direction,
+           CAST(CASE WHEN rise_rn <= 5 THEN rise_rn ELSE fall_rn END AS INT) AS rn,
+           pk,
+           round(CAST(rev_prev AS DOUBLE), 2) AS rev_prev,
+           round(CAST(rev_cur AS DOUBLE), 2) AS rev_cur,
+           round(CAST(delta AS DOUBLE), 2) AS delta
+    FROM ranked WHERE rise_rn <= 5 OR fall_rn <= 5
+    ORDER BY direction, rn
+"""
+
+
+@pq("wow_movers_topk", _WOW_SQL)
+def wow_movers_topk(spark, sf_dir):
+    """Week-over-week movers: top-5 revenue risers and fallers among
+    parts for the last complete week. Weeks are an epoch-anchored
+    integer index (floor(days-since-1995/7)) — no ISO week-numbering
+    semantics to align between engines — and the ranking key is the
+    exact DECIMAL revenue delta with the part key as tie-break. Plan:
+    one (part, week) agg, a self-join against the previous week only
+    (the week filter prunes first), two rank windows over one week's
+    parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.floor(
+            F.datediff(F.to_date("l_shipdate"), F.to_date(F.lit("1995-01-01"))) / 7
+        ).cast("bigint").alias("w"),
+    ).agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"))
+    last_w = wk.agg((F.max("w") - 1).alias("w1"))
+    a = wk.alias("a")
+    b = wk.alias("b")
+    z = F.lit(0).cast("decimal(18,2)")
+    pair = (
+        a.crossJoin(F.broadcast(last_w))
+        .filter(F.col("a.w") == F.col("w1"))
+        .join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("b.w") == F.col("a.w") - 1), "left")
+        .select(
+            F.col("a.pk").alias("pk"),
+            F.col("a.rev").alias("rev_cur"),
+            F.coalesce(F.col("b.rev"), z).alias("rev_prev"),
+            (F.col("a.rev") - F.coalesce(F.col("b.rev"), z)).alias("delta"),
+        )
+    )
+    ranked = pair.select(
+        "pk", "rev_cur", "rev_prev", "delta",
+        F.row_number().over(Window.orderBy(F.col("delta").desc(), "pk")).alias("rise_rn"),
+        F.row_number().over(Window.orderBy(F.col("delta").asc(), "pk")).alias("fall_rn"),
+    )
+    return (
+        ranked.filter((F.col("rise_rn") <= 5) | (F.col("fall_rn") <= 5))
+        .select(
+            F.when(F.col("rise_rn") <= 5, "riser").otherwise("faller").alias("direction"),
+            F.when(F.col("rise_rn") <= 5, F.col("rise_rn")).otherwise(F.col("fall_rn"))
+            .cast("int").alias("rn"),
+            "pk",
+            F.round(F.col("rev_prev").cast("double"), 2).alias("rev_prev"),
+            F.round(F.col("rev_cur").cast("double"), 2).alias("rev_cur"),
+            F.round(F.col("delta").cast("double"), 2).alias("delta"),
+        )
+        .orderBy("direction", "rn")
+    )
+
+
+# --- Wald-Wolfowitz runs test --------------------------------------------------------------
+# Randomness of the daily-revenue sign sequence around its exact
+# discrete median: run count and n1/n2 are integers; z is the single
+# float expression.
+_RUNS_SQL = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY 1),
+    med AS (
+      SELECT min(x) AS m FROM (
+        SELECT x, row_number() OVER (ORDER BY x, d) AS rn, count(*) OVER () AS n
+        FROM daily) WHERE rn * 2 >= n),
+    signs AS (
+      SELECT d, x > med.m AS up FROM daily CROSS JOIN med WHERE x <> med.m),
+    flips AS (
+      SELECT up,
+             CASE WHEN lag(up) OVER (ORDER BY d) IS NULL
+                       OR up <> lag(up) OVER (ORDER BY d)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signs),
+    s AS (
+      SELECT CAST(sum(new_run) AS BIGINT) AS runs,
+             CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2
+      FROM flips)
+    SELECT runs, n1, n2,
+           round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))), 6) AS z
+    FROM s
+"""
+
+
+@pq("runs_test_wald_wolfowitz", _RUNS_SQL)
+def runs_test_wald_wolfowitz(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the daily-revenue sign sequence
+    around its exact discrete median — the is-this-series-random
+    screen (too few runs = trending, too many = oscillating). The
+    median is an integer-rank order statistic, runs and n1/n2 are
+    integer window sums, and z is the single float expression. Plan:
+    one day agg, one rank window for the median, one lag window for
+    run boundaries — all over the tiny daily series."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    ranked = daily.select(
+        "x",
+        F.row_number().over(Window.orderBy("x", "d")).alias("rn"),
+        F.count("*").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") * 2 >= F.col("n")).agg(F.min("x").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("m"))
+        .select("d", (F.col("x") > F.col("m")).alias("up"))
+    )
+    wl = Window.orderBy("d")
+    flips = signs.select(
+        "up",
+        F.when(
+            F.lag("up").over(wl).isNull() | (F.col("up") != F.lag("up").over(wl)), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    s = flips.agg(
+        F.sum("new_run").cast("bigint").alias("runs"),
+        F.sum(F.when(F.col("up"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("up"), 0).otherwise(1)).cast("bigint").alias("n2"),
+    )
+    n = F.col("n1") + F.col("n2")
+    mu = 2.0 * F.col("n1") * F.col("n2") / n + 1
+    var = (
+        2.0 * F.col("n1") * F.col("n2") * (2.0 * F.col("n1") * F.col("n2") - n)
+        / (n * n * 1.0 * (n - 1))
+    )
+    return s.select(
+        "runs", "n1", "n2", F.round((F.col("runs") - mu) / F.sqrt(var), 6).alias("z")
+    )
+
+
+# --- Ljung-Box portmanteau statistic ---------------------------------------------------------
+# Q = n(n+2) Σ_{k=1..7} r_k²/(n−k) over the hourly revenue series
+# (co-observed pairs per lag, as in acf_hourly_lags); each lag's term
+# pre-rounds at 9dp and sums as DECIMAL(28,9).
+_LJUNG_SQL = """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             sum(CAST(value AS DECIMAL(18,2))) AS x
+      FROM events GROUP BY 1),
+    nall AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hourly),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+    paired AS (
+      SELECT l.lag, a.x AS x, b.x AS y
+      FROM lags l JOIN hourly a ON TRUE
+      JOIN hourly b ON b.h = a.h - l.lag),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS np,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS DECIMAL(38,4)) * y) AS sxy,
+             sum(CAST(x AS DECIMAL(38,4)) * x) AS sxx,
+             sum(CAST(y AS DECIMAL(38,4)) * y) AS syy
+      FROM paired GROUP BY lag),
+    r AS (
+      SELECT lag,
+             (np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((np * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (np * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rk
+      FROM s),
+    terms AS (
+      SELECT CAST(round(rk * rk / (nall.n - lag), 9) AS DECIMAL(28,9)) AS term
+      FROM r CROSS JOIN nall)
+    SELECT nall.n,
+           CAST(7 AS INT) AS df,
+           round(nall.n * (nall.n + 2) * CAST((SELECT sum(term) FROM terms) AS DOUBLE), 6)
+             AS ljung_box_q
+    FROM nall
+"""
+
+
+@pq("ljung_box_q", _LJUNG_SQL)
+def ljung_box_q(spark, sf_dir):
+    """Ljung-Box portmanteau statistic over lags 1..7 of the hourly
+    revenue series — the is-there-ANY-autocorrelation omnibus that
+    model-residual diagnostics run (large Q ⇒ the series is not white
+    noise). Per-lag correlations use the same decimal-exact
+    co-observed-pair statistics as acf_hourly_lags; each r_k²/(n−k)
+    term pre-rounds at 9dp and sums as DECIMAL(28,9). Plan: one hour
+    agg, a 7×|hours| lag join on the tiny aggregated series, a scalar
+    finish."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+    nall = hourly.agg(F.count("*").cast("bigint").alias("n"))
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag")
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("b.h") == F.col("a.h") - F.col("lag"))
+        .select("lag", F.col("a.x").alias("x"), F.col("b.x").alias("y"))
+    )
+    s = paired.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,4)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,4)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,4)") * F.col("y")).alias("syy"),
+    )
+    r = s.select(
+        "lag",
+        (
+            (F.col("np") * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / F.sqrt(
+                (F.col("np") * F.col("sxx").cast("double")
+                 - F.col("sx").cast("double") * F.col("sx").cast("double"))
+                * (F.col("np") * F.col("syy").cast("double")
+                   - F.col("sy").cast("double") * F.col("sy").cast("double"))
+            )
+        ).alias("rk"),
+    )
+    terms = r.crossJoin(F.broadcast(nall)).select(
+        F.round(F.col("rk") * F.col("rk") / (F.col("n") - F.col("lag")), 9)
+        .cast("decimal(28,9)").alias("term")
+    )
+    qsum = terms.agg(F.sum("term").alias("qsum"))
+    return nall.crossJoin(F.broadcast(qsum)).select(
+        "n",
+        F.lit(7).cast("int").alias("df"),
+        F.round(
+            F.col("n") * (F.col("n") + 2) * F.col("qsum").cast("double"), 6
+        ).alias("ljung_box_q"),
+    )
+
+
+# --- ABC inventory classification -------------------------------------------------------------
+# Parts ranked by revenue; class boundaries (A ≤ 80%, B ≤ 95% of
+# cumulative revenue) decided by EXACT cross-multiplied decimal
+# comparisons — no rounded share ever gates a class.
+_ABC_SQL = """
+    WITH rev AS (
+      SELECT l_partkey AS pk, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY 1),
+    ranked AS (
+      SELECT pk, r,
+             sum(r) OVER (ORDER BY r DESC, pk) AS cum_r,
+             sum(r) OVER () AS tot
+      FROM rev),
+    classed AS (
+      SELECT pk, r,
+             CASE WHEN cum_r * 5 <= tot * 4 THEN 'A'
+                  WHEN cum_r * 20 <= tot * 19 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked)
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(r) AS DOUBLE), 2) AS revenue,
+           round(CAST(sum(r) AS DOUBLE) / CAST(max(tot2.t) AS DOUBLE), 6) AS rev_share
+    FROM classed CROSS JOIN (SELECT sum(r) AS t FROM rev) tot2
+    GROUP BY abc ORDER BY abc
+"""
+
+
+@pq("inventory_abc_classes", _ABC_SQL)
+def inventory_abc_classes(spark, sf_dir):
+    """ABC inventory classification: parts ranked by revenue, class A
+    holding the top 80% of cumulative revenue, B the next 15%, C the
+    tail — the warehouse-ops segmentation. The class boundaries are
+    EXACT cross-multiplied decimal comparisons (cum·5 ≤ tot·4), so no
+    rounded share ever flips a class between engines. Plan: one
+    part-keyed agg, one rank/prefix window (range-partitioned two-pass
+    at scale), a 3-row report."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    wc = Window.orderBy(F.col("r").desc(), "pk").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = rev.select(
+        "pk", "r",
+        F.sum("r").over(wc).alias("cum_r"),
+        F.sum("r").over(wall).alias("tot"),
+    )
+    classed = ranked.select(
+        "pk", "r", "tot",
+        F.when(F.col("cum_r") * 5 <= F.col("tot") * 4, "A")
+        .when(F.col("cum_r") * 20 <= F.col("tot") * 19, "B")
+        .otherwise("C").alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.sum("r").cast("double"), 2).alias("revenue"),
+            F.round(F.sum("r").cast("double") / F.max("tot").cast("double"), 6).alias("rev_share"),
+        )
+        .orderBy("abc")
+    )
+
+
+# --- gaps and islands over order days -----------------------------------------------------------
+# The classic d − row_number() island key over distinct order dates:
+# island census plus the longest consecutive-day streak (earliest on
+# ties) — pure integer/date arithmetic.
+_ISLANDS_SQL = """
+    WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+    keyed AS (
+      SELECT d, d - CAST(row_number() OVER (ORDER BY d) AS INT) AS island
+      FROM days),
+    isl AS (
+      SELECT island, CAST(count(*) AS BIGINT) AS len,
+             strftime(min(d), '%Y-%m-%d') AS start_d
+      FROM keyed GROUP BY island),
+    top AS (
+      SELECT len, start_d, row_number() OVER (ORDER BY len DESC, start_d) AS rn FROM isl)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM days) AS n_days,
+           (SELECT CAST(count(*) AS BIGINT) FROM isl) AS n_islands,
+           len AS longest_len, start_d AS longest_start
+    FROM top WHERE rn = 1
+"""
+
+
+@pq("gaps_islands_order_days", _ISLANDS_SQL)
+def gaps_islands_order_days(spark, sf_dir):
+    """Gaps-and-islands over the distinct order-date sequence (the
+    d − row_number() trick): how many consecutive-day islands the
+    calendar fragments into and the longest streak (earliest start on
+    ties) — the classic SQL-interview shape that powers uptime and
+    activity-streak reports. Pure date/integer arithmetic. Plan: one
+    distinct over days, one rank window, one island agg — all bounded
+    by the calendar, not the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    days = o.select(F.to_date("o_orderdate").alias("d")).distinct()
+    keyed = days.select(
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(Window.orderBy("d"))).alias("island"),
+    )
+    isl = keyed.groupBy("island").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("start_d"),
+    )
+    top = isl.select(
+        "len", "start_d",
+        F.row_number().over(Window.orderBy(F.col("len").desc(), "start_d")).alias("rn"),
+    ).filter("rn = 1")
+    n_days = days.agg(F.count("*").cast("bigint").alias("n_days"))
+    n_isl = isl.agg(F.count("*").cast("bigint").alias("n_islands"))
+    return (
+        top.crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(n_isl))
+        .select("n_days", "n_islands",
+                F.col("len").alias("longest_len"),
+                F.col("start_d").alias("longest_start"))
+    )
+
+
+# --- native ASOF JOIN parity ---------------------------------------------------------------------
+# The oracle uses DuckDB's NATIVE ASOF LEFT JOIN syntax; the Spark side
+# runs the repo's single-shuffle union-sort asof_join operator — the
+# semantics (latest click at-or-before each purchase, per user) must
+# coincide exactly. (user_id, ts) is unique in this corpus, so the
+# match is well-defined without a tie-break.
+_ASOF_NATIVE_SQL = """
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, ts AS cts, event_id AS click_id FROM events WHERE event_type = 'click')
+    SELECT p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           p.event_id, c.click_id,
+           CASE WHEN c.cts IS NULL THEN NULL
+                ELSE CAST(epoch_us(p.ts) - epoch_us(c.cts) AS BIGINT) END AS gap_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+    ORDER BY p.user_id, p.ts, p.event_id
+"""
+
+
+@pq("sql_asof_native_parity", _ASOF_NATIVE_SQL)
+def sql_asof_native_parity(spark, sf_dir):
+    """As-of join parity against DuckDB's NATIVE `ASOF LEFT JOIN`
+    syntax: for every purchase, the user's latest click at or before
+    it, plus the gap in exact microseconds. The Spark side is the
+    repo's single-shuffle union-sort asof_join operator — this entry
+    pins our operator's semantics against an independent first-class
+    implementation of the same join type, not just a window-function
+    emulation. Plan: one union-sort shuffle on (user, time); no
+    join-back."""
+    e = _t(spark, sf_dir, "events")
+    from etl_mini_spark.operators.joins import asof_join
+
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    j = asof_join(
+        p, c, on=["user_id"], left_time="ts", right_time="cts",
+        right_cols=["cts", "click_id"], tiebreak="click_id",
+    )
+    return j.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "event_id",
+        "click_id",
+        F.when(
+            F.col("cts").isNotNull(),
+            (F.unix_micros("ts") - F.unix_micros("cts")).cast("bigint"),
+        ).alias("gap_us"),
+    ).orderBy("user_id", "ts", "event_id")

@@ -242,3 +242,59 @@ def test_levene_positive(spark):
     row = PENDING["levene_brown_forsythe"](spark, SF_SMOKE).collect()[0]
     assert row["k"] == 5 and row["n"] > 500
     assert row["levene_w"] >= 0
+
+
+def test_rolling_beta_sane(spark):
+    rows = PENDING["rolling_regression_slope"](spark, SF_SMOKE).collect()
+    assert rows  # at least one complete 14-day frame
+    assert all(abs(r["beta"]) < 1e3 for r in rows)
+
+
+def test_wow_movers_shape(spark):
+    rows = PENDING["wow_movers_topk"](spark, SF_SMOKE).collect()
+    risers = [r for r in rows if r["direction"] == "riser"]
+    fallers = [r for r in rows if r["direction"] == "faller"]
+    assert len(risers) == 5 and len(fallers) == 5
+    assert all(r["delta"] == round(r["rev_cur"] - r["rev_prev"], 2) for r in rows)
+    assert min(r["delta"] for r in risers) >= max(r["delta"] for r in fallers)
+
+
+def test_runs_test_consistent(spark):
+    row = PENDING["runs_test_wald_wolfowitz"](spark, SF_SMOKE).collect()[0]
+    assert 1 <= row["runs"] <= row["n1"] + row["n2"]
+    assert abs(row["z"]) < 50
+
+
+def test_ljung_box_positive(spark):
+    row = PENDING["ljung_box_q"](spark, SF_SMOKE).collect()[0]
+    assert row["df"] == 7
+    assert row["ljung_box_q"] >= 0
+    assert row["n"] > 100
+
+
+def test_abc_partitions_parts(spark):
+    from etl_mini_spark.session import load_table
+
+    rows = {r["abc"]: r for r in PENDING["inventory_abc_classes"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_parts = (
+        load_table(spark, SF_SMOKE, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    assert abs(sum(r["rev_share"] for r in rows.values()) - 1.0) < 1e-3
+    # the A class must be small in parts but dominant in revenue
+    assert rows["A"]["n_parts"] < rows["C"]["n_parts"] or rows["A"]["rev_share"] > 0.5
+
+
+def test_islands_census_consistent(spark):
+    row = PENDING["gaps_islands_order_days"](spark, SF_SMOKE).collect()[0]
+    assert 1 <= row["n_islands"] <= row["n_days"]
+    assert 1 <= row["longest_len"] <= row["n_days"]
+
+
+def test_asof_native_parity_gap_nonnegative(spark):
+    rows = PENDING["sql_asof_native_parity"](spark, SF_SMOKE).collect()
+    assert rows
+    matched = [r for r in rows if r["click_id"] is not None]
+    assert matched  # the join must actually find prior clicks
+    assert all(r["gap_us"] >= 0 for r in matched)
