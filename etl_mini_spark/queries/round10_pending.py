@@ -2458,3 +2458,368 @@ def sql_asof_native_parity(spark, sf_dir):
             (F.unix_micros("ts") - F.unix_micros("cts")).cast("bigint"),
         ).alias("gap_us"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+# --- RFM segment migration matrix ------------------------------------------------------------
+# Customers segmented per half-period with FIXED thresholds (no
+# quantile edges — rank boundaries flip), then the half1→half2
+# transition matrix over customers active in both halves. All counts
+# exact; shares are single divisions.
+_RFMMIG_SQL = """
+    WITH halves AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 2 END AS half,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      FROM orders GROUP BY 1, 2),
+    seg AS (
+      SELECT o_custkey, half,
+             CASE WHEN n_orders >= 6 AND total >= 800000 THEN 'champion'
+                  WHEN n_orders >= 6 THEN 'frequent'
+                  WHEN total >= 800000 THEN 'big_ticket'
+                  ELSE 'standard' END AS s
+      FROM halves),
+    m AS (
+      SELECT a.s AS from_seg, b.s AS to_seg, CAST(count(*) AS BIGINT) AS n
+      FROM seg a JOIN seg b ON a.o_custkey = b.o_custkey AND a.half = 1 AND b.half = 2
+      GROUP BY 1, 2)
+    SELECT from_seg, to_seg, n,
+           round(n / (1.0 * sum(n) OVER (PARTITION BY from_seg)), 6) AS row_share
+    FROM m ORDER BY from_seg, to_seg
+"""
+
+
+@pq("rfm_migration_matrix", _RFMMIG_SQL)
+def rfm_migration_matrix(spark, sf_dir):
+    """Customer segment migration: frequency/monetary segments with
+    FIXED thresholds per half-period (fixed, not quantile, edges — the
+    parity rule), then the half1→half2 transition matrix with row
+    shares — the churn-and-upgrade picture a CRM review opens with.
+    Plan: one (customer, half) agg, a self-join on the customer key
+    (both sides already aggregated — tiny), one matrix agg."""
+    o = _t(spark, sf_dir, "orders")
+    halves = o.groupBy(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1)
+        .otherwise(2).alias("half"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+    seg = halves.select(
+        "o_custkey", "half",
+        F.when((F.col("n_orders") >= 6) & (F.col("total") >= 800000), "champion")
+        .when(F.col("n_orders") >= 6, "frequent")
+        .when(F.col("total") >= 800000, "big_ticket")
+        .otherwise("standard").alias("s"),
+    )
+    a = seg.filter("half = 1").alias("a")
+    b = seg.filter("half = 2").alias("b")
+    m = (
+        a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"))
+        .groupBy(F.col("a.s").alias("from_seg"), F.col("b.s").alias("to_seg"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return m.select(
+        "from_seg", "to_seg", "n",
+        F.round(
+            F.col("n") / (1.0 * F.sum("n").over(Window.partitionBy("from_seg"))), 6
+        ).alias("row_share"),
+    ).orderBy("from_seg", "to_seg")
+
+
+# --- per-source corpus divergence --------------------------------------------------------------
+# Jensen-Shannon divergence between each source's token distribution
+# and the GLOBAL distribution (+0.5 Laplace over the global vocab) —
+# the corpus-QA screen for off-distribution sources. ln terms
+# pre-round 9dp, DECIMAL(28,9) sums per source.
+_SRCDIV_SQL = """
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents),
+    vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tok),
+    g AS (SELECT t, CAST(count(*) AS BIGINT) AS cg FROM tok GROUP BY t),
+    ng AS (SELECT CAST(sum(cg) AS BIGINT) AS n_g FROM g),
+    s AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cs FROM tok GROUP BY source, t),
+    ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s FROM s GROUP BY source),
+    joined AS (
+      SELECT ns.source, g.t,
+             (coalesce(s.cs, 0) + 0.5) / (ns.n_s + 0.5 * vocab.v) AS p,
+             (g.cg + 0.5) / (ng.n_g + 0.5 * vocab.v) AS q
+      FROM ns CROSS JOIN g
+      LEFT JOIN s ON s.source = ns.source AND s.t = g.t
+      CROSS JOIN vocab CROSS JOIN ng),
+    terms AS (
+      SELECT source,
+             CAST(round(0.5 * p * ln(p / ((p + q) / 2))
+                        + 0.5 * q * ln(q / ((p + q) / 2)), 9) AS DECIMAL(28,9)) AS js_t
+      FROM joined)
+    SELECT source, round(CAST(sum(js_t) AS DOUBLE), 6) AS js
+    FROM terms GROUP BY source ORDER BY source
+"""
+
+
+@pq("corpus_source_divergence", _SRCDIV_SQL)
+def corpus_source_divergence(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence from the global token
+    distribution — the corpus-QA screen that flags a crawl source
+    drifting off-distribution before it pollutes a training mix.
+    Laplace +0.5 over the global vocabulary keeps absent tokens
+    finite; each ln term pre-rounds at 9dp and sums as DECIMAL(28,9)
+    per source. Plan: one token agg per grain (global, per-source),
+    a source×vocab grid built from the TINY aggregated tables (the
+    corpus itself is scanned once), one keyed sum."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        ).alias("t"),
+    )
+    vocab = tok.agg(F.countDistinct("t").cast("bigint").alias("v"))
+    g = tok.groupBy("t").agg(F.count("*").cast("bigint").alias("cg"))
+    ng = g.agg(F.sum("cg").cast("bigint").alias("n_g"))
+    s = tok.groupBy("source", "t").agg(F.count("*").cast("bigint").alias("cs"))
+    ns = s.groupBy("source").agg(F.sum("cs").cast("bigint").alias("n_s"))
+    joined = (
+        ns.crossJoin(F.broadcast(g))
+        .join(s, ["source", "t"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            ((F.coalesce(F.col("cs"), F.lit(0)) + 0.5) / (F.col("n_s") + 0.5 * F.col("v"))).alias("p"),
+            ((F.col("cg") + 0.5) / (F.col("n_g") + 0.5 * F.col("v"))).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    terms = joined.select(
+        "source",
+        F.round(
+            0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col("q") * F.log(F.col("q") / m),
+            9,
+        ).cast("decimal(28,9)").alias("js_t"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.round(F.sum("js_t").cast("double"), 6).alias("js"))
+        .orderBy("source")
+    )
+
+
+# --- month-over-month / year-over-year growth ---------------------------------------------------
+# Monthly revenue with MoM and YoY growth rates: zero-based month
+# indexing, exact decimal revenue, lag offsets on the integer index so
+# a MISSING month can never silently masquerade as the previous one.
+_GROWTH_SQL = """
+    WITH m AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS ym,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT ym, rev,
+             lag(rev) OVER (ORDER BY ym) AS prev_rev,
+             lag(ym) OVER (ORDER BY ym) AS prev_ym,
+             lag(rev, 12) OVER (ORDER BY ym) AS yoy_rev,
+             lag(ym, 12) OVER (ORDER BY ym) AS yoy_ym
+      FROM m)
+    SELECT CAST(floor(ym / 12) AS BIGINT) AS y, CAST(ym % 12 + 1 AS INT) AS mo,
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           CASE WHEN prev_ym = ym - 1
+                THEN round(CAST(rev AS DOUBLE) / CAST(prev_rev AS DOUBLE) - 1, 6) END AS mom,
+           CASE WHEN yoy_ym = ym - 12
+                THEN round(CAST(rev AS DOUBLE) / CAST(yoy_rev AS DOUBLE) - 1, 6) END AS yoy
+    FROM l ORDER BY y, mo
+"""
+
+
+@pq("growth_mom_yoy", _GROWTH_SQL)
+def growth_mom_yoy(spark, sf_dir):
+    """Monthly revenue with month-over-month and year-over-year growth
+    rates — the first page of every revenue review. Months use the
+    zero-based integer index (y·12+m−1); the lag guards (prev_ym must
+    be EXACTLY ym−1 / ym−12) make a missing month yield NULL growth
+    instead of silently comparing against an older month. Revenue is
+    decimal-exact; each growth rate is one double division. Plan: one
+    month agg, two lags over the tiny monthly series."""
+    o = _t(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym")
+    m = o.groupBy(ym).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("ym")
+    l = m.select(
+        "ym", "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+        F.lag("ym").over(w).alias("prev_ym"),
+        F.lag("rev", 12).over(w).alias("yoy_rev"),
+        F.lag("ym", 12).over(w).alias("yoy_ym"),
+    )
+    return l.select(
+        F.floor(F.col("ym") / 12).cast("bigint").alias("y"),
+        (F.col("ym") % 12 + 1).cast("int").alias("mo"),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.when(
+            F.col("prev_ym") == F.col("ym") - 1,
+            F.round(F.col("rev").cast("double") / F.col("prev_rev").cast("double") - 1, 6),
+        ).alias("mom"),
+        F.when(
+            F.col("yoy_ym") == F.col("ym") - 12,
+            F.round(F.col("rev").cast("double") / F.col("yoy_rev").cast("double") - 1, 6),
+        ).alias("yoy"),
+    ).orderBy("y", "mo")
+
+
+# --- pairwise embedding angle histogram ----------------------------------------------------------
+# Embedding-hygiene check: the distribution of pairwise cosines over a
+# deterministic id sample (collapse shows as mass near +1, anisotropy
+# as a shifted mode). Elements quantize at 6dp DECIMAL, so dot products
+# and norms are EXACT decimals; the cosine is one double expression and
+# only the fixed bin edges touch it.
+_ANGHIST_SQL = """
+    WITH samp AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 12 = 0),
+    q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6)) for x in embedding] AS e
+      FROM samp),
+    withnorm AS (
+      SELECT vec_id, e,
+             list_sum([CAST(v AS DECIMAL(28,12)) * v for v in e]) AS nsq
+      FROM q),
+    pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             list_sum([CAST(a.e[i] AS DECIMAL(28,12)) * b.e[i] for i in range(1, 65)]) AS dot,
+             a.nsq AS na, b.nsq AS nb
+      FROM withnorm a JOIN withnorm b ON a.vec_id < b.vec_id),
+    cosb AS (
+      SELECT least(greatest(CAST(floor((CAST(dot AS DOUBLE)
+                     / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) + 1) * 4) AS INT), 0), 7)
+               AS bin
+      FROM pairs),
+    h AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs FROM cosb GROUP BY bin)
+    SELECT bin, n_pairs,
+           round(n_pairs / (1.0 * sum(n_pairs) OVER ()), 6) AS share
+    FROM h ORDER BY bin
+"""
+
+
+@pq("embedding_angle_histogram", _ANGHIST_SQL)
+def embedding_angle_histogram(spark, sf_dir):
+    """Pairwise-cosine histogram over a deterministic embedding sample
+    (vec_id % 12) — the embedding-hygiene panel: representation
+    collapse shows as mass piling near cos = +1, anisotropy as a
+    shifted mode. Elements quantize at 6dp DECIMAL so every dot
+    product and squared norm is EXACT decimal arithmetic; the cosine
+    is one double expression binned on fixed eighth-width edges.
+    Plan: the sample is tiny and broadcast against itself (bounded
+    |sample|² pairs by construction — the knob that keeps this
+    diagnostic off the all-pairs cliff); per-pair work is one in-row
+    fold."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 12 == 0)
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6)))"
+        ).alias("e"),
+    )
+    withnorm = q.select(
+        "vec_id", "e",
+        F.expr(
+            "aggregate(e, CAST(0 AS DECIMAL(28,12)),"
+            " (acc, v) -> CAST(acc + CAST(v AS DECIMAL(28,12)) * v AS DECIMAL(28,12)))"
+        ).alias("nsq"),
+    )
+    a = withnorm.alias("a")
+    b = withnorm.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.expr(
+                "aggregate(zip_with(a.e, b.e, (x, y) -> CAST(CAST(x AS DECIMAL(28,12)) * y"
+                " AS DECIMAL(38,18))), CAST(0 AS DECIMAL(38,18)),"
+                " (acc, v) -> CAST(acc + v AS DECIMAL(38,18)))"
+            ).alias("dot"),
+            F.col("a.nsq").alias("na"),
+            F.col("b.nsq").alias("nb"),
+        )
+    )
+    cosv = F.col("dot").cast("double") / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+    cosb = pairs.select(
+        F.least(
+            F.greatest(F.floor((cosv + 1) * 4).cast("int"), F.lit(0)), F.lit(7)
+        ).alias("bin")
+    )
+    h = cosb.groupBy("bin").agg(F.count("*").cast("bigint").alias("n_pairs"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return h.select(
+        "bin", "n_pairs",
+        F.round(F.col("n_pairs") / (1.0 * F.sum("n_pairs").over(wall)), 6).alias("share"),
+    ).orderBy("bin")
+
+
+# --- winsorized means ------------------------------------------------------------------------------
+# Per event type: exact discrete p05/p95 bounds (cross-multiplied
+# integer ranks), values CLAMPED to them, and the decimal-exact mean of
+# the clamped values — the robust mean that resists the tail without
+# discarding rows.
+_WINSOR_SQL = """
+    WITH base AS (
+      SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS x FROM events),
+    c AS (
+      SELECT g, x, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY g, x),
+    cum AS (
+      SELECT g, x,
+             sum(cnt) OVER (PARTITION BY g ORDER BY x) AS cum_n,
+             sum(cnt) OVER (PARTITION BY g) AS n
+      FROM c),
+    bounds AS (
+      SELECT g,
+             min(CASE WHEN cum_n * 20 >= n THEN x END) AS lo,
+             min(CASE WHEN cum_n * 20 >= n * 19 THEN x END) AS hi
+      FROM cum GROUP BY g),
+    clamped AS (
+      SELECT base.g, least(greatest(base.x, b.lo), b.hi) AS cx, b.lo, b.hi
+      FROM base JOIN bounds b ON base.g = b.g)
+    SELECT g, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(max(lo) AS DOUBLE), 2) AS p05,
+           round(CAST(max(hi) AS DOUBLE), 2) AS p95,
+           round(CAST(sum(cx) AS DOUBLE) / count(*), 6) AS winsor_mean
+    FROM clamped GROUP BY g ORDER BY g
+"""
+
+
+@pq("winsorized_mean_trimmed", _WINSOR_SQL)
+def winsorized_mean_trimmed(spark, sf_dir):
+    """Winsorized mean per event type: exact discrete p05/p95 bounds
+    chosen by cross-multiplied INTEGER rank comparisons (no quantile
+    interpolation semantics to align), values clamped to the bounds,
+    and the decimal-exact mean of the clamped column — the robust
+    location estimate that keeps every row but caps the tails' votes.
+    Plan: one (type, value) agg collapses the fact table to a value-
+    count histogram where the rank windows run; bounds broadcast back
+    for the clamp pass."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(F.col("event_type").alias("g"), F.col("value").cast("decimal(18,2)").alias("x"))
+    c = base.groupBy("g", "x").agg(F.count("*").cast("bigint").alias("cnt"))
+    wc = Window.partitionBy("g").orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy("g")
+    cum = c.select(
+        "g", "x", F.sum("cnt").over(wc).alias("cum_n"), F.sum("cnt").over(wp).alias("n")
+    )
+    bounds = cum.groupBy("g").agg(
+        F.min(F.when(F.col("cum_n") * 20 >= F.col("n"), F.col("x"))).alias("lo"),
+        F.min(F.when(F.col("cum_n") * 20 >= F.col("n") * 19, F.col("x"))).alias("hi"),
+    )
+    clamped = base.join(F.broadcast(bounds), "g").select(
+        "g", F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi")).alias("cx"), "lo", "hi"
+    )
+    return (
+        clamped.groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.max("lo").cast("double"), 2).alias("p05"),
+            F.round(F.max("hi").cast("double"), 2).alias("p95"),
+            F.round(F.sum("cx").cast("double") / F.count("*"), 6).alias("winsor_mean"),
+        )
+        .orderBy("g")
+    )

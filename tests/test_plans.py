@@ -791,7 +791,7 @@ def test_round10_staged_tier_no_cartesian_blanket(spark):
 
     src = open("etl_mini_spark/queries/round10_pending.py").read()
     ROUND10 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
-    assert len(ROUND10) == 35
+    assert len(ROUND10) == 40
     SKIP_SIDE_EFFECTS = {"stream_holt_incremental"}  # runs a streaming job; plan is a plain output scan
     ROUND10 = [n for n in ROUND10 if n not in SKIP_SIDE_EFFECTS]
     ONE_ROW_SCALAR_OK = {
@@ -807,6 +807,8 @@ def test_round10_staged_tier_no_cartesian_blanket(spark):
         "runs_test_wald_wolfowitz",    # 1-row median scalar
         "ljung_box_q",                 # 7-row lag literal + 1-row totals
         "gaps_islands_order_days",     # 1-row census scalars
+        "embedding_angle_histogram",   # non-equi pair join over the BOUNDED broadcast sample
+        "corpus_source_divergence",    # vocab-sized (~31-row) grid broadcast
     }
     for name in ROUND10:
         s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))

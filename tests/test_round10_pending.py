@@ -298,3 +298,47 @@ def test_asof_native_parity_gap_nonnegative(spark):
     matched = [r for r in rows if r["click_id"] is not None]
     assert matched  # the join must actually find prior clicks
     assert all(r["gap_us"] >= 0 for r in matched)
+
+
+def test_rfm_migration_rows_sum_to_one(spark):
+    rows = PENDING["rfm_migration_matrix"](spark, SF_SMOKE).collect()
+    assert rows
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r["from_seg"], 0.0)
+        by_from[r["from_seg"]] += r["row_share"]
+    assert all(abs(s - 1.0) < 1e-3 for s in by_from.values())
+
+
+def test_source_divergence_nonnegative_bounded(spark):
+    rows = PENDING["corpus_source_divergence"](spark, SF_SMOKE).collect()
+    assert len(rows) > 3
+    for r in rows:
+        assert -1e-6 <= r["js"] <= 0.6931471806  # ln 2 bound
+
+
+def test_growth_guards_and_values(spark):
+    rows = PENDING["growth_mom_yoy"](spark, SF_SMOKE).orderBy("y", "mo").collect()
+    assert rows[0]["mom"] is None and rows[0]["yoy"] is None  # no lag for the first month
+    assert any(r["mom"] is not None for r in rows)
+    assert any(r["yoy"] is not None for r in rows)
+    for r in rows:
+        if r["mom"] is not None:
+            assert r["mom"] > -1.0
+        assert r["revenue"] > 0
+
+
+def test_angle_histogram_is_distribution(spark):
+    rows = PENDING["embedding_angle_histogram"](spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    assert all(0 <= r["bin"] <= 7 for r in rows)
+    # embeddings around distinct centers: cosines must spread across bins
+    assert len(rows) >= 3
+
+
+def test_winsorized_mean_between_bounds(spark):
+    rows = PENDING["winsorized_mean_trimmed"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["p05"] <= r["winsor_mean"] <= r["p95"]
