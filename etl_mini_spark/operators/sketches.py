@@ -24,25 +24,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_fold(counters: dict[str, int], batch_counts: dict[str, int], k: int) -> dict[str, int]:
+    """One Misra-Gries batch step: merge a batch's value counts into
+    the k-capacity counter set, then compress by subtracting the
+    (k+1)-th largest counter and dropping non-positives — the
+    mergeable-summaries MERGE (Agarwal et al.), preserving the
+    invariant true_count(x) − counter(x) <= (total_so_far) / (k+1)
+    for every x (counter 0 if absent). Pure function so the invariant
+    is property-testable off-Spark (tests/test_sketches_property.py)."""
+    for tok, cnt in batch_counts.items():
+        counters[tok] = counters.get(tok, 0) + int(cnt)
+    if len(counters) > k:
+        dec = sorted(counters.values(), reverse=True)[k]
+        counters = {t: c - dec for t, c in counters.items() if c > dec}
+    return counters
+
+
 def mg_candidates(tokens: DataFrame, col: str, k: int = 64) -> DataFrame:
     """Per-partition Misra-Gries candidate tokens (capacity k).
 
-    Arrow-batched: each batch folds in via value_counts (the batch
-    variant of MG — add counts, then compress by subtracting the
-    (k+1)-th largest counter and dropping non-positives — is the
-    standard mergeable-summaries MERGE, same error bound N_p/(k+1)).
-    Returns a DataFrame with the distinct candidate values observed in
-    any partition's final sketch.
+    Arrow-batched: each batch folds in via value_counts through
+    ``mg_fold`` (the batch variant of MG — add counts, then compress —
+    is the standard mergeable-summaries MERGE, same error bound
+    N_p/(k+1)). Returns a DataFrame with the distinct candidate values
+    observed in any partition's final sketch.
     """
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         for pdf in batches:
-            for tok, cnt in pdf[col].value_counts().items():
-                counters[tok] = counters.get(tok, 0) + int(cnt)
-            if len(counters) > k:
-                dec = sorted(counters.values(), reverse=True)[k]
-                counters = {t: c - dec for t, c in counters.items() if c > dec}
+            counters = mg_fold(
+                counters, {t: int(c) for t, c in pdf[col].value_counts().items()}, k
+            )
         yield pd.DataFrame({col: list(counters.keys())})
 
     return tokens.select(col).mapInPandas(part, schema=f"{col} string").distinct()
