@@ -48,6 +48,19 @@ def mg_candidates(tokens: DataFrame, col: str, k: int = 64) -> DataFrame:
     is the standard mergeable-summaries MERGE, same error bound
     N_p/(k+1)). Returns a DataFrame with the distinct candidate values
     observed in any partition's final sketch.
+
+    When to use (measured, SCALE_r09.json token_heavy_hitters_mg, 20M
+    tokens on local[32]): the sketch path took 9.59 s vs 4.35 s for the
+    naive full groupBy — on ONE box the token shuffle is a memory copy,
+    so the naive shuffle wins and the sketch's Python/Arrow pass is pure
+    overhead. The sketch pays when the shuffle is NETWORK-bound: on a
+    multi-executor cluster the naive plan moves the entire token stream
+    (~N rows) across the wire, while this plan moves ≤k rows per
+    partition plus a candidates-only recount. Decision rule: prefer the
+    naive exact groupBy single-node or when N·row_width fits comfortably
+    in aggregate shuffle memory; switch to MG when token-shuffle bytes
+    dominate the stage (the same measured-crossover discipline as the
+    budget_cap window-vs-shard and as-of plain-vs-bucketed rules).
     """
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -67,10 +80,16 @@ def heavy_hitters_exact(
     """Items with frequency strictly above N/denom, found at sketch
     cost: MG candidates (superset guaranteed for denom < k+1), then an
     exact recount restricted to candidates via a broadcast semi-join.
-    Output: (col, freq, share) — exact, deterministic."""
+    Output: (col, freq, share) — exact, deterministic. share uses the
+    repo's pinned HALF_UP idiom floor(x*1e6 + 0.5)/1e6 (FIXTURES.md §C)
+    rather than round(): freq/n_total is a raw IEEE division, and a
+    ratio landing 1 ulp from a 6dp half boundary can flip between
+    engines' round() — the floor form is the identical op sequence on
+    both."""
     assert denom < k + 1, "MG capacity must exceed the report threshold"
     cand = mg_candidates(tokens, col, k=k)
     total = tokens.agg(F.count("*").cast("bigint").alias("n_total"))
+    share = F.col("freq") / (1.0 * F.col("n_total"))
     return (
         tokens.join(F.broadcast(cand), col)
         .groupBy(col)
@@ -80,6 +99,6 @@ def heavy_hitters_exact(
         .select(
             col,
             "freq",
-            F.round(F.col("freq") / (1.0 * F.col("n_total")), 6).alias("share"),
+            (F.floor(share * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("share"),
         )
     )

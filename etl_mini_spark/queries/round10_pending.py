@@ -445,9 +445,15 @@ def holt_linear_trend(spark, sf_dir):
         pdf = pdf.sort_values("d").reset_index(drop=True)
         xs = pdf["x"].to_numpy()
         if len(xs) < 2:
+            # A 1-point series has no defined trend (b1 = x2 - x1 needs
+            # the future point): drop it, exactly as the recursive-CTE
+            # oracle does (its base case requires i=2 to exist) and as
+            # the incremental sink does (day 1 is withheld until day 2
+            # arrives). Pinned by test_holt_single_point_series_dropped.
             return pd.DataFrame(
-                {"event_type": pdf["event_type"], "d": pdf["d"],
-                 "level": xs, "trend": [0.0] * len(xs), "fitted": xs}
+                {"event_type": pd.Series([], dtype=str), "d": pd.Series([], dtype=str),
+                 "level": pd.Series([], dtype=float), "trend": pd.Series([], dtype=float),
+                 "fitted": pd.Series([], dtype=float)}
             )
         l = xs[0]
         b = xs[1] - xs[0]
@@ -1195,10 +1201,11 @@ _ERASE_SQL = """
              CAST(sum(CASE WHEN e.user_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_residual
       FROM events e ANTI JOIN tomb t ON e.user_id = t.user_id
       GROUP BY e.event_type)
-    SELECT b.event_type, b.n_before, a.n_after,
-           CAST(b.n_before - a.n_after AS BIGINT) AS n_erased,
-           a.n_residual = 0 AS clean
-    FROM before b JOIN erased a USING (event_type)
+    SELECT b.event_type, b.n_before,
+           CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST(b.n_before - coalesce(a.n_after, 0) AS BIGINT) AS n_erased,
+           coalesce(a.n_residual, 0) = 0 AS clean
+    FROM before b LEFT JOIN erased a USING (event_type)
     ORDER BY event_type
 """
 
@@ -1212,7 +1219,10 @@ def privacy_erasure_audit(spark, sf_dir):
     is recomputed from the output, not assumed). Plan: the tombstone
     set broadcasts into a left-anti hash join (no fact shuffle), then
     one type-keyed agg — the compliance pass a 100-TB store runs
-    nightly."""
+    nightly. The final report LEFT-joins from `before` (coalescing
+    n_after/n_residual to 0): an event type whose rows are ALL
+    tombstoned must surface as n_after=0, n_erased=n_before — an inner
+    join would silently drop exactly the most-erased category."""
     e = _t(spark, sf_dir, "events")
     tomb = e.filter(F.col("user_id") % 13 == 0).select("user_id").distinct()
     before = e.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_before"))
@@ -1227,13 +1237,15 @@ def privacy_erasure_audit(spark, sf_dir):
         )
     )
     return (
-        before.join(after, "event_type")
+        before.join(after, "event_type", "left")
         .select(
             "event_type",
             "n_before",
-            "n_after",
-            (F.col("n_before") - F.col("n_after")).cast("bigint").alias("n_erased"),
-            (F.col("n_residual") == 0).alias("clean"),
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
+            (F.col("n_before") - F.coalesce(F.col("n_after"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_erased"),
+            (F.coalesce(F.col("n_residual"), F.lit(0)) == 0).alias("clean"),
         )
         .orderBy("event_type")
     )
@@ -1332,6 +1344,7 @@ def sql_distinct_on(spark, sf_dir):
             "event_type",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         )
+        .orderBy("user_id", "ts", "event_id")
     )
 
 

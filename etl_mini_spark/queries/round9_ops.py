@@ -950,7 +950,7 @@ _MG_SQL = """
       FROM documents),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
     SELECT t, CAST(count(*) AS BIGINT) AS freq,
-           round(count(*) / (1.0 * n.n_total), 6) AS share
+           floor(count(*) / (1.0 * n.n_total) * 1000000 + 0.5) / 1000000 AS share
     FROM tok CROSS JOIN n
     GROUP BY t, n.n_total
     HAVING count(*) * 31 > n.n_total
@@ -1359,9 +1359,13 @@ def item_item_cosine_topk(spark, sf_dir):
     displayed cosine = sqrt(cosq) is computed only after ranking.
     Plan: pair expansion is per-order and bounded by basket size (≤12
     lines here; cap heavy baskets before the self-join on real data),
-    pairs aggregate on a composite key, item norms broadcast back —
-    the classic two-shuffle co-occurrence shape that survives 100 TB
-    because nothing is all-pairs across the catalog."""
+    pairs aggregate on a composite key, item norms join back — the
+    classic two-shuffle co-occurrence shape that survives 100 TB
+    because nothing is all-pairs across the catalog. The norm table is
+    catalog-cardinality (one row per part), so its join strategy is
+    left to AQE rather than hint-forced: at a 100-TB catalog a forced
+    broadcast would OOM the driver, while AQE picks broadcast exactly
+    when the measured size allows (same rule as the r6 funnel fix)."""
     li = _t(spark, sf_dir, "lineitem")
     d = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
     n = d.groupBy("pk").agg(F.count("*").cast("bigint").alias("n_ord"))
@@ -1378,8 +1382,8 @@ def item_item_cosine_topk(spark, sf_dir):
     ni = n.select(F.col("pk").alias("item"), F.col("n_ord").alias("n_i"))
     nj = n.select(F.col("pk").alias("other"), F.col("n_ord").alias("n_j"))
     scored = (
-        both.join(F.broadcast(ni), "item")
-        .join(F.broadcast(nj), "other")
+        both.join(ni, "item")
+        .join(nj, "other")
         .select(
             "item", "other", "c12",
             (F.col("c12") * F.col("c12") / (1.0 * F.col("n_i") * F.col("n_j"))).alias("cosq"),

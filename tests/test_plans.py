@@ -341,6 +341,20 @@ def test_funnel_timeouts_no_forced_broadcast(spark):
     assert "ResolvedHint" not in analyzed, analyzed
 
 
+def test_item_item_cosine_no_forced_broadcast(spark):
+    """item_item_cosine_topk's norm table is catalog-cardinality (one
+    row per part, lineitem-derived) — NOT bounded — so no broadcast may
+    be forced on it (round-9 verdict, same rule as the r6/r7 funnel
+    fixes: a forced broadcast of an unbounded table is a driver-OOM
+    risk at 100x catalog). AQE may still choose broadcast at runtime
+    when the measured size allows."""
+    from etl_mini_spark.queries import QUERIES
+
+    df = QUERIES["item_item_cosine_topk"](spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
 def test_q6_predicates_reach_scan(spark):
     """TPC-H Q6 is THE pushdown benchmark: date, discount, and quantity
     predicates must all reach the parquet scan, leaving a single

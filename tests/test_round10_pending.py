@@ -59,6 +59,36 @@ def test_holt_seeds_and_smooths(spark):
         assert any(abs(r["trend"]) > 1e-9 for r in series[1:])
 
 
+def test_holt_single_point_series_dropped(spark, tmp_path):
+    """A series with exactly ONE observation has no defined trend
+    (b1 = x2 - x1 needs the future point). All three Holt paths agree
+    on dropping it: the recursive-CTE oracle's base case requires i=2,
+    the incremental sink withholds day 1 until day 2 arrives, and the
+    batch applyInPandas returns empty for <2-point groups (ADVICE r9)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = [
+        # 'solo': one day only — must NOT appear in the output
+        (1, dt.datetime(2024, 1, 1, 9), 10, "solo", 5.0, "{}"),
+        # 'pair': three days — normal recursion
+        (2, dt.datetime(2024, 1, 1, 9), 11, "pair", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 2, 9), 11, "pair", 2.0, "{}"),
+        (4, dt.datetime(2024, 1, 3, 9), 11, "pair", 4.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+    out = PENDING["holt_linear_trend"](spark, str(tmp_path)).collect()
+    types = {r["event_type"] for r in out}
+    assert types == {"pair"}, f"1-point series must be dropped, got {types}"
+    assert len(out) == 3
+    # seed check: level_1 = x1, trend_1 = x2 - x1, fitted_1 = x1
+    first = sorted(out, key=lambda r: r["d"])[0]
+    assert first["level"] == 1.0 and first["trend"] == 1.0 and first["fitted"] == 1.0
+
+
 def test_ltv_curves_nondecreasing(spark):
     rows = PENDING["cohort_ltv_curve"](spark, SF_SMOKE).collect()
     curves: dict = {}
