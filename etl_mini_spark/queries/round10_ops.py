@@ -1,10 +1,7 @@
-"""Round-10 staged tier: rank statistics, BI decompositions, corpus
-laws, and source/DQ ops — authored in round 9, to be registered when
-the round-9 window comes back.
-
-Module-local PENDING_QUERIES/PENDING_ORACLE (swept by sweep_oracle.py
-alongside the registry) until registration rotates them into the
-driver window — the same two-step every round since 7 has used.
+"""Round-10 tier: rank statistics, BI decompositions, corpus laws, and
+source/DQ ops — authored and staged in round 9 (swept vs the DuckDB
+oracle at sf0.001/0.01/0.1 as `round10_pending`), registered in round
+10 with names and oracles verbatim.
 
 Parity rules as in round9_ops: integer/decimal arithmetic end-to-end,
 libm terms pre-rounded at 9dp and summed as DECIMAL(28,9), ranks via
@@ -15,26 +12,13 @@ every rank/limit. No rank ever rides on a libm value.
 
 from __future__ import annotations
 
-from collections.abc import Callable
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mini_spark.queries._base import _t
-
-PENDING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-PENDING_ORACLE: dict[str, str] = {}
-
-
-def pq(name: str, sql: str | None = None):
-    def deco(fn):
-        PENDING_QUERIES[name] = fn
-        if sql is not None:
-            PENDING_ORACLE[name] = sql
-        return fn
-
-    return deco
+from etl_mini_spark.queries._base import q as pq
 
 
 # --- Spearman rank correlation ---------------------------------------------------

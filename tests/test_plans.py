@@ -792,18 +792,18 @@ def test_round9_tier_no_cartesian_blanket(spark):
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
 
 
-def test_round10_staged_tier_no_cartesian_blanket(spark):
-    """Blanket physical-plan audit of the round-10 STAGED tier (same
-    contract as the round-7/9 blankets, applied before registration):
+def test_round10_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-10 tier (same contract
+    as the round-7/9 blankets, re-run against the registered form):
     no CartesianProduct; BroadcastNestedLoopJoin only where the
     crossJoin side is a bounded scalar/literal (grand totals, tie
     sums, fitted stats, 3-row threshold literals)."""
     import re as _re
 
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round10_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES as PENDING_QUERIES
 
-    src = open("etl_mini_spark/queries/round10_pending.py").read()
+    src = open("etl_mini_spark/queries/round10_ops.py").read()
     ROUND10 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
     assert len(ROUND10) == 40
     SKIP_SIDE_EFFECTS = {"stream_holt_incremental"}  # runs a streaming job; plan is a plain output scan
@@ -837,9 +837,9 @@ def test_distinct_on_uses_window_group_limit(spark):
     full sort materializes) — pin it so a refactor can't silently lose
     the optimization."""
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round10_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES
 
-    s = plan_summary(PENDING_QUERIES["sql_distinct_on"](spark, SF_SMOKE))
+    s = plan_summary(QUERIES["sql_distinct_on"](spark, SF_SMOKE))
     assert "WindowGroupLimit" in s.text
 
 

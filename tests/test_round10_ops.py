@@ -1,21 +1,22 @@
-"""Non-vacuity pins for the round-10 STAGED tier (oracle equivalence
-is swept by sweep_oracle.py / was verified at sf0.001 + sf0.01 before
-staging): bounds, conservation laws, monotonicity, and exact-identity
-checks so no entry can go green as a degenerate constant. At
-registration these pins migrate to the registry harness unchanged."""
+"""Non-vacuity pins for the round-10 tier (oracle equivalence is
+verified by sweep_oracle.py / tests/test_queries_oracle.py and the
+driver gate): bounds, conservation laws, monotonicity, and
+exact-identity checks so no entry can go green as a degenerate
+constant. Migrated unchanged from the staging harness at
+registration (the rounds-7/8/9 two-step)."""
 
 from __future__ import annotations
 
 from tests.conftest import SF_SMOKE
 
 
-def _pending():
-    from etl_mini_spark.queries.round10_pending import PENDING_QUERIES
+def _registry():
+    from etl_mini_spark.queries import QUERIES
 
-    return PENDING_QUERIES
+    return QUERIES
 
 
-PENDING = _pending()
+PENDING = _registry()
 
 
 def test_spearman_bounded(spark):
