@@ -792,6 +792,36 @@ def test_round9_tier_no_cartesian_blanket(spark):
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
 
 
+def test_round11_staged_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-11 STAGED tier (same
+    contract as the round-7/9/10 blankets, applied before
+    registration): no CartesianProduct; BroadcastNestedLoopJoin only
+    where the crossJoin side is a bounded scalar/literal (1-row
+    totals, divisor cardinalities, tie-correction scalars)."""
+    import re as _re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round11_pending import PENDING_QUERIES
+
+    src = open("etl_mini_spark/queries/round11_pending.py").read()
+    ROUND11 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
+    assert len(ROUND11) == 22
+    SKIP_SIDE_EFFECTS = {"stream_mg_incremental"}  # runs a streaming job first
+    ROUND11 = [n for n in ROUND11 if n not in SKIP_SIDE_EFFECTS]
+    ONE_ROW_SCALAR_OK = {
+        "kendall_tau_daily",            # 1-row nc/nd, n, tie scalars
+        "kruskal_wallis_h",             # 1-row tie-cubes scalar
+        "largest_remainder_allocation", # 1-row total broadcast
+        "hour_of_week_heatmap",         # 1-row total broadcast
+        "relational_division",          # 1-row divisor cardinality
+    }
+    for name in ROUND11:
+        s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in ONE_ROW_SCALAR_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
 def test_round10_tier_no_cartesian_blanket(spark):
     """Blanket physical-plan audit of the round-10 tier (same contract
     as the round-7/9 blankets, re-run against the registered form):
