@@ -833,8 +833,6 @@ def stream_mg_incremental(spark, sf_dir):
     )
     run_to_completion(stream, checkpoint_dir=str(ckpt), sink=sink)
 
-    import pandas as pd  # noqa: F811
-
     cand_pdf = pd.read_parquet(state / "state.parquet")
     cand = spark.createDataFrame(cand_pdf[["t"]])
     toks = d.select(
@@ -867,9 +865,10 @@ _RDIV_SQL = """
              CAST(count(DISTINCT p.p_type) AS BIGINT) AS n_covered
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY l.l_suppkey)
-    SELECT s.s_suppkey, s.s_name, c.n_covered, d.n_types,
-           c.n_covered = d.n_types AS divides_all
-    FROM cov c JOIN supplier s ON c.s_suppkey = s.s_suppkey
+    SELECT s.s_suppkey, s.s_name,
+           CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered, d.n_types,
+           coalesce(c.n_covered, 0) = d.n_types AS divides_all
+    FROM supplier s LEFT JOIN cov c ON c.s_suppkey = s.s_suppkey
     CROSS JOIN divisor d
     ORDER BY s.s_suppkey
 """
@@ -881,10 +880,12 @@ def relational_division(spark, sf_dir):
     of EVERY distinct part type — expressed as the scale-friendly
     count-comparison rewrite (distinct-type count per supplier vs the
     divisor's cardinality) instead of the textbook NOT EXISTS double
-    negation that would correlate a subquery per supplier. Output
-    keeps every supplier with its coverage so near-misses are visible.
-    Plan: one distinct-agg on (supplier, type) after a part-dim join
-    AQE can broadcast, one 1-row divisor, one supplier-dim join."""
+    negation that would correlate a subquery per supplier. The report
+    LEFT-joins FROM supplier (coverage coalesced to 0) so a supplier
+    with no shipments at all surfaces as n_covered=0 instead of
+    silently vanishing — the erasure-audit completeness rule. Plan:
+    one distinct-agg on (supplier, type) after a part-dim join AQE can
+    broadcast, one 1-row divisor, one supplier-dim join."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
@@ -895,11 +896,14 @@ def relational_division(spark, sf_dir):
         .agg(F.countDistinct("p_type").cast("bigint").alias("n_covered"))
     )
     return (
-        cov.join(s.select("s_suppkey", "s_name"), "s_suppkey")
+        s.select("s_suppkey", "s_name")
+        .join(cov, "s_suppkey", "left")
         .crossJoin(F.broadcast(divisor))
         .select(
-            "s_suppkey", "s_name", "n_covered", "n_types",
-            (F.col("n_covered") == F.col("n_types")).alias("divides_all"),
+            "s_suppkey", "s_name",
+            F.coalesce(F.col("n_covered"), F.lit(0)).cast("bigint").alias("n_covered"),
+            "n_types",
+            (F.coalesce(F.col("n_covered"), F.lit(0)) == F.col("n_types")).alias("divides_all"),
         )
         .orderBy("s_suppkey")
     )

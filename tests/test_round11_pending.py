@@ -108,8 +108,9 @@ def test_stream_mg_equals_batch_sketch(spark):
 def test_relational_division_discriminates(spark):
     rows = PENDING["relational_division"](spark, SF_SMOKE).collect()
     assert rows
+    assert any(r["n_covered"] > 0 for r in rows)
     for r in rows:
-        assert 0 < r["n_covered"] <= r["n_types"]
+        assert 0 <= r["n_covered"] <= r["n_types"]
         assert r["divides_all"] == (r["n_covered"] == r["n_types"])
 
 
