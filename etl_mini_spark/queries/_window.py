@@ -22,9 +22,11 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #     registration, never driver-verified, so each must hold a slot
 #     (tests/test_window_rotation.py);
 # (b) code-change canaries: heavy_hitters_mg (share HALF_UP pin, both
-#     engines) and item_item_cosine_topk (un-forced norm broadcast)
-#     changed this round AFTER their r9 green rows; both re-swept
-#     locally at sf0.001 + sf0.01 — no window slots free for them
+#     engines), item_item_cosine_topk (un-forced norm broadcast), and
+#     dedup_levenshtein_blocked (thresholded/banded levenshtein, 8.4x
+#     at sf0.1, same predicate) changed this round AFTER their last
+#     green rows; all re-swept locally at sf0.001 + sf0.01 (+ sf0.1
+#     for the levenshtein change) — no window slots free for them
 #     beyond the 40+10, so their re-verification rides the local
 #     sweep + tests/test_queries_oracle.py until the next rotation;
 # (c) the remaining 10 slots re-verify the STALEST green entries
