@@ -405,6 +405,66 @@ def p_heavy_hitters(spark):
     }
 
 
+@probe("event_incremental_agg")
+def p_incremental(spark, tmpdir):
+    """9M-row incremental-maintenance probe: a persisted daily
+    aggregate table plus a 10% delta batch must be MERGEABLE
+    (union → re-agg) into exactly the aggregate a full-history rescan
+    produces — the foreachBatch/incremental_agg_merge shape. At 100 TB
+    the full rescan is the thing you can never afford; the incremental
+    path's cost is bounded by |delta| + |agg table| (days), not
+    |history|. Invariant: per-day BIGINT sums identical."""
+    from pyspark.sql import functions as F
+
+    hist_raw = str(Path(tmpdir) / "raw_hist")
+    delta_raw = str(Path(tmpdir) / "raw_delta")
+    hist_agg_path = str(Path(tmpdir) / "hist_agg")
+    ev = gen_events(spark).withColumn(
+        "v_c", F.pmod(F.xxhash64("event_id", F.lit(3)), 33_000)
+    )
+    n = ev.count()
+    cut = int(n * 0.9)
+    day_agg = lambda df: (  # noqa: E731
+        df.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum("v_c").cast("bigint").alias("s"), F.count("*").cast("bigint").alias("c"))
+    )
+    # materialize the store the way a pipeline sees it: raw history and
+    # the new delta batch on disk, plus the maintained agg table (the
+    # one-time layout cost is not part of either timed path)
+    ev.filter(F.col("event_id") < cut).write.mode("overwrite").parquet(hist_raw)
+    ev.filter(F.col("event_id") >= cut).write.mode("overwrite").parquet(delta_raw)
+    day_agg(spark.read.parquet(hist_raw)).write.mode("overwrite").parquet(hist_agg_path)
+
+    # full-rescan path: read ALL raw bytes (history + delta), re-agg
+    t0 = time.monotonic()
+    full = {
+        r["d"]: (r["s"], r["c"])
+        for r in day_agg(
+            spark.read.parquet(hist_raw).unionAll(spark.read.parquet(delta_raw))
+        ).collect()
+    }
+    t_full = time.monotonic() - t0
+
+    # incremental path: read the agg table (|days| rows) + the delta
+    # batch only, merge by union -> re-agg
+    t0 = time.monotonic()
+    inc = {
+        r["d"]: (r["s"], r["c"])
+        for r in spark.read.parquet(hist_agg_path)
+        .unionAll(day_agg(spark.read.parquet(delta_raw)))
+        .groupBy("d")
+        .agg(F.sum("s").cast("bigint").alias("s"), F.sum("c").cast("bigint").alias("c"))
+        .collect()
+    }
+    t_inc = time.monotonic() - t0
+    return {
+        "full_seconds": round(t_full, 2),
+        "incremental_seconds": round(t_inc, 2),
+        "n_days": len(full),
+        "ok": bool(inc == full and len(full) > 1000),
+    }
+
+
 def main() -> None:
     import tempfile
 
@@ -434,6 +494,7 @@ def main() -> None:
         print("generating events...", file=sys.stderr)
         p_asof(spark, gen_events(spark))
         p_budget(spark)
+        p_incremental(spark, tmpdir)
         print("generating tokens...", file=sys.stderr)
         p_heavy_hitters(spark)
 
