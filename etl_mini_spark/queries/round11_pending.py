@@ -1603,3 +1603,313 @@ def fourier_weekly_coeffs(spark, sf_dir):
         _pin(F.col("b1")).alias("b1"),
         _pin(F.sqrt(F.col("a1") * F.col("a1") + F.col("b1") * F.col("b1"))).alias("amplitude"),
     ).orderBy("event_type")
+
+
+# --- interpolated continuous quantiles: Spark percentile vs DuckDB quantile_cont --------------
+# Both engines implement the same (n-1)·q linear interpolation over the
+# sorted values; q ∈ {.25, .5, .75} makes the fractional position exact
+# in binary, so the interpolated doubles differ by ≤1 ulp between the
+# two formula parenthesizations — far inside the 6dp pin, and a 2dp
+# input can never land on a 6dp half.
+_QCONT_SQL = """
+    SELECT event_type,
+           floor(quantile_cont(value, 0.25) * 1000000 + 0.5) / 1000000 AS p25,
+           floor(quantile_cont(value, 0.50) * 1000000 + 0.5) / 1000000 AS p50,
+           floor(quantile_cont(value, 0.75) * 1000000 + 0.5) / 1000000 AS p75
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@pq("quantile_cont_parity", _QCONT_SQL)
+def quantile_cont_parity(spark, sf_dir):
+    """Interpolated (continuous) quartiles per event type: Spark's
+    exact `percentile` aggregate against DuckDB's `quantile_cont` —
+    two independent implementations of the (n−1)·q linear
+    interpolation, a true cross-engine differential for the quantile
+    semantics approx sketches are later compared against. Plan: one
+    type-keyed sort-based aggregate; at scale this is the exact-sort
+    path one runs on samples while percentile_approx serves the full
+    table."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    g = e.groupBy("event_type").agg(pct.alias("p"))
+    return g.select(
+        "event_type",
+        _pin(F.col("p")[0]).alias("p25"),
+        _pin(F.col("p")[1]).alias("p50"),
+        _pin(F.col("p")[2]).alias("p75"),
+    ).orderBy("event_type")
+
+
+# --- moving-average crossover signals ----------------------------------------------------
+# Golden/death crosses of the 7d vs 14d rolling revenue means, decided
+# by the INTEGER comparison 2·S7 vs S14 (S7/7 > S14/14 ⟺ 2·S7 > S14
+# on exact cent sums) — no float ever picks a crossing day. Output
+# starts at day 15 so both the state and its lag ride full windows.
+_MAX_SQL = """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT d, c,
+             sum(c) OVER (ORDER BY d ROWS 6 PRECEDING) AS s7,
+             sum(c) OVER (ORDER BY d ROWS 13 PRECEDING) AS s14,
+             row_number() OVER (ORDER BY d) AS rn
+      FROM daily),
+    st AS (
+      SELECT d, s7, s14, rn,
+             CASE WHEN 2 * s7 > s14 THEN 1 WHEN 2 * s7 < s14 THEN -1 ELSE 0 END AS state
+      FROM w),
+    sig AS (
+      SELECT d, s7, s14, rn, state,
+             lag(state) OVER (ORDER BY d) AS prev_state
+      FROM st)
+    SELECT d,
+           floor(s7 / 700.0 * 10000 + 0.5) / 10000 AS fast,
+           floor(s14 / 1400.0 * 10000 + 0.5) / 10000 AS slow,
+           CAST(state AS BIGINT) AS state,
+           CASE WHEN state = 1 AND prev_state = -1 THEN 'golden'
+                WHEN state = -1 AND prev_state = 1 THEN 'death' END AS signal
+    FROM sig WHERE rn >= 15 ORDER BY d
+"""
+
+
+@pq("ma_crossover_signals", _MAX_SQL)
+def ma_crossover_signals(spark, sf_dir):
+    """Moving-average crossover detector (7d fast vs 14d slow daily
+    revenue means): the above/below state is the integer comparison
+    2·S7 vs S14 over exact cent sums, so the crossing days — golden
+    and death crosses from the state's lag — are decided without any
+    float boundary. Plan: one day agg, one ordered window pass over
+    the calendar-bounded series."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("bigint").alias("c")
+    )
+    wd = Window.orderBy("d")
+    w = daily.select(
+        "d", "c",
+        F.sum("c").over(wd.rowsBetween(-6, 0)).alias("s7"),
+        F.sum("c").over(wd.rowsBetween(-13, 0)).alias("s14"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    state = (
+        F.when(2 * F.col("s7") > F.col("s14"), 1)
+        .when(2 * F.col("s7") < F.col("s14"), -1)
+        .otherwise(0)
+    )
+    st = w.select("d", "s7", "s14", "rn", state.alias("state"))
+    sig = st.select(
+        "d", "s7", "s14", "rn", "state", F.lag("state").over(wd).alias("prev_state")
+    )
+    return (
+        sig.filter(F.col("rn") >= 15)
+        .select(
+            "d",
+            _pin(F.col("s7") / 700.0, 4).alias("fast"),
+            _pin(F.col("s14") / 1400.0, 4).alias("slow"),
+            F.col("state").cast("bigint").alias("state"),
+            F.when((F.col("state") == 1) & (F.col("prev_state") == -1), "golden")
+            .when((F.col("state") == -1) & (F.col("prev_state") == 1), "death")
+            .alias("signal"),
+        )
+        .orderBy("d")
+    )
+
+
+# --- customer lifecycle accounting by year ----------------------------------------------------
+# new / retained (active in y-1) / reactivated (gap > 1y) per order
+# year, plus churn-out of the previous year's actives — pure integer
+# state logic on lagged activity years.
+_LIFE_SQL = """
+    WITH cy AS (
+      SELECT DISTINCT o_custkey, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+      FROM orders),
+    st AS (
+      SELECT y,
+             lag(y) OVER (PARTITION BY o_custkey ORDER BY y) AS prev_y
+      FROM cy),
+    agg AS (
+      SELECT y,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CASE WHEN prev_y IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN prev_y = y - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN prev_y < y - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_reactivated
+      FROM st GROUP BY y)
+    SELECT y, n_active, n_new, n_retained, n_reactivated,
+           CAST(lag(n_active) OVER (ORDER BY y) - n_retained AS BIGINT) AS n_churned_out
+    FROM agg ORDER BY y
+"""
+
+
+@pq("customer_lifecycle_yearly", _LIFE_SQL)
+def customer_lifecycle_yearly(spark, sf_dir):
+    """Customer lifecycle ledger per order year: new vs retained vs
+    reactivated (from each customer's lagged activity year) plus the
+    churn-out of the previous year's actives (lag(n_active) −
+    n_retained; NULL for the first year where no previous cohort
+    exists) — the subscription-style accounting identity every growth
+    dashboard reconciles. Plan: one distinct on (customer, year), one
+    customer-keyed lag, one 7-row year agg."""
+    o = _t(spark, sf_dir, "orders")
+    cy = o.select(
+        "o_custkey", F.year(F.to_date("o_orderdate")).cast("bigint").alias("y")
+    ).distinct()
+    st = cy.select(
+        "y", F.lag("y").over(Window.partitionBy("o_custkey").orderBy("y")).alias("prev_y")
+    )
+    agg = st.groupBy("y").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("prev_y").isNull(), 1).otherwise(0)).cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("prev_y") == F.col("y") - 1, 1).otherwise(0))
+        .cast("bigint").alias("n_retained"),
+        F.sum(F.when(F.col("prev_y") < F.col("y") - 1, 1).otherwise(0))
+        .cast("bigint").alias("n_reactivated"),
+    )
+    return agg.select(
+        "y", "n_active", "n_new", "n_retained", "n_reactivated",
+        (F.lag("n_active").over(Window.orderBy("y")) - F.col("n_retained"))
+        .cast("bigint").alias("n_churned_out"),
+    ).orderBy("y")
+
+
+# --- rapid repeat events audit -----------------------------------------------------------
+# Same user, same event type, within 30 minutes — the double-fire /
+# retry-storm audit. The time-range self-join runs as an EQUI join on
+# (user, type, 30-minute bucket) with a 2-bucket explode on the probe
+# side (pair ordered a≤b ⇒ bucket_b ∈ {bucket_a, bucket_a+1}), then
+# the exact integer-µs band filter — no quadratic join, candidates are
+# bucket-local.
+_RAPID_SQL = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us
+      FROM events)
+    SELECT a.user_id, a.event_type,
+           a.event_id AS event_a, b.event_id AS event_b,
+           CAST(b.us - a.us AS BIGINT) AS delta_us
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.event_type = b.event_type
+     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+     AND b.us - a.us <= 1800000000
+    ORDER BY a.user_id, event_a, event_b
+"""
+
+
+@pq("rapid_repeat_events", _RAPID_SQL)
+def rapid_repeat_events(spark, sf_dir):
+    """Rapid repeat events (same user, same type, ≤30 minutes apart) —
+    the double-fire/retry-storm audit a dedup policy is tuned on. The
+    range self-join is rewritten as an equi join on (user, type,
+    30-min time bucket) with a 2-bucket explode on the earlier side,
+    so candidates stay bucket-local instead of quadratic; the final
+    band check is exact integer microseconds. Plan: one hash-partition
+    on the bucketed key, no sort-merge on user alone (a hot user would
+    serialize), bounded pairs per bucket."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", F.unix_micros("ts").alias("us")
+    )
+    bkt = F.floor(F.col("us") / 1_800_000_000).cast("long")
+    home = e.select(
+        F.col("event_id").alias("event_b"), "user_id", "event_type",
+        F.col("ts").alias("ts_b"), F.col("us").alias("us_b"), bkt.alias("bkt"),
+    )
+    # 2-bucket expansion as a generator (explode of a literal array) —
+    # stays inside the scan stage instead of compiling to a bounded
+    # BroadcastNestedLoopJoin like a range() crossJoin would
+    probe = e.select(
+        F.col("event_id").alias("event_a"), "user_id", "event_type",
+        F.col("ts").alias("ts_a"), F.col("us").alias("us_a"),
+        F.explode(F.array(bkt, bkt + 1)).alias("bkt"),
+    )
+    return (
+        probe.join(home, ["user_id", "event_type", "bkt"])
+        .filter(
+            (
+                (F.col("ts_a") < F.col("ts_b"))
+                | ((F.col("ts_a") == F.col("ts_b")) & (F.col("event_a") < F.col("event_b")))
+            )
+            & (F.col("us_b") - F.col("us_a") <= 1_800_000_000)
+        )
+        .select(
+            "user_id", "event_type", "event_a", "event_b",
+            (F.col("us_b") - F.col("us_a")).cast("bigint").alias("delta_us"),
+        )
+        .orderBy("user_id", "event_a", "event_b")
+    )
+
+
+# --- 3-NN label prediction accuracy over embeddings ---------------------------------------
+# Majority label of the exact top-3 cosine neighbors vs the vector's
+# own label, per true label — the retrieval-quality eval that uses the
+# SAME brute-force kernel similarity_topk pins (GEMM per batch, rank on
+# the 6dp-rounded similarity with neighbor-id tie-break), with the
+# majority vote broken deterministically by (count DESC, label ASC).
+_KNN_SQL = """
+    WITH nn AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+             round(list_cosine_similarity(c.embedding::DOUBLE[], p.embedding::DOUBLE[]), 6)
+               AS cosine
+      FROM embeddings c JOIN embeddings p
+        ON p.vec_id % 31 = 0 AND c.vec_id <> p.vec_id
+      QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                                 ORDER BY cosine DESC, c.vec_id) <= 3),
+    votes AS (
+      SELECT probe_id, nlabel, count(*) AS cnt FROM nn GROUP BY 1, 2),
+    pred AS (
+      SELECT probe_id, nlabel AS pred_label FROM votes
+      QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cnt DESC, nlabel) = 1)
+    SELECT CAST(e.label AS BIGINT) AS true_label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+    FROM pred p JOIN embeddings e ON p.probe_id = e.vec_id
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@pq("knn_label_accuracy", _KNN_SQL)
+def knn_label_accuracy(spark, sf_dir):
+    """3-NN label prediction accuracy: for each probe vector
+    (vec_id % 31 = 0), the majority label of its exact top-3 cosine
+    neighbors (vote ties broken by count DESC, label ASC) compared to
+    its own label, reported per true label — the standard embedding-
+    quality eval, sharing the GEMM brute-force kernel and the
+    6dp-rounded rank discipline with similarity_topk. Plan: broadcast
+    probe matrix, per-batch GEMM + partial top-k, one tiny global
+    window — the corpus is scanned once, never self-joined."""
+    from etl_mini_spark.operators import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 31 == 0)
+    nn = cosine_topk_bruteforce(emb, probes, k=3)
+    votes = (
+        nn.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")),
+            "neighbor_id",
+        )
+        .groupBy("probe_id", "nlabel")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pred = (
+        votes.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(F.col("cnt").desc(), "nlabel")
+            ),
+        )
+        .filter("rk = 1")
+        .select("probe_id", F.col("nlabel").alias("pred_label"))
+    )
+    truth = emb.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, "probe_id")
+        .groupBy(F.col("true_label").cast("bigint").alias("true_label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+            .cast("bigint").alias("n_correct"),
+        )
+        .orderBy("true_label")
+    )

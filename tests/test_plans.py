@@ -805,7 +805,7 @@ def test_round11_staged_tier_no_cartesian_blanket(spark):
 
     src = open("etl_mini_spark/queries/round11_pending.py").read()
     ROUND11 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
-    assert len(ROUND11) == 22
+    assert len(ROUND11) == 27
     SKIP_SIDE_EFFECTS = {"stream_mg_incremental"}  # runs a streaming job first
     ROUND11 = [n for n in ROUND11 if n not in SKIP_SIDE_EFFECTS]
     ONE_ROW_SCALAR_OK = {

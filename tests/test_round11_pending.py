@@ -210,3 +210,52 @@ def test_fourier_amplitude_consistent(spark):
         amp_check = (r["a1"] ** 2 + r["b1"] ** 2) ** 0.5
         assert abs(r["amplitude"] - amp_check) < 1e-5
         assert r["amplitude"] < 1.0  # shares are <=1 so the harmonic is too
+
+
+def test_quantile_cont_ordered(spark):
+    rows = PENDING["quantile_cont_parity"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["p25"] <= r["p50"] <= r["p75"]
+
+
+def test_ma_crossover_states_and_signals(spark):
+    rows = PENDING["ma_crossover_signals"](spark, SF_SMOKE).collect()
+    assert len(rows) == 16  # 30 days - 14 warmup
+    states = {r["state"] for r in rows}
+    assert states <= {-1, 0, 1} and len(states) > 1  # the state actually flips
+    for r in rows:
+        if r["signal"] == "golden":
+            assert r["state"] == 1
+        if r["signal"] == "death":
+            assert r["state"] == -1
+
+
+def test_lifecycle_identity_holds(spark):
+    rows = PENDING["customer_lifecycle_yearly"](spark, SF_SMOKE).orderBy("y").collect()
+    assert len(rows) >= 6
+    assert rows[0]["n_churned_out"] is None  # no cohort before the first year
+    prev_active = None
+    for r in rows:
+        # accounting identity: active = new + retained + reactivated
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_reactivated"]
+        if prev_active is not None:
+            assert r["n_churned_out"] == prev_active - r["n_retained"]
+        prev_active = r["n_active"]
+
+
+def test_rapid_repeats_within_band(spark):
+    rows = PENDING["rapid_repeat_events"](spark, SF_SMOKE).collect()
+    assert rows  # threshold tuned non-vacuous at the smoke SF
+    for r in rows:
+        assert 0 <= r["delta_us"] <= 1_800_000_000
+        assert r["event_a"] != r["event_b"]
+
+
+def test_knn_accuracy_counts_nest(spark):
+    rows = PENDING["knn_label_accuracy"](spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r["n_probes"] for r in rows)
+    assert total > 0
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_probes"]
