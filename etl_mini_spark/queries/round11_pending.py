@@ -1913,3 +1913,342 @@ def knn_label_accuracy(spark, sf_dir):
         )
         .orderBy("true_label")
     )
+
+
+# --- Holt-Winters 7-day forecast from the terminal state ---------------------------------------
+# The forecasting counterpart of holt_winters_weekly: run the identical
+# recursion to the last observed day, then project h = 1..7 as
+# f_h = l_n + h·b_n + s_{(n+h-1) mod 7} — a pure read of the terminal
+# (level, trend, seasonal[7]) state, so the differential proves state
+# HANDOFF, not just in-sample fit. Shares the recursive-CTE oracle and
+# the exact-integer seeding with the fit entry.
+_HWF_SQL = f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    ser AS (
+      SELECT event_type, d, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+      FROM daily),
+    base AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN i <= 7 THEN c ELSE 0 END) AS BIGINT) AS w1c,
+             CAST(sum(CASE WHEN i BETWEEN 8 AND 14 THEN c ELSE 0 END) AS BIGINT) AS w2c,
+             {", ".join(f"CAST(max(CASE WHEN i = {k + 1} THEN c END) AS BIGINT) AS c{k + 1}"
+                        for k in range(7))},
+             CAST(count(*) AS BIGINT) AS n,
+             max(d) AS d_last
+      FROM ser GROUP BY event_type),
+    init AS (
+      SELECT event_type, CAST(7 AS BIGINT) AS i,
+             CAST(w1c AS DOUBLE) / 700.0 AS l,
+             (CAST(w2c AS DOUBLE) / 700.0 - CAST(w1c AS DOUBLE) / 700.0) / 7.0 AS b,
+             {", ".join(f"CAST(c{k + 1} AS DOUBLE) / 100.0"
+                        f" - CAST(w1c AS DOUBLE) / 700.0 AS s{k}" for k in range(7))}
+      FROM base WHERE n >= 14),
+    rec AS (
+      SELECT event_type, i, l, b, {_HW_STATE_COLS} FROM init
+      UNION ALL
+      SELECT r.event_type, r.i + 1,
+             {_HW_LNEW.format(sold=_HW_SOLD)},
+             0.2 * (({_HW_LNEW.format(sold=_HW_SOLD)}) - r.l) + 0.8 * r.b,
+             {", ".join(
+                 f"CASE WHEN (s.i - 1) % 7 = {k} THEN {_HW_SNEW.format(sold=_HW_SOLD)}"
+                 f" ELSE r.s{k} END" for k in range(7))}
+      FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.i = r.i + 1),
+    term AS (
+      SELECT rec.* FROM rec JOIN base ON rec.event_type = base.event_type
+      WHERE rec.i = base.n),
+    hh AS (SELECT unnest(generate_series(1, 7)) AS h)
+    SELECT t.event_type, CAST(hh.h AS BIGINT) AS h,
+           strftime(CAST(b.d_last AS DATE) + CAST(hh.h AS INT), '%Y-%m-%d') AS f_d,
+           floor((t.l + hh.h * t.b +
+                  (CASE CAST((t.i + hh.h - 1) % 7 AS INT)
+                        {" ".join(f"WHEN {k} THEN t.s{k}" for k in range(7))} END))
+                 * 1000000 + 0.5) / 1000000 AS forecast
+    FROM term t JOIN base b ON t.event_type = b.event_type
+    CROSS JOIN hh
+    ORDER BY t.event_type, h
+"""
+
+
+@pq("holt_winters_forecast", _HWF_SQL)
+def holt_winters_forecast(spark, sf_dir):
+    """7-day-ahead Holt-Winters forecast: the identical recursion as
+    holt_winters_weekly runs to the last observed day, and each
+    horizon h projects l_n + h·b_n + s_{(n+h-1) mod 7} from the
+    TERMINAL state — proving the persisted state hands off to
+    forecasting exactly (the property an incremental forecaster
+    restarts from). Plan: same one-shuffle recursion per series key +
+    a 7-row projection."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("bigint").alias("c")
+    )
+
+    def hwf(pdf: pd.DataFrame) -> pd.DataFrame:
+        import datetime as dt
+
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        cs = [int(v) for v in pdf["c"]]
+        n = len(cs)
+        if n < 14:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=str), "h": pd.Series([], dtype="int64"),
+                 "f_d": pd.Series([], dtype=str), "forecast": pd.Series([], dtype=float)}
+            )
+        w1c, w2c = sum(cs[:7]), sum(cs[7:14])
+        l = w1c / 700.0
+        b = (w2c / 700.0 - w1c / 700.0) / 7.0
+        s = [cs[k] / 100.0 - w1c / 700.0 for k in range(7)]
+        for t in range(8, n + 1):
+            j = (t - 1) % 7
+            x = cs[t - 1] / 100.0
+            s_old = s[j]
+            l_new = 0.3 * (x - s_old) + 0.7 * (l + b)
+            b_new = 0.2 * (l_new - l) + 0.8 * b
+            s[j] = 0.4 * (x - l_new) + 0.6 * s_old
+            l, b = l_new, b_new
+        d_last = dt.date.fromisoformat(pdf["d"].iloc[-1])
+        rows = []
+        for h in range(1, 8):
+            f = l + h * b + s[(n + h - 1) % 7]
+            rows.append(
+                (pdf["event_type"].iloc[0], h,
+                 (d_last + dt.timedelta(days=h)).isoformat(), f)
+            )
+        return pd.DataFrame(rows, columns=["event_type", "h", "f_d", "forecast"])
+
+    out = daily.groupBy("event_type").applyInPandas(
+        hwf, schema="event_type string, h long, f_d string, forecast double"
+    )
+    return out.select(
+        "event_type", F.col("h").cast("bigint").alias("h"), "f_d",
+        _pin(F.col("forecast")).alias("forecast"),
+    ).orderBy("event_type", "h")
+
+
+# --- keyset (seek-method) pagination parity ---------------------------------------------------
+# Page 3 of the order book (rows 201-300 by (o_orderdate, o_orderkey)):
+# the oracle uses DuckDB's native ROW-VALUE comparison
+# (d, k) > (anchor_d, anchor_k); the Spark side uses the canonical
+# OR-chain rewrite. Keyset is the pagination that SCALES — the anchor
+# predicate pushes to the scan, while OFFSET must always materialize
+# and discard every earlier row.
+_KEYSET_SQL = """
+    WITH anchor AS (
+      SELECT o_orderdate AS ad, o_orderkey AS ak
+      FROM orders ORDER BY o_orderdate, o_orderkey
+      LIMIT 1 OFFSET 199)
+    SELECT o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           round(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS o_totalprice
+    FROM orders o CROSS JOIN anchor
+    WHERE (o.o_orderdate, o.o_orderkey) > (anchor.ad, anchor.ak)
+    ORDER BY o.o_orderdate, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@pq("sql_keyset_pagination", _KEYSET_SQL)
+def sql_keyset_pagination(spark, sf_dir):
+    """Keyset (seek-method) pagination: fetch page 3 of the order book
+    by anchoring on row 200's (o_orderdate, o_orderkey) and seeking
+    STRICTLY PAST it — DuckDB's native row-value comparison vs Spark's
+    canonical OR-chain rewrite, so the tuple-ordering semantics are
+    cross-checked by two independent implementations. At scale keyset
+    is the only pagination that works: the anchor predicate prunes at
+    the scan, while OFFSET pays for every skipped row on every page.
+    Plan: TakeOrderedAndProject for the anchor, broadcast 1-row anchor,
+    pushable range predicate + top-k — no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = (
+        o.select("o_orderdate", "o_orderkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(200)
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(F.col("o_orderdate").alias("ad"), F.col("o_orderkey").alias("ak"))
+    )
+    seek = (F.col("o_orderdate") > F.col("ad")) | (
+        (F.col("o_orderdate") == F.col("ad")) & (F.col("o_orderkey") > F.col("ak"))
+    )
+    return (
+        o.crossJoin(F.broadcast(anchor))
+        .filter(seek)
+        .select(
+            "o_orderkey",
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2)
+            .alias("o_totalprice"),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- EOQ + reorder-point inventory policy per brand --------------------------------------------
+# Classic operations formulas over exact aggregates: EOQ =
+# sqrt(2·D·S / H) with D = total demanded quantity (exact BIGINT from
+# decimal sums), S = 100 fixed ordering cost, H = 20% of the brand's
+# average retail price; reorder point = daily demand × 7-day lead.
+# sqrt is IEEE-exact; every input is one exact conversion.
+_EOQ_SQL = """
+    WITH d AS (
+      SELECT p.p_brand AS brand,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS d_c,
+             CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS price_c,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand)
+    SELECT brand, CAST(d_c / 100 AS BIGINT) AS demand_units, n_lines,
+           floor(sqrt(2.0 * (CAST(d_c AS DOUBLE) / 100.0) * 100.0
+                      / (0.2 * (CAST(price_c AS DOUBLE) / 100.0 / n_lines)))
+                 * 10000 + 0.5) / 10000 AS eoq_units,
+           floor((CAST(d_c AS DOUBLE) / 100.0) / 365.0 * 7.0 * 10000 + 0.5) / 10000
+             AS reorder_point_units
+    FROM d ORDER BY brand
+"""
+
+
+@pq("eoq_inventory_policy", _EOQ_SQL)
+def eoq_inventory_policy(spark, sf_dir):
+    """Economic-order-quantity policy per brand: EOQ = sqrt(2DS/H)
+    with exact-integer demand (BIGINT centi-units), a fixed ordering
+    cost, and holding cost as 20% of the brand's average retail price,
+    plus the 7-day-lead reorder point — the inventory-planning formula
+    block, every input one exact conversion and sqrt IEEE-exact. Plan:
+    one fact-dim equi join (AQE-broadcastable part dim), one
+    brand-keyed agg, 25 output rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    d = (
+        li.join(p.select("p_partkey", "p_brand", "p_retailprice"),
+                li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("d_c"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("price_c"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+    d_units = F.col("d_c").cast("double") / 100.0
+    avg_price = F.col("price_c").cast("double") / 100.0 / F.col("n_lines")
+    eoq = F.sqrt(2.0 * d_units * 100.0 / (0.2 * avg_price))
+    return d.select(
+        "brand",
+        F.expr("CAST(d_c DIV 100 AS BIGINT)").alias("demand_units"),
+        "n_lines",
+        _pin(eoq, 4).alias("eoq_units"),
+        _pin(d_units / 365.0 * 7.0, 4).alias("reorder_point_units"),
+    ).orderBy("brand")
+
+
+# --- open-order backlog aging ------------------------------------------------------------------
+# Open/partial orders aged against the fixed TPC-H-style reference
+# date (1998-12-01) into fixed day buckets, by priority — integer date
+# arithmetic, decimal value sums; the ops report a fulfillment team
+# reads every morning.
+_BACKLOG_SQL = """
+    WITH b AS (
+      SELECT o_orderpriority AS priority,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS age_days,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders WHERE o_orderstatus IN ('O', 'P')),
+    k AS (
+      SELECT priority,
+             CASE WHEN age_days <= 365 THEN 'a_0_1y'
+                  WHEN age_days <= 730 THEN 'b_1_2y'
+                  WHEN age_days <= 1460 THEN 'c_2_4y'
+                  ELSE 'd_4y_plus' END AS bucket,
+             v
+      FROM b)
+    SELECT priority, bucket, CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(v) AS DOUBLE), 2) AS backlog_value
+    FROM k GROUP BY priority, bucket ORDER BY priority, bucket
+"""
+
+
+@pq("orders_backlog_aging", _BACKLOG_SQL)
+def orders_backlog_aging(spark, sf_dir):
+    """Open-order backlog aging: orders still open or partially
+    fulfilled (status O/P), aged against the fixed 1998-12-01
+    reference date into fixed year buckets per priority, with exact
+    decimal value totals — the fulfillment-ops report. Plan: a
+    status-filter that pushes to the scan, one (priority, bucket)
+    agg — 20 output cells."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.filter(F.col("o_orderstatus").isin("O", "P")).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.to_date(F.lit("1998-12-01")), F.to_date("o_orderdate")).alias("age_days"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    k = b.select(
+        "priority",
+        F.when(F.col("age_days") <= 365, "a_0_1y")
+        .when(F.col("age_days") <= 730, "b_1_2y")
+        .when(F.col("age_days") <= 1460, "c_2_4y")
+        .otherwise("d_4y_plus")
+        .alias("bucket"),
+        "v",
+    )
+    return (
+        k.groupBy("priority", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("v").cast("double"), 2).alias("backlog_value"),
+        )
+        .orderBy("priority", "bucket")
+    )
+
+
+# --- bitmap presence rollup --------------------------------------------------------------------
+# Each user's activity month as ONE 31-bit mask (bit i set ⟺ active on
+# day i+1) built with bit_or over shifted BIGINT ones — the bitmap-
+# index technique that turns presence/retention set algebra into
+# bitwise ops at scale — then rolled up to users-per-active-day-count
+# with an exact mask checksum.
+_BITMAP_SQL = """
+    WITH m AS (
+      SELECT user_id,
+             bit_or(1::BIGINT << (CAST(strftime(ts, '%d') AS INT) - 1)) AS mask
+      FROM events GROUP BY user_id),
+    k AS (
+      SELECT user_id, mask, CAST(bit_count(mask) AS BIGINT) AS n_days FROM m)
+    SELECT n_days, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(mask) AS BIGINT) AS mask_checksum
+    FROM k GROUP BY n_days ORDER BY n_days
+"""
+
+
+@pq("bitmap_presence_rollup", _BITMAP_SQL)
+def bitmap_presence_rollup(spark, sf_dir):
+    """Bitmap presence index: each user's month of activity packed
+    into one 31-bit mask (bit_or of shifted ones), rolled up to a
+    users-per-active-day-count histogram with an exact summed-mask
+    checksum — the bitmap-index representation that makes
+    presence/retention set algebra (AND/OR/XOR of user populations)
+    bitwise-cheap at warehouse scale. Plan: one user-keyed bit_or agg
+    (map-side combinable), one 31-row rollup."""
+    e = _t(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(date_format(ts, 'dd') AS INT) - 1))")
+        .alias("mask")
+    )
+    k = m.select("user_id", "mask", F.bit_count("mask").cast("bigint").alias("n_days"))
+    return (
+        k.groupBy("n_days")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("mask").cast("bigint").alias("mask_checksum"),
+        )
+        .orderBy("n_days")
+    )

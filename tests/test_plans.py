@@ -805,7 +805,7 @@ def test_round11_staged_tier_no_cartesian_blanket(spark):
 
     src = open("etl_mini_spark/queries/round11_pending.py").read()
     ROUND11 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
-    assert len(ROUND11) == 27
+    assert len(ROUND11) == 32
     SKIP_SIDE_EFFECTS = {"stream_mg_incremental"}  # runs a streaming job first
     ROUND11 = [n for n in ROUND11 if n not in SKIP_SIDE_EFFECTS]
     ONE_ROW_SCALAR_OK = {
@@ -814,6 +814,7 @@ def test_round11_staged_tier_no_cartesian_blanket(spark):
         "largest_remainder_allocation", # 1-row total broadcast
         "hour_of_week_heatmap",         # 1-row total broadcast
         "relational_division",          # 1-row divisor cardinality
+        "sql_keyset_pagination",        # 1-row anchor broadcast
     }
     for name in ROUND11:
         s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))

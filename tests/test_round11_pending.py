@@ -259,3 +259,70 @@ def test_knn_accuracy_counts_nest(spark):
     assert total > 0
     for r in rows:
         assert 0 <= r["n_correct"] <= r["n_probes"]
+
+
+def test_hw_forecast_seven_horizons_per_series(spark):
+    rows = PENDING["holt_winters_forecast"](spark, SF_SMOKE).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert len(by_type) == 5
+    for series in by_type.values():
+        assert sorted(r["h"] for r in series) == [1, 2, 3, 4, 5, 6, 7]
+        # forecast dates strictly after the last observed day (2024-01-30)
+        assert all(r["f_d"] > "2024-01-30" for r in series)
+        # the weekly seasonal makes horizons differ (not a flat ramp)
+        vals = [r["forecast"] for r in series]
+        assert max(vals) - min(vals) > 1e-9
+
+
+def test_keyset_page_is_rows_201_300(spark):
+    """The keyset page must equal the OFFSET page — the rewrite is an
+    optimization, not a semantics change."""
+    from etl_mini_spark.queries._base import _t
+    from pyspark.sql import functions as F
+
+    page = PENDING["sql_keyset_pagination"](spark, SF_SMOKE).collect()
+    assert len(page) == 100
+    o = _t(spark, SF_SMOKE, "orders")
+    expect = [
+        (r["o_orderkey"], r["o_orderdate"])
+        for r in o.select(
+            "o_orderkey", F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate")
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(300)
+        .collect()[200:]
+    ]
+    assert [(r["o_orderkey"], r["o_orderdate"]) for r in page] == expect
+
+
+def test_eoq_positive_and_scaled(spark):
+    rows = PENDING["eoq_inventory_policy"](spark, SF_SMOKE).collect()
+    assert len(rows) == 25  # TPC-H brand count
+    for r in rows:
+        assert r["eoq_units"] > 0 and r["reorder_point_units"] > 0
+        assert r["demand_units"] > 0
+
+
+def test_backlog_covers_open_orders_exactly(spark):
+    from etl_mini_spark.queries._base import _t
+    from pyspark.sql import functions as F
+
+    rows = PENDING["orders_backlog_aging"](spark, SF_SMOKE).collect()
+    assert rows
+    total = sum(r["n_orders"] for r in rows)
+    o = _t(spark, SF_SMOKE, "orders")
+    n_open = o.filter(F.col("o_orderstatus").isin("O", "P")).count()
+    assert total == n_open  # bucketing partitions the open set exactly
+
+
+def test_bitmap_masks_conserve_users(spark):
+    from etl_mini_spark.queries._base import _t
+
+    rows = PENDING["bitmap_presence_rollup"](spark, SF_SMOKE).collect()
+    assert rows
+    n_users = _t(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r["n_days"] <= 31
