@@ -77,3 +77,27 @@ def test_batching_independence_of_guarantee(stream, k, seed):
         for item, c_true in true.items():
             if c_true > n / (k + 1):
                 assert item in counters
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    stream=_stream,
+    cuts=st.lists(st.integers(min_value=0), max_size=8),
+    k=_k,
+    denom=st.integers(min_value=2, max_value=12),
+)
+def test_candidates_then_exact_recount_equals_naive(stream, cuts, k, denom):
+    """The FULL sketch-then-verify pipeline — MG candidates from any
+    batching, exact recount restricted to candidates, threshold
+    freq·denom > N — must equal the naive exact answer whenever
+    denom < k+1. This is the end-to-end property heavy_hitters_mg and
+    stream_mg_incremental claim: incremental candidate maintenance
+    never changes the final answer."""
+    if denom >= k + 1:
+        return  # outside the operator's declared precondition
+    counters = _run_batched(stream, cuts, k)
+    true = Counter(str(x) for x in stream)
+    n = len(stream)
+    naive = {item for item, c in true.items() if c * denom > n}
+    via_sketch = {item for item in counters if true[item] * denom > n}
+    assert via_sketch == naive
