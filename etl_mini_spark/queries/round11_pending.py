@@ -2153,14 +2153,16 @@ def eoq_inventory_policy(spark, sf_dir):
 
 
 # --- open-order backlog aging ------------------------------------------------------------------
-# Open/partial orders aged against the fixed TPC-H-style reference
-# date (1998-12-01) into fixed day buckets, by priority — integer date
-# arithmetic, decimal value sums; the ops report a fulfillment team
-# reads every morning.
+# Open/partial orders aged against the fixed reference date 2002-01-01
+# (strictly AFTER the calendar's last order, 2001-08-01, so every age
+# is positive and every bucket is reachable — a mid-calendar reference
+# would silently bin future-dated orders as freshest) into fixed day
+# buckets, by priority — integer date arithmetic, decimal value sums;
+# the ops report a fulfillment team reads every morning.
 _BACKLOG_SQL = """
     WITH b AS (
       SELECT o_orderpriority AS priority,
-             date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS age_days,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days,
              CAST(o_totalprice AS DECIMAL(18,2)) AS v
       FROM orders WHERE o_orderstatus IN ('O', 'P')),
     k AS (
@@ -2180,15 +2182,17 @@ _BACKLOG_SQL = """
 @pq("orders_backlog_aging", _BACKLOG_SQL)
 def orders_backlog_aging(spark, sf_dir):
     """Open-order backlog aging: orders still open or partially
-    fulfilled (status O/P), aged against the fixed 1998-12-01
-    reference date into fixed year buckets per priority, with exact
-    decimal value totals — the fulfillment-ops report. Plan: a
+    fulfilled (status O/P), aged against the fixed 2002-01-01
+    reference date (past the calendar's last order, so ages are always
+    positive and every bucket is reachable) into fixed year buckets
+    per priority, with exact decimal value totals — the
+    fulfillment-ops report. Plan: a
     status-filter that pushes to the scan, one (priority, bucket)
     agg — 20 output cells."""
     o = _t(spark, sf_dir, "orders")
     b = o.filter(F.col("o_orderstatus").isin("O", "P")).select(
         F.col("o_orderpriority").alias("priority"),
-        F.datediff(F.to_date(F.lit("1998-12-01")), F.to_date("o_orderdate")).alias("age_days"),
+        F.datediff(F.to_date(F.lit("2002-01-01")), F.to_date("o_orderdate")).alias("age_days"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
     )
     k = b.select(

@@ -315,6 +315,10 @@ def test_backlog_covers_open_orders_exactly(spark):
     o = _t(spark, SF_SMOKE, "orders")
     n_open = o.filter(F.col("o_orderstatus").isin("O", "P")).count()
     assert total == n_open  # bucketing partitions the open set exactly
+    # the reference date sits past the calendar's last order, so every
+    # bucket is reachable — a mid-calendar reference would silently bin
+    # future-dated orders as freshest (the r9 erasure-audit class)
+    assert {r["bucket"] for r in rows} == {"a_0_1y", "b_1_2y", "c_2_4y", "d_4y_plus"}
 
 
 def test_bitmap_masks_conserve_users(spark):
