@@ -2121,7 +2121,9 @@ _EOQ_SQL = """
 def eoq_inventory_policy(spark, sf_dir):
     """Economic-order-quantity policy per brand: EOQ = sqrt(2DS/H)
     with exact-integer demand (BIGINT centi-units), a fixed ordering
-    cost, and holding cost as 20% of the brand's average retail price,
+    cost, and holding cost as 20% of the brand's LINE-WEIGHTED average
+    retail price (parts ordered more often weigh more — the carrying
+    cost of the units actually flowing, not of the catalog),
     plus the 7-day-lead reorder point — the inventory-planning formula
     block, every input one exact conversion and sqrt IEEE-exact. Plan:
     one fact-dim equi join (AQE-broadcastable part dim), one
