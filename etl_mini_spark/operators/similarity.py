@@ -80,9 +80,11 @@ def cosine_topk_bruteforce(
     """Exact top-k cosine neighbors for each probe vector.
 
     Per corpus batch: GEMM against the broadcast probe matrix, keep the
-    per-batch top-k per probe (argpartition), then one tiny global
-    window resolves the true top-k. Rank on the 6-decimal-rounded
-    similarity with neighbor id tie-break — deterministic across
+    per-batch top-k per probe ordered by (rounded sim DESC, neighbor_id
+    ASC), then one tiny global window resolves the true top-k on the
+    same rank. Because the batch cut uses the identical lexicographic
+    order as the window, ties at the k-th similarity resolve the same
+    way regardless of how rows land in batches — deterministic across
     partitionings and engines. Returns (probe_id, neighbor_id, cosine).
     """
     from etl_mini_spark.session import spread
@@ -110,8 +112,16 @@ def cosine_topk_bruteforce(
             mask = cids[:, None] == pids[None, :]
             sims[mask] = -np.inf  # exclude self
             kk = min(k, sims.shape[0])
-            # per-probe top-k within this batch
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # [kk, n_probes]
+            # per-probe top-k within this batch, ordered by
+            # (rounded sim DESC, neighbor_id ASC) — the SAME rank the
+            # global window uses, so batch-boundary truncation can
+            # never drop a tied lower-id neighbor the window would
+            # keep (results stay partitioning-independent). Two stable
+            # argsorts compose the lexicographic order.
+            ord0 = np.argsort(cids, kind="stable")  # neighbor_id ASC
+            top = ord0[
+                np.argsort(-sims[ord0], axis=0, kind="stable")[:kk]
+            ]  # [kk, n_probes]
             probe_rep = np.broadcast_to(pids, top.shape)
             flat_sims = np.take_along_axis(sims, top, axis=0)
             keep = np.isfinite(flat_sims.ravel())

@@ -671,9 +671,12 @@ def max_drawdown_daily(spark, sf_dir):
 
 
 # --- Bollinger bands (7-day, ±2σ) on daily revenue ------------------------------------------
-# Rolling sum and sum-of-squares stay BIGINT (cents² ·7 < 2^63 up to
-# ~sf1 — the overflow point is documented); mean/σ are fixed IEEE
-# expressions over those exact integers, so the band edges — and the
+# Rolling sum stays BIGINT; the rolling sum-of-squares is exact WIDE
+# integer (DECIMAL(38,0) in Spark, HUGEINT in DuckDB — cents²·7 passes
+# 2^63 around sf1, so BIGINT would ANSI-throw there; the wide types
+# are exact to 10^38 ≈ sf10^10). Both engines convert the identical
+# exact integer to double at q/7.0 (correctly-rounded int→double), so
+# mean/σ are fixed IEEE expressions and the band edges — and the
 # breach BOOLEANS computed from the raw unrounded doubles — are
 # bit-identical across engines before the 4dp display pin.
 _BOLL_SQL = """
@@ -684,7 +687,7 @@ _BOLL_SQL = """
     w AS (
       SELECT d, c,
              sum(c) OVER (ORDER BY d ROWS 6 PRECEDING) AS s,
-             sum(c * c) OVER (ORDER BY d ROWS 6 PRECEDING) AS q,
+             sum(CAST(c AS HUGEINT) * c) OVER (ORDER BY d ROWS 6 PRECEDING) AS q,
              row_number() OVER (ORDER BY d) AS rn
       FROM daily)
     SELECT d,
@@ -705,13 +708,15 @@ _BOLL_SQL = """
 @pq("bollinger_bands_7d", _BOLL_SQL)
 def bollinger_bands_7d(spark, sf_dir):
     """Bollinger bands over daily revenue: trailing-7-day mean ±2
-    population σ, with breach flags. The rolling sum and sum-of-squares
-    are exact BIGINT cents (cents²·7 < 2^63 through ~sf1; past that
-    the sumsq must move to DECIMAL — documented, not silent), so the
-    band edges are fixed IEEE expressions over exact integers and the
-    breach booleans — compared on the RAW doubles, before display
-    rounding — are engine-identical. Plan: one day agg + one ordered
-    window over the calendar-bounded series."""
+    population σ, with breach flags. The rolling sum is exact BIGINT
+    cents; the rolling sum-of-squares is exact DECIMAL(38,0) (HUGEINT
+    on the oracle side) because cents²·7 crosses 2^63 near sf1 and
+    would ANSI-throw as BIGINT — the wide integer removes that scale
+    cliff while staying exact to 10^38. Both engines correctly round
+    the identical exact integer at q/7.0, so the band edges are fixed
+    IEEE expressions and the breach booleans — compared on the RAW
+    doubles, before display rounding — are engine-identical. Plan: one
+    day agg + one ordered window over the calendar-bounded series."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
         F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
@@ -722,7 +727,9 @@ def bollinger_bands_7d(spark, sf_dir):
     b = daily.select(
         "d", "c",
         F.sum("c").over(w7).alias("s"),
-        F.sum(F.col("c") * F.col("c")).over(w7).alias("q"),
+        # cents² as DECIMAL(38,0): exact wide integer, no 2^63 cliff
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+        .over(w7).alias("q"),
         F.row_number().over(wr).alias("rn"),
     )
     mean_c = F.col("s") / 7.0
@@ -778,13 +785,19 @@ def stream_mg_incremental(spark, sf_dir):
     candidate superset survives batch boundaries), and the final
     report is an exact Spark recount restricted to the candidates.
     Must equal the naive exact GROUP BY — incremental maintenance
-    changes the cost, never the answer. Plan: per batch one Arrow pass
-    + a ≤64-row state write; the exact pass touches only candidate
-    tokens — the incremental-sketch shape that avoids re-scanning
-    history at 100 TB."""
-    import re as _re
+    changes the cost, never the answer. Plan: per batch ONE distributed
+    Arrow pass (per-partition MG summaries via ``mapInPandas``, the
+    same kernel shape as ``operators/sketches.mg_candidates``); only
+    the ≤64×P summary counter rows reach the driver, where one
+    mergeable-summaries MERGE (pointwise add + single compress —
+    exactly the k-way merge of Agarwal et al., bound Σ N_p/(k+1))
+    folds them into the persisted state. The raw batch text is never
+    collected, so the sink stays driver-light at any micro-batch size;
+    the exact pass touches only candidate tokens — the incremental-
+    sketch shape that avoids re-scanning history at 100 TB."""
     import shutil
     import uuid
+    from collections.abc import Iterator
 
     import pandas as pd
 
@@ -792,8 +805,9 @@ def stream_mg_incremental(spark, sf_dir):
     from etl_mini_spark.queries._base import _TMP
     from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
 
-    for old in _TMP.glob("smg_*"):
-        shutil.rmtree(old, ignore_errors=True)
+    # scope all FS state to this invocation's own uuid dir and clean it
+    # in `finally` — never sweep sibling smg_* dirs, which may belong
+    # to a concurrent run (parallel pytest worker / overlapping sweep)
     tmp = _TMP / f"smg_{uuid.uuid4().hex[:8]}"
     src, state, ckpt = tmp / "src", tmp / "state", tmp / "ckpt"
 
@@ -807,33 +821,54 @@ def stream_mg_incremental(spark, sf_dir):
 
     schema = spark.read.parquet(str(src / "00.parquet")).schema
 
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            counters = mg_fold(
+                counters,
+                {t: int(c) for t, c in pdf["t"].value_counts().items()},
+                k=64,
+            )
+        if counters:
+            yield pd.DataFrame(
+                {"t": list(counters.keys()), "cnt": list(counters.values())}
+            )
+
     def sink(batch_df, batch_id):
-        pdf = batch_df.toPandas()
-        if pdf.empty:
+        # distributed: tokenize + per-partition MG summary executor-side;
+        # only ≤64 counter rows per partition come back
+        toks_b = batch_df.select(
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+                )
+            ).alias("t")
+        )
+        rows = toks_b.mapInPandas(mg_partition, schema="t string, cnt long").collect()
+        if not rows:
             return
-        # tokenization mirrors the Spark/DuckDB form exactly on this
-        # ASCII corpus: lower → collapse whitespace → trim → split
-        counts: dict[str, int] = {}
-        for text in pdf["text"]:
-            for t in _re.sub(r"\s+", " ", text.lower()).strip().split(" "):
-                counts[t] = counts.get(t, 0) + 1
+        summary: dict[str, int] = {}
+        for r in rows:  # pointwise add across partitions
+            summary[r["t"]] = summary.get(r["t"], 0) + int(r["cnt"])
         try:
             st_pdf = pd.read_parquet(state / "state.parquet")
             counters = dict(zip(st_pdf["t"], (int(c) for c in st_pdf["cnt"])))
         except (FileNotFoundError, OSError):
             counters = {}
-        counters = mg_fold(counters, counts, k=64)
+        counters = mg_fold(counters, summary, k=64)  # add + one compress = MERGE
         state.mkdir(parents=True, exist_ok=True)
         pd.DataFrame(
             {"t": list(counters.keys()), "cnt": list(counters.values())}
         ).to_parquet(state / "state.parquet", index=False)
 
-    stream = read_stream_parquet(
-        spark, str(src), schema, options={"maxFilesPerTrigger": "1"}
-    )
-    run_to_completion(stream, checkpoint_dir=str(ckpt), sink=sink)
-
-    cand_pdf = pd.read_parquet(state / "state.parquet")
+    try:
+        stream = read_stream_parquet(
+            spark, str(src), schema, options={"maxFilesPerTrigger": "1"}
+        )
+        run_to_completion(stream, checkpoint_dir=str(ckpt), sink=sink)
+        cand_pdf = pd.read_parquet(state / "state.parquet")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     cand = spark.createDataFrame(cand_pdf[["t"]])
     toks = d.select(
         F.explode(
