@@ -14,115 +14,143 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #   every round by tests/test_queries_oracle.py at sf0.001 (same
 #   DuckDB-oracle check the driver runs at sf0.01).
 #
-# Round-10 rotation (CORRECTNESS_r09 came back 50/50 green, so every
-# round-9 slot owner rotates to the tail):
-# (a) the 40 round10_ops entries registered this round — authored and
-#     staged in round 9 as round10_pending, swept vs DuckDB at
-#     sf0.001 + sf0.01 (and the full tier at sf0.1) before
-#     registration, never driver-verified, so each must hold a slot
-#     (tests/test_window_rotation.py);
-# (b) code-change canaries: heavy_hitters_mg (share HALF_UP pin, both
-#     engines), item_item_cosine_topk (un-forced norm broadcast), and
-#     dedup_levenshtein_blocked (thresholded/banded levenshtein, 8.4x
-#     at sf0.1, same predicate) changed this round AFTER their last
-#     green rows; all re-swept locally at sf0.001 + sf0.01 (+ sf0.1
-#     for the levenshtein change) — no window slots free for them
-#     beyond the 40+10, so their re-verification rides the local
-#     sweep + tests/test_queries_oracle.py until the next rotation;
-# (c) the remaining 10 slots re-verify the STALEST green entries
-#     (last driver-green row in r04, name order — six rounds since
-#     last driver verification).
+# Round-11 rotation (CORRECTNESS_r10 came back 50/50 green, so every
+# round-10 slot owner rotates to the tail):
+# (a) the 32 round11_ops entries registered this round — authored and
+#     staged in round 10 as round11_pending, swept vs DuckDB at
+#     sf0.001 + sf0.01 (full tier also at sf0.1, and 32/32 under a
+#     bare default SparkSession at sf0.01 — the driver's exact gate)
+#     before registration, never driver-verified, so each must hold a
+#     slot (tests/test_window_rotation.py);
+# (b) code-change canaries — registered queries whose behavior-
+#     touching code changed AFTER their last driver-green row:
+#     heavy_hitters_mg (share HALF_UP pin, both engines, r10),
+#     item_item_cosine_topk (un-forced norm broadcast, r10),
+#     dedup_levenshtein_blocked (thresholded/banded levenshtein, r10),
+#     and similarity_topk (r11: cosine_topk_bruteforce's per-batch cut
+#     now orders by (rounded sim DESC, neighbor_id ASC) — the global
+#     window's exact rank — instead of raw argpartition, closing the
+#     r10-advice batch-boundary tie nondeterminism). All four re-swept
+#     locally at sf0.001 + sf0.01 before this rotation;
+# (c) the remaining 14 slots re-verify the STALEST green entries
+#     (last driver-green row in r04, name order — seven rounds since
+#     last driver verification; 4 r04-stale entries remain for the
+#     round-12 window).
 # =========================================================================
 
 _DRIVER_WINDOW = [
-    # (a) round-10 promotions:
+    # (a) round-11 promotions:
+    "kendall_tau_daily", "mann_kendall_trend", "kruskal_wallis_h",
+    "cohens_kappa_rules", "mcc_threshold", "two_proportion_ztest",
+    "holt_winters_weekly", "max_drawdown_daily", "bollinger_bands_7d",
+    "stream_mg_incremental", "relational_division",
+    "largest_remainder_allocation", "golden_record_survivorship",
+    "null_completeness_matrix", "distinct_ratio_profile",
+    "cross_field_consistency", "binary_encoding_suite",
+    "iso_week_thursday_rule", "array_set_ops_suite", "hour_of_week_heatmap",
+    "interorder_gap_percentiles", "fourier_weekly_coeffs",
+    "quantile_cont_parity", "ma_crossover_signals",
+    "customer_lifecycle_yearly", "rapid_repeat_events", "knn_label_accuracy",
+    "holt_winters_forecast", "sql_keyset_pagination", "eoq_inventory_policy",
+    "orders_backlog_aging", "bitmap_presence_rollup",
+    # (b) code-change canaries:
+    "heavy_hitters_mg", "item_item_cosine_topk", "dedup_levenshtein_blocked",
+    "similarity_topk",
+    # (c) stale-green re-verification — r04 cohort, name order:
+    "order_by_hash", "pivot_type_counts", "sample_deterministic",
+    "sample_split_counts", "sample_stratified_docs", "set_except",
+    "sql_exists_urgent", "sql_scalar_above_avg", "string_fns_suite",
+    "text_redact_pii", "time_tz_trimode", "timeseries_resample_fill",
+    "udf_registry_iso_parts", "unpivot_part_metrics",
+]
+
+_TAIL = [
+    # driver-green in earlier rounds (the round-10 window cohort
+    # leads); every entry still locally oracle-verified per round at
+    # sf0.001 (rows-only entries verified by dedicated pinned tests).
     "spearman_rank_corr", "mann_whitney_u", "anova_oneway_f",
     "durbin_watson_autocorr", "seasonal_strength_eta", "holt_linear_trend",
     "cohort_ltv_curve", "histogram2d_margins", "confusion_matrix_thresholds",
     "feature_hash_collision_audit", "bm25_topk_docs", "char_ngram_profile",
-    "regex_extract_all_suite", "graph_degree_histogram", "price_volume_mix_decomp",
-    "table_row_checksum", "partition_skew_advisor", "privacy_erasure_audit",
-    "shipping_lead_percentiles", "sql_distinct_on", "fixed_width_parse",
-    "json_multiline_array_read", "corpus_heaps_law", "event_interarrival_expfit",
-    "stream_holt_incremental", "session_bounce_rate", "text_hapax_ratio",
-    "levene_brown_forsythe", "rolling_regression_slope", "wow_movers_topk",
-    "runs_test_wald_wolfowitz", "ljung_box_q", "inventory_abc_classes",
-    "gaps_islands_order_days", "sql_asof_native_parity", "rfm_migration_matrix",
+    "regex_extract_all_suite", "graph_degree_histogram",
+    "price_volume_mix_decomp", "table_row_checksum", "partition_skew_advisor",
+    "privacy_erasure_audit", "shipping_lead_percentiles", "sql_distinct_on",
+    "fixed_width_parse", "json_multiline_array_read", "corpus_heaps_law",
+    "event_interarrival_expfit", "stream_holt_incremental",
+    "session_bounce_rate", "text_hapax_ratio", "levene_brown_forsythe",
+    "rolling_regression_slope", "wow_movers_topk", "runs_test_wald_wolfowitz",
+    "ljung_box_q", "inventory_abc_classes", "gaps_islands_order_days",
+    "sql_asof_native_parity", "rfm_migration_matrix",
     "corpus_source_divergence", "growth_mom_yoy", "embedding_angle_histogram",
-    "winsorized_mean_trimmed",
-    # (c) stale-green re-verification — r04 cohort, name order:
-    "funnel_conversion", "groupby_date_type", "groupwise_zscore",
-    "http_api_extract", "join_anti_no_orders", "join_full_outer",
-    "join_range_followups", "join_semi_active", "multimodal_frames",
-    "ndjson_roundtrip",
-]
-
-_TAIL = [
-    # driver-green in earlier rounds (the round-9 window cohort
-    # leads); every entry still locally oracle-verified per round at
-    # sf0.001 (rows-only entries verified by dedicated pinned tests).
-    "chi_square_cramers_v", "mutual_information_discrete", "gini_lorenz",
-    "herfindahl_concentration", "wilson_ci_rates", "acf_hourly_lags",
-    "pr_auc_exact", "brier_calibration_bins", "woe_iv_binning",
-    "stratified_kfold_assign", "unigram_sampling_table", "token_pmi_bigrams",
-    "heavy_hitters_mg", "url_parse_suite", "ip_subnet_rollup",
-    "calendar_spine_fill", "dq_freshness_sla", "dq_duplicate_key_audit",
-    "csv_multiline_quoted", "sql_groupby_all", "item_item_cosine_topk",
+    "winsorized_mean_trimmed", "funnel_conversion", "groupby_date_type",
+    "groupwise_zscore", "http_api_extract", "join_anti_no_orders",
+    "join_full_outer", "join_range_followups", "join_semi_active",
+    "multimodal_frames", "ndjson_roundtrip", "chi_square_cramers_v",
+    "mutual_information_discrete", "gini_lorenz", "herfindahl_concentration",
+    "wilson_ci_rates", "acf_hourly_lags", "pr_auc_exact",
+    "brier_calibration_bins", "woe_iv_binning", "stratified_kfold_assign",
+    "unigram_sampling_table", "token_pmi_bigrams", "url_parse_suite",
+    "ip_subnet_rollup", "calendar_spine_fill", "dq_freshness_sla",
+    "dq_duplicate_key_audit", "csv_multiline_quoted", "sql_groupby_all",
     "kl_divergence_bins", "seasonal_weekday_index", "events_new_vs_returning",
     "agg_distinct", "agg_pricing_summary", "dedup_keep_first",
     "drop_null_required", "filter_term", "filter_time_range",
     "join_inner_revenue", "join_left_counts", "join_star_dims",
-    "nested_json_extract", "project_select", "scan_checksum",
-    "upsert_keyed", "window_running_total", "agg_cube",
-    "agg_grouping_sets", "agg_histogram", "agg_minmax_by",
-    "agg_percentiles", "agg_rollup", "agg_stats_suite",
-    "array_math_suite", "corpus_top_bigrams", "csv_roundtrip",
-    "doc_chunks", "embedding_near_dups", "timeseries_ema",
-    "agg_weighted_median", "cdc_apply_log", "pivot_multi_agg",
-    "interval_union_coverage", "quality_threshold_sweep", "sample_weighted_topk",
-    "pareto_front_parts", "stream_interval_join_outer", "audience_overlap_jaccard",
-    "dynamic_partition_overwrite", "agg_distinct_salted", "attribution_time_decay",
-    "stream_tumbling_late_drop", "dq_referential_integrity", "psi_population_stability",
+    "nested_json_extract", "project_select", "scan_checksum", "upsert_keyed",
+    "window_running_total", "agg_cube", "agg_grouping_sets", "agg_histogram",
+    "agg_minmax_by", "agg_percentiles", "agg_rollup", "agg_stats_suite",
+    "array_math_suite", "corpus_top_bigrams", "csv_roundtrip", "doc_chunks",
+    "embedding_near_dups", "timeseries_ema", "agg_weighted_median",
+    "cdc_apply_log", "pivot_multi_agg", "interval_union_coverage",
+    "quality_threshold_sweep", "sample_weighted_topk", "pareto_front_parts",
+    "stream_interval_join_outer", "audience_overlap_jaccard",
+    "dynamic_partition_overwrite", "agg_distinct_salted",
+    "attribution_time_decay", "stream_tumbling_late_drop",
+    "dq_referential_integrity", "psi_population_stability",
     "embedding_centroid_drift", "inventory_wac_ledger", "text_zipf_fit",
-    "ndjson_corrupt_quarantine", "timeseries_seasonal_decompose", "impute_missing_values",
-    "feature_crosses_hashed", "train_test_temporal_split", "multimodal_binary_ingest",
+    "ndjson_corrupt_quarantine", "timeseries_seasonal_decompose",
+    "impute_missing_values", "feature_crosses_hashed",
+    "train_test_temporal_split", "multimodal_binary_ingest",
     "constant_columns", "dedup_exact_docs", "iso_normalize",
     "multimodal_decode", "placeholder_extract", "sanitize_values",
-    "set_intersect", "set_union_halves", "similarity_topk",
-    "text_fingerprint", "text_lang_id", "text_quality",
-    "text_token_counts", "time_derive_parts", "tolerant_select",
-    "topk_limit", "window_lag_lead", "window_session_30m",
+    "set_intersect", "set_union_halves", "text_fingerprint", "text_lang_id",
+    "text_quality", "text_token_counts", "time_derive_parts",
+    "tolerant_select", "topk_limit", "window_lag_lead", "window_session_30m",
     "window_tumbling_1h", "roc_auc_exact", "ks_statistic_2sample",
-    "lift_gains_deciles", "target_encoding_loo", "feature_scaler_leakage_safe",
-    "class_balance_downsample", "setjoin_prefix_filter", "timeseries_interpolate_linear",
+    "lift_gains_deciles", "target_encoding_loo",
+    "feature_scaler_leakage_safe", "class_balance_downsample",
+    "setjoin_prefix_filter", "timeseries_interpolate_linear",
     "privacy_k_anonymity", "sql_pipe_syntax", "mixture_temperature_weights",
     "set_ops_all", "text_bigram_lm_score", "window_rolling_median",
-    "sliding_distinct_users_7d", "event_transition_matrix", "timeseries_anomaly_zscore",
-    "corpus_quota_cap", "text_inverted_index", "corpus_ngram_novelty",
-    "ab_test_lift", "benford_first_digit", "timeseries_cusum_changepoint",
-    "basket_rules_lift", "user_activity_streaks", "corpus_skipgram_pairs",
-    "dau_mau_stickiness", "incremental_agg_merge", "forecast_seasonal_naive_eval",
+    "sliding_distinct_users_7d", "event_transition_matrix",
+    "timeseries_anomaly_zscore", "corpus_quota_cap", "text_inverted_index",
+    "corpus_ngram_novelty", "ab_test_lift", "benford_first_digit",
+    "timeseries_cusum_changepoint", "basket_rules_lift",
+    "user_activity_streaks", "corpus_skipgram_pairs", "dau_mau_stickiness",
+    "incremental_agg_merge", "forecast_seasonal_naive_eval",
     "doc_keywords_tfidf_topk", "split_leakage_safe", "survival_kaplan_meier",
-    "rolling_corr_click_purchase", "running_distinct_types", "daily_value_bands",
-    "time_since_last_purchase", "funnel_with_timeouts", "pareto_revenue_curve",
-    "business_days_to_ship", "join_asof_tolerance", "join_asof_nearest",
-    "corpus_curation_pipeline", "trend_theil_sen", "fifo_lot_matching",
-    "attribution_linear_multitouch", "dedup_ngram_jaccard", "minhash_containment",
-    "dedup_simhash", "join_salted_skew", "embedding_near_dups_lsh",
-    "join_asof_nearest_bucketed", "incremental_welford_merge", "dedup_minhash_lsh",
-    "try_arithmetic_suite", "window_time_range_7d", "sql_q4_priority",
-    "sql_q8_mkt_share", "sql_q9_product_profit", "sql_q12_late_lines",
-    "sql_q15_top_supplier", "sql_q17_small_qty", "sql_q20_promo_suppliers",
-    "sql_q21_waiting_supplier", "sql_recursive_series", "sql_lateral_topn",
-    "listagg_sorted", "variant_shred_extract", "collation_distinct",
-    "sessionize_events", "cohort_retention", "rfm_segments",
-    "ratio_to_report", "churn_gap_flag", "corpus_token_entropy",
-    "mad_outliers", "dedup_canonical_pick", "window_tumbling_distinct",
-    "graph_triangle_count", "graph_pagerank_parts", "geo_radius_pairs",
-    "dedup_levenshtein_blocked", "timeseries_ohlc_twap", "dq_expectations_report",
-    "co_purchase_pairs", "scd2_point_in_time_join", "xml_roundtrip",
-    "join_null_safe", "partitioned_roundtrip", "bucketed_join_roundtrip",
-    "csv_malformed_tolerant", "parquet_schema_evolution", "stream_foreachbatch_upsert",
+    "rolling_corr_click_purchase", "running_distinct_types",
+    "daily_value_bands", "time_since_last_purchase", "funnel_with_timeouts",
+    "pareto_revenue_curve", "business_days_to_ship", "join_asof_tolerance",
+    "join_asof_nearest", "corpus_curation_pipeline", "trend_theil_sen",
+    "fifo_lot_matching", "attribution_linear_multitouch",
+    "dedup_ngram_jaccard", "minhash_containment", "dedup_simhash",
+    "join_salted_skew", "embedding_near_dups_lsh",
+    "join_asof_nearest_bucketed", "incremental_welford_merge",
+    "dedup_minhash_lsh", "try_arithmetic_suite", "window_time_range_7d",
+    "sql_q4_priority", "sql_q8_mkt_share", "sql_q9_product_profit",
+    "sql_q12_late_lines", "sql_q15_top_supplier", "sql_q17_small_qty",
+    "sql_q20_promo_suppliers", "sql_q21_waiting_supplier",
+    "sql_recursive_series", "sql_lateral_topn", "listagg_sorted",
+    "variant_shred_extract", "collation_distinct", "sessionize_events",
+    "cohort_retention", "rfm_segments", "ratio_to_report", "churn_gap_flag",
+    "corpus_token_entropy", "mad_outliers", "dedup_canonical_pick",
+    "window_tumbling_distinct", "graph_triangle_count",
+    "graph_pagerank_parts", "geo_radius_pairs", "timeseries_ohlc_twap",
+    "dq_expectations_report", "co_purchase_pairs", "scd2_point_in_time_join",
+    "xml_roundtrip", "join_null_safe", "partitioned_roundtrip",
+    "bucketed_join_roundtrip", "csv_malformed_tolerant",
+    "parquet_schema_evolution", "stream_foreachbatch_upsert",
     "join_asof_bucketed", "graph_pagerank_converged", "scd2_late_correction",
     "join_asof_forward", "seq_packing_bins", "vocab_oov_coverage",
     "dpp_partitioned_join", "http_pyds_scan", "dedup_repeated_spans",
@@ -144,14 +172,9 @@ _TAIL = [
     "event_path_3gram", "first_touch_attribution", "text_near_template",
     "cdc_scd2_history", "range_bucket_join", "similarity_ivf",
     "multimodal_resize", "multimodal_features", "agg_approx_distinct",
-    "stream_capped_sessions", "stream_capped_sessions_checksum", "text_redact_pii",
-    "window_rank_suite", "string_fns_suite", "timeseries_resample_fill",
-    "upsert_null_update", "sql_exists_urgent", "sql_scalar_above_avg",
-    "window_topk_per_group", "window_sliding_15m", "order_by_hash",
-    "set_except", "pivot_type_counts", "unpivot_part_metrics",
-    "time_tz_trimode", "udf_registry_iso_parts", "sample_split_counts",
-    "sample_deterministic", "sample_stratified_docs", "embedding_kmeans",
-    "stream_static_enrich",
+    "stream_capped_sessions", "stream_capped_sessions_checksum",
+    "window_rank_suite", "upsert_null_update", "window_topk_per_group",
+    "window_sliding_15m", "embedding_kmeans", "stream_static_enrich",
 ]
 
 

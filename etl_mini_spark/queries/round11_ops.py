@@ -1,12 +1,10 @@
-"""Round-11 staged tier: concordance/trend statistics, Holt-Winters
-seasonal smoothing, incremental sketch maintenance, connected
-components, classic relational/BI ops (division, largest-remainder
-allocation, survivorship), and a DQ profiling block — authored in
-round 10, to be registered when the round-10 window comes back.
-
-Module-local PENDING_QUERIES/PENDING_ORACLE (swept by sweep_oracle.py
-alongside the registry) until registration rotates them into the
-driver window — the same two-step every round since 7 has used.
+"""Round-11 tier: concordance/trend statistics, Holt-Winters seasonal
+smoothing + forecast, incremental sketch maintenance, classic
+relational/BI ops (division, largest-remainder allocation,
+survivorship), a DQ profiling block, and retrieval eval — authored
+and staged in round 10 (swept vs the DuckDB oracle at
+sf0.001/0.01/0.1 as `round11_pending`), registered in round 11 with
+names and oracles verbatim.
 
 Parity rules as in round9/10_ops (FIXTURES.md §C): integer/decimal
 arithmetic end-to-end (money as exact BIGINT cents where a recursion
@@ -22,26 +20,11 @@ ln/cos do.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from pathlib import Path
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mini_spark.queries._base import _t
-
-PENDING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-PENDING_ORACLE: dict[str, str] = {}
-
-
-def pq(name: str, sql: str | None = None):
-    def deco(fn):
-        PENDING_QUERIES[name] = fn
-        if sql is not None:
-            PENDING_ORACLE[name] = sql
-        return fn
-
-    return deco
+from etl_mini_spark.queries._base import q as pq
 
 
 def _pin(col, k: int = 6):

@@ -792,18 +792,18 @@ def test_round9_tier_no_cartesian_blanket(spark):
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
 
 
-def test_round11_staged_tier_no_cartesian_blanket(spark):
-    """Blanket physical-plan audit of the round-11 STAGED tier (same
-    contract as the round-7/9/10 blankets, applied before
-    registration): no CartesianProduct; BroadcastNestedLoopJoin only
-    where the crossJoin side is a bounded scalar/literal (1-row
-    totals, divisor cardinalities, tie-correction scalars)."""
+def test_round11_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-11 tier (same contract
+    as the round-7/9/10 blankets; stays on after registration): no
+    CartesianProduct; BroadcastNestedLoopJoin only where the crossJoin
+    side is a bounded scalar/literal (1-row totals, divisor
+    cardinalities, tie-correction scalars)."""
     import re as _re
 
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round11_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES
 
-    src = open("etl_mini_spark/queries/round11_pending.py").read()
+    src = open("etl_mini_spark/queries/round11_ops.py").read()
     ROUND11 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
     assert len(ROUND11) == 32
     SKIP_SIDE_EFFECTS = {"stream_mg_incremental"}  # runs a streaming job first
@@ -817,7 +817,7 @@ def test_round11_staged_tier_no_cartesian_blanket(spark):
         "sql_keyset_pagination",        # 1-row anchor broadcast
     }
     for name in ROUND11:
-        s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
+        s = plan_summary(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in ONE_ROW_SCALAR_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
