@@ -972,7 +972,7 @@ _MACD_SQL = f"""
     ser AS (SELECT d, CAST(c AS DOUBLE) AS x, row_number() OVER (ORDER BY d) AS i
             FROM daily),
     rec AS (
-      SELECT i, x, x AS e12, x AS e26, 0.0 AS sig
+      SELECT i, x, x AS e12, x AS e26, CAST(0.0 AS DOUBLE) AS sig
       FROM ser WHERE i = 1
       UNION ALL
       SELECT s.i, s.x,
@@ -1347,3 +1347,1005 @@ def holt_damped_trend(spark, sf_dir):
         _pin(F.col("trend")).alias("trend"),
         _pin(F.col("fitted")).alias("fitted"),
     ).orderBy("event_type", "d")
+
+
+# --- Hurst exponent via rescaled-range (R/S) analysis -------------------------------------------
+# Hourly event counts on the zero-filled hour grid; window sizes are
+# powers of two (16/64/256) so the regression x-coordinates are EXACT
+# (log2 = 4/6/8) and the slope collapses to (y3 - y1)/4. Within each
+# full window the range of the mean-adjusted cumsum is held integer by
+# scaling through the window size (sz*C_j - j*S), and R/S reduces to
+# range_int / sqrt(sz*SSq - S^2) — one IEEE sqrt of an exact integer.
+# Per-size means pre-round each R/S at 9dp and sum as DECIMAL(28,9).
+_HURST_SQL = """
+    WITH hours AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT strftime(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)),
+                      '%Y-%m-%d %H:00:00') AS h
+      FROM bounds),
+    ser AS (
+      SELECT spine.h, coalesce(hours.x, 0) AS x,
+             row_number() OVER (ORDER BY spine.h) AS i
+      FROM spine LEFT JOIN hours ON hours.h = spine.h),
+    sized AS (
+      SELECT sz, (i - 1) // sz AS w, (i - 1) % sz + 1 AS j, x
+      FROM ser CROSS JOIN (SELECT unnest([16, 64, 256]) AS sz)),
+    full_w AS (
+      SELECT sz, w FROM sized GROUP BY sz, w HAVING count(*) = sz),
+    stats AS (
+      SELECT s.sz, s.w, s.j, s.x,
+             CAST(sum(s.x) OVER (PARTITION BY s.sz, s.w) AS BIGINT) AS sw,
+             sum(CAST(s.x AS HUGEINT) * s.x) OVER (PARTITION BY s.sz, s.w) AS ssq,
+             CAST(sum(s.x) OVER (PARTITION BY s.sz, s.w ORDER BY s.j) AS BIGINT) AS cj
+      FROM sized s JOIN full_w f ON f.sz = s.sz AND f.w = s.w),
+    rng AS (
+      SELECT sz, w, max(sw) AS sw, max(ssq) AS ssq,
+             CAST(max(sz * cj - j * sw) - min(sz * cj - j * sw) AS BIGINT) AS r_int
+      FROM stats GROUP BY sz, w),
+    rs AS (
+      SELECT sz,
+             CAST(floor(r_int / sqrt(CAST(sz * ssq - CAST(sw AS HUGEINT) * sw AS DOUBLE))
+                        * 1000000000 + 0.5) AS DECIMAL(28,9)) / 1000000000 AS rs9
+      FROM rng WHERE sz * ssq - CAST(sw AS HUGEINT) * sw > 0),
+    m AS (
+      SELECT sz, CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(rs9) AS DOUBLE) / count(*) AS mean_rs
+      FROM rs GROUP BY sz),
+    y AS (
+      SELECT sz, n_windows, mean_rs,
+             floor(ln(mean_rs) / ln(2.0) * 1000000000 + 0.5) / 1000000000 AS y9
+      FROM m),
+    hurst AS (
+      SELECT (max(CASE WHEN sz = 256 THEN y9 END)
+              - max(CASE WHEN sz = 16 THEN y9 END)) / 4.0 AS h_exp
+      FROM y)
+    SELECT y.sz, y.n_windows,
+           floor(y.mean_rs * 1000000 + 0.5) / 1000000 AS mean_rs,
+           floor(hurst.h_exp * 1000000 + 0.5) / 1000000 AS hurst
+    FROM y CROSS JOIN hurst
+    ORDER BY y.sz
+"""
+
+
+@pq("hurst_rescaled_range", _HURST_SQL)
+def hurst_rescaled_range(spark, sf_dir):
+    """Hurst exponent of hourly event volume by rescaled-range
+    analysis: per power-of-two window size, R/S = range_int /
+    sqrt(sz*SSq - S^2) with the mean-adjusted cumsum range held
+    INTEGER (scaled through the window size), per-size means as
+    9dp-pinned DECIMAL sums, and the slope over exact x = log2(sz) in
+    {4,6,8} collapsing to (y3-y1)/4. Flat (all-equal) windows are
+    excluded by the same zero-variance rule on both engines. Plan: one
+    hour agg, a 3-size grid explode of the bounded hourly series,
+    keyed window stats."""
+    e = _t(spark, sf_dir, "events")
+    hours = e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hh")
+    ).select(F.date_format("hh", "yyyy-MM-dd HH:00:00").alias("h"))
+    ser = (
+        spine.join(hours, "h", "left")
+        .select("h", F.coalesce("x", F.lit(0)).alias("x"))
+        .withColumn("i", F.row_number().over(Window.orderBy("h")))
+    )
+    sizes = ser.sparkSession.createDataFrame([(16,), (64,), (256,)], "sz int")
+    sized = ser.crossJoin(F.broadcast(sizes)).select(
+        "sz",
+        ((F.col("i") - 1) / F.col("sz")).cast("long").alias("w"),
+        ((F.col("i") - 1) % F.col("sz") + 1).alias("j"),
+        "x",
+    )
+    full_w = sized.groupBy("sz", "w").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") == F.col("sz")
+    ).select("sz", "w")
+    wp = Window.partitionBy("sz", "w")
+    wo = wp.orderBy("j")
+    stats = sized.join(full_w, ["sz", "w"]).select(
+        "sz", "w", "j", "x",
+        F.sum("x").over(wp).cast("bigint").alias("sw"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .over(wp).alias("ssq"),
+        F.sum("x").over(wo).cast("bigint").alias("cj"),
+    )
+    dev = F.col("sz") * F.col("cj") - F.col("j") * F.col("sw")
+    rng = stats.groupBy("sz", "w").agg(
+        F.max("sw").alias("sw"),
+        F.max("ssq").alias("ssq"),
+        (F.max(dev) - F.min(dev)).cast("bigint").alias("r_int"),
+    )
+    denom = F.col("sz") * F.col("ssq") - F.col("sw").cast("decimal(19,0)") * F.col("sw").cast("decimal(19,0)")
+    rs9 = (
+        F.floor(F.col("r_int") / F.sqrt(denom.cast("double")) * 1_000_000_000 + F.lit(0.5))
+        .cast("decimal(28,9)") / 1_000_000_000
+    )
+    rs = rng.filter(denom > 0).select("sz", rs9.alias("rs9"))
+    m = rs.groupBy("sz").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        (F.sum("rs9").cast("double") / F.count("*")).alias("mean_rs"),
+    )
+    y = m.select(
+        "sz", "n_windows", "mean_rs",
+        (F.floor(F.log("mean_rs") / F.log(F.lit(2.0)) * 1_000_000_000 + F.lit(0.5))
+         / 1_000_000_000).alias("y9"),
+    )
+    hurst = y.agg(
+        (
+            (F.max(F.when(F.col("sz") == 256, F.col("y9")))
+             - F.max(F.when(F.col("sz") == 16, F.col("y9")))) / 4.0
+        ).alias("h_exp")
+    )
+    return (
+        y.crossJoin(F.broadcast(hurst))
+        .select(
+            "sz", "n_windows",
+            _pin(F.col("mean_rs")).alias("mean_rs"),
+            _pin(F.col("h_exp")).alias("hurst"),
+        )
+        .orderBy("sz")
+    )
+
+
+# --- XYZ demand-volatility classes per brand ----------------------------------------------------
+# The forecastability complement of the registered ABC classes:
+# monthly shipped quantity per brand on the zero-filled month grid,
+# CV = sqrt((m*SSq - S^2)/(m*(m-1))) / (S/m) from exact integer sums,
+# fixed class cutpoints (no quantile-derived edges). The class
+# comparison rides on CVs that are bit-identical across engines
+# (IEEE sqrt of identical exact-integer expressions).
+_XYZ_SQL = """
+    WITH cells AS (
+      SELECT p.p_brand AS b, strftime(l.l_shipdate, '%Y-%m') AS ym,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS v
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    months AS (SELECT DISTINCT ym FROM cells),
+    brands AS (SELECT DISTINCT p_brand AS b FROM part),
+    grid AS (
+      SELECT brands.b, months.ym, coalesce(cells.v, 0) AS v
+      FROM brands CROSS JOIN months
+      LEFT JOIN cells ON cells.b = brands.b AND cells.ym = months.ym),
+    s AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS m, CAST(sum(v) AS BIGINT) AS sv,
+             sum(CAST(v AS HUGEINT) * v) AS ssq
+      FROM grid GROUP BY b),
+    cv AS (
+      SELECT b, m, sv,
+             sqrt((1.0 * m * ssq - 1.0 * sv * sv) / (1.0 * m * (m - 1)))
+               / (1.0 * sv / m) AS cv
+      FROM s WHERE sv > 0)
+    SELECT b AS brand, m, sv AS total_qty,
+           floor(cv * 1000000 + 0.5) / 1000000 AS cv,
+           CASE WHEN cv < 0.21 THEN 'X' WHEN cv < 0.25 THEN 'Y' ELSE 'Z' END AS xyz_class
+    FROM cv
+    ORDER BY brand
+"""
+
+
+@pq("xyz_volatility_classes", _XYZ_SQL)
+def xyz_volatility_classes(spark, sf_dir):
+    """XYZ demand-volatility classification per brand (the
+    forecastability axis that pairs with the registered ABC value
+    axis): coefficient of variation of monthly shipped quantity on the
+    zero-filled month grid, from exact integer sums (sum of squares
+    wide), with FIXED class cutpoints 0.21/0.25 — never
+    quantile-derived edges. Plan: one month x brand agg, grid fill
+    against tiny dimension tables, per-brand scalar algebra."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cells = (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand")), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("b"), F.date_format("l_shipdate", "yyyy-MM").alias("ym"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("v"))
+    )
+    months = cells.select("ym").distinct()
+    brands = p.select(F.col("p_brand").alias("b")).distinct()
+    grid = (
+        brands.crossJoin(months)
+        .join(cells, ["b", "ym"], "left")
+        .select("b", "ym", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    s = grid.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)"))
+        .alias("ssq"),
+    )
+    m, sv, ssq = F.col("m"), F.col("sv"), F.col("ssq")
+    cv = F.sqrt((1.0 * m * ssq - 1.0 * sv * sv) / (1.0 * m * (m - 1))) / (1.0 * sv / m)
+    return (
+        s.filter(sv > 0)
+        .select(
+            F.col("b").alias("brand"), "m", sv.alias("total_qty"),
+            _pin(cv).alias("cv"),
+            F.when(cv < 0.21, "X").when(cv < 0.25, "Y").otherwise("Z").alias("xyz_class"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- equi-depth histogram via NTILE --------------------------------------------------------------
+# Eight equal-frequency buckets of order value: NTILE's floor-division
+# fill rule is identical on both engines given the same total order
+# (cents, then order key), and every per-bucket statistic is integer.
+_EQUIDEPTH_SQL = """
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             o_orderkey AS k
+      FROM orders),
+    b AS (SELECT c, ntile(8) OVER (ORDER BY c, k) AS bucket FROM v)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(c) AS DOUBLE) / 100.0 AS lo,
+           CAST(max(c) AS DOUBLE) / 100.0 AS hi,
+           CAST(sum(c) AS DOUBLE) / 100.0 AS total
+    FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@pq("equi_depth_histogram", _EQUIDEPTH_SQL)
+def equi_depth_histogram(spark, sf_dir):
+    """Equal-frequency (equi-depth) 8-bucket histogram of order value
+    via NTILE over the deterministic (cents, order key) total order —
+    both engines share NTILE's floor-division fill rule, so bucket
+    boundaries are exact, and every per-bucket statistic is a BIGINT.
+    Plan: one global-sort window (single stage over the value column),
+    one bucket agg. At 100 TB the same shape runs on a range-
+    partitioned sort, not a single partition — the plan pins no
+    single-partition exchange beyond the NTILE window itself."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+        F.col("o_orderkey").alias("k"),
+    )
+    b = v.select("c", F.ntile(8).over(Window.orderBy("c", "k")).alias("bucket"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (F.min("c").cast("double") / 100.0).alias("lo"),
+            (F.max("c").cast("double") / 100.0).alias("hi"),
+            (F.sum("c").cast("double") / 100.0).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- quantile_disc convention parity -------------------------------------------------------------
+# DuckDB's native quantile_disc picks the 1-based element at
+# floor(q*n + 0.5) (verified empirically across discriminating n/q);
+# the Spark side reconstructs EXACTLY that rank in pure integer
+# arithmetic ((2*qn*n + qd) DIV (2*qd)) and selects by row_number —
+# native implementation vs integer-rank rewrite, two independent
+# routes to the same order statistic.
+_QDISC_SQL = """
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM orders),
+    qq AS (
+      SELECT quantile_disc(c, 0.10) AS p10, quantile_disc(c, 0.25) AS p25,
+             quantile_disc(c, 0.50) AS p50, quantile_disc(c, 0.75) AS p75,
+             quantile_disc(c, 0.90) AS p90
+      FROM v)
+    SELECT 'p10' AS q, CAST(p10 AS DOUBLE) / 100.0 AS value FROM qq
+    UNION ALL SELECT 'p25', CAST(p25 AS DOUBLE) / 100.0 FROM qq
+    UNION ALL SELECT 'p50', CAST(p50 AS DOUBLE) / 100.0 FROM qq
+    UNION ALL SELECT 'p75', CAST(p75 AS DOUBLE) / 100.0 FROM qq
+    UNION ALL SELECT 'p90', CAST(p90 AS DOUBLE) / 100.0 FROM qq
+    ORDER BY q
+"""
+
+
+@pq("quantile_disc_parity", _QDISC_SQL)
+def quantile_disc_parity(spark, sf_dir):
+    """Discrete (non-interpolating) quantiles of order value: DuckDB
+    runs its NATIVE quantile_disc; Spark reconstructs the same order
+    statistic by integer rank selection rank = floor(q*n + 1/2) =
+    (2*qn*n + qd) DIV (2*qd) over the (cents, key) total order — the
+    convention pinned empirically against discriminating n/q probes.
+    Two independent implementations of the same statistic; exact
+    integer arithmetic end to end. Plan: one sort window + one
+    broadcast rank grid semi-join."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+        F.col("o_orderkey").alias("k"),
+    )
+    n_row = v.agg(F.count("*").cast("bigint").alias("n"))
+    qs = v.sparkSession.createDataFrame(
+        [("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)],
+        "q string, qn long, qd long",
+    )
+    ranks = qs.crossJoin(F.broadcast(n_row)).select(
+        "q",
+        F.floor((2 * F.col("qn") * F.col("n") + F.col("qd")) / (2 * F.col("qd")))
+        .cast("bigint").alias("rk"),
+    )
+    rn = v.select("c", F.row_number().over(Window.orderBy("c", "k")).alias("rn"))
+    return (
+        rn.join(F.broadcast(ranks), rn.rn == ranks.rk)
+        .select("q", (F.col("c").cast("double") / 100.0).alias("value"))
+        .orderBy("q")
+    )
+
+
+# --- UNPIVOT INCLUDE NULLS parity ----------------------------------------------------------------
+# Spark's native SQL UNPIVOT ... INCLUDE NULLS over per-customer
+# metrics where one metric is NULL by construction (customers with no
+# 1998+ order); the oracle builds the same long table explicitly with
+# UNION ALL — native generator vs explicit construction, and the
+# include-nulls semantics (the row SURVIVES with a NULL value) is the
+# point under test.
+_UNPIVOTN_SQL = """
+    WITH base AS (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS DOUBLE) AS order_cnt,
+             CAST(sum(CASE WHEN o.o_orderdate >= DATE '2001-01-01'
+                           THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           END) AS DOUBLE) / 100.0 AS recent_dollars
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+    SELECT c_custkey, 'order_cnt' AS metric, order_cnt AS value FROM base
+    UNION ALL
+    SELECT c_custkey, 'recent_dollars', recent_dollars FROM base
+    ORDER BY c_custkey, metric
+"""
+
+
+@pq("unpivot_include_nulls", _UNPIVOTN_SQL)
+def unpivot_include_nulls(spark, sf_dir):
+    """UNPIVOT with INCLUDE NULLS semantics: the wide per-customer
+    metric table goes long through Spark's NATIVE SQL UNPIVOT clause
+    (INCLUDE NULLS keeps the rows whose metric is NULL — customers
+    with no 2001+ orders), while the oracle constructs the identical
+    long table with explicit UNION ALL arms. Plan: one agg + a
+    generator (no shuffle beyond the agg)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("double").alias("order_cnt"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"),
+                        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"),
+                    )
+                ).cast("double") / 100.0
+            ).alias("recent_dollars"),
+        )
+    )
+    base.createOrReplaceTempView("unpivot_base_r12")
+    return base.sparkSession.sql(
+        """
+        SELECT c_custkey, metric, value
+        FROM unpivot_base_r12
+        UNPIVOT INCLUDE NULLS (value FOR metric IN (order_cnt, recent_dollars))
+        ORDER BY c_custkey, metric
+        """
+    )
+
+
+# --- calendar-edge date arithmetic parity ---------------------------------------------------------
+# Month-end clamping (add_months lands 1996-01-31 on 1996-02-29),
+# last_day, quarter/year truncation and day-of-year across every
+# distinct order date — the two engines' independent calendar
+# implementations must agree on every edge (leap Feb 29 order dates
+# exist in the data).
+_DATEARITH_SQL = """
+    WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
+    SELECT strftime(dt, '%Y-%m-%d') AS d,
+           strftime(CAST(dt + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS plus_1m,
+           strftime(CAST(dt - INTERVAL 13 MONTH AS DATE), '%Y-%m-%d') AS minus_13m,
+           strftime(last_day(dt), '%Y-%m-%d') AS month_end,
+           strftime(CAST(date_trunc('quarter', dt) AS DATE), '%Y-%m-%d') AS q_start,
+           strftime(CAST(date_trunc('year', dt) AS DATE), '%Y-%m-%d') AS y_start,
+           CAST(dayofyear(dt) AS BIGINT) AS doy,
+           CAST(dt = last_day(dt) AS BOOLEAN) AS is_month_end
+    FROM d ORDER BY d
+"""
+
+
+@pq("date_arith_edges", _DATEARITH_SQL)
+def date_arith_edges(spark, sf_dir):
+    """Calendar-edge date arithmetic over every distinct order date:
+    add_months month-end clamping (incl. leap-year Feb 29 targets,
+    which exist in the data), last_day, quarter/year truncation,
+    day-of-year, and the is-month-end predicate — two independent
+    calendar implementations agreeing edge for edge. Plan: one
+    distinct over a bounded date domain; pure codegen expressions."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderdate").cast("date").alias("dt")).distinct()
+    return d.select(
+        F.date_format("dt", "yyyy-MM-dd").alias("d"),
+        F.date_format(F.add_months("dt", 1), "yyyy-MM-dd").alias("plus_1m"),
+        F.date_format(F.add_months("dt", -13), "yyyy-MM-dd").alias("minus_13m"),
+        F.date_format(F.last_day("dt"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("quarter", "dt"), "yyyy-MM-dd").alias("q_start"),
+        F.date_format(F.date_trunc("year", "dt"), "yyyy-MM-dd").alias("y_start"),
+        F.dayofyear("dt").cast("bigint").alias("doy"),
+        (F.col("dt") == F.last_day("dt")).alias("is_month_end"),
+    ).orderBy("d")
+
+
+# --- SCD type-6 hybrid dimension -----------------------------------------------------------------
+# The 1+2+3 hybrid: from each customer's priority-change log (orders
+# ordered by date+key, consecutive duplicates collapsed), emit the
+# type-2 effective-dated rows, the type-3 previous-value column, and
+# the type-1 current value repeated on every row. Pure window logic —
+# lag for change detection and prev value, lead for the validity
+# horizon, last for the current value.
+_SCD6_SQL = """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority AS pr,
+             strftime(o_orderdate, '%Y-%m-%d') AS d,
+             lag(o_orderpriority) OVER w AS prev_any
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    chg AS (
+      SELECT o_custkey, pr, d
+      FROM seq WHERE prev_any IS NULL OR pr <> prev_any),
+    dim AS (
+      SELECT o_custkey, pr, d,
+             row_number() OVER w AS change_seq,
+             lag(pr) OVER w AS prev_pr,
+             lead(d) OVER w AS valid_to,
+             last_value(pr) OVER (PARTITION BY o_custkey ORDER BY d, pr
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS cur_pr
+      FROM chg
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY d, pr))
+    SELECT o_custkey, change_seq, pr AS priority, prev_pr AS prev_priority,
+           d AS valid_from, valid_to, valid_to IS NULL AS is_current,
+           cur_pr AS current_priority
+    FROM dim ORDER BY o_custkey, change_seq
+"""
+
+
+@pq("scd6_hybrid_dim", _SCD6_SQL)
+def scd6_hybrid_dim(spark, sf_dir):
+    """SCD type-6 hybrid dimension from the per-customer priority
+    change log: type-2 effective-dated rows (valid_from/valid_to via
+    lead), type-3 previous value (lag over changes), and type-1
+    current value (unbounded last_value) on every row — the windowed
+    MERGE/SCD6 shape. Change detection collapses consecutive
+    duplicates with a deterministic (date, order key) sequence. Plan:
+    one shuffle on the dimension key, three windows over it."""
+    o = _t(spark, sf_dir, "orders")
+    w_any = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("pr"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.lag("o_orderpriority").over(w_any).alias("prev_any"),
+    )
+    chg = seq.filter(
+        F.col("prev_any").isNull() | (F.col("pr") != F.col("prev_any"))
+    ).select("o_custkey", "pr", "d")
+    w = Window.partitionBy("o_custkey").orderBy("d", "pr")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dim = chg.select(
+        "o_custkey", "pr", "d",
+        F.row_number().over(w).alias("change_seq"),
+        F.lag("pr").over(w).alias("prev_pr"),
+        F.lead("d").over(w).alias("valid_to"),
+        F.last("pr").over(w_all).alias("cur_pr"),
+    )
+    return dim.select(
+        "o_custkey", "change_seq",
+        F.col("pr").alias("priority"),
+        F.col("prev_pr").alias("prev_priority"),
+        F.col("d").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        F.col("cur_pr").alias("current_priority"),
+    ).orderBy("o_custkey", "change_seq")
+
+
+# --- MERGE with full WHEN-clause semantics --------------------------------------------------------
+# Classic warehouse MERGE replayed relationally (Spark-on-parquet has
+# no writable MERGE target, so the clause semantics ARE the query):
+# target = the established pre-2000 customer dim (>= 6 prior orders,
+# so NOT-MATCHED inserts genuinely occur at every SF), source = 2000+
+# activity;
+# WHEN MATCHED AND tombstone THEN DELETE / WHEN MATCHED THEN UPDATE /
+# WHEN NOT MATCHED THEN INSERT, with a deterministic latest-by
+# (date, key) pick on both sides.
+_MERGE_SQL = """
+    WITH tgt AS (
+      SELECT o_custkey, pr, n FROM (
+        SELECT o_custkey, o_orderpriority AS pr,
+               CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < DATE '2000-01-01')
+      WHERE rn = 1 AND n >= 6),
+    src AS (
+      SELECT o_custkey, pr, n FROM (
+        SELECT o_custkey, o_orderpriority AS pr,
+               CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate >= DATE '2000-01-01')
+      WHERE rn = 1),
+    merged AS (
+      SELECT coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+             CASE
+               WHEN t.o_custkey IS NOT NULL AND s.o_custkey IS NOT NULL
+                    AND s.pr = '5-LOW' THEN 'delete'
+               WHEN t.o_custkey IS NOT NULL AND s.o_custkey IS NOT NULL THEN 'update'
+               WHEN t.o_custkey IS NULL THEN 'insert'
+               ELSE 'keep' END AS action,
+             coalesce(s.pr, t.pr) AS priority,
+             CAST(coalesce(t.n, 0) + coalesce(s.n, 0) AS BIGINT) AS order_cnt
+      FROM tgt t FULL OUTER JOIN src s ON s.o_custkey = t.o_custkey)
+    SELECT o_custkey, action, priority, order_cnt
+    FROM merged WHERE action <> 'delete'
+    ORDER BY o_custkey
+"""
+
+
+@pq("merge_when_clauses", _MERGE_SQL)
+def merge_when_clauses(spark, sf_dir):
+    """MERGE with the full WHEN-clause ladder — MATCHED+condition
+    DELETE, MATCHED UPDATE, NOT MATCHED INSERT, NOT-MATCHED-BY-SOURCE
+    keep — replayed as one full outer join + CASE (the relational core
+    of warehouse MERGE; both sides pick the latest value
+    deterministically by (date, key) — max_by on Spark, a row_number
+    pick on the oracle). Tombstoned rows ('5-LOW' latest
+    priority) are deleted from the result. Plan: two keyed aggs, one
+    key-coalesced full outer join — shuffle on the merge key only."""
+    o = _t(spark, sf_dir, "orders")
+
+    def latest(df):
+        return df.groupBy("o_custkey").agg(
+            F.max_by(
+                "o_orderpriority", F.struct("o_orderdate", "o_orderkey")
+            ).alias("pr"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+
+    tgt = latest(
+        o.filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("date"))
+    ).filter(F.col("n") >= 6)
+    src = latest(o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")))
+    t = tgt.select(
+        F.col("o_custkey").alias("tk"), F.col("pr").alias("tpr"), F.col("n").alias("tn")
+    )
+    s = src.select(
+        F.col("o_custkey").alias("sk"), F.col("pr").alias("spr"), F.col("n").alias("sn")
+    )
+    merged = t.join(s, t.tk == s.sk, "full_outer").select(
+        F.coalesce("tk", "sk").alias("o_custkey"),
+        F.when(
+            F.col("tk").isNotNull() & F.col("sk").isNotNull() & (F.col("spr") == "5-LOW"),
+            "delete",
+        )
+        .when(F.col("tk").isNotNull() & F.col("sk").isNotNull(), "update")
+        .when(F.col("tk").isNull(), "insert")
+        .otherwise("keep")
+        .alias("action"),
+        F.coalesce("spr", "tpr").alias("priority"),
+        (F.coalesce("tn", F.lit(0)) + F.coalesce("sn", F.lit(0)))
+        .cast("bigint").alias("order_cnt"),
+    )
+    return merged.filter(F.col("action") != "delete").orderBy("o_custkey")
+
+
+# --- banker's (half-even) rounding ledger ---------------------------------------------------------
+# Tax charges at 4 decimal places (exact DECIMAL products) rounded to
+# cents HALF_EVEN: Spark uses its NATIVE bround; the oracle emulates
+# half-even with integer quotient/remainder arithmetic — two
+# independent implementations, and the tie rows (remainder exactly 50)
+# are counted so the test can't pass vacuously on tie-free data.
+_BANKERS_SQL = """
+    WITH x AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_tax AS DECIMAL(8,2)) AS DECIMAL(28,4)) AS tax4
+      FROM lineitem),
+    q AS (
+      SELECT l_returnflag,
+             CAST(tax4 * 10000 AS BIGINT) // 100 AS qt,
+             CAST(tax4 * 10000 AS BIGINT) % 100 AS r
+      FROM x),
+    he AS (
+      SELECT l_returnflag,
+             CASE WHEN r > 50 THEN qt + 1
+                  WHEN r < 50 THEN qt
+                  ELSE qt + (qt % 2) END AS cents,
+             CASE WHEN r = 50 THEN 1 ELSE 0 END AS is_tie
+      FROM q)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS tax_cents_half_even,
+           CAST(sum(is_tie) AS BIGINT) AS tie_rows
+    FROM he GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@pq("bankers_rounding_ledger", _BANKERS_SQL)
+def bankers_rounding_ledger(spark, sf_dir):
+    """Half-even (banker's) rounding of 4dp tax charges to cents,
+    summed per return flag: Spark rounds with its NATIVE bround on the
+    exact DECIMAL product, the oracle emulates half-even by integer
+    quotient/remainder — two independent implementations whose ledgers
+    must agree to the cent, with the exact-tie rows (remainder 50)
+    counted to prove the half-even branch is actually exercised.
+    Plan: one scan, one keyed agg; everything decimal/integer."""
+    l = _t(spark, sf_dir, "lineitem")
+    tax4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_tax").cast("decimal(8,2)")
+    ).cast("decimal(28,4)")
+    c4 = (tax4 * 10000).cast("bigint")
+    r = c4 % 100
+    he = l.select(
+        "l_returnflag",
+        (F.bround(tax4, 2) * 100).cast("bigint").alias("cents"),
+        F.when(r == 50, 1).otherwise(0).alias("is_tie"),
+    )
+    return (
+        he.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("tax_cents_half_even"),
+            F.sum("is_tie").cast("bigint").alias("tie_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- decision-stump split by information gain ------------------------------------------------------
+# Best single-threshold split of event value (FIXED cent-threshold
+# grid) for predicting purchases: split counts are integers, each
+# entropy term's argument is an exact integer ratio, and the winner is
+# ranked on the 9dp-PINNED gain with threshold tie-break — never on
+# the raw libm value.
+_STUMP_SQL = """
+    WITH e AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    th AS (SELECT unnest([4000, 8000, 12000, 16000, 20000, 24000, 28000]) AS t),
+    s AS (
+      SELECT th.t,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(e.y) AS BIGINT) AS p,
+             CAST(sum(CASE WHEN e.c <= th.t THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+             CAST(sum(CASE WHEN e.c <= th.t THEN e.y ELSE 0 END) AS BIGINT) AS pl
+      FROM e CROSS JOIN th GROUP BY th.t),
+    h AS (
+      SELECT t, n, p, nl, pl, n - nl AS nr, p - pl AS pr,
+             (CASE WHEN p = 0 OR p = n THEN 0.0
+                   ELSE -(1.0 * p / n) * ln(1.0 * p / n)
+                        - (1.0 * (n - p) / n) * ln(1.0 * (n - p) / n) END) AS h_root,
+             (CASE WHEN nl = 0 OR pl = 0 OR pl = nl THEN 0.0
+                   ELSE -(1.0 * pl / nl) * ln(1.0 * pl / nl)
+                        - (1.0 * (nl - pl) / nl) * ln(1.0 * (nl - pl) / nl) END) AS h_l,
+             (CASE WHEN n - nl = 0 OR p - pl = 0 OR p - pl = n - nl THEN 0.0
+                   ELSE -(1.0 * (p - pl) / (n - nl)) * ln(1.0 * (p - pl) / (n - nl))
+                        - (1.0 * ((n - nl) - (p - pl)) / (n - nl))
+                          * ln(1.0 * ((n - nl) - (p - pl)) / (n - nl)) END) AS h_r
+      FROM s),
+    g AS (
+      SELECT t, n, nl, nr, pl, pr,
+             floor((h_root - (1.0 * nl / n) * h_l - (1.0 * nr / n) * h_r)
+                   * 1000000000 + 0.5) / 1000000000 AS ig9
+      FROM h)
+    SELECT CAST(t AS DOUBLE) / 100.0 AS threshold, nl, nr, pl, pr,
+           floor(ig9 * 1000000 + 0.5) / 1000000 AS info_gain,
+           row_number() OVER (ORDER BY ig9 DESC, t) = 1 AS is_best
+    FROM g ORDER BY threshold
+"""
+
+
+@pq("decision_stump_gain", _STUMP_SQL)
+def decision_stump_gain(spark, sf_dir):
+    """Decision-stump feature evaluation: information gain of each
+    fixed cent-threshold split of event value for predicting the
+    purchase label. Split counts are BIGINTs, entropy terms are fixed
+    expressions over exact integer ratios (empty/pure branches pinned
+    to 0.0 by the same CASE on both engines), and the best-split flag
+    ranks on the 9dp-pinned gain with threshold tie-break. Plan: one
+    scan x 7-threshold broadcast grid, one agg, scalar algebra."""
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    th = ev.sparkSession.createDataFrame(
+        [(4000,), (8000,), (12000,), (16000,), (20000,), (24000,), (28000,)], "t long"
+    )
+    s = (
+        ev.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("p"),
+            F.sum(F.when(F.col("c") <= F.col("t"), 1).otherwise(0))
+            .cast("bigint").alias("nl"),
+            F.sum(F.when(F.col("c") <= F.col("t"), F.col("y")).otherwise(0))
+            .cast("bigint").alias("pl"),
+        )
+    )
+
+    def ent(p, n):
+        frac, cofrac = 1.0 * p / n, 1.0 * (n - p) / n
+        return F.when((p == 0) | (p == n), 0.0).otherwise(
+            -frac * F.log(frac) - cofrac * F.log(cofrac)
+        )
+
+    n, p, nl, pl = F.col("n"), F.col("p"), F.col("nl"), F.col("pl")
+    nr, pr = n - nl, p - pl
+    ig = ent(p, n) - (1.0 * nl / n) * ent(pl, nl) - (1.0 * nr / n) * ent(pr, nr)
+    g = s.select(
+        "t", "nl", "pl",
+        nr.alias("nr"), pr.alias("pr"),
+        (F.floor(ig * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias("ig9"),
+    )
+    return g.select(
+        (F.col("t").cast("double") / 100.0).alias("threshold"),
+        "nl", "nr", "pl", "pr",
+        _pin(F.col("ig9")).alias("info_gain"),
+        (F.row_number().over(Window.orderBy(F.col("ig9").desc(), "t")) == 1).alias("is_best"),
+    ).orderBy("threshold")
+
+
+# --- Jaro similarity over blocked part-name pairs ---------------------------------------------------
+# Fuzzy-match differential with two INDEPENDENT implementations:
+# DuckDB scores pairs with its native jaro_similarity; the Spark side
+# scores the same (brand, size)-blocked pairs with a from-scratch Jaro
+# kernel in an Arrow batch pass. Jaro values are small-denominator
+# rationals (q <= 3*l1*l2*m), so they can never land exactly on a 6dp
+# half-boundary (that would require q | 2*10^6) — the 6dp pin and the
+# pinned-value >= 0.60 filter are therefore provably flip-free even
+# under 1-ulp engine differences.
+_JARO_SQL = """
+    WITH pr AS (
+      SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             floor(jaro_similarity(a.p_name, b.p_name) * 1000000 + 0.5)
+               / 1000000 AS jaro
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey)
+    SELECT a_key, b_key, jaro FROM pr
+    WHERE jaro >= 0.60
+    ORDER BY a_key, b_key
+"""
+
+
+@pq("jaro_blocked_pairs", _JARO_SQL)
+def jaro_blocked_pairs(spark, sf_dir):
+    """Near-duplicate part names by Jaro similarity over
+    (brand, size)-blocked pairs: the oracle scores with DuckDB's
+    NATIVE jaro_similarity, Spark re-implements the Jaro kernel from
+    its definition in an Arrow batch pass — two independent
+    implementations agreeing at 6dp, with the >=0.60 threshold filter applied
+    to the PINNED value (provably flip-free: jaro rationals can't hit
+    a 6dp half-boundary). Plan: dimension-only blocked self-join
+    (bounded blocks), Arrow kernel over candidate pairs only — the
+    LSH-philosophy shape, never all-pairs."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def jaro(s1: str, s2: str) -> float:
+        if s1 == s2:
+            return 1.0
+        l1, l2 = len(s1), len(s2)
+        md = max(l1, l2) // 2 - 1
+        f1, f2 = [False] * l1, [False] * l2
+        m = 0
+        for i, ch in enumerate(s1):
+            lo, hi = max(0, i - md), min(l2, i + md + 1)
+            for j in range(lo, hi):
+                if not f2[j] and s2[j] == ch:
+                    f1[i] = f2[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if f1[i]:
+                while not f2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        return (m / l1 + m / l2 + (m - t) / m) / 3
+
+    p = _t(spark, sf_dir, "part")
+    a = p.select("p_brand", "p_size", F.col("p_partkey").alias("a_key"),
+                 F.col("p_name").alias("a_name"))
+    b = p.select("p_brand", "p_size", F.col("p_partkey").alias("b_key"),
+                 F.col("p_name").alias("b_name"))
+    pairs = a.join(b, ["p_brand", "p_size"]).filter(F.col("a_key") < F.col("b_key"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "a_key": pdf["a_key"],
+                    "b_key": pdf["b_key"],
+                    "jaro": [
+                        jaro(x, y) for x, y in zip(pdf["a_name"], pdf["b_name"])
+                    ],
+                }
+            )
+
+    scored = pairs.select("a_key", "b_key", "a_name", "b_name").mapInPandas(
+        score, schema="a_key long, b_key long, jaro double"
+    )
+    j6 = F.floor(F.col("jaro") * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        scored.select("a_key", "b_key", j6.alias("jaro"))
+        .filter(F.col("jaro") >= 0.60)
+        .orderBy("a_key", "b_key")
+    )
+
+
+# --- deterministic corpus amplification + dedup gate -------------------------------------------------
+# Regenerates a 10x corpus from `documents` entirely inside the query
+# (variant v of a doc drops each token where md5(doc:v:pos) % 100 <
+# 3*v, then reassembles the text in token order), then reports the
+# exact-duplicate structure per variant level. This keeps the corpus
+# tier's correctness gate meaningful at the driver's small SF — the
+# dedup runs over 10x the documents rows with REAL collisions (v=0 is
+# always a dup of the original vocabulary-complete doc; high-v
+# variants mostly diverge).
+_AMPLIFY_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS tok,
+             unnest(range(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))))
+               AS pos
+      FROM documents),
+    grid AS (
+      SELECT t.doc_id, v.v, t.tok, t.pos
+      FROM toks t CROSS JOIN (SELECT unnest(range(10)) AS v) v
+      WHERE (CAST(concat('0x', substr(md5(CAST(t.doc_id AS VARCHAR) || ':' ||
+                                      CAST(v.v AS VARCHAR) || ':' ||
+                                      CAST(t.pos AS VARCHAR) || ':amp'), 1, 15))
+               AS BIGINT) % 100) >= 3 * v.v),
+    amplified AS (
+      SELECT doc_id, v, md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+      FROM grid GROUP BY doc_id, v)
+    SELECT v, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_rows
+    FROM amplified GROUP BY v ORDER BY v
+"""
+
+
+@pq("corpus_amplified_gate", _AMPLIFY_SQL)
+def corpus_amplified_gate(spark, sf_dir):
+    """Deterministic 10x corpus amplification + exact-dedup audit: each
+    variant v of a document drops tokens by the md5(doc:v:pos) bucket
+    rule (drop rate 3v%), texts reassemble in token order, and the
+    exact-duplicate structure (docs vs distinct md5 fingerprints) is
+    reported per variant level — so the corpus dedup path is exercised
+    on 10x the document count with real collisions even at the
+    driver's 500-doc gate SF. Plan: one posexplode, a 10-variant
+    generator (explode, not a join), one (doc, v) reassembly agg, one
+    fingerprint agg — all keyed shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        ).alias("pos", "tok"),
+    )
+    vgrid = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("v")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("v").cast("string"),
+                        F.col("pos").cast("string"),
+                        F.lit("amp"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    grid = toks.select("doc_id", "tok", "pos", vgrid).filter(bucket >= 3 * F.col("v"))
+    amplified = grid.groupBy("doc_id", "v").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            )
+        ).alias("fp")
+    )
+    return (
+        amplified.groupBy("v")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("fp").cast("bigint").alias("n_distinct"),
+            (F.count("*") - F.countDistinct("fp")).cast("bigint").alias("n_dup_rows"),
+        )
+        .orderBy("v")
+    )
+
+
+# --- cursor-paginated HTTP scan (ES sliced-scroll shape) ----------------------------------------------
+# The registered Python DataSource grows cursor pagination: four
+# slices run partition-parallel, each FOLLOWING its own next_cursor
+# chain (3 pages of 10) — the reference's Elasticsearch scroll
+# semantics (elasticsearch_service.py:63-136: scroll id + repeated
+# fetch until exhausted) re-expressed as a Spark source. The oracle
+# regenerates the full id range.
+_HTTPSCROLL_SQL = """
+    SELECT CAST(range AS BIGINT) AS id,
+           'row_' || range AS name,
+           round(range * 1.5, 2) AS value
+    FROM range(120)
+"""
+
+
+@pq("http_paginated_extract", _HTTPSCROLL_SQL)
+def http_paginated_extract(spark, sf_dir):
+    """Cursor-paginated HTTP extract through the registered Python
+    DataSource: 4 slices = 4 InputPartitions running parallel on
+    executors, each following its own next_cursor chain (3 pages x 10
+    rows) until the stub transport reports exhaustion — the
+    Elasticsearch sliced-scroll contract (reference
+    elasticsearch_service.py:63-136) as a first-class Spark scan. The
+    oracle regenerates the id range; the union of slices must cover it
+    exactly (a dropped page or double-fetched cursor breaks parity).
+    Plan: partition-parallel slices, sequential pages inside a slice —
+    the scale shape for bulk API ingestion."""
+    import json as _json
+
+    from etl_mini_spark.sources.pyds import HttpApiDataSource
+
+    spark.dataSource.register(HttpApiDataSource)
+    templates = {
+        "scroll": {
+            "url": ("stub://scroll/{TABLE}?total={TOTAL}&n_slices={NS}"
+                    "&slice={SLICE}&page_size={PS}&cursor={CURSOR}"),
+            "headers": {"Authorization": "Bearer {TOKEN}"},
+            "method": "GET",
+        }
+    }
+    param_sets = [
+        {"TABLE": "events", "TOTAL": "120", "NS": "4", "SLICE": str(s),
+         "PS": "10", "CURSOR": "0", "TOKEN": "tok0"}
+        for s in range(4)
+    ]
+    return (
+        spark.read.format("http_api")
+        .schema("id long, name string, value double")
+        .option("templates", _json.dumps(templates))
+        .option("template_key", "scroll")
+        .option("param_sets", _json.dumps(param_sets))
+        .option("transport", "stub_scroll")
+        .option("cursor_param", "CURSOR")
+        .load()
+        .orderBy("id")
+    )

@@ -45,8 +45,36 @@ def stub_export_transport(request: dict) -> tuple[int, str, bytes]:
     return 200, "application/json", json.dumps(rows).encode()
 
 
+def stub_scroll_transport(request: dict) -> tuple[int, str, bytes]:
+    """Deterministic offline CURSOR-PAGINATED transport (the ES
+    sliced-scroll shape, reference elasticsearch_service.py:63-136):
+    rows are global ids 0..total-1, a slice owns the ids with
+    id % n_slices == slice, and each page serves page_size of that
+    slice's ordered ids plus a ``next_cursor`` until exhausted
+    (empty-string cursor = done)."""
+    from urllib.parse import parse_qs, urlparse
+
+    q = parse_qs(urlparse(request["url"]).query)
+    total = int(q["total"][0])
+    n_slices = int(q["n_slices"][0])
+    sl = int(q["slice"][0])
+    page_size = int(q["page_size"][0])
+    page = int(q.get("cursor", ["0"])[0] or "0")
+    ids = [i for i in range(total) if i % n_slices == sl]
+    chunk = ids[page * page_size : (page + 1) * page_size]
+    nxt = str(page + 1) if (page + 1) * page_size < len(ids) else ""
+    body = {
+        "rows": [
+            {"id": i, "name": f"row_{i}", "value": round(i * 1.5, 2)} for i in chunk
+        ],
+        "next_cursor": nxt,
+    }
+    return 200, "application/json", json.dumps(body).encode()
+
+
 _TRANSPORTS = {
     "stub_export": stub_export_transport,
+    "stub_scroll": stub_scroll_transport,
 }
 
 
@@ -71,6 +99,13 @@ class HttpApiReader(DataSourceReader):
         self.template_key = options["template_key"]
         self.param_sets = json.loads(options["param_sets"])
         self.transport_name = options.get("transport", "requests")
+        # cursor pagination: when set, each partition FOLLOWS its own
+        # cursor chain — the body is {"rows": [...], "next_cursor": c},
+        # the named template param is re-rendered with each cursor, and
+        # the chain ends on an empty/absent cursor. This is the ES
+        # sliced-scroll shape: slices partition-parallel, pages
+        # sequential within a slice.
+        self.cursor_param = options.get("cursor_param")
         self.field_names = [f.name for f in schema.fields]
 
     def partitions(self):
@@ -84,6 +119,20 @@ class HttpApiReader(DataSourceReader):
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         params = json.loads(partition.value)
         transport = _resolve_transport(self.transport_name)
+        if self.cursor_param:
+            cursor = params.get(self.cursor_param, "0")
+            while True:
+                body = fetch(
+                    self.templates,
+                    self.template_key,
+                    {**params, self.cursor_param: cursor},
+                    transport,
+                )
+                for r in body.get("rows", []):
+                    yield tuple(r.get(f) for f in self.field_names)
+                cursor = body.get("next_cursor") or ""
+                if not cursor:
+                    return
         rows = fetch(self.templates, self.template_key, params, transport)
         if isinstance(rows, dict):
             rows = [rows]
@@ -98,7 +147,10 @@ class HttpApiDataSource(DataSource):
     Required options: ``templates`` (JSON template dict), ``template_key``,
     ``param_sets`` (JSON list of param dicts — one InputPartition each),
     ``schema`` is passed via ``.schema(ddl)`` on the reader.
-    Optional: ``transport`` (``stub_export`` | ``requests``)."""
+    Optional: ``transport`` (``stub_export`` | ``stub_scroll`` |
+    ``requests``); ``cursor_param`` (template param name — enables
+    cursor pagination: each partition follows its ``next_cursor``
+    chain, the ES sliced-scroll shape)."""
 
     @classmethod
     def name(cls) -> str:

@@ -891,3 +891,43 @@ def test_heavy_hitters_token_stream_never_shuffles_raw(spark):
     i = next(i for i, l in enumerate(lines) if "MapInPandas" in l)
     j = next(j for j in range(i, len(lines)) if "FileScan" in lines[j])
     assert not any("Exchange" in l for l in lines[i:j]), "\n".join(lines[i:j])
+
+
+def test_round12_staged_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-12 STAGED tier (same
+    contract as the round-7..11 blankets, applied before registration):
+    no CartesianProduct; BroadcastNestedLoopJoin only where the
+    non-equi/cross side is bounded by construction — 1-row moment
+    scalars, calendar-bounded day/month grids, fixed threshold/size
+    grids, or pair tables of PRE-AGGREGATED series (never the fact
+    table)."""
+    import re as _re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round12_pending import PENDING_QUERIES
+
+    src = open("etl_mini_spark/queries/round12_pending.py").read()
+    ROUND12 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
+    assert len(ROUND12) == 31
+    BOUNDED_NONEQUI_OK = {
+        "friedman_test_blocks",       # day x type grid + 1-row scalars
+        "cliffs_delta_effect",        # calendar^2 pair grid of day aggs
+        "jonckheere_terpstra_trend",  # month-grid g1<g2 pairs + 1-row scalars
+        "pettitt_changepoint",        # calendar^2 pair grid + range join
+        "grubbs_max_outlier",         # 1-row moments broadcast
+        "chow_structural_break",      # 1-row scalars
+        "theil_inequality_index",     # 1-row total broadcast
+        "xmr_control_chart",          # 1-row moments broadcast
+        "hurst_rescaled_range",       # 3-size grid + 1-row slope scalar
+        "xyz_volatility_classes",     # brand x month grid fill
+        "croston_intermittent",       # bucket x day grid fill
+        "equi_depth_histogram",       # none expected; keep strict
+        "quantile_disc_parity",       # 1-row n + 5-row rank grid
+        "decision_stump_gain",        # 7-row threshold grid broadcast
+        "corpus_amplified_gate",      # generator only; keep strict
+    } - {"equi_depth_histogram", "corpus_amplified_gate"}
+    for name in ROUND12:
+        s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in BOUNDED_NONEQUI_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
