@@ -405,6 +405,96 @@ def p_heavy_hitters(spark):
     }
 
 
+@probe("fuzzy_jaro_blocked")
+def p_jaro_blocked(spark):
+    """100k-name blocked fuzzy-match probe for the Jaro path: names
+    are 5-word strings over a small vocabulary with (brand, size)
+    block keys; 1% get a planted single-character-edit twin IN THE
+    SAME BLOCK (jaro >= ~0.95 by construction, far above the 0.8
+    threshold). The scored candidate set is the blocked pair join
+    (sum of C(block,2)), never all-pairs — the invariant is (a)
+    candidate mass is orders of magnitude below n^2/2 and (b) every
+    planted twin survives the blocked path end to end (recall 1.0):
+    a miss could only mean blocking dropped a same-block pair or the
+    kernel disagreed with itself, never threshold noise."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.text import jaro
+
+    n = 100_000
+    vocab = np.array(
+        ["almond", "azure", "blush", "cream", "coral", "drab", "forest",
+         "ghost", "honey", "indigo", "ivory", "lace", "lemon", "linen",
+         "maroon", "midnight", "mint", "navy", "olive", "orchid", "peach",
+         "pearl", "plum", "powder", "puff", "rose", "saddle", "salmon",
+         "sandy", "sienna", "sky", "slate", "smoke", "snow", "spring",
+         "steel", "tan", "thistle", "tomato", "wheat"]
+    )
+    rs = np.random.RandomState(11)
+    words = vocab[rs.randint(0, len(vocab), size=(n, 5))]
+    names = [" ".join(w) for w in words]
+    brands = rs.randint(0, 25, size=n)
+    sizes = rs.randint(0, 200, size=n)
+    rows = [
+        (i, f"b{brands[i]}", int(sizes[i]), names[i]) for i in range(n)
+    ]
+    # planted twins: 1% of names get a same-block sibling with ONE
+    # character substituted — the near-exact fuzzy-dup class the
+    # blocked Jaro pass must catch with recall 1.0
+    planted = []
+    want = set()
+    for j, i in enumerate(rs.choice(n, n // 100, replace=False)):
+        nm = list(names[i])
+        pos = rs.randint(0, len(nm))
+        nm[pos] = "x" if nm[pos] != "x" else "z"
+        planted.append((n + j, f"b{brands[i]}", int(sizes[i]), "".join(nm)))
+        want.add((int(i), n + j))
+    df = spark.createDataFrame(
+        rows + planted, "key long, brand string, size int, name string"
+    ).repartition(64)
+    a = df.select(
+        "brand", "size", F.col("key").alias("a_key"), F.col("name").alias("a_name")
+    )
+    b = df.select(
+        "brand", "size", F.col("key").alias("b_key"), F.col("name").alias("b_name")
+    )
+    pairs = a.join(b, ["brand", "size"]).filter(F.col("a_key") < F.col("b_key"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "a_key": pdf["a_key"],
+                    "b_key": pdf["b_key"],
+                    "jaro": [jaro(x, y) for x, y in zip(pdf["a_name"], pdf["b_name"])],
+                }
+            )
+
+    scored = pairs.select("a_key", "b_key", "a_name", "b_name").mapInPandas(
+        score, schema="a_key long, b_key long, jaro double"
+    )
+    j6 = F.floor(F.col("jaro") * 1_000_000 + F.lit(0.5)) / 1_000_000
+    hits = scored.select("a_key", "b_key", j6.alias("j6")).filter(F.col("j6") >= 0.8)
+    got = {(r["a_key"], r["b_key"]) for r in hits.collect()}
+    n_cand = pairs.count()
+    quadratic = n * (n + n // 100 - 1) // 2
+    found = want & got
+    return {
+        "n_names": n + n // 100,
+        "n_blocked_pairs": int(n_cand),
+        "quadratic_pairs": quadratic,
+        "candidate_ratio": round(n_cand / quadratic, 6),
+        "n_planted": len(want),
+        "n_planted_found": len(found),
+        "ok": bool(found == want and n_cand * 100 < quadratic),
+    }
+
+
 @probe("event_incremental_agg")
 def p_incremental(spark, tmpdir):
     """9M-row incremental-maintenance probe: a persisted daily
@@ -490,6 +580,9 @@ def main() -> None:
         p_ivf_layout(spark, vecs, tmpdir)
         vecs.unpersist()
         p_lsh(spark)
+
+        print("generating names...", file=sys.stderr)
+        p_jaro_blocked(spark)
 
         print("generating events...", file=sys.stderr)
         p_asof(spark, gen_events(spark))

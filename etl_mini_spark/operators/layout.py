@@ -16,7 +16,7 @@ in any engine (the DuckDB oracle replays the same shifts; max shift is
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,3 +69,55 @@ def zorder_write(
         *([num_files] if num_files else []), F.col("__z")
     ).sortWithinPartitions("__z")
     out.drop("__z").write.mode(mode).parquet(path)
+
+
+def exact_global_rank(
+    df: DataFrame, order_cols: list[str], rank_col: str = "rn", n_parts: int = 32
+) -> DataFrame:
+    """Exact 1-based global row number over a STRICT total order
+    without a single-partition window.
+
+    ``Window.orderBy(...)`` with no PARTITION BY funnels every row into
+    one task — fine for calendar-bounded series, fatal on a fact table
+    at 100 TB. This is the distributed replacement: rows are bucketed
+    by a PURE FUNCTION of the leading order column (fixed integer
+    range arithmetic between its min and max — deterministic across
+    plan re-evaluations, unlike spark_partition_id under AQE
+    coalescing), ranked within each bucket by a partitioned window,
+    and shifted by per-bucket offsets from a #buckets-row driver
+    gather. Exact for any bucket skew because bucketing is monotone in
+    the leading column and the within-bucket order completes the
+    strict total order (include a unique tiebreak column).
+
+    Two tiny extra jobs (min/max + bucket counts) buy removal of the
+    single-partition exchange; used by the equi-depth histogram and
+    quantile_disc entries. The leading order column must be numeric."""
+    lead = order_cols[0]
+    lo_hi = df.agg(
+        F.min(lead).cast("long").alias("lo"), F.max(lead).cast("long").alias("hi")
+    ).collect()[0]
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo is None:
+        return df.withColumn(rank_col, F.lit(None).cast("bigint"))
+    span = max(hi - lo + 1, 1)
+    bucket = F.floor(
+        (F.col(lead).cast("long") - F.lit(lo)) * F.lit(n_parts) / F.lit(span)
+    ).cast("int")
+    b = df.withColumn("__b", bucket)
+    counts = {
+        r["__b"]: r["cnt"]
+        for r in b.groupBy("__b").agg(F.count("*").alias("cnt")).collect()
+    }
+    offs, acc = [], 0
+    for bk in sorted(counts):
+        offs.append((bk, acc))
+        acc += counts[bk]
+    omap = df.sparkSession.createDataFrame(offs or [(0, 0)], "__b int, __off long")
+    ranked = b.withColumn(
+        rank_col, F.row_number().over(Window.partitionBy("__b").orderBy(*order_cols))
+    )
+    return (
+        ranked.join(F.broadcast(omap), "__b")
+        .withColumn(rank_col, (F.col(rank_col) + F.col("__off")).cast("bigint"))
+        .drop("__b", "__off")
+    )

@@ -307,3 +307,41 @@ def doc_frequency(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "df_docs",
         F.round(F.log(F.col("__n_docs").cast("double") / F.col("df_docs")), 6).alias("idf"),
     )
+
+
+def jaro(s1: str, s2: str) -> float:
+    """Jaro similarity from its definition (match window
+    max(l1,l2)//2 - 1, half-transpositions): the from-scratch kernel
+    the blocked fuzzy-match path scores candidate pairs with (used via
+    an Arrow batch pass — plain Python per pair, bounded by the
+    BLOCKED candidate count, never n^2). Differentially pinned against
+    DuckDB's independent native jaro_similarity by the
+    jaro_blocked_pairs query; its rationals have denominators
+    <= 3*l1*l2*m, so 6dp HALF_UP pins can never sit on a half-boundary
+    (that would need a denominator divisible by 2*10^6)."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    md = max(l1, l2) // 2 - 1
+    f1, f2 = [False] * l1, [False] * l2
+    m = 0
+    for i, ch in enumerate(s1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not f2[j] and s2[j] == ch:
+                f1[i] = f2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if f1[i]:
+            while not f2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3

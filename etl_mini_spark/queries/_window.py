@@ -27,14 +27,17 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #     heavy_hitters_mg (share HALF_UP pin, both engines, r10),
 #     item_item_cosine_topk (un-forced norm broadcast, r10),
 #     dedup_levenshtein_blocked (thresholded/banded levenshtein, r10),
-#     and similarity_topk (r11: cosine_topk_bruteforce's per-batch cut
+#     similarity_topk (r11: cosine_topk_bruteforce's per-batch cut
 #     now orders by (rounded sim DESC, neighbor_id ASC) — the global
 #     window's exact rank — instead of raw argpartition, closing the
-#     r10-advice batch-boundary tie nondeterminism). All four re-swept
-#     locally at sf0.001 + sf0.01 before this rotation;
-# (c) the remaining 14 slots re-verify the STALEST green entries
+#     r10-advice batch-boundary tie nondeterminism), and
+#     http_pyds_scan (r11: sources/pyds.py grew the cursor-pagination
+#     read branch for the staged sliced-scroll entry; the non-cursor
+#     path is unchanged but the module is behavior-adjacent). All five
+#     re-swept locally at sf0.001 + sf0.01 before this rotation;
+# (c) the remaining 13 slots re-verify the STALEST green entries
 #     (last driver-green row in r04, name order — seven rounds since
-#     last driver verification; 4 r04-stale entries remain for the
+#     last driver verification; 5 r04-stale entries remain for the
 #     round-12 window).
 # =========================================================================
 
@@ -55,13 +58,13 @@ _DRIVER_WINDOW = [
     "orders_backlog_aging", "bitmap_presence_rollup",
     # (b) code-change canaries:
     "heavy_hitters_mg", "item_item_cosine_topk", "dedup_levenshtein_blocked",
-    "similarity_topk",
+    "similarity_topk", "http_pyds_scan",
     # (c) stale-green re-verification — r04 cohort, name order:
     "order_by_hash", "pivot_type_counts", "sample_deterministic",
     "sample_split_counts", "sample_stratified_docs", "set_except",
     "sql_exists_urgent", "sql_scalar_above_avg", "string_fns_suite",
     "text_redact_pii", "time_tz_trimode", "timeseries_resample_fill",
-    "udf_registry_iso_parts", "unpivot_part_metrics",
+    "udf_registry_iso_parts",
 ]
 
 _TAIL = [
@@ -153,7 +156,7 @@ _TAIL = [
     "parquet_schema_evolution", "stream_foreachbatch_upsert",
     "join_asof_bucketed", "graph_pagerank_converged", "scd2_late_correction",
     "join_asof_forward", "seq_packing_bins", "vocab_oov_coverage",
-    "dpp_partitioned_join", "http_pyds_scan", "dedup_repeated_spans",
+    "dpp_partitioned_join", "unpivot_part_metrics", "dedup_repeated_spans",
     "similarity_tfidf_pairs", "sql_udf_scalar", "graph_khop_reach",
     "snapshot_table_diff", "join_asof_last_order", "mixture_weighted_sample",
     "stream_dedup_watermark", "stream_interval_join", "agg_corr_regr",

@@ -1599,16 +1599,33 @@ def equi_depth_histogram(spark, sf_dir):
     via NTILE over the deterministic (cents, order key) total order —
     both engines share NTILE's floor-division fill rule, so bucket
     boundaries are exact, and every per-bucket statistic is a BIGINT.
-    Plan: one global-sort window (single stage over the value column),
-    one bucket agg. At 100 TB the same shape runs on a range-
-    partitioned sort, not a single partition — the plan pins no
-    single-partition exchange beyond the NTILE window itself."""
+    The Spark side computes the global rank DISTRIBUTED
+    (exact_global_rank: range repartition + within-partition
+    row_number + per-partition offsets) and replays NTILE's integer
+    fill rule from it — no single-partition window anywhere, the
+    100-TB-safe exact equi-depth. Plan: one range shuffle, one tiny
+    counts gather, one bucket agg."""
+    from etl_mini_spark.operators.layout import exact_global_rank
+
     o = _t(spark, sf_dir, "orders")
     v = o.select(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
         F.col("o_orderkey").alias("k"),
     )
-    b = v.select("c", F.ntile(8).over(Window.orderBy("c", "k")).alias("bucket"))
+    ranked = exact_global_rank(v, ["c", "k"])
+    n = ranked.agg(F.count("*").cast("bigint").alias("n"))
+    # NTILE(8) fill rule from the exact global rank: the first n%8
+    # buckets carry ceil(n/8) rows — pure integer arithmetic, identical
+    # to both engines' NTILE definition
+    q8, r8 = F.col("n") / 8, F.col("n") % 8
+    qf = F.floor(q8).cast("bigint")
+    big = F.col("rn") <= (qf + 1) * r8
+    bucket = F.when(big, F.floor((F.col("rn") - 1) / (qf + 1)) + 1).otherwise(
+        r8 + F.floor((F.col("rn") - (qf + 1) * r8 - 1) / qf) + 1
+    )
+    b = ranked.crossJoin(F.broadcast(n)).select(
+        "c", bucket.cast("int").alias("bucket")
+    )
     return (
         b.groupBy("bucket")
         .agg(
@@ -1651,10 +1668,14 @@ def quantile_disc_parity(spark, sf_dir):
     runs its NATIVE quantile_disc; Spark reconstructs the same order
     statistic by integer rank selection rank = floor(q*n + 1/2) =
     (2*qn*n + qd) DIV (2*qd) over the (cents, key) total order — the
-    convention pinned empirically against discriminating n/q probes.
-    Two independent implementations of the same statistic; exact
-    integer arithmetic end to end. Plan: one sort window + one
-    broadcast rank grid semi-join."""
+    convention pinned empirically against discriminating n/q probes —
+    computed over the DISTRIBUTED exact global rank (range repartition
+    + offsets, no single-partition window). Two independent
+    implementations of the same statistic; exact integer arithmetic
+    end to end. Plan: one range shuffle + a tiny counts gather + one
+    broadcast rank-grid join."""
+    from etl_mini_spark.operators.layout import exact_global_rank
+
     o = _t(spark, sf_dir, "orders")
     v = o.select(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
@@ -1670,7 +1691,7 @@ def quantile_disc_parity(spark, sf_dir):
         F.floor((2 * F.col("qn") * F.col("n") + F.col("qd")) / (2 * F.col("qd")))
         .cast("bigint").alias("rk"),
     )
-    rn = v.select("c", F.row_number().over(Window.orderBy("c", "k")).alias("rn"))
+    rn = exact_global_rank(v, ["c", "k"]).select("c", "rn")
     return (
         rn.join(F.broadcast(ranks), rn.rn == ranks.rk)
         .select("q", (F.col("c").cast("double") / 100.0).alias("value"))
@@ -2140,33 +2161,7 @@ def jaro_blocked_pairs(spark, sf_dir):
 
     import pandas as pd
 
-    def jaro(s1: str, s2: str) -> float:
-        if s1 == s2:
-            return 1.0
-        l1, l2 = len(s1), len(s2)
-        md = max(l1, l2) // 2 - 1
-        f1, f2 = [False] * l1, [False] * l2
-        m = 0
-        for i, ch in enumerate(s1):
-            lo, hi = max(0, i - md), min(l2, i + md + 1)
-            for j in range(lo, hi):
-                if not f2[j] and s2[j] == ch:
-                    f1[i] = f2[j] = True
-                    m += 1
-                    break
-        if m == 0:
-            return 0.0
-        t = 0
-        k = 0
-        for i in range(l1):
-            if f1[i]:
-                while not f2[k]:
-                    k += 1
-                if s1[i] != s2[k]:
-                    t += 1
-                k += 1
-        t //= 2
-        return (m / l1 + m / l2 + (m - t) / m) / 3
+    from etl_mini_spark.operators.text import jaro
 
     p = _t(spark, sf_dir, "part")
     a = p.select("p_brand", "p_size", F.col("p_partkey").alias("a_key"),

@@ -921,11 +921,10 @@ def test_round12_staged_tier_no_cartesian_blanket(spark):
         "hurst_rescaled_range",       # 3-size grid + 1-row slope scalar
         "xyz_volatility_classes",     # brand x month grid fill
         "croston_intermittent",       # bucket x day grid fill
-        "equi_depth_histogram",       # none expected; keep strict
+        "equi_depth_histogram",       # 1-row n broadcast (NTILE fill rule)
         "quantile_disc_parity",       # 1-row n + 5-row rank grid
         "decision_stump_gain",        # 7-row threshold grid broadcast
-        "corpus_amplified_gate",      # generator only; keep strict
-    } - {"equi_depth_histogram", "corpus_amplified_gate"}
+    }
     for name in ROUND12:
         s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in s.joins, (name, s.joins)
