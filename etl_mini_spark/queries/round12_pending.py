@@ -2344,3 +2344,271 @@ def http_paginated_extract(spark, sf_dir):
         .load()
         .orderBy("id")
     )
+
+
+# --- partial autocorrelation via Durbin-Levinson (lags 1-3) ---------------------------------------
+# Standard biased ACF of the zero-filled hourly revenue series, with
+# every covariance term scaled through n so the sufficient statistics
+# are exact WIDE integers (sum of (n*x_t - S)(n*x_{t-k} - S) products
+# as HUGEINT/DECIMAL(38,0)); r_k pre-rounds at 9dp, and the
+# Durbin-Levinson recursion to lag 3 is spelled out as the identical
+# fixed algebra on both engines.
+_PACF_SQL = """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT strftime(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)),
+                      '%Y-%m-%d %H:00:00') AS h
+      FROM bounds),
+    hours AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS h,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    ser AS (
+      SELECT spine.h, coalesce(hours.c, 0) AS c,
+             row_number() OVER (ORDER BY spine.h) AS i
+      FROM spine LEFT JOIN hours ON hours.h = spine.h),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s FROM ser),
+    dev AS (
+      SELECT i, CAST(st.n * c - st.s AS HUGEINT) AS d FROM ser CROSS JOIN st),
+    den AS (SELECT sum(d * d) AS d0 FROM dev),
+    num AS (
+      SELECT k.k, sum(a.d * b.d) AS nk
+      FROM (SELECT unnest([1, 2, 3]) AS k) k
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.i = a.i - k.k
+      GROUP BY k.k),
+    r AS (
+      SELECT
+        max(CASE WHEN k = 1 THEN floor(CAST(nk AS DOUBLE) / CAST(d0 AS DOUBLE)
+                                       * 1000000000 + 0.5) / 1000000000 END) AS r1,
+        max(CASE WHEN k = 2 THEN floor(CAST(nk AS DOUBLE) / CAST(d0 AS DOUBLE)
+                                       * 1000000000 + 0.5) / 1000000000 END) AS r2,
+        max(CASE WHEN k = 3 THEN floor(CAST(nk AS DOUBLE) / CAST(d0 AS DOUBLE)
+                                       * 1000000000 + 0.5) / 1000000000 END) AS r3
+      FROM num CROSS JOIN den),
+    dl AS (
+      SELECT r1, r2, r3,
+             r1 AS p1,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+      FROM r),
+    dl2 AS (
+      SELECT r1, r2, r3, p1, p2,
+             r1 - p2 * r1 AS a21
+      FROM dl),
+    dl3 AS (
+      SELECT r1, r2, r3, p1, p2,
+             (r3 - a21 * r2 - p2 * r1) / (1.0 - a21 * r1 - p2 * r2) AS p3
+      FROM dl2)
+    SELECT 1 AS lag, floor(r1 * 1000000 + 0.5) / 1000000 AS acf,
+           floor(p1 * 1000000 + 0.5) / 1000000 AS pacf FROM dl3
+    UNION ALL
+    SELECT 2, floor(r2 * 1000000 + 0.5) / 1000000,
+           floor(p2 * 1000000 + 0.5) / 1000000 FROM dl3
+    UNION ALL
+    SELECT 3, floor(r3 * 1000000 + 0.5) / 1000000,
+           floor(p3 * 1000000 + 0.5) / 1000000 FROM dl3
+    ORDER BY lag
+"""
+
+
+@pq("pacf_durbin_levinson", _PACF_SQL)
+def pacf_durbin_levinson(spark, sf_dir):
+    """Partial autocorrelation of hourly revenue at lags 1-3 via the
+    Durbin-Levinson recursion over the standard biased ACF — the AR
+    order-selection diagnostic that complements the registered
+    acf_hourly_lags. Covariances are exact wide-integer sums of
+    (n*x_t - S) deviation products on the zero-filled hourly spine,
+    each r_k pre-rounds at 9dp, and the DL algebra to lag 3 is the
+    identical fixed expression sequence on both engines. Plan: one
+    hour agg, three keyed lag joins on the bounded hourly series,
+    scalar algebra."""
+    e = _t(spark, sf_dir, "events")
+    hours = e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("h")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("bigint").alias("c")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hh")
+    ).select(F.date_format("hh", "yyyy-MM-dd HH:00:00").alias("h"))
+    ser = (
+        spine.join(hours, "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("i", F.row_number().over(Window.orderBy("h")))
+    )
+    st = ser.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("c").cast("bigint").alias("s")
+    )
+    dev = ser.crossJoin(F.broadcast(st)).select(
+        "i", (F.col("n") * F.col("c") - F.col("s")).cast("decimal(19,0)").alias("d")
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("d0"))
+    ks = ser.sparkSession.createDataFrame([(1,), (2,), (3,)], "k int")
+    a = dev.select(F.col("i").alias("ia"), F.col("d").alias("da"))
+    b = dev.select(F.col("i").alias("ib"), F.col("d").alias("db"))
+    num = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("ib") == F.col("ia") - F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("da") * F.col("db")).alias("nk"))
+    )
+    r9 = (
+        F.floor(F.col("nk").cast("double") / F.col("d0").cast("double")
+                * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000
+    )
+    r = (
+        num.crossJoin(F.broadcast(den))
+        .agg(
+            F.max(F.when(F.col("k") == 1, r9)).alias("r1"),
+            F.max(F.when(F.col("k") == 2, r9)).alias("r2"),
+            F.max(F.when(F.col("k") == 3, r9)).alias("r3"),
+        )
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    dl2 = r.select("r1", "r2", "r3", p2.alias("p2"), (r1 - p2 * r1).alias("a21"))
+    p3 = (r3 - F.col("a21") * r2 - F.col("p2") * r1) / (
+        1.0 - F.col("a21") * r1 - F.col("p2") * r2
+    )
+    dl3 = dl2.select("r1", "r2", "r3", "p2", p3.alias("p3"))
+    out = dl3.select(
+        F.lit(1).alias("lag"), _pin(r1).alias("acf"), _pin(r1).alias("pacf")
+    ).unionAll(
+        dl3.select(F.lit(2), _pin(r2), _pin(F.col("p2")))
+    ).unionAll(
+        dl3.select(F.lit(3), _pin(r3), _pin(F.col("p3")))
+    )
+    return out.orderBy("lag")
+
+
+# --- order-key gap audit (missing invoice numbers) -------------------------------------------------
+# The classic sequence-integrity audit over the OPEN-order key
+# sequence (the generator's full key domain is dense, so the audit
+# runs on the status='O' subset, where missing runs genuinely exist):
+# contiguous runs of missing keys as (gap_start, gap_end, gap_len).
+# Neighbor pairing rides the distributed exact global rank (rank k
+# joins rank k+1 — a keyed equi join), so there is no
+# single-partition lag window even though the sequence is global.
+_KEYGAP_SQL = """
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM k),
+    pairs AS (
+      SELECT a.k AS k, b.k AS next_k
+      FROM r a JOIN r b ON b.rn = a.rn + 1)
+    SELECT CAST(k + 1 AS BIGINT) AS gap_start,
+           CAST(next_k - 1 AS BIGINT) AS gap_end,
+           CAST(next_k - k - 1 AS BIGINT) AS gap_len
+    FROM pairs WHERE next_k > k + 1
+    ORDER BY gap_start
+"""
+
+
+@pq("orderkey_gap_audit", _KEYGAP_SQL)
+def orderkey_gap_audit(spark, sf_dir):
+    """Missing-key ranges in the open-order key sequence (the
+    invoice-gap audit; the open-status subset is where absent runs
+    exist — the full key domain is dense by construction): every
+    maximal run of absent keys as (start, end, length).
+    The Spark side pairs each key with its successor through
+    exact_global_rank + a rank k = k+1 equi join — distributed, no
+    global lag window; the oracle uses the plain window since DuckDB
+    is the single-node referee. Integer end to end. Plan: one
+    distinct, one range-bucketed rank, one keyed self-join."""
+    from etl_mini_spark.operators.layout import exact_global_rank
+
+    o = _t(spark, sf_dir, "orders")
+    k = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    r = exact_global_rank(k, ["k"])
+    a = r.select(F.col("k").alias("ka"), F.col("rn").alias("rna"))
+    b = r.select(F.col("k").alias("kb"), (F.col("rn") - 1).alias("rnb"))
+    pairs = a.join(b, F.col("rna") == F.col("rnb"))
+    return (
+        pairs.filter(F.col("kb") > F.col("ka") + 1)
+        .select(
+            (F.col("ka") + 1).cast("bigint").alias("gap_start"),
+            (F.col("kb") - 1).cast("bigint").alias("gap_end"),
+            (F.col("kb") - F.col("ka") - 1).cast("bigint").alias("gap_len"),
+        )
+        .orderBy("gap_start")
+    )
+
+
+# --- Pythagorean mean family per event type ---------------------------------------------------------
+# Arithmetic / geometric / harmonic / quadratic means of positive
+# event values per type: AM and RMS from exact integer sums (sum of
+# squares wide), GM as exp of a DECIMAL(28,9) mean of 9dp-pinned ln
+# terms, HM from a DECIMAL(28,9) sum of 9dp-pinned reciprocals — the
+# order-free libm-sum rule applied to each family member; the
+# AM >= GM >= HM chain is asserted by the pins.
+_MEANS_SQL = """
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events
+      WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sc,
+             sum(CAST(c AS HUGEINT) * c) AS ssq,
+             sum(CAST(floor(ln(CAST(c AS DOUBLE) / 100.0) * 1000000000 + 0.5)
+                      AS DECIMAL(28,9)) / 1000000000) AS sln,
+             sum(CAST(floor(100.0 / CAST(c AS DOUBLE) * 1000000000 + 0.5)
+                      AS DECIMAL(28,9)) / 1000000000) AS srec
+      FROM v GROUP BY event_type)
+    SELECT event_type, n,
+           floor(1.0 * sc / n / 100.0 * 1000000 + 0.5) / 1000000 AS mean_arith,
+           floor(exp(CAST(sln AS DOUBLE) / n) * 1000000 + 0.5) / 1000000 AS mean_geo,
+           floor(n / CAST(srec AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_harm,
+           floor(sqrt(CAST(ssq AS DOUBLE) / n) / 100.0 * 1000000 + 0.5) / 1000000
+             AS mean_rms
+    FROM s ORDER BY event_type
+"""
+
+
+@pq("mean_family_suite", _MEANS_SQL)
+def mean_family_suite(spark, sf_dir):
+    """The Pythagorean mean family (arithmetic, geometric, harmonic,
+    quadratic) of positive event values per type: AM/RMS from exact
+    integer sums (squares held wide), GM and HM through 9dp-pinned
+    ln/reciprocal terms summed as DECIMAL(28,9) (order-free exact),
+    one double finish each — and the AM >= GM >= HM inequality pinned
+    by the tests. Plan: one scan, one keyed agg."""
+    e = _t(spark, sf_dir, "events")
+    c = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    v = e.select("event_type", c.alias("c")).filter(F.col("c") > 0)
+    ln9 = (
+        F.floor(F.log(F.col("c").cast("double") / 100.0) * 1_000_000_000 + F.lit(0.5))
+        .cast("decimal(28,9)") / 1_000_000_000
+    )
+    rec9 = (
+        F.floor(100.0 / F.col("c").cast("double") * 1_000_000_000 + F.lit(0.5))
+        .cast("decimal(28,9)") / 1_000_000_000
+    )
+    s = v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+        .alias("ssq"),
+        F.sum(ln9).alias("sln"),
+        F.sum(rec9).alias("srec"),
+    )
+    n = F.col("n")
+    return s.select(
+        "event_type", "n",
+        _pin(1.0 * F.col("sc") / n / 100.0).alias("mean_arith"),
+        _pin(F.exp(F.col("sln").cast("double") / n)).alias("mean_geo"),
+        _pin(n / F.col("srec").cast("double")).alias("mean_harm"),
+        _pin(F.sqrt(F.col("ssq").cast("double") / n) / 100.0).alias("mean_rms"),
+    ).orderBy("event_type")

@@ -908,7 +908,7 @@ def test_round12_staged_tier_no_cartesian_blanket(spark):
 
     src = open("etl_mini_spark/queries/round12_pending.py").read()
     ROUND12 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
-    assert len(ROUND12) == 31
+    assert len(ROUND12) == 34
     BOUNDED_NONEQUI_OK = {
         "friedman_test_blocks",       # day x type grid + 1-row scalars
         "cliffs_delta_effect",        # calendar^2 pair grid of day aggs
@@ -924,7 +924,10 @@ def test_round12_staged_tier_no_cartesian_blanket(spark):
         "equi_depth_histogram",       # 1-row n broadcast (NTILE fill rule)
         "quantile_disc_parity",       # 1-row n + 5-row rank grid
         "decision_stump_gain",        # 7-row threshold grid broadcast
-    }
+        "pacf_durbin_levinson",       # 1-row moments + 3-lag grid broadcast
+        "mean_family_suite",          # none expected; keep strict
+        "orderkey_gap_audit",         # none expected; keep strict
+    } - {"mean_family_suite", "orderkey_gap_audit"}
     for name in ROUND12:
         s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in s.joins, (name, s.joins)

@@ -286,3 +286,28 @@ def test_http_paginated_covers_id_range_exactly(spark):
     rows = PENDING["http_paginated_extract"](spark, SF_SMOKE).collect()
     assert [r["id"] for r in rows] == list(range(120))  # no dropped/dup pages
     assert rows[7]["name"] == "row_7"
+
+
+def test_pacf_lag1_equals_acf1(spark):
+    rows = PENDING["pacf_durbin_levinson"](spark, SF_SMOKE).collect()
+    assert [r["lag"] for r in rows] == [1, 2, 3]
+    assert rows[0]["acf"] == rows[0]["pacf"]  # DL base case
+    assert all(-1.0 <= r["pacf"] <= 1.0 for r in rows)
+    assert len({r["acf"] for r in rows}) > 1
+
+
+def test_orderkey_gaps_positive_and_ordered(spark):
+    rows = PENDING["orderkey_gap_audit"](spark, SF_SMOKE).collect()
+    assert rows, "TPC-H order keys are sparse; gaps must exist"
+    for r in rows:
+        assert r["gap_len"] == r["gap_end"] - r["gap_start"] + 1 > 0
+    starts = [r["gap_start"] for r in rows]
+    assert starts == sorted(starts)
+
+
+def test_mean_family_inequality_chain(spark):
+    rows = PENDING["mean_family_suite"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # AM >= GM >= HM (strict on non-constant data); RMS >= AM
+        assert r["mean_rms"] >= r["mean_arith"] > r["mean_geo"] > r["mean_harm"] > 0
