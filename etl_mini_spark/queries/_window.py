@@ -33,11 +33,14 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #     r10-advice batch-boundary tie nondeterminism), and
 #     http_pyds_scan (r11: sources/pyds.py grew the cursor-pagination
 #     read branch for the staged sliced-scroll entry; the non-cursor
-#     path is unchanged but the module is behavior-adjacent). All five
-#     re-swept locally at sf0.001 + sf0.01 before this rotation;
-# (c) the remaining 13 slots re-verify the STALEST green entries
+#     path is unchanged but the module is behavior-adjacent), and
+#     mann_whitney_u + roc_auc_exact (r11: their raw-row global rank
+#     windows became operators/ranks.value_midranks histogram folds —
+#     same twice-the-midrank integers, no single-partition sort). All
+#     seven re-swept locally at sf0.001 + sf0.01 before this rotation;
+# (c) the remaining 11 slots re-verify the STALEST green entries
 #     (last driver-green row in r04, name order — seven rounds since
-#     last driver verification; 5 r04-stale entries remain for the
+#     last driver verification; 7 r04-stale entries remain for the
 #     round-12 window).
 # =========================================================================
 
@@ -58,20 +61,19 @@ _DRIVER_WINDOW = [
     "orders_backlog_aging", "bitmap_presence_rollup",
     # (b) code-change canaries:
     "heavy_hitters_mg", "item_item_cosine_topk", "dedup_levenshtein_blocked",
-    "similarity_topk", "http_pyds_scan",
+    "similarity_topk", "http_pyds_scan", "mann_whitney_u", "roc_auc_exact",
     # (c) stale-green re-verification — r04 cohort, name order:
     "order_by_hash", "pivot_type_counts", "sample_deterministic",
     "sample_split_counts", "sample_stratified_docs", "set_except",
     "sql_exists_urgent", "sql_scalar_above_avg", "string_fns_suite",
-    "text_redact_pii", "time_tz_trimode", "timeseries_resample_fill",
-    "udf_registry_iso_parts",
+    "text_redact_pii", "time_tz_trimode",
 ]
 
 _TAIL = [
     # driver-green in earlier rounds (the round-10 window cohort
     # leads); every entry still locally oracle-verified per round at
     # sf0.001 (rows-only entries verified by dedicated pinned tests).
-    "spearman_rank_corr", "mann_whitney_u", "anova_oneway_f",
+    "spearman_rank_corr", "anova_oneway_f",
     "durbin_watson_autocorr", "seasonal_strength_eta", "holt_linear_trend",
     "cohort_ltv_curve", "histogram2d_margins", "confusion_matrix_thresholds",
     "feature_hash_collision_audit", "bm25_topk_docs", "char_ngram_profile",
@@ -119,7 +121,7 @@ _TAIL = [
     "set_intersect", "set_union_halves", "text_fingerprint", "text_lang_id",
     "text_quality", "text_token_counts", "time_derive_parts",
     "tolerant_select", "topk_limit", "window_lag_lead", "window_session_30m",
-    "window_tumbling_1h", "roc_auc_exact", "ks_statistic_2sample",
+    "window_tumbling_1h", "ks_statistic_2sample",
     "lift_gains_deciles", "target_encoding_loo",
     "feature_scaler_leakage_safe", "class_balance_downsample",
     "setjoin_prefix_filter", "timeseries_interpolate_linear",
@@ -178,6 +180,7 @@ _TAIL = [
     "stream_capped_sessions", "stream_capped_sessions_checksum",
     "window_rank_suite", "upsert_null_update", "window_topk_per_group",
     "window_sliding_15m", "embedding_kmeans", "stream_static_enrich",
+    "timeseries_resample_fill", "udf_registry_iso_parts",
 ]
 
 

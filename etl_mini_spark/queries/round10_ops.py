@@ -136,32 +136,31 @@ def mann_whitney_u(spark, sf_dir):
     tie-corrected normal approximation — the nonparametric two-sample
     location test. The rank sum uses the twice-the-midrank integer, so
     2·U1 is exact BIGINT; the tie correction Σ(t³−t) is an integer sum
-    over distinct values; z is the only float expression. Plan: one
-    global rank (range-partitioned two-pass prefix counts at scale),
-    one distinct-value agg, a 1-row finish — the same shape as
-    roc_auc_exact, which is no accident (AUC = U/(n1·n2))."""
+    over distinct values; z is the only float expression. Plan (r11:
+    the raw-row rank window became the histogram fold): midranks come
+    from operators/ranks.value_midranks — one keyed agg to the value
+    histogram, a cumulative window over the bounded distinct-value
+    domain, and a per-(group, value) count fold against the
+    histogram's r2; the fact rows are never globally sorted. Same
+    shape as roc_auc_exact, which is no accident (AUC = U/(n1·n2))."""
+    from etl_mini_spark.operators.ranks import value_midranks
+
     e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "view"))
     s = e.select(
         F.col("value").alias("v"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
     )
-    r = s.select(
-        "g",
-        (
-            2 * F.rank().over(Window.orderBy("v"))
-            + F.count("*").over(Window.partitionBy("v"))
-            - 1
-        ).alias("mr2"),
+    gv = s.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("cnt"))
+    hv = value_midranks(s, "v")
+    ties = hv.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("bigint").alias("tie3")
     )
-    ties = (
-        s.groupBy("v")
-        .agg(F.count("*").cast("bigint").alias("t"))
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("bigint").alias("tie3"))
-    )
+    r = gv.join(F.broadcast(hv.select("v", "r2")), "v")
     agg = r.agg(
-        F.sum("g").cast("bigint").alias("n1"),
-        (F.count("*") - F.sum("g")).cast("bigint").alias("n2"),
-        F.sum(F.when(F.col("g") == 1, F.col("mr2")).otherwise(0)).cast("bigint").alias("mr2_1"),
+        F.sum(F.when(F.col("g") == 1, F.col("cnt")).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("cnt")).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("g") == 1, F.col("cnt") * F.col("r2")).otherwise(0))
+        .cast("bigint").alias("mr2_1"),
     )
     u1 = (F.col("mr2_1") - F.col("n1") * (F.col("n1") + 1)) / 2.0
     n = F.col("n1") + F.col("n2")

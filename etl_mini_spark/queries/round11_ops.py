@@ -237,21 +237,30 @@ _KW_SQL = """
 def kruskal_wallis_h(spark, sf_dir):
     """Kruskal-Wallis rank test: do the five event types share a value
     distribution? Pooled ranks as twice-the-midrank INTEGERS (the
-    spearman/mann-whitney idiom), per-group rank-sum terms pre-rounded
-    at 9dp and decimal-summed (order-free), and the exact Σ(t³−t) tie
-    correction. Plan: one global rank window (sort shuffle), one group
-    agg — n³ exceeds 2^53 at scale but the BIGINT→DOUBLE conversion is
-    round-to-nearest on both engines, so parity holds."""
+    spearman/mann-whitney idiom) — computed from the VALUE HISTOGRAM
+    (operators/ranks.value_midranks: one keyed agg + a cumulative
+    window over the bounded distinct-value domain), never by ranking
+    raw rows through a single-partition sort; the per-group rank sums
+    fold the (type, value) counts against the histogram's r2 directly.
+    Per-group rank-sum terms pre-rounded at 9dp and decimal-summed
+    (order-free), exact Σ(t³−t) tie correction. Plan: two keyed aggs +
+    one broadcast histogram join — n³ exceeds 2^53 at scale but the
+    BIGINT→DOUBLE conversion is round-to-nearest on both engines, so
+    parity holds."""
+    from etl_mini_spark.operators.ranks import value_midranks
+
     e = _t(spark, sf_dir, "events")
-    w_rank = Window.orderBy("value")
-    w_tie = Window.partitionBy("value")
-    r = e.select(
-        "event_type",
-        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1).alias("rr"),
+    gv = e.groupBy("event_type", "value").agg(
+        F.count("*").cast("bigint").alias("cnt")
     )
-    g = r.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_g"),
-        F.sum("rr").cast("bigint").alias("s_g"),
+    hv = value_midranks(e, "value")
+    g = (
+        gv.join(F.broadcast(hv.select("value", "r2")), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_g"),
+            F.sum(F.col("cnt") * F.col("r2")).cast("bigint").alias("s_g"),
+        )
     )
     tot = g.agg(
         F.sum("n_g").cast("bigint").alias("n"),
@@ -262,8 +271,7 @@ def kruskal_wallis_h(spark, sf_dir):
         F.count("*").cast("bigint").alias("k"),
     )
     ties = (
-        e.groupBy("value").agg(F.count("*").alias("t"))
-        .filter(F.col("t") > 1)
+        hv.filter(F.col("t") > 1)
         .agg(
             F.coalesce(F.sum(F.expr("t * t * t - t")), F.lit(0))
             .cast("bigint").alias("tie_cubes")

@@ -79,11 +79,15 @@ def roc_auc_exact(spark, sf_dir):
     (Σ_pos midrank − n_pos(n_pos+1)/2) / (n_pos·n_neg), with ties
     handled by midranks. Twice-the-midrank (2·rank + tie_count − 1) is
     an integer, so the numerator is exact BIGINT arithmetic and the
-    single double division cannot drift between engines. Plan: one
-    global sort for the rank (at 100 TB: rank via range-partitioned
-    two-pass prefix counts, same shape as budget_cap's sharded cumsum)
-    plus one scalar aggregate — no per-pair work, though AUC is
-    defined over n_pos·n_neg pairs."""
+    single double division cannot drift between engines. Plan (r11:
+    the raw-row rank window became the histogram fold,
+    operators/ranks.value_midranks): one keyed agg to the score
+    histogram, a cumulative window over the bounded distinct-score
+    domain, and a per-(label, score) count fold — the fact rows are
+    never globally sorted; no per-pair work, though AUC is defined
+    over n_pos·n_neg pairs."""
+    from etl_mini_spark.operators.ranks import value_midranks
+
     e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "view"))
     s = e.select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
@@ -92,18 +96,14 @@ def roc_auc_exact(spark, sf_dir):
             + F.when(F.col("event_type") == "purchase", F.lit(25.0)).otherwise(F.lit(0.0))
         ).alias("score"),
     )
-    r = s.select(
-        "y",
-        (
-            2 * F.rank().over(Window.orderBy("score"))
-            + F.count("*").over(Window.partitionBy("score"))
-            - 1
-        ).alias("mr2"),
-    )
+    gv = s.groupBy("y", "score").agg(F.count("*").cast("bigint").alias("cnt"))
+    hv = value_midranks(s, "score")
+    r = gv.join(F.broadcast(hv.select("score", "r2")), "score")
     t = r.agg(
-        F.sum("y").cast("bigint").alias("n_pos"),
-        (F.count("*") - F.sum("y")).cast("bigint").alias("n_neg"),
-        F.sum(F.when(F.col("y") == 1, F.col("mr2")).otherwise(0)).cast("bigint").alias("pos_mr2"),
+        F.sum(F.when(F.col("y") == 1, F.col("cnt")).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("y") == 0, F.col("cnt")).otherwise(0)).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("y") == 1, F.col("cnt") * F.col("r2")).otherwise(0))
+        .cast("bigint").alias("pos_mr2"),
     )
     return t.select(
         "n_pos",
