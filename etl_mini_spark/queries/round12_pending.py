@@ -2612,3 +2612,253 @@ def mean_family_suite(spark, sf_dir):
         _pin(n / F.col("srec").cast("double")).alias("mean_harm"),
         _pin(F.sqrt(F.col("ssq").cast("double") / n) / 100.0).alias("mean_rms"),
     ).orderBy("event_type")
+
+
+# --- Page's L test for an ordered treatment trend ---------------------------------------------------
+# Friedman's ordered-alternative sibling: blocks = months, treatments
+# = the 5 priorities in their natural order, response = monthly order
+# count on the zero-filled grid. Within-block twice-midranks keep
+# every rank sum BIGINT; L2 = SUM j*R2_j is the doubled Page statistic
+# and z uses the classical no-tie moments (identical convention on
+# both engines).
+_PAGES_SQL = """
+    WITH cells AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+             strftime(o_orderdate, '%Y-%m') AS ym,
+             CAST(count(*) AS BIGINT) AS v
+      FROM orders GROUP BY 1, 2),
+    months AS (SELECT DISTINCT ym FROM cells),
+    gs AS (SELECT DISTINCT g FROM cells),
+    grid AS (
+      SELECT gs.g, months.ym, coalesce(cells.v, 0) AS v
+      FROM gs CROSS JOIN months
+      LEFT JOIN cells ON cells.g = gs.g AND cells.ym = months.ym),
+    r AS (
+      SELECT g, ym,
+             2 * rank() OVER (PARTITION BY ym ORDER BY v)
+               + count(*) OVER (PARTITION BY ym, v) - 1 AS r2
+      FROM grid),
+    rj AS (SELECT g, CAST(sum(r2) AS BIGINT) AS r2j FROM r GROUP BY g),
+    s AS (
+      SELECT CAST(sum(g * r2j) AS BIGINT) AS l2,
+             CAST(count(*) AS BIGINT) AS k
+      FROM rj),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM months)
+    SELECT rj.g, rj.r2j, s.l2, b.b,
+           floor((s.l2 / 2.0 - b.b * s.k * (s.k + 1) * (s.k + 1) / 4.0)
+                 / sqrt(1.0 * b.b * s.k * s.k * (s.k + 1)
+                        * (s.k * s.k - 1) / 144.0)
+                 * 1000000 + 0.5) / 1000000 AS z
+    FROM rj CROSS JOIN s CROSS JOIN b
+    ORDER BY rj.g
+"""
+
+
+@pq("pages_l_trend", _PAGES_SQL)
+def pages_l_trend(spark, sf_dir):
+    """Page's L test for a monotone trend across the ORDERED order
+    priorities, blocked by month: within-month twice-midranks (exact
+    integers on the zero-filled grid), the doubled statistic
+    L2 = SUM j*R2_j, and z from the classical moments
+    (E = bk(k+1)^2/4, Var = bk^2(k+1)(k^2-1)/144) — the ordered
+    sibling of the staged Friedman test, sharing its grid machinery.
+    Plan: one month x priority agg, one in-block rank window over the
+    bounded grid, a k-row finish."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    months = cells.select("ym").distinct()
+    gs = cells.select("g").distinct()
+    grid = (
+        gs.crossJoin(months)
+        .join(cells, ["g", "ym"], "left")
+        .select("g", "ym", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    r2 = (
+        2 * F.rank().over(Window.partitionBy("ym").orderBy("v"))
+        + F.count("*").over(Window.partitionBy("ym", "v"))
+        - 1
+    )
+    rj = grid.select("g", r2.alias("r2")).groupBy("g").agg(
+        F.sum("r2").cast("bigint").alias("r2j")
+    )
+    s = rj.agg(
+        F.sum(F.col("g") * F.col("r2j")).cast("bigint").alias("l2"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    b = months.agg(F.count("*").cast("bigint").alias("b"))
+    k, bb, l2 = F.col("k"), F.col("b"), F.col("l2")
+    z = (l2 / 2.0 - bb * k * (k + 1) * (k + 1) / 4.0) / F.sqrt(
+        1.0 * bb * k * k * (k + 1) * (k * k - 1) / 144.0
+    )
+    return (
+        rj.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(b))
+        .select("g", "r2j", "l2", F.col("b").alias("b"), _pin(z).alias("z"))
+        .orderBy("g")
+    )
+
+
+# --- turning-points randomness test --------------------------------------------------------------
+# Counts strict local maxima/minima of the daily revenue series
+# (integer comparisons; a tie on either side is NOT a turning point —
+# the same rule on both engines) against the i.i.d. null moments
+# E = 2(n-2)/3, Var = (16n-29)/90.
+_TURNING_SQL = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    w AS (
+      SELECT c,
+             lag(c) OVER (ORDER BY d) AS p,
+             lead(c) OVER (ORDER BY d) AS nx
+      FROM daily),
+    t AS (
+      SELECT CAST(sum(CASE WHEN (c > p AND c > nx) OR (c < p AND c < nx)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM w WHERE p IS NOT NULL AND nx IS NOT NULL),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+    SELECT n.n, t.tp,
+           floor((t.tp - 2.0 * (n.n - 2) / 3.0)
+                 / sqrt((16.0 * n.n - 29.0) / 90.0) * 1000000 + 0.5) / 1000000 AS z
+    FROM t CROSS JOIN n
+"""
+
+
+@pq("turning_points_test", _TURNING_SQL)
+def turning_points_test(spark, sf_dir):
+    """Turning-points randomness screen on daily revenue: the count of
+    strict local extrema (pure integer comparisons; boundary ties
+    excluded by the same rule on both engines) z-scored against the
+    i.i.d. null E = 2(n-2)/3, Var = (16n-29)/90. Plan: one day agg and
+    one lag/lead window over the calendar-bounded series."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("d")
+    t = daily.select(
+        "c", F.lag("c").over(w).alias("p"), F.lead("c").over(w).alias("nx")
+    ).filter(F.col("p").isNotNull() & F.col("nx").isNotNull()).agg(
+        F.sum(
+            F.when(
+                ((F.col("c") > F.col("p")) & (F.col("c") > F.col("nx")))
+                | ((F.col("c") < F.col("p")) & (F.col("c") < F.col("nx"))),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("tp")
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n"))
+    z = (F.col("tp") - 2.0 * (F.col("n") - 2) / 3.0) / F.sqrt(
+        (16.0 * F.col("n") - 29.0) / 90.0
+    )
+    return t.crossJoin(F.broadcast(n)).select("n", "tp", _pin(z).alias("z"))
+
+
+# --- Bartels' rank von Neumann ratio --------------------------------------------------------------
+# Rank-based serial randomness: RVN = n * SUM (R_i - R_{i+1})^2 /
+# (n*SUM R^2 - (SUM R)^2) over the daily series' twice-midranks — the
+# doubling cancels between numerator and denominator, so the whole
+# statistic is a single division of exact BIGINTs.
+_BARTELS_SQL = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+      SELECT d,
+             2 * rank() OVER (ORDER BY c) + count(*) OVER (PARTITION BY c) - 1 AS r2
+      FROM daily),
+    dsq AS (
+      SELECT CAST(sum((r2 - nxt) * (r2 - nxt)) AS BIGINT) AS sd2
+      FROM (SELECT r2, lead(r2) OVER (ORDER BY d) AS nxt FROM r)
+      WHERE nxt IS NOT NULL),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r2) AS BIGINT) AS sr,
+             CAST(sum(r2 * r2) AS BIGINT) AS srr
+      FROM r)
+    SELECT s.n, dsq.sd2,
+           floor(1.0 * s.n * dsq.sd2 / (1.0 * s.n * s.srr - 1.0 * s.sr * s.sr)
+                 * 1000000 + 0.5) / 1000000 AS rvn
+    FROM dsq CROSS JOIN s
+"""
+
+
+@pq("bartels_rank_vonneumann", _BARTELS_SQL)
+def bartels_rank_vonneumann(spark, sf_dir):
+    """Bartels' rank von Neumann ratio on daily revenue — the
+    rank-based serial-randomness screen (RVN near 2 = random, small =
+    trending). Both the successive-difference sum and the centered
+    rank variance use twice-midrank integers (the doubling cancels in
+    the ratio), so RVN is one division of exact BIGINTs. Plan: one day
+    agg, one rank + one lead window over the bounded series."""
+    daily = _daily_cents(spark, sf_dir)
+    r2 = (
+        2 * F.rank().over(Window.orderBy("c"))
+        + F.count("*").over(Window.partitionBy("c"))
+        - 1
+    )
+    r = daily.select("d", r2.alias("r2"))
+    w = Window.orderBy("d")
+    dsq = (
+        r.select("r2", F.lead("r2").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .agg(
+            F.sum((F.col("r2") - F.col("nxt")) * (F.col("r2") - F.col("nxt")))
+            .cast("bigint").alias("sd2")
+        )
+    )
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r2").cast("bigint").alias("sr"),
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("srr"),
+    )
+    rvn = (
+        1.0 * F.col("n") * F.col("sd2")
+        / (1.0 * F.col("n") * F.col("srr") - 1.0 * F.col("sr") * F.col("sr"))
+    )
+    return dsq.crossJoin(F.broadcast(s)).select("n", "sd2", _pin(rvn).alias("rvn"))
+
+
+# --- Cox-Stuart trend sign test --------------------------------------------------------------------
+# Pairs day i with day i + n/2 and sign-tests the second half against
+# the first: all counts integer, ties dropped (same rule both
+# engines), z the binomial normal approximation.
+_COXSTUART_SQL = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    idx AS (SELECT c, row_number() OVER (ORDER BY d) AS i FROM daily),
+    nn AS (SELECT CAST(count(*) / 2 AS BIGINT) AS h FROM idx),
+    pairs AS (
+      SELECT a.c AS x, b.c AS y
+      FROM idx a JOIN nn ON a.i <= nn.h
+      JOIN idx b ON b.i = a.i + nn.h),
+    s AS (
+      SELECT CAST(sum(CASE WHEN y > x THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+             CAST(sum(CASE WHEN y <> x THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM pairs)
+    SELECT m, n_plus,
+           floor((n_plus - m / 2.0) / sqrt(m / 4.0) * 1000000 + 0.5) / 1000000 AS z
+    FROM s
+"""
+
+
+@pq("cox_stuart_trend", _COXSTUART_SQL)
+def cox_stuart_trend(spark, sf_dir):
+    """Cox-Stuart trend test on daily revenue: each first-half day
+    pairs with its second-half counterpart (offset n/2), the
+    upward-sign count is binomial under no-trend, ties drop by the
+    same rule on both engines, z is the normal approximation — all
+    integer until the final two divisions. Plan: one day agg, one
+    bounded self-join on the indexed series."""
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select("c", F.row_number().over(Window.orderBy("d")).alias("i"))
+    nn = idx.agg((F.count("*") / 2).cast("bigint").alias("h"))
+    a = idx.select(F.col("c").alias("x"), F.col("i").alias("ia"))
+    bdf = idx.select(F.col("c").alias("y"), F.col("i").alias("ib"))
+    pairs = (
+        a.crossJoin(F.broadcast(nn))
+        .filter(F.col("ia") <= F.col("h"))
+        .join(bdf, F.col("ib") == F.col("ia") + F.col("h"))
+    )
+    s = pairs.agg(
+        F.sum(F.when(F.col("y") > F.col("x"), 1).otherwise(0))
+        .cast("bigint").alias("n_plus"),
+        F.sum(F.when(F.col("y") != F.col("x"), 1).otherwise(0))
+        .cast("bigint").alias("m"),
+    )
+    z = (F.col("n_plus") - F.col("m") / 2.0) / F.sqrt(F.col("m") / 4.0)
+    return s.select("m", "n_plus", _pin(z).alias("z"))

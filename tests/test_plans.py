@@ -908,7 +908,7 @@ def test_round12_staged_tier_no_cartesian_blanket(spark):
 
     src = open("etl_mini_spark/queries/round12_pending.py").read()
     ROUND12 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
-    assert len(ROUND12) == 34
+    assert len(ROUND12) == 38
     BOUNDED_NONEQUI_OK = {
         "friedman_test_blocks",       # day x type grid + 1-row scalars
         "cliffs_delta_effect",        # calendar^2 pair grid of day aggs
@@ -925,6 +925,10 @@ def test_round12_staged_tier_no_cartesian_blanket(spark):
         "quantile_disc_parity",       # 1-row n + 5-row rank grid
         "decision_stump_gain",        # 7-row threshold grid broadcast
         "pacf_durbin_levinson",       # 1-row moments + 3-lag grid broadcast
+        "pages_l_trend",              # month x priority grid + 1-row scalars
+        "turning_points_test",        # 1-row moments broadcast
+        "bartels_rank_vonneumann",    # 1-row moments broadcast
+        "cox_stuart_trend",           # 1-row half-length broadcast
         "mean_family_suite",          # none expected; keep strict
         "orderkey_gap_audit",         # none expected; keep strict
     } - {"mean_family_suite", "orderkey_gap_audit"}

@@ -311,3 +311,29 @@ def test_mean_family_inequality_chain(spark):
     for r in rows:
         # AM >= GM >= HM (strict on non-constant data); RMS >= AM
         assert r["mean_rms"] >= r["mean_arith"] > r["mean_geo"] > r["mean_harm"] > 0
+
+
+def test_pages_l_rank_sums_conserve(spark):
+    rows = PENDING["pages_l_trend"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    b, k = rows[0]["b"], 5
+    assert sum(r["r2j"] for r in rows) == b * k * (k + 1)
+    assert abs(rows[0]["z"]) < 50
+    assert len({r["r2j"] for r in rows}) > 1
+
+
+def test_turning_points_bounded(spark):
+    row = PENDING["turning_points_test"](spark, SF_SMOKE).collect()[0]
+    assert 0 < row["tp"] <= row["n"] - 2
+    assert abs(row["z"]) < 20
+
+
+def test_bartels_rvn_in_range(spark):
+    row = PENDING["bartels_rank_vonneumann"](spark, SF_SMOKE).collect()[0]
+    assert 0.0 < row["rvn"] < 4.0  # theoretical support of the ratio
+    assert row["sd2"] > 0
+
+
+def test_cox_stuart_counts_nest(spark):
+    row = PENDING["cox_stuart_trend"](spark, SF_SMOKE).collect()[0]
+    assert 0 <= row["n_plus"] <= row["m"] > 0
