@@ -2862,3 +2862,108 @@ def cox_stuart_trend(spark, sf_dir):
     )
     z = (F.col("n_plus") - F.col("m") / 2.0) / F.sqrt(F.col("m") / 4.0)
     return s.select("m", "n_plus", _pin(z).alias("z"))
+
+
+@pq("stream_rsi_incremental", _RSI_SQL)
+def stream_rsi_incremental(spark, sf_dir):
+    """Wilder RSI maintained INCREMENTALLY: the daily series streams in
+    as three date-chunked files (one micro-batch each,
+    maxFilesPerTrigger=1), a foreachBatch sink folds each batch from a
+    persisted (last_close, diff_count, seed sums, avg_gain, avg_loss)
+    state row and appends per-day outputs, and the final table must
+    equal the one-pass batch recursion bit-for-bit — the 14-diff seed
+    accumulates ACROSS batch boundaries as exact integer sums, and the
+    persisted float64 smoothing state restarts the exact IEEE
+    sequence. Streaming counterpart of rsi_wilder_14, same oracle.
+    Plan: the day aggregation happens once upstream; per batch the
+    fold touches one state row and |batch days| outputs — the
+    incremental shape that never rescans history."""
+    import shutil
+    import uuid
+
+    import pandas as pd
+
+    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
+
+    # state scoped to this invocation's own uuid dir, cleaned in
+    # finally — never sweep sibling dirs (r10-advice concurrency rule)
+    tmp = _TMP / f"srsi_{uuid.uuid4().hex[:8]}"
+    src, out, state, ckpt = tmp / "src", tmp / "out", tmp / "state", tmp / "ckpt"
+
+    daily = _daily_cents(spark, sf_dir)
+    all_daily = daily.toPandas().sort_values("d")
+    cuts = ["0000-00-00", "2024-01-11", "2024-01-21", "9999-12-31"]
+    src.mkdir(parents=True, exist_ok=True)
+    for i in range(3):
+        chunk = all_daily[(all_daily["d"] >= cuts[i]) & (all_daily["d"] < cuts[i + 1])]
+        chunk.to_parquet(src / f"{i:02d}.parquet", index=False)
+
+    schema = spark.read.parquet(str(src / "00.parquet")).schema
+
+    def sink(batch_df, batch_id):
+        pdf = batch_df.toPandas().sort_values("d")
+        if pdf.empty:
+            return
+        try:
+            st = pd.read_parquet(state / "state.parquet").iloc[0]
+            last_c, nd = int(st["last_c"]), int(st["nd"])
+            sg, sl = int(st["sg"]), int(st["sl"])
+            ag, al = float(st["ag"]), float(st["al"])
+            seen_any = True
+        except (FileNotFoundError, OSError):
+            last_c = nd = sg = sl = 0
+            ag = al = float("nan")
+            seen_any = False
+        outs = []
+        for _, r in pdf.iterrows():
+            c, d = int(r["c"]), r["d"]
+            if not seen_any:
+                last_c, seen_any = c, True
+                continue
+            g, l = max(c - last_c, 0), max(last_c - c, 0)
+            last_c = c
+            nd += 1
+            if nd < 14:
+                sg += g
+                sl += l
+            elif nd == 14:
+                sg += g
+                sl += l
+                ag, al = sg / 14.0, sl / 14.0  # exact-integer seed
+                outs.append((d, ag, al))
+            else:
+                ag = (ag * 13.0 + g) / 14.0
+                al = (al * 13.0 + l) / 14.0
+                outs.append((d, ag, al))
+        out.mkdir(parents=True, exist_ok=True)
+        state.mkdir(parents=True, exist_ok=True)
+        if outs:
+            pd.DataFrame(outs, columns=["d", "ag", "al"]).to_parquet(
+                out / f"batch_{batch_id}.parquet", index=False
+            )
+        pd.DataFrame(
+            [{"last_c": last_c, "nd": nd, "sg": sg, "sl": sl, "ag": ag, "al": al}]
+        ).to_parquet(state / "state.parquet", index=False)
+
+    try:
+        stream = read_stream_parquet(
+            spark, str(src), schema, options={"maxFilesPerTrigger": "1"}
+        )
+        run_to_completion(stream, checkpoint_dir=str(ckpt), sink=sink)
+        res_pdf = pd.concat(
+            [pd.read_parquet(p) for p in sorted(out.glob("batch_*.parquet"))],
+            ignore_index=True,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    res = spark.createDataFrame(res_pdf)
+    rsi = F.when(F.col("al") == 0.0, 100.0).otherwise(
+        100.0 - 100.0 / (1.0 + F.col("ag") / F.col("al"))
+    )
+    return res.select(
+        "d",
+        _pin(rsi).alias("rsi"),
+        _pin(F.col("ag") / 100.0).alias("avg_gain"),
+        _pin(F.col("al") / 100.0).alias("avg_loss"),
+    ).orderBy("d")

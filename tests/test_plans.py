@@ -908,7 +908,9 @@ def test_round12_staged_tier_no_cartesian_blanket(spark):
 
     src = open("etl_mini_spark/queries/round12_pending.py").read()
     ROUND12 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
-    assert len(ROUND12) == 38
+    assert len(ROUND12) == 39
+    SKIP_SIDE_EFFECTS = {"stream_rsi_incremental"}  # runs a streaming job first
+    ROUND12 = [n for n in ROUND12 if n not in SKIP_SIDE_EFFECTS]
     BOUNDED_NONEQUI_OK = {
         "friedman_test_blocks",       # day x type grid + 1-row scalars
         "cliffs_delta_effect",        # calendar^2 pair grid of day aggs

@@ -337,3 +337,15 @@ def test_bartels_rvn_in_range(spark):
 def test_cox_stuart_counts_nest(spark):
     row = PENDING["cox_stuart_trend"](spark, SF_SMOKE).collect()[0]
     assert 0 <= row["n_plus"] <= row["m"] > 0
+
+
+def test_stream_rsi_equals_batch_recursion(spark):
+    """The incremental stream must reproduce the batch Wilder
+    recursion exactly — state handoff across micro-batch boundaries
+    (incl. mid-seed) is the thing under test."""
+    batch = {r["d"]: r for r in PENDING["rsi_wilder_14"](spark, SF_SMOKE).collect()}
+    stream = {r["d"]: r for r in PENDING["stream_rsi_incremental"](spark, SF_SMOKE).collect()}
+    assert set(batch) == set(stream)
+    for d in batch:
+        assert batch[d]["rsi"] == stream[d]["rsi"], d
+        assert batch[d]["avg_gain"] == stream[d]["avg_gain"], d
