@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_mini_spark.operators.ranks import quantile_buckets
+
 
 def morton_code(x: Column, y: Column, bits: int = 10) -> Column:
     """Interleave the low ``bits`` bits of two non-negative long
@@ -80,29 +82,24 @@ def exact_global_rank(
     ``Window.orderBy(...)`` with no PARTITION BY funnels every row into
     one task — fine for calendar-bounded series, fatal on a fact table
     at 100 TB. This is the distributed replacement: rows are bucketed
-    by a PURE FUNCTION of the leading order column (fixed integer
-    range arithmetic between its min and max — deterministic across
-    plan re-evaluations, unlike spark_partition_id under AQE
-    coalescing), ranked within each bucket by a partitioned window,
-    and shifted by per-bucket offsets from a #buckets-row driver
-    gather. Exact for any bucket skew because bucketing is monotone in
-    the leading column and the within-bucket order completes the
-    strict total order (include a unique tiebreak column).
+    by a PURE FUNCTION of the leading order column (quantile-derived
+    cut points embedded as literals — deterministic across plan
+    re-evaluations, unlike spark_partition_id under AQE coalescing,
+    and row-balanced even on heavy-tailed domains where linear min/max
+    interpolation would park everything in bucket 0), ranked within
+    each bucket by a partitioned window, and shifted by per-bucket
+    offsets from a #buckets-row driver gather. Exact for any bucket
+    placement because bucketing is monotone in the leading column and
+    the within-bucket order completes the strict total order (include
+    a unique tiebreak column).
 
-    Two tiny extra jobs (min/max + bucket counts) buy removal of the
-    single-partition exchange; used by the equi-depth histogram and
-    quantile_disc entries. The leading order column must be numeric."""
+    Two tiny extra jobs (quantile cuts + bucket counts) buy removal of
+    the single-partition exchange; used by the equi-depth histogram and
+    quantile_disc entries. The leading order column must be numeric.
+    NULL leading values occupy bucket -1 and rank FIRST, matching the
+    asc-nulls-first order of the window this replaces."""
     lead = order_cols[0]
-    lo_hi = df.agg(
-        F.min(lead).cast("long").alias("lo"), F.max(lead).cast("long").alias("hi")
-    ).collect()[0]
-    lo, hi = lo_hi["lo"], lo_hi["hi"]
-    if lo is None:
-        return df.withColumn(rank_col, F.lit(None).cast("bigint"))
-    span = max(hi - lo + 1, 1)
-    bucket = F.floor(
-        (F.col(lead).cast("long") - F.lit(lo)) * F.lit(n_parts) / F.lit(span)
-    ).cast("int")
+    bucket, _ = quantile_buckets(df, lead, n_parts)
     b = df.withColumn("__b", bucket)
     counts = {
         r["__b"]: r["cnt"]

@@ -17,12 +17,53 @@ The twice-the-midrank integer for every row carrying value v is
   r2(v) = 2*rank_min(v) + t(v) - 1 = 2*cum_before(v) + t(v) + 1
 — exactly the ``2*rank() + count() over (partition by v) - 1`` idiom
 the oracles use, so results are bit-identical to the windowed form.
+NULL values rank FIRST (their own bucket before every non-null),
+matching the window idiom's default asc-nulls-first order.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def quantile_buckets(
+    df: DataFrame, value_col: str, n_parts: int
+) -> tuple[Column, list[float]]:
+    """Monotone bucket expression for ``value_col`` with DATA-DERIVED
+    boundaries: cut points are approx quantiles of the (non-null)
+    column, so a heavy-tailed domain (revenue, zipf counts) still
+    spreads across ~n_parts buckets instead of parking in bucket 0 the
+    way linear min/max interpolation would. Collected once driver-side
+    and embedded as literals, the expression is a constant function of
+    each row — deterministic across plan re-evaluations. Correctness
+    never depends on WHERE the cuts fall (any monotone bucketing is
+    exact); the cuts only balance the downstream per-bucket windows.
+
+    NULL maps to bucket -1 — strictly before every non-null bucket —
+    so callers that rank bucket-by-bucket reproduce the asc-nulls-first
+    order of the ``Window.orderBy`` they replace.
+
+    Returns (bucket_column, cut_points)."""
+    nn = df.select(F.col(value_col).cast("double").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    probs = [i / n_parts for i in range(1, n_parts)]
+    cuts = sorted(set(nn.approxQuantile("__v", probs, 0.001))) if probs else []
+    v = F.col(value_col).cast("double")
+    if cuts:
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        nb = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, c: acc + F.when(v >= c, 1).otherwise(0),
+        )
+    else:
+        nb = F.lit(0)
+    bucket = (
+        F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(nb).cast("int")
+    )
+    return bucket, cuts
 
 
 def value_midranks(df: DataFrame, value_col: str, n_parts: int = 32) -> DataFrame:
@@ -31,28 +72,17 @@ def value_midranks(df: DataFrame, value_col: str, n_parts: int = 32) -> DataFram
     row count and r2 = 2*cum_before + t + 1.
 
     Even the histogram's cumulative sum avoids a single-partition
-    window: distinct values bucket by a fixed range function of the
-    value (a pure function of the data — deterministic across plan
-    re-evaluations), per-bucket totals become driver-side offsets (a
-    #buckets-row gather), and the running count completes within each
-    bucket's partitioned window. Exact for any bucket skew because the
-    bucketing is monotone in the value."""
+    window: distinct values bucket by quantile-derived cut points (a
+    constant function of the data — see ``quantile_buckets``),
+    per-bucket totals become driver-side offsets (a #buckets-row
+    gather), and the running count completes within each bucket's
+    partitioned window. Exact for any bucket placement because the
+    bucketing is monotone in the value; NULL values occupy bucket -1
+    and therefore rank first, exactly as the
+    ``2*rank() + count() over (partition by v) - 1`` window idiom
+    ranks them (asc nulls first)."""
     hv = df.groupBy(value_col).agg(F.count("*").cast("bigint").alias("t"))
-    lo_hi = hv.agg(
-        F.min(value_col).cast("double").alias("lo"),
-        F.max(value_col).cast("double").alias("hi"),
-    ).collect()[0]
-    lo, hi = lo_hi["lo"], lo_hi["hi"]
-    if lo is None or hi == lo:
-        bucket = F.lit(0)
-    else:
-        bucket = F.least(
-            F.floor(
-                (F.col(value_col).cast("double") - F.lit(lo))
-                / F.lit(hi - lo) * F.lit(n_parts)
-            ),
-            F.lit(n_parts - 1),
-        ).cast("int")
+    bucket, _ = quantile_buckets(hv, value_col, n_parts)
     hb = hv.withColumn("__b", bucket)
     btot = {
         r["__b"]: r["s"]

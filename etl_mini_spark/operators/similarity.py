@@ -250,7 +250,15 @@ def cosine_topk_ivf(
                 sims = np.round(cmat[rows] @ pmat[pidx].T, 6)  # [rows, cell probes]
                 sims[cids[rows][:, None] == pids[pidx][None, :]] = -np.inf  # exclude self
                 kk = min(k, sims.shape[0])
-                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                # per-probe top-k within this cell-batch slice with the
+                # SAME tie discipline as the brute kernel: (rounded sim
+                # DESC, neighbor_id ASC) — the global window's exact
+                # rank — so tied similarities at the k-th rank can never
+                # make results depend on Arrow batch boundaries.
+                ord0 = np.argsort(cids[rows], kind="stable")  # neighbor_id ASC
+                top = ord0[
+                    np.argsort(-sims[ord0], axis=0, kind="stable")[:kk]
+                ]
                 flat_sims = np.take_along_axis(sims, top, axis=0)
                 keep = np.isfinite(flat_sims.ravel())
                 yield pd.DataFrame(

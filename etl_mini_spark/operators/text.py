@@ -316,9 +316,19 @@ def jaro(s1: str, s2: str) -> float:
     an Arrow batch pass — plain Python per pair, bounded by the
     BLOCKED candidate count, never n^2). Differentially pinned against
     DuckDB's independent native jaro_similarity by the
-    jaro_blocked_pairs query; its rationals have denominators
-    <= 3*l1*l2*m, so 6dp HALF_UP pins can never sit on a half-boundary
-    (that would need a denominator divisible by 2*10^6)."""
+    jaro_blocked_pairs query. 6dp HALF_UP flip-safety: a half-boundary
+    value is an odd multiple of 1/(2*10^6), so the reduced denominator
+    must be exactly 2^7 * 5^a — 2-adic valuation 7. Here jaro =
+    (m^2*(l1+l2) + (m-t)*l1*l2) / (3*l1*l2*m), and with a=v2(l1),
+    b=v2(l2), c=v2(m): v2(numerator) >= min(2c+min(a,b), a+b), so the
+    reduced denominator's valuation is <= max(c, max(a,b)-c). For
+    strings SHORTER THAN 64 chars every valuation is <= 5, hence
+    <= 5 < 7: no half-boundary is reachable (at l1=l2=256, m=128, t=1
+    one IS: 85/128 = 0.6640625 — so the differential query bounds
+    lengths < 64 structurally). Off-boundary margin: the exact
+    rational sits >= 1/(q*2e6) >= ~7e-13 from any boundary
+    (q <= 3*63^3), vs <= ~1e-15 accumulated IEEE error per engine —
+    ~600x slack, so 1-ulp engine differences can never flip the pin."""
     if s1 == s2:
         return 1.0
     l1, l2 = len(s1), len(s2)

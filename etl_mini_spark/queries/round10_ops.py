@@ -1648,6 +1648,7 @@ def stream_holt_incremental(spark, sf_dir):
     tiny keyed fold (state rows = |series keys|), the corpus-side day
     aggregation happening once upstream — the incremental-agg shape
     that replaces full-history rescans at 100 TB."""
+    import os
     import shutil
     import uuid
 
@@ -1670,11 +1671,15 @@ def stream_holt_incremental(spark, sf_dir):
     all_daily = daily.toPandas()
     for i in range(3):
         chunk = all_daily[(all_daily["d"] >= cuts[i]) & (all_daily["d"] < cuts[i + 1])]
-        # one plain file per chunk, written in order => one micro-batch
-        # each under maxFilesPerTrigger=1 (mtime+path both increase)
+        # one plain file per chunk => one micro-batch each under
+        # maxFilesPerTrigger=1; mtimes pinned strictly increasing
+        # because FileStreamSource orders by mtime with NO path
+        # tiebreak and back-to-back writes can tie at ms resolution —
+        # a reordered batch corrupts the cross-batch recursion
         chunk.sort_values(["event_type", "d"]).to_parquet(
             src / f"{i:02d}.parquet", index=False
         )
+        os.utime(src / f"{i:02d}.parquet", (1_000_000_000 + i, 1_000_000_000 + i))
 
     schema = spark.read.parquet(str(src / "00.parquet")).schema
 

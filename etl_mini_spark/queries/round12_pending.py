@@ -2127,11 +2127,15 @@ def decision_stump_gain(spark, sf_dir):
 # Fuzzy-match differential with two INDEPENDENT implementations:
 # DuckDB scores pairs with its native jaro_similarity; the Spark side
 # scores the same (brand, size)-blocked pairs with a from-scratch Jaro
-# kernel in an Arrow batch pass. Jaro values are small-denominator
-# rationals (q <= 3*l1*l2*m), so they can never land exactly on a 6dp
-# half-boundary (that would require q | 2*10^6) — the 6dp pin and the
-# pinned-value >= 0.60 filter are therefore provably flip-free even
-# under 1-ulp engine differences.
+# kernel in an Arrow batch pass. 6dp-pin flip-safety needs the exact
+# jaro rational to never sit ON a half-boundary (odd/(2e6) — reduced
+# denominator exactly 2^7*5^a): for strings < 64 chars the reduced
+# denominator's 2-adic valuation is <= max(v2(m), max(v2(l1),v2(l2))
+# - v2(m)) <= 5 < 7, so both the query and the oracle bound
+# length < 64 STRUCTURALLY (256-char names could hit 85/128 =
+# 0.6640625 exactly — see operators/text.jaro). Off the boundary the
+# rational is >= ~7e-13 away vs ~1e-15 IEEE drift per engine, so the
+# 6dp pin and the pinned-value >= 0.60 filter are flip-free.
 _JARO_SQL = """
     WITH pr AS (
       SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
@@ -2139,7 +2143,8 @@ _JARO_SQL = """
                / 1000000 AS jaro
       FROM part a JOIN part b
         ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-       AND a.p_partkey < b.p_partkey)
+       AND a.p_partkey < b.p_partkey
+      WHERE length(a.p_name) < 64 AND length(b.p_name) < 64)
     SELECT a_key, b_key, jaro FROM pr
     WHERE jaro >= 0.60
     ORDER BY a_key, b_key
@@ -2152,11 +2157,13 @@ def jaro_blocked_pairs(spark, sf_dir):
     (brand, size)-blocked pairs: the oracle scores with DuckDB's
     NATIVE jaro_similarity, Spark re-implements the Jaro kernel from
     its definition in an Arrow batch pass — two independent
-    implementations agreeing at 6dp, with the >=0.60 threshold filter applied
-    to the PINNED value (provably flip-free: jaro rationals can't hit
-    a 6dp half-boundary). Plan: dimension-only blocked self-join
-    (bounded blocks), Arrow kernel over candidate pairs only — the
-    LSH-philosophy shape, never all-pairs."""
+    implementations agreeing at 6dp, with the >=0.60 threshold filter
+    applied to the PINNED value (flip-free because the structural
+    length<64 bound keeps jaro rationals off every 6dp half-boundary
+    — see operators/text.jaro for the valuation argument). Plan:
+    dimension-only blocked self-join (bounded blocks), Arrow kernel
+    over candidate pairs only — the LSH-philosophy shape, never
+    all-pairs."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -2168,7 +2175,11 @@ def jaro_blocked_pairs(spark, sf_dir):
                  F.col("p_name").alias("a_name"))
     b = p.select("p_brand", "p_size", F.col("p_partkey").alias("b_key"),
                  F.col("p_name").alias("b_name"))
-    pairs = a.join(b, ["p_brand", "p_size"]).filter(F.col("a_key") < F.col("b_key"))
+    pairs = (
+        a.filter(F.length("a_name") < 64)
+        .join(b.filter(F.length("b_name") < 64), ["p_brand", "p_size"])
+        .filter(F.col("a_key") < F.col("b_key"))
+    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2878,6 +2889,7 @@ def stream_rsi_incremental(spark, sf_dir):
     Plan: the day aggregation happens once upstream; per batch the
     fold touches one state row and |batch days| outputs — the
     incremental shape that never rescans history."""
+    import os
     import shutil
     import uuid
 
@@ -2898,6 +2910,11 @@ def stream_rsi_incremental(spark, sf_dir):
     for i in range(3):
         chunk = all_daily[(all_daily["d"] >= cuts[i]) & (all_daily["d"] < cuts[i + 1])]
         chunk.to_parquet(src / f"{i:02d}.parquet", index=False)
+        # strictly increasing mtimes: the cross-batch recursion is
+        # order-sensitive and FileStreamSource orders by mtime with no
+        # path tiebreak — back-to-back writes can tie at ms resolution
+        # and silently reorder batches (round8_ops late-drop pattern)
+        os.utime(src / f"{i:02d}.parquet", (1_000_000_000 + i, 1_000_000_000 + i))
 
     schema = spark.read.parquet(str(src / "00.parquet")).schema
 

@@ -374,6 +374,34 @@ def test_ivf_recall_natural_corpus(spark):
     assert recall >= 0.9, f"IVF recall@5 on natural corpus: {recall}"
 
 
+def test_ivf_partitioning_independent_ties(spark):
+    """Round-12 fix: the IVF per-cell top-k cut uses the brute
+    kernel's (rounded sim DESC, neighbor_id ASC) stable double-argsort
+    instead of raw argpartition, so TIED similarities at the k-th rank
+    resolve identically whatever the Arrow batch boundaries. A corpus
+    of duplicated vectors (every similarity tied at 1.0) must yield
+    bit-identical results under repartition(1) vs repartition(32)."""
+    import numpy as np
+
+    from etl_mini_spark.operators.similarity import cosine_topk_ivf, train_ivf_centroids
+
+    rs = np.random.RandomState(11)
+    base = rs.randn(8, 32)
+    base /= np.linalg.norm(base, axis=1)[:, None]
+    # 25 exact copies of each of 8 distinct vectors -> massive k-th-rank ties
+    rows = [(i, base[i % 8].tolist()) for i in range(200)]
+    cdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = cdf.filter(F.col("vec_id") < 8)
+    cents = train_ivf_centroids(cdf, n_cells=8)
+    outs = []
+    for n in (1, 32):
+        got = cosine_topk_ivf(
+            cdf.repartition(n), probes, k=5, nprobe=3, n_cells=8, centroids=cents
+        )
+        outs.append(sorted(map(tuple, got.collect())))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
 def test_salted_join_identical_to_plain(spark):
     from etl_mini_spark.operators.joins import salted_join
     from etl_mini_spark.session import load_table
