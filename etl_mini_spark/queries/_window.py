@@ -14,97 +14,109 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #   every round by tests/test_queries_oracle.py at sf0.001 (same
 #   DuckDB-oracle check the driver runs at sf0.01).
 #
-# Round-11 rotation (CORRECTNESS_r10 came back 50/50 green, so every
-# round-10 slot owner rotates to the tail):
-# (a) the 32 round11_ops entries registered this round — authored and
-#     staged in round 10 as round11_pending, swept vs DuckDB at
-#     sf0.001 + sf0.01 (full tier also at sf0.1, and 32/32 under a
-#     bare default SparkSession at sf0.01 — the driver's exact gate)
-#     before registration, never driver-verified, so each must hold a
-#     slot (tests/test_window_rotation.py);
+# Round-12 rotation (CORRECTNESS_r11 came back 50/50 green, so every
+# round-11 slot owner rotates to the tail):
+# (a) the 39 round12_ops entries registered this round — authored and
+#     staged in round 11 as round12_pending, swept vs DuckDB at
+#     sf0.001 + sf0.01 + sf0.1 (and under a bare default SparkSession
+#     at sf0.01, the driver's exact gate) before registration, never
+#     driver-verified, so each must hold a slot
+#     (tests/test_window_rotation.py);
 # (b) code-change canaries — registered queries whose behavior-
 #     touching code changed AFTER their last driver-green row:
-#     heavy_hitters_mg (share HALF_UP pin, both engines, r10),
-#     item_item_cosine_topk (un-forced norm broadcast, r10),
-#     dedup_levenshtein_blocked (thresholded/banded levenshtein, r10),
-#     similarity_topk (r11: cosine_topk_bruteforce's per-batch cut
-#     now orders by (rounded sim DESC, neighbor_id ASC) — the global
-#     window's exact rank — instead of raw argpartition, closing the
-#     r10-advice batch-boundary tie nondeterminism), and
-#     http_pyds_scan (r11: sources/pyds.py grew the cursor-pagination
-#     read branch for the staged sliced-scroll entry; the non-cursor
-#     path is unchanged but the module is behavior-adjacent), and
-#     mann_whitney_u + roc_auc_exact (r11: their raw-row global rank
-#     windows became operators/ranks.value_midranks histogram folds —
-#     same twice-the-midrank integers, no single-partition sort). All
-#     seven re-swept locally at sf0.001 + sf0.01 before this rotation;
-# (c) the remaining 11 slots re-verify the STALEST green entries
-#     (last driver-green row in r04, name order — seven rounds since
-#     last driver verification; 7 r04-stale entries remain for the
-#     round-12 window).
+#     mann_whitney_u + roc_auc_exact + kruskal_wallis_h (r12: their
+#     shared operators/ranks.value_midranks primitive moved from
+#     linear min/max bucket boundaries to approx-quantile cut points
+#     and grew an explicit nulls-first bucket — same twice-the-midrank
+#     integers, re-swept at sf0.001 + sf0.01 before this rotation),
+#     and stream_holt_incremental (r12: chunk files now get strictly
+#     increasing pinned mtimes so FileStreamSource can never reorder
+#     the cross-batch recursion's micro-batches);
+# (c) the remaining 7 slots re-verify the STALEST green entries — the
+#     whole remaining r04 cohort, name order (eight rounds since last
+#     driver verification; the stalest after this rotation is the r05
+#     cohort, 48 entries).
 # =========================================================================
 
 _DRIVER_WINDOW = [
-    # (a) round-11 promotions:
-    "kendall_tau_daily", "mann_kendall_trend", "kruskal_wallis_h",
-    "cohens_kappa_rules", "mcc_threshold", "two_proportion_ztest",
-    "holt_winters_weekly", "max_drawdown_daily", "bollinger_bands_7d",
-    "stream_mg_incremental", "relational_division",
-    "largest_remainder_allocation", "golden_record_survivorship",
-    "null_completeness_matrix", "distinct_ratio_profile",
-    "cross_field_consistency", "binary_encoding_suite",
-    "iso_week_thursday_rule", "array_set_ops_suite", "hour_of_week_heatmap",
-    "interorder_gap_percentiles", "fourier_weekly_coeffs",
-    "quantile_cont_parity", "ma_crossover_signals",
-    "customer_lifecycle_yearly", "rapid_repeat_events", "knn_label_accuracy",
-    "holt_winters_forecast", "sql_keyset_pagination", "eoq_inventory_policy",
-    "orders_backlog_aging", "bitmap_presence_rollup",
+    # (a) round-12 promotions:
+    "friedman_test_blocks", "cochran_q_raters", "mcnemar_paired_rules",
+    "fleiss_kappa_multi", "cliffs_delta_effect", "jonckheere_terpstra_trend",
+    "pettitt_changepoint", "grubbs_max_outlier", "chow_structural_break",
+    "theil_inequality_index", "xmr_control_chart", "record_breaking_days",
+    "rsi_wilder_14", "macd_signal_line", "stochastic_oscillator_kd",
+    "obv_daily_flow", "croston_intermittent", "holt_damped_trend",
+    "hurst_rescaled_range", "xyz_volatility_classes", "equi_depth_histogram",
+    "quantile_disc_parity", "unpivot_include_nulls", "date_arith_edges",
+    "scd6_hybrid_dim", "merge_when_clauses", "bankers_rounding_ledger",
+    "decision_stump_gain", "jaro_blocked_pairs", "corpus_amplified_gate",
+    "http_paginated_extract", "pacf_durbin_levinson", "orderkey_gap_audit",
+    "mean_family_suite", "pages_l_trend", "turning_points_test",
+    "bartels_rank_vonneumann", "cox_stuart_trend", "stream_rsi_incremental",
     # (b) code-change canaries:
-    "heavy_hitters_mg", "item_item_cosine_topk", "dedup_levenshtein_blocked",
-    "similarity_topk", "http_pyds_scan", "mann_whitney_u", "roc_auc_exact",
-    # (c) stale-green re-verification — r04 cohort, name order:
-    "order_by_hash", "pivot_type_counts", "sample_deterministic",
-    "sample_split_counts", "sample_stratified_docs", "set_except",
-    "sql_exists_urgent", "sql_scalar_above_avg", "string_fns_suite",
-    "text_redact_pii", "time_tz_trimode",
+    "mann_whitney_u", "roc_auc_exact", "kruskal_wallis_h",
+    "stream_holt_incremental",
+    # (c) stale-green re-verification — the full r04 cohort, name order:
+    "timeseries_resample_fill", "udf_registry_iso_parts",
+    "unpivot_part_metrics", "upsert_null_update", "window_rank_suite",
+    "window_sliding_15m", "window_topk_per_group",
 ]
 
 _TAIL = [
-    # driver-green in earlier rounds (the round-10 window cohort
+    # driver-green in earlier rounds (the round-11 window cohort
     # leads); every entry still locally oracle-verified per round at
     # sf0.001 (rows-only entries verified by dedicated pinned tests).
-    "spearman_rank_corr", "anova_oneway_f",
-    "durbin_watson_autocorr", "seasonal_strength_eta", "holt_linear_trend",
-    "cohort_ltv_curve", "histogram2d_margins", "confusion_matrix_thresholds",
+    "kendall_tau_daily", "mann_kendall_trend", "cohens_kappa_rules",
+    "mcc_threshold", "two_proportion_ztest", "holt_winters_weekly",
+    "max_drawdown_daily", "bollinger_bands_7d", "stream_mg_incremental",
+    "relational_division", "largest_remainder_allocation",
+    "golden_record_survivorship", "null_completeness_matrix",
+    "distinct_ratio_profile", "cross_field_consistency",
+    "binary_encoding_suite", "iso_week_thursday_rule", "array_set_ops_suite",
+    "hour_of_week_heatmap", "interorder_gap_percentiles",
+    "fourier_weekly_coeffs", "quantile_cont_parity", "ma_crossover_signals",
+    "customer_lifecycle_yearly", "rapid_repeat_events", "knn_label_accuracy",
+    "holt_winters_forecast", "sql_keyset_pagination", "eoq_inventory_policy",
+    "orders_backlog_aging", "bitmap_presence_rollup", "heavy_hitters_mg",
+    "item_item_cosine_topk", "dedup_levenshtein_blocked", "similarity_topk",
+    "http_pyds_scan", "order_by_hash", "pivot_type_counts",
+    "sample_deterministic", "sample_split_counts", "sample_stratified_docs",
+    "set_except", "sql_exists_urgent", "sql_scalar_above_avg",
+    "string_fns_suite", "text_redact_pii", "time_tz_trimode",
+    "spearman_rank_corr", "anova_oneway_f", "durbin_watson_autocorr",
+    "seasonal_strength_eta", "holt_linear_trend", "cohort_ltv_curve",
+    "histogram2d_margins", "confusion_matrix_thresholds",
     "feature_hash_collision_audit", "bm25_topk_docs", "char_ngram_profile",
     "regex_extract_all_suite", "graph_degree_histogram",
-    "price_volume_mix_decomp", "table_row_checksum", "partition_skew_advisor",
-    "privacy_erasure_audit", "shipping_lead_percentiles", "sql_distinct_on",
-    "fixed_width_parse", "json_multiline_array_read", "corpus_heaps_law",
-    "event_interarrival_expfit", "stream_holt_incremental",
-    "session_bounce_rate", "text_hapax_ratio", "levene_brown_forsythe",
-    "rolling_regression_slope", "wow_movers_topk", "runs_test_wald_wolfowitz",
-    "ljung_box_q", "inventory_abc_classes", "gaps_islands_order_days",
-    "sql_asof_native_parity", "rfm_migration_matrix",
-    "corpus_source_divergence", "growth_mom_yoy", "embedding_angle_histogram",
-    "winsorized_mean_trimmed", "funnel_conversion", "groupby_date_type",
-    "groupwise_zscore", "http_api_extract", "join_anti_no_orders",
-    "join_full_outer", "join_range_followups", "join_semi_active",
-    "multimodal_frames", "ndjson_roundtrip", "chi_square_cramers_v",
+    "price_volume_mix_decomp", "table_row_checksum",
+    "partition_skew_advisor", "privacy_erasure_audit",
+    "shipping_lead_percentiles", "sql_distinct_on", "fixed_width_parse",
+    "json_multiline_array_read", "corpus_heaps_law",
+    "event_interarrival_expfit", "session_bounce_rate", "text_hapax_ratio",
+    "levene_brown_forsythe", "rolling_regression_slope", "wow_movers_topk",
+    "runs_test_wald_wolfowitz", "ljung_box_q", "inventory_abc_classes",
+    "gaps_islands_order_days", "sql_asof_native_parity",
+    "rfm_migration_matrix", "corpus_source_divergence", "growth_mom_yoy",
+    "embedding_angle_histogram", "winsorized_mean_trimmed",
+    "funnel_conversion", "groupby_date_type", "groupwise_zscore",
+    "http_api_extract", "join_anti_no_orders", "join_full_outer",
+    "join_range_followups", "join_semi_active", "multimodal_frames",
+    "ndjson_roundtrip", "chi_square_cramers_v",
     "mutual_information_discrete", "gini_lorenz", "herfindahl_concentration",
     "wilson_ci_rates", "acf_hourly_lags", "pr_auc_exact",
     "brier_calibration_bins", "woe_iv_binning", "stratified_kfold_assign",
     "unigram_sampling_table", "token_pmi_bigrams", "url_parse_suite",
     "ip_subnet_rollup", "calendar_spine_fill", "dq_freshness_sla",
     "dq_duplicate_key_audit", "csv_multiline_quoted", "sql_groupby_all",
-    "kl_divergence_bins", "seasonal_weekday_index", "events_new_vs_returning",
-    "agg_distinct", "agg_pricing_summary", "dedup_keep_first",
-    "drop_null_required", "filter_term", "filter_time_range",
-    "join_inner_revenue", "join_left_counts", "join_star_dims",
-    "nested_json_extract", "project_select", "scan_checksum", "upsert_keyed",
-    "window_running_total", "agg_cube", "agg_grouping_sets", "agg_histogram",
-    "agg_minmax_by", "agg_percentiles", "agg_rollup", "agg_stats_suite",
-    "array_math_suite", "corpus_top_bigrams", "csv_roundtrip", "doc_chunks",
+    "kl_divergence_bins", "seasonal_weekday_index",
+    "events_new_vs_returning", "agg_distinct", "agg_pricing_summary",
+    "dedup_keep_first", "drop_null_required", "filter_term",
+    "filter_time_range", "join_inner_revenue", "join_left_counts",
+    "join_star_dims", "nested_json_extract", "project_select",
+    "scan_checksum", "upsert_keyed", "window_running_total", "agg_cube",
+    "agg_grouping_sets", "agg_histogram", "agg_minmax_by", "agg_percentiles",
+    "agg_rollup", "agg_stats_suite", "array_math_suite",
+    "corpus_top_bigrams", "csv_roundtrip", "doc_chunks",
     "embedding_near_dups", "timeseries_ema", "agg_weighted_median",
     "cdc_apply_log", "pivot_multi_agg", "interval_union_coverage",
     "quality_threshold_sweep", "sample_weighted_topk", "pareto_front_parts",
@@ -121,12 +133,12 @@ _TAIL = [
     "set_intersect", "set_union_halves", "text_fingerprint", "text_lang_id",
     "text_quality", "text_token_counts", "time_derive_parts",
     "tolerant_select", "topk_limit", "window_lag_lead", "window_session_30m",
-    "window_tumbling_1h", "ks_statistic_2sample",
-    "lift_gains_deciles", "target_encoding_loo",
-    "feature_scaler_leakage_safe", "class_balance_downsample",
-    "setjoin_prefix_filter", "timeseries_interpolate_linear",
-    "privacy_k_anonymity", "sql_pipe_syntax", "mixture_temperature_weights",
-    "set_ops_all", "text_bigram_lm_score", "window_rolling_median",
+    "window_tumbling_1h", "ks_statistic_2sample", "lift_gains_deciles",
+    "target_encoding_loo", "feature_scaler_leakage_safe",
+    "class_balance_downsample", "setjoin_prefix_filter",
+    "timeseries_interpolate_linear", "privacy_k_anonymity",
+    "sql_pipe_syntax", "mixture_temperature_weights", "set_ops_all",
+    "text_bigram_lm_score", "window_rolling_median",
     "sliding_distinct_users_7d", "event_transition_matrix",
     "timeseries_anomaly_zscore", "corpus_quota_cap", "text_inverted_index",
     "corpus_ngram_novelty", "ab_test_lift", "benford_first_digit",
@@ -158,9 +170,9 @@ _TAIL = [
     "parquet_schema_evolution", "stream_foreachbatch_upsert",
     "join_asof_bucketed", "graph_pagerank_converged", "scd2_late_correction",
     "join_asof_forward", "seq_packing_bins", "vocab_oov_coverage",
-    "dpp_partitioned_join", "unpivot_part_metrics", "dedup_repeated_spans",
-    "similarity_tfidf_pairs", "sql_udf_scalar", "graph_khop_reach",
-    "snapshot_table_diff", "join_asof_last_order", "mixture_weighted_sample",
+    "dpp_partitioned_join", "dedup_repeated_spans", "similarity_tfidf_pairs",
+    "sql_udf_scalar", "graph_khop_reach", "snapshot_table_diff",
+    "join_asof_last_order", "mixture_weighted_sample",
     "stream_dedup_watermark", "stream_interval_join", "agg_corr_regr",
     "corpus_idf", "decontaminate_13gram", "dedup_incremental",
     "embedding_quantize", "higher_order_fns", "map_fns_suite",
@@ -172,15 +184,14 @@ _TAIL = [
     "zorder_locality", "dedup_clusters", "sql_q3_shipping",
     "sql_q5_local_volume", "sql_q10_returned", "approx_quantile_sketch",
     "dedup_bloom_prefilter", "token_stats_bpe", "json_table_extract",
-    "lateral_tokens_topk", "interval_overlap_agg", "sql_q2_min_cost_supplier",
-    "sql_q11_important_stock", "sql_q16_supplier_cnt", "sql_q22_global_sales",
-    "event_path_3gram", "first_touch_attribution", "text_near_template",
-    "cdc_scd2_history", "range_bucket_join", "similarity_ivf",
-    "multimodal_resize", "multimodal_features", "agg_approx_distinct",
-    "stream_capped_sessions", "stream_capped_sessions_checksum",
-    "window_rank_suite", "upsert_null_update", "window_topk_per_group",
-    "window_sliding_15m", "embedding_kmeans", "stream_static_enrich",
-    "timeseries_resample_fill", "udf_registry_iso_parts",
+    "lateral_tokens_topk", "interval_overlap_agg",
+    "sql_q2_min_cost_supplier", "sql_q11_important_stock",
+    "sql_q16_supplier_cnt", "sql_q22_global_sales", "event_path_3gram",
+    "first_touch_attribution", "text_near_template", "cdc_scd2_history",
+    "range_bucket_join", "similarity_ivf", "multimodal_resize",
+    "multimodal_features", "agg_approx_distinct", "stream_capped_sessions",
+    "stream_capped_sessions_checksum", "embedding_kmeans",
+    "stream_static_enrich",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Round-12 staged tier: agreement/effect-size/changepoint statistics
+"""Round-12 tier: agreement/effect-size/changepoint statistics
 (Friedman, Cochran's Q, McNemar, Fleiss' kappa, Cliff's delta,
 Jonckheere-Terpstra, Pettitt, Grubbs, Chow), a technical-indicator
 family of sequential recursions (Wilder RSI, MACD, stochastic %K/%D,
@@ -6,12 +6,9 @@ OBV, Croston, damped Holt, Hurst R/S), SPC charts, and SQL-surface
 parity ops (equi-depth NTILE histogram, quantile_disc convention,
 UNPIVOT INCLUDE NULLS, calendar-edge date arithmetic, SCD6, MERGE
 clause semantics, banker's rounding) plus corpus amplification and a
-cursor-paginated HTTP source — authored in round 11, to be registered
-when the round-11 window comes back.
-
-Module-local PENDING_QUERIES/PENDING_ORACLE (swept by sweep_oracle.py
-alongside the registry) until registration rotates them into the
-driver window — the same two-step every round since 7 has used.
+cursor-paginated HTTP source — authored and staged in round 11 (swept
+vs the DuckDB oracle at sf0.001/0.01/0.1 as `round12_pending`),
+registered in round 12 with names and oracles verbatim.
 
 Parity rules as in round9/10/11_ops (FIXTURES.md §C): integer/decimal
 arithmetic end-to-end (money as exact BIGINT cents; sums of squares
@@ -28,25 +25,11 @@ bit-for-bit. No rank ever rides on a libm value.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mini_spark.queries._base import _t
-
-PENDING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-PENDING_ORACLE: dict[str, str] = {}
-
-
-def pq(name: str, sql: str | None = None):
-    def deco(fn):
-        PENDING_QUERIES[name] = fn
-        if sql is not None:
-            PENDING_ORACLE[name] = sql
-        return fn
-
-    return deco
+from etl_mini_spark.queries._base import q as pq
 
 
 def _pin(col, k: int = 6):

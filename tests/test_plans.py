@@ -893,9 +893,9 @@ def test_heavy_hitters_token_stream_never_shuffles_raw(spark):
     assert not any("Exchange" in l for l in lines[i:j]), "\n".join(lines[i:j])
 
 
-def test_round12_staged_tier_no_cartesian_blanket(spark):
-    """Blanket physical-plan audit of the round-12 STAGED tier (same
-    contract as the round-7..11 blankets, applied before registration):
+def test_round12_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-12 tier (same contract
+    as the round-7..11 blankets, re-run against the REGISTERED form):
     no CartesianProduct; BroadcastNestedLoopJoin only where the
     non-equi/cross side is bounded by construction — 1-row moment
     scalars, calendar-bounded day/month grids, fixed threshold/size
@@ -904,9 +904,9 @@ def test_round12_staged_tier_no_cartesian_blanket(spark):
     import re as _re
 
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round12_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES as PENDING_QUERIES
 
-    src = open("etl_mini_spark/queries/round12_pending.py").read()
+    src = open("etl_mini_spark/queries/round12_ops.py").read()
     ROUND12 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
     assert len(ROUND12) == 39
     SKIP_SIDE_EFFECTS = {"stream_rsi_incremental"}  # runs a streaming job first

@@ -1,21 +1,21 @@
-"""Non-vacuity pins for the round-12 STAGED tier (oracle equivalence
-is swept by sweep_oracle.py / was verified at sf0.001 + sf0.01 before
-staging): bounds, conservation laws, monotonicity, and exact-identity
-checks so no entry can go green as a degenerate constant. At
-registration these pins migrate to the registry harness unchanged."""
+"""Non-vacuity pins for the round-12 tier (oracle equivalence is
+verified by tests/test_queries_oracle.py at sf0.001 and the driver at
+sf0.01): bounds, conservation laws, monotonicity, and exact-identity
+checks so no entry can go green as a degenerate constant. Migrated
+unchanged from the staging harness at registration."""
 
 from __future__ import annotations
 
 from tests.conftest import SF_SMOKE
 
 
-def _pending():
-    from etl_mini_spark.queries.round12_pending import PENDING_QUERIES
+def _registry():
+    from etl_mini_spark.queries import QUERIES
 
-    return PENDING_QUERIES
+    return QUERIES
 
 
-PENDING = _pending()
+PENDING = _registry()
 
 
 def test_friedman_rank_sums_conserve(spark):
