@@ -1,0 +1,1054 @@
+"""Round-13 staged tier: a modern-retrieval block (int8 quantized
+similarity, Matryoshka truncation audit, reciprocal-rank fusion, NDCG,
+product-quantization ANN), lakehouse table semantics (manifest
+pruning, log replay, bitemporal snapshots, composed SCD2+SCD6,
+snapshot-isolation commits, late-arriving dimensions), Fellegi-Sunter
+entity resolution, finance/recursion entries (Kalman, IRR bisection,
+amortization, bond duration), multivariate statistics (2-predictor
+OLS, Mahalanobis, 2x2 PCA, boosted stumps, isotonic PAV), SQL-surface
+differentials (window EXCLUDE, mode tie-break, QUALIFY), sketch audits
+(count-min batch + incremental streaming, Bloom FPR), geohash prefix
+blocking, streaming differentials (sessionize, CDC keep-latest), and
+amplified-corpus dedup — authored in round 12, to be registered when
+the round-12 window comes back.
+
+Module-local PENDING_QUERIES/PENDING_ORACLE (swept by sweep_oracle.py
+alongside the registry) until registration rotates them into the
+driver window — the same two-step every round since 7 has used.
+
+Parity rules as in round9..12_ops (FIXTURES.md §C): integer/decimal
+arithmetic end-to-end (money as exact BIGINT cents; int8 codes and
+their dot products as exact BIGINTs), libm terms pre-rounded at 9dp
+and summed as DECIMAL(28,9), ranks via deterministic tie-breaks on
+6dp-rounded scores, fixed bin edges, md5-bucket portable randomness,
+floor(x*10^k + 0.5)/10^k HALF_UP for display rounding. Sequential
+recursions (Kalman, amortization, bisection) follow the RSI/Holt
+discipline: exact-integer (or pre-rounded) seeds and the IDENTICAL
+IEEE expression sequence on both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_spark.queries._base import _t
+
+PENDING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+PENDING_ORACLE: dict[str, str] = {}
+
+
+def pq(name: str, sql: str | None = None):
+    def deco(fn):
+        PENDING_QUERIES[name] = fn
+        if sql is not None:
+            PENDING_ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _pin(col, k: int = 6):
+    """floor(x*10^k + 0.5)/10^k — the repo's HALF_UP display rounding,
+    identical IEEE op sequence on both engines (FIXTURES.md §C)."""
+    scale = 10 ** k
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+# =====================================================================
+# Block A — modern retrieval
+# =====================================================================
+
+# --- int8 symmetric quantization + integer dot-product top-k ------------------------------
+# The arithmetic every int8 ANN index (FAISS SQ8, scann) runs at scan
+# time, expressed EXACTLY: per-vector scale 127/max|x|, codes
+# floor(x*127/ma + 0.5) (identical IEEE sequence both engines), dot
+# products of codes are exact BIGINTs — so ranks carry no float noise
+# at all and the differential is bit-exact. Plan: probes broadcast
+# (bounded by construction), corpus scanned once, per-probe top-k via
+# WindowGroupLimit; everything whole-stage-codegen lambda expressions.
+_INT8_SQL = """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) AS code
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+            FROM embeddings)
+      WHERE ma > 0),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(p.code, c.code),
+               z -> z[1] * z[2])) AS BIGINT) AS qdot
+      FROM q p JOIN q c ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id)
+    SELECT probe_id, neighbor_id, qdot
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY probe_id
+                               ORDER BY qdot DESC, neighbor_id) <= 5
+    ORDER BY probe_id, neighbor_id
+"""
+
+
+@pq("int8_quant_cosine_topk", _INT8_SQL)
+def int8_quant_cosine_topk(spark, sf_dir):
+    """Top-5 neighbors by int8-quantized dot product: per-vector
+    symmetric scale 127/max|x|, codes rounded HALF_UP with the
+    identical IEEE sequence on both engines, scores as exact BIGINT
+    sums of code products — the scan-time arithmetic of an SQ8 index
+    with no float noise anywhere past quantization. Plan: quantization
+    is a pure Column lambda (codegen), probes broadcast onto one
+    corpus scan, per-probe top-k via rank window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ma = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # ma must be a named column before the quantizing lambda can use it
+    q = (
+        emb.select("vec_id", v.alias("v"), ma.alias("ma"))
+        .where(F.col("ma") > 0)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("v"),
+                lambda x: F.floor(x * F.lit(127.0) / F.col("ma") + F.lit(0.5)).cast("long"),
+            ).alias("code"),
+        )
+    )
+    probes = q.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("code").alias("pcode")
+    )
+    scored = (
+        q.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(F.col("pcode"), F.col("code"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("qdot").desc(), "neighbor_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .select("probe_id", "neighbor_id", "qdot")
+        .orderBy("probe_id", "neighbor_id")
+    )
+
+
+# --- Matryoshka truncation audit ------------------------------------------------------------
+# MRL-style embeddings are served truncated; the question a platform
+# team actually asks is "how much ranking do the first 16 dims keep?".
+# Per probe: top-10 by full-dim cosine vs top-10 by 16-dim cosine
+# (each renormalized), report the overlap count — an exact INTEGER per
+# probe, immune to float noise because both rankings round at 6dp with
+# id tie-breaks before comparison.
+_MATRYOSHKA_SQL = """
+    WITH full_rank AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                     p.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id) AS r
+      FROM embeddings p JOIN embeddings c
+        ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+    trunc_rank AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY round(list_cosine_similarity((c.embedding::DOUBLE[])[1:16],
+                                                     (p.embedding::DOUBLE[])[1:16]), 6) DESC,
+                        c.vec_id) AS r
+      FROM embeddings p JOIN embeddings c
+        ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id)
+    SELECT f.probe_id,
+           CAST(count(*) AS BIGINT) AS overlap_at_10
+    FROM (SELECT * FROM full_rank WHERE r <= 10) f
+    JOIN (SELECT * FROM trunc_rank WHERE r <= 10) t
+      ON f.probe_id = t.probe_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.probe_id
+    ORDER BY f.probe_id
+"""
+
+
+def _cosine_rank(emb, dims: int | None):
+    """Per-probe cosine ranking (6dp-rounded, id tie-break) at full or
+    truncated dimensionality — shared by the Matryoshka audit."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    if dims is not None:
+        v = F.slice(v, 1, dims)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    base = emb.select("vec_id", v.alias("v"), norm.alias("n")).where(F.col("n") > 0)
+    probes = base.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), F.col("n").alias("pn")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("pv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        base.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("n") * F.col("pn")), 6).alias("cos6"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos6").desc(), "neighbor_id")
+    return scored.withColumn("r", F.row_number().over(w))
+
+
+@pq("matryoshka_overlap_audit", _MATRYOSHKA_SQL)
+def matryoshka_overlap_audit(spark, sf_dir):
+    """Matryoshka truncation audit: per probe, the overlap between the
+    top-10 cosine ranking at FULL dimensionality and at the first 16
+    dims (each side renormalized) — the measurement behind serving
+    truncated MRL embeddings. Output is an exact integer per probe;
+    both rankings round at 6dp with id tie-breaks so the rank sets are
+    engine-identical. Plan: two broadcast-probe scans of the corpus,
+    one keyed join of the two rank sets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    f = _cosine_rank(emb, None).where(F.col("r") <= 10).select("probe_id", "neighbor_id")
+    t = _cosine_rank(emb, 16).where(F.col("r") <= 10).select("probe_id", "neighbor_id")
+    return (
+        f.join(t, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").cast("bigint").alias("overlap_at_10"))
+        .orderBy("probe_id")
+    )
+
+
+# --- Reciprocal-rank fusion of lexical + vector rankings -------------------------------------
+# Hybrid search's standard fusion: per probe document, a lexical
+# ranking (shared distinct-token count with each candidate, exact
+# ints) and a vector ranking (6dp cosine) fuse as
+# sum(1/(60+rank)) — each term pre-rounded at 9dp and summed as
+# DECIMAL so the fused ORDER is engine-exact. Top-5 fused per probe.
+_RRF_SQL = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+               AS tok
+      FROM documents),
+    lex AS (
+      SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM tok p JOIN tok c ON p.tok = c.tok AND c.doc_id <> p.doc_id
+      WHERE p.doc_id % 50 = 0
+      GROUP BY 1, 2),
+    lexr AS (
+      SELECT probe_id, cand_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY shared DESC, cand_id) AS r_lex
+      FROM lex),
+    vecr AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                     p.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id) AS r_vec
+      FROM embeddings p JOIN embeddings c
+        ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+    fused AS (
+      SELECT l.probe_id, l.cand_id, l.r_lex, v.r_vec,
+             CAST(floor(1.0 / (60 + l.r_lex) * 1000000000 + 0.5) AS DECIMAL(28,9)) / 1000000000
+           + CAST(floor(1.0 / (60 + v.r_vec) * 1000000000 + 0.5) AS DECIMAL(28,9)) / 1000000000
+               AS rrf
+      FROM lexr l JOIN vecr v
+        ON l.probe_id = v.probe_id AND l.cand_id = v.cand_id
+      WHERE l.r_lex <= 20 AND v.r_vec <= 20)
+    SELECT probe_id, cand_id,
+           CAST(r_lex AS BIGINT) AS r_lex, CAST(r_vec AS BIGINT) AS r_vec,
+           CAST(rrf AS DOUBLE) AS rrf
+    FROM fused
+    QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, cand_id) <= 5
+    ORDER BY probe_id, cand_id
+"""
+
+
+@pq("rrf_hybrid_fusion", _RRF_SQL)
+def rrf_hybrid_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of a lexical ranking (shared distinct
+    tokens, exact ints) and a vector ranking (6dp cosine) for probe
+    documents — the standard hybrid-search fusion, with each 1/(60+r)
+    term pre-rounded at 9dp and summed as DECIMAL so the fused order
+    is engine-exact. Candidates must appear in BOTH top-20 lists (the
+    practical fusion window). Plan: postings join on token for the
+    lexical side (probe postings broadcast), broadcast-probe scan for
+    the vector side, one keyed join to fuse."""
+    from etl_mini_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    ptok = tok.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"), "tok"
+    )
+    lex = (
+        tok.join(F.broadcast(ptok), "tok")
+        .where(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    wl = Window.partitionBy("probe_id").orderBy(F.col("shared").desc(), "cand_id")
+    lexr = lex.withColumn("r_lex", F.row_number().over(wl)).where(F.col("r_lex") <= 20)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecr = (
+        _cosine_rank(emb, None)
+        .where(F.col("r") <= 20)
+        .select("probe_id", F.col("neighbor_id").alias("cand_id"), F.col("r").alias("r_vec"))
+    )
+    term = lambda r: (  # noqa: E731
+        F.floor(F.lit(1.0) / (F.lit(60) + r) * 1_000_000_000 + F.lit(0.5))
+        .cast("decimal(28,9)") / 1_000_000_000
+    )
+    fused = (
+        lexr.join(vecr, ["probe_id", "cand_id"])
+        .select(
+            "probe_id", "cand_id",
+            F.col("r_lex").cast("bigint").alias("r_lex"),
+            F.col("r_vec").cast("bigint").alias("r_vec"),
+            (term(F.col("r_lex")) + term(F.col("r_vec"))).cast("double").alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.col("rrf").desc(), "cand_id")
+    return (
+        fused.withColumn("__rn", F.row_number().over(wf))
+        .where(F.col("__rn") <= 5)
+        .drop("__rn")
+        .orderBy("probe_id", "cand_id")
+    )
+
+
+# --- NDCG@10 with md5-graded relevance --------------------------------------------------------
+# Ranking-quality eval: graded relevance 0..3 per (probe, neighbor)
+# from the md5 portable-randomness rule, DCG = sum (2^rel - 1) /
+# log2(rank+1) with each term pre-rounded at 9dp and summed as
+# DECIMAL(28,9); NDCG divides by the ideal ordering's DCG (same
+# discipline). log2 inputs are the small integers 2..11 — identical
+# libm calls on identical inputs, made safe by the 9dp pre-round.
+_NDCG_SQL = """
+    WITH ranked AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                     p.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id) AS r
+      FROM embeddings p JOIN embeddings c
+        ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+    graded AS (
+      SELECT probe_id, neighbor_id, r,
+             CAST(CAST(concat('0x', substr(md5(CAST(probe_id AS VARCHAR) || ':' ||
+                                           CAST(neighbor_id AS VARCHAR) || ':rel'), 1, 15))
+                  AS BIGINT) % 4 AS BIGINT) AS rel
+      FROM ranked WHERE r <= 10),
+    dcg AS (
+      SELECT probe_id,
+             sum(CAST(floor((power(2.0, rel) - 1.0) / log2(r + 1.0)
+                            * 1000000000 + 0.5) AS DECIMAL(28,9)) / 1000000000) AS dcg,
+             CAST(sum(rel) AS BIGINT) AS rel_total
+      FROM graded GROUP BY probe_id),
+    ideal AS (
+      SELECT probe_id,
+             sum(CAST(floor((power(2.0, rel) - 1.0) / log2(ir + 1.0)
+                            * 1000000000 + 0.5) AS DECIMAL(28,9)) / 1000000000) AS idcg
+      FROM (SELECT probe_id, rel,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY rel DESC, neighbor_id) AS ir
+            FROM graded)
+      GROUP BY probe_id)
+    SELECT d.probe_id, d.rel_total,
+           floor(CAST(d.dcg AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dcg,
+           CASE WHEN CAST(i.idcg AS DOUBLE) = 0.0 THEN 0.0
+                ELSE floor(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE)
+                           * 1000000 + 0.5) / 1000000 END AS ndcg
+    FROM dcg d JOIN ideal i ON d.probe_id = i.probe_id
+    ORDER BY d.probe_id
+"""
+
+
+@pq("ndcg_graded_eval", _NDCG_SQL)
+def ndcg_graded_eval(spark, sf_dir):
+    """NDCG@10 of the exact cosine ranking under md5-derived graded
+    relevance (0..3) — the ranking-eval metric every retrieval stack
+    reports, with DCG terms pre-rounded at 9dp and summed as DECIMAL
+    so both engines fold identical decimals in any order. Plan: one
+    broadcast-probe scan, two bounded per-probe windows (actual and
+    ideal order), one keyed join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ranked = _cosine_rank(emb, None).where(F.col("r") <= 10)
+    rel = (
+        F.conv(F.substring(F.md5(F.concat_ws(":",
+            F.col("probe_id").cast("string"),
+            F.col("neighbor_id").cast("string"),
+            F.lit("rel"))), 1, 15), 16, 10).cast("bigint") % 4
+    ).cast("bigint")
+    graded = ranked.select("probe_id", "neighbor_id", "r", rel.alias("rel"))
+
+    def dterm(rank_col):
+        raw = (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)) / F.log2(rank_col + F.lit(1.0))
+        return F.floor(raw * 1_000_000_000 + F.lit(0.5)).cast("decimal(28,9)") / 1_000_000_000
+
+    dcg = graded.groupBy("probe_id").agg(
+        F.sum(dterm(F.col("r"))).alias("dcg_d"),
+        F.sum(F.col("rel")).cast("bigint").alias("rel_total"),
+    )
+    wi = Window.partitionBy("probe_id").orderBy(F.col("rel").desc(), "neighbor_id")
+    ideal = (
+        graded.withColumn("ir", F.row_number().over(wi))
+        .groupBy("probe_id")
+        .agg(F.sum(dterm(F.col("ir"))).alias("idcg_d"))
+    )
+    return (
+        dcg.join(ideal, "probe_id")
+        .select(
+            "probe_id", "rel_total",
+            _pin(F.col("dcg_d").cast("double")).alias("dcg"),
+            F.when(F.col("idcg_d").cast("double") == 0.0, F.lit(0.0))
+            .otherwise(_pin(F.col("dcg_d").cast("double") / F.col("idcg_d").cast("double")))
+            .alias("ndcg"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+# =====================================================================
+# Block B — lakehouse table semantics
+# =====================================================================
+
+# --- Iceberg-style manifest pruning audit ---------------------------------------------------
+# Files = orders sharded by (order month, custkey % 4); the manifest
+# holds per-file min/max stats. For each predicate in a fixed grid the
+# audit reports how many files the manifest prunes, how many rows the
+# surviving files scan, and how many rows actually match — the
+# file-skipping effectiveness measurement behind every lakehouse
+# OPTIMIZE decision. All exact integers.
+_MANIFEST_SQL = """
+    WITH files AS (
+      SELECT strftime(o_orderdate, '%Y-%m') || '/' || CAST(o_custkey % 4 AS VARCHAR)
+               AS file_id,
+             min(o_orderdate) AS min_d, max(o_orderdate) AS max_d,
+             min(o_custkey) AS min_c, max(o_custkey) AS max_c,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1),
+    preds AS (
+      SELECT * FROM (VALUES
+        (1, TIMESTAMP '1996-01-01', TIMESTAMP '1996-07-01', NULL::BIGINT),
+        (2, NULL::TIMESTAMP, NULL::TIMESTAMP, CAST(42 AS BIGINT)),
+        (3, TIMESTAMP '1999-01-01', TIMESTAMP '2002-01-01', CAST(7 AS BIGINT))
+      ) AS t(pred_id, d_lo, d_hi, ck)),
+    audit AS (
+      SELECT p.pred_id, f.file_id, f.n_rows,
+             CASE WHEN (p.d_lo IS NULL OR f.max_d >= p.d_lo)
+                   AND (p.d_hi IS NULL OR f.min_d <  p.d_hi)
+                   AND (p.ck   IS NULL OR (f.min_c <= p.ck AND f.max_c >= p.ck))
+                  THEN 1 ELSE 0 END AS survives
+      FROM preds p CROSS JOIN files f),
+    matched AS (
+      SELECT p.pred_id, CAST(count(*) AS BIGINT) AS rows_matched
+      FROM preds p JOIN orders o
+        ON (p.d_lo IS NULL OR o.o_orderdate >= p.d_lo)
+       AND (p.d_hi IS NULL OR o.o_orderdate <  p.d_hi)
+       AND (p.ck   IS NULL OR o.o_custkey = p.ck)
+      GROUP BY 1)
+    SELECT a.pred_id,
+           CAST(count(*) AS BIGINT) AS files_total,
+           CAST(sum(1 - a.survives) AS BIGINT) AS files_pruned,
+           CAST(sum(a.survives * a.n_rows) AS BIGINT) AS rows_scanned,
+           coalesce(any_value(m.rows_matched), 0) AS rows_matched
+    FROM audit a LEFT JOIN matched m ON a.pred_id = m.pred_id
+    GROUP BY a.pred_id
+    ORDER BY a.pred_id
+"""
+
+
+@pq("manifest_pruning_audit", _MANIFEST_SQL)
+def manifest_pruning_audit(spark, sf_dir):
+    """Manifest-level file-skipping audit: per-file min/max stats over
+    (month, custkey%4) shards of orders, a fixed 3-predicate grid, and
+    per predicate the pruned-file count, surviving scan rows, and true
+    match count — the measurement that tells you whether a layout's
+    zone maps actually bite (100-TB scans live or die on this). Plan:
+    one hash agg to the manifest (bounded: months x 4 files), a
+    broadcast 3-row predicate grid, one distributed recount for the
+    truth column."""
+    o = _t(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.concat_ws(
+            "/", F.date_format("o_orderdate", "yyyy-MM"),
+            (F.col("o_custkey") % 4).cast("string"),
+        ).alias("file_id")
+    ).agg(
+        F.min("o_orderdate").alias("min_d"), F.max("o_orderdate").alias("max_d"),
+        F.min("o_custkey").alias("min_c"), F.max("o_custkey").alias("max_c"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    preds = spark.createDataFrame(
+        [
+            (1, "1996-01-01", "1996-07-01", None),
+            (2, None, None, 42),
+            (3, "1999-01-01", "2002-01-01", 7),
+        ],
+        "pred_id int, d_lo string, d_hi string, ck long",
+    ).select(
+        "pred_id",
+        F.col("d_lo").cast("timestamp").alias("d_lo"),
+        F.col("d_hi").cast("timestamp").alias("d_hi"),
+        "ck",
+    )
+    survives = (
+        ((F.col("d_lo").isNull()) | (F.col("max_d") >= F.col("d_lo")))
+        & ((F.col("d_hi").isNull()) | (F.col("min_d") < F.col("d_hi")))
+        & ((F.col("ck").isNull()) | ((F.col("min_c") <= F.col("ck")) & (F.col("max_c") >= F.col("ck"))))
+    ).cast("int")
+    audit = files.crossJoin(F.broadcast(preds)).select(
+        "pred_id", "n_rows", survives.alias("survives")
+    )
+    matched = (
+        o.crossJoin(F.broadcast(preds))
+        .where(
+            ((F.col("d_lo").isNull()) | (F.col("o_orderdate") >= F.col("d_lo")))
+            & ((F.col("d_hi").isNull()) | (F.col("o_orderdate") < F.col("d_hi")))
+            & ((F.col("ck").isNull()) | (F.col("o_custkey") == F.col("ck")))
+        )
+        .groupBy("pred_id")
+        .agg(F.count("*").cast("bigint").alias("rows_matched"))
+    )
+    return (
+        audit.groupBy("pred_id")
+        .agg(
+            F.count("*").cast("bigint").alias("files_total"),
+            F.sum(1 - F.col("survives")).cast("bigint").alias("files_pruned"),
+            F.sum(F.col("survives") * F.col("n_rows")).cast("bigint").alias("rows_scanned"),
+        )
+        .join(matched, "pred_id", "left")
+        .select(
+            "pred_id", "files_total", "files_pruned", "rows_scanned",
+            F.coalesce("rows_matched", F.lit(0)).cast("bigint").alias("rows_matched"),
+        )
+        .orderBy("pred_id")
+    )
+
+
+# --- Delta-style transaction-log replay ------------------------------------------------------
+# A deterministic action log over month-files of orders: v0 adds every
+# month file, v1 compacts 1995 (removes its 12 files, adds one
+# compacted file), v2 removes the two largest 1996 files (by rows,
+# file_id tie-break). Snapshot state at each version = adds minus
+# removes replayed cumulatively — the log-structured table semantics
+# of Delta/Iceberg, where "the table" is a fold over the action log.
+_LOGREPLAY_SQL = """
+    WITH mf AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    log AS (
+      SELECT 0 AS version, 'add' AS action, file_id, n_rows, cents FROM mf
+      UNION ALL
+      SELECT 1, 'remove', file_id, n_rows, cents FROM mf WHERE file_id LIKE '1995-%'
+      UNION ALL
+      SELECT 1, 'add', 'compact-1995',
+             CAST(sum(n_rows) AS BIGINT), CAST(sum(cents) AS BIGINT)
+      FROM mf WHERE file_id LIKE '1995-%'
+      UNION ALL
+      SELECT 2, 'remove', file_id, n_rows, cents FROM (
+        SELECT * FROM mf WHERE file_id LIKE '1996-%'
+        ORDER BY n_rows DESC, file_id LIMIT 2)),
+    versions AS (SELECT DISTINCT version FROM log),
+    live AS (
+      SELECT v.version, l.file_id, l.n_rows, l.cents
+      FROM versions v JOIN log l
+        ON l.version <= v.version AND l.action = 'add'
+      WHERE NOT EXISTS (
+        SELECT 1 FROM log r
+        WHERE r.action = 'remove' AND r.file_id = l.file_id
+          AND r.version <= v.version))
+    SELECT version,
+           CAST(count(*) AS BIGINT) AS live_files,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM live GROUP BY version ORDER BY version
+"""
+
+
+@pq("delta_log_replay", _LOGREPLAY_SQL)
+def delta_log_replay(spark, sf_dir):
+    """Transaction-log replay: a deterministic add/remove action log
+    over month-files of orders (v0 full add, v1 compaction of 1995,
+    v2 removal of the two largest 1996 files) folds to the live file
+    set at each version — the table-state reconstruction every
+    log-structured lakehouse reader performs. Conservation pin: v1's
+    compaction must keep total_rows/total_cents identical to v0. Plan:
+    one hash agg to month files (bounded), the log and replay are
+    joins over that bounded file table."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    mf = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("file_id")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(cents).cast("bigint").alias("cents"),
+    )
+    adds0 = mf.select(F.lit(0).alias("version"), F.lit("add").alias("action"),
+                      "file_id", "n_rows", "cents")
+    m95 = mf.where(F.col("file_id").startswith("1995-"))
+    rem1 = m95.select(F.lit(1).alias("version"), F.lit("remove").alias("action"),
+                      "file_id", "n_rows", "cents")
+    add1 = m95.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    ).select(F.lit(1).alias("version"), F.lit("add").alias("action"),
+             F.lit("compact-1995").alias("file_id"), "n_rows", "cents")
+    rem2 = (
+        mf.where(F.col("file_id").startswith("1996-"))
+        .orderBy(F.col("n_rows").desc(), "file_id").limit(2)
+        .select(F.lit(2).alias("version"), F.lit("remove").alias("action"),
+                "file_id", "n_rows", "cents")
+    )
+    log = adds0.unionByName(rem1).unionByName(add1).unionByName(rem2)
+    versions = log.select("version").distinct()
+    adds = log.where(F.col("action") == "add").select(
+        F.col("version").alias("av"), "file_id", "n_rows", "cents"
+    )
+    removes = log.where(F.col("action") == "remove").select(
+        F.col("version").alias("rv"), F.col("file_id").alias("rfile")
+    )
+    live = (
+        versions.join(adds, F.col("av") <= F.col("version"))
+        .join(
+            removes,
+            (F.col("rfile") == F.col("file_id")) & (F.col("rv") <= F.col("version")),
+            "left_anti",
+        )
+    )
+    return (
+        live.groupBy("version")
+        .agg(
+            F.count("*").cast("bigint").alias("live_files"),
+            F.sum("n_rows").cast("bigint").alias("total_rows"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("version")
+    )
+
+
+# --- Bitemporal (valid-time x transaction-time) snapshot queries ------------------------------
+# Each customer's "current order" is valid from its o_orderdate until
+# the customer's next order (valid time); the fact became KNOWN at its
+# transaction batch (tx = o_orderkey % 3 — a deterministic 3-batch
+# load schedule). An as-of grid of (valid_ts, tx_batch) points asks:
+# how many customer-current-order facts were in force at valid_ts AS
+# KNOWN BY tx_batch, and their total cents — the bitemporal question
+# ("what did we think the world looked like then") that SCD2 alone
+# cannot answer.
+_BITEMPORAL_SQL = """
+    WITH facts AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             o_orderdate AS vt_from,
+             o_orderkey % 3 AS tx
+      FROM orders),
+    grid AS (
+      SELECT * FROM (VALUES
+        (TIMESTAMP '1996-06-15', 0), (TIMESTAMP '1996-06-15', 2),
+        (TIMESTAMP '1999-01-01', 1), (TIMESTAMP '2001-07-01', 2)
+      ) AS g(vt, tx_max)),
+    known AS (
+      SELECT g.vt, g.tx_max, f.o_custkey, f.o_orderkey, f.cents, f.vt_from,
+             coalesce(lead(f.vt_from) OVER (PARTITION BY g.vt, g.tx_max, f.o_custkey
+                                            ORDER BY f.vt_from, f.o_orderkey),
+                      TIMESTAMP '9999-12-31') AS vt_to
+      FROM grid g JOIN facts f ON f.tx <= g.tx_max)
+    SELECT strftime(vt, '%Y-%m-%d') AS vt, tx_max,
+           CAST(count(*) AS BIGINT) AS n_current,
+           CAST(sum(cents) AS BIGINT) AS cents_current
+    FROM known
+    WHERE vt_from <= vt AND vt < vt_to
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@pq("bitemporal_snapshot_query", _BITEMPORAL_SQL)
+def bitemporal_snapshot_query(spark, sf_dir):
+    """Bitemporal as-of snapshots: valid time from each customer's
+    order succession, transaction time from a deterministic 3-batch
+    load schedule (orderkey % 3); the (valid_ts, tx_batch) grid
+    reports facts in force at valid_ts AS KNOWN at tx_batch. The
+    valid-to horizon is recomputed per tx snapshot (lead over only the
+    facts known by then) — the defining bitemporal subtlety: later
+    batches REWRITE history's shape. Plan: 4-row grid broadcast onto
+    one fact scan, one keyed window per snapshot, one hash agg."""
+    o = _t(spark, sf_dir, "orders")
+    facts = o.select(
+        "o_custkey", "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").alias("vt_from"),
+        (F.col("o_orderkey") % 3).alias("tx"),
+    )
+    grid = spark.createDataFrame(
+        [("1996-06-15", 0), ("1996-06-15", 2), ("1999-01-01", 1), ("2001-07-01", 2)],
+        "vt string, tx_max int",
+    ).select(F.col("vt").cast("timestamp").alias("vt"), "tx_max")
+    w = Window.partitionBy("vt", "tx_max", "o_custkey").orderBy("vt_from", "o_orderkey")
+    known = (
+        facts.join(F.broadcast(grid), F.col("tx") <= F.col("tx_max"))
+        .withColumn(
+            "vt_to",
+            F.coalesce(F.lead("vt_from").over(w), F.lit("9999-12-31").cast("timestamp")),
+        )
+    )
+    return (
+        known.where((F.col("vt_from") <= F.col("vt")) & (F.col("vt") < F.col("vt_to")))
+        .groupBy(F.date_format("vt", "yyyy-MM-dd").alias("vt"), "tx_max")
+        .agg(
+            F.count("*").cast("bigint").alias("n_current"),
+            F.sum("cents").cast("bigint").alias("cents_current"),
+        )
+        .orderBy("vt", "tx_max")
+    )
+
+
+# --- Composed SCD2 + SCD6 dimension maintenance -----------------------------------------------
+# Two sequential change batches (each customer's modal order priority
+# in 1996, then in 1998 — count DESC, priority ASC tie-break) apply to
+# the customer dimension as SCD2 history rows AND an SCD6 current-
+# value column carried on every history row: the hybrid dimension
+# pattern (Kimball type 6) that lets point-in-time joins AND
+# current-attribute filters share one table. Versions compose — a
+# customer may change in either batch, both, or neither.
+_SCD6C_SQL = """
+    WITH b1 AS (
+      SELECT o_custkey, o_orderpriority AS seg FROM (
+        SELECT o_custkey, o_orderpriority, count(*) AS c,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY count(*) DESC, o_orderpriority) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                      AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2) WHERE rn = 1),
+    b2 AS (
+      SELECT o_custkey, o_orderpriority AS seg FROM (
+        SELECT o_custkey, o_orderpriority, count(*) AS c,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY count(*) DESC, o_orderpriority) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                      AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY 1, 2) WHERE rn = 1),
+    versions AS (
+      SELECT c_custkey, '1995-01-01' AS valid_from, c_mktsegment AS seg
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, '1997-01-01', b1.seg
+      FROM customer JOIN b1 ON b1.o_custkey = c_custkey
+      UNION ALL
+      SELECT c_custkey, '1999-01-01', b2.seg
+      FROM customer JOIN b2 ON b2.o_custkey = c_custkey),
+    hist AS (
+      SELECT c_custkey, valid_from, seg,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY valid_from) AS version,
+             coalesce(lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from),
+                      '9999-12-31') AS valid_to,
+             last_value(seg) OVER (PARTITION BY c_custkey ORDER BY valid_from
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS current_seg
+      FROM versions)
+    SELECT c_custkey, CAST(version AS BIGINT) AS version, valid_from, valid_to,
+           seg, current_seg, valid_to = '9999-12-31' AS is_current
+    FROM hist
+    ORDER BY c_custkey, version
+"""
+
+
+@pq("scd2_scd6_composed", _SCD6C_SQL)
+def scd2_scd6_composed(spark, sf_dir):
+    """SCD2 history + SCD6 current-value column composed over two
+    sequential change batches (modal 1996 priority, then modal 1998
+    priority per customer): every history row carries its own
+    valid_from/valid_to AND the dimension's CURRENT value — the
+    Kimball type-6 hybrid that serves point-in-time joins and
+    current-attribute filters from one table. Plan: two keyed modal
+    aggs, a three-way union of version sources, one partitioned window
+    for valid_to/version/current — no driver loops, applies at any
+    dimension scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def modal(lo, hi):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("c").desc(), "o_orderpriority"
+        )
+        return (
+            o.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .groupBy("o_custkey", "o_orderpriority")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("o_custkey", F.col("o_orderpriority").alias("seg"))
+        )
+
+    b1 = modal("1996-01-01", "1997-01-01")
+    b2 = modal("1998-01-01", "1999-01-01")
+    versions = (
+        c.select("c_custkey", F.lit("1995-01-01").alias("valid_from"),
+                 F.col("c_mktsegment").alias("seg"))
+        .unionByName(
+            c.join(b1, c.c_custkey == b1.o_custkey).select(
+                "c_custkey", F.lit("1997-01-01").alias("valid_from"), "seg"))
+        .unionByName(
+            c.join(b2, c.c_custkey == b2.o_custkey).select(
+                "c_custkey", F.lit("1999-01-01").alias("valid_from"), "seg"))
+    )
+    wv = Window.partitionBy("c_custkey").orderBy("valid_from")
+    wall = wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist = versions.select(
+        "c_custkey", "valid_from", "seg",
+        F.row_number().over(wv).cast("bigint").alias("version"),
+        F.coalesce(F.lead("valid_from").over(wv), F.lit("9999-12-31")).alias("valid_to"),
+        F.last("seg").over(wall).alias("current_seg"),
+    )
+    return hist.select(
+        "c_custkey", "version", "valid_from", "valid_to", "seg", "current_seg",
+        (F.col("valid_to") == "9999-12-31").alias("is_current"),
+    ).orderBy("c_custkey", "version")
+
+
+# --- Snapshot-isolation commit-log conflict resolution ----------------------------------------
+# Ten writer attempts over the checkpoint table, each declaring the
+# snapshot it read (number of commits visible) and the custkey%10
+# bucket range it writes. First-committer-wins snapshot isolation:
+# an attempt aborts iff a SUCCESSFUL earlier attempt with commit
+# sequence AFTER the reader's snapshot overlaps its write set. The
+# resolution is inherently sequential — the oracle folds it with a
+# recursive CTE over the attempt grid; the Spark side resolves it the
+# way a real commit coordinator does (a metadata-only fold over the
+# bounded attempt log — NO data rows involved) and then joins the
+# surviving commits to distributed per-bucket aggregates.
+_SNAPISO_SQL = """
+    WITH RECURSIVE att(i, snap, lo, hi) AS (
+      SELECT * FROM (VALUES
+        (1, 0, 0, 2), (2, 0, 3, 5), (3, 1, 1, 3), (4, 2, 6, 8),
+        (5, 2, 4, 6), (6, 3, 0, 0), (7, 3, 9, 9), (8, 5, 2, 4),
+        (9, 5, 7, 9), (10, 6, 5, 5)) t),
+    rec AS (
+      SELECT 0 AS i, CAST([] AS INT[]) AS seqs, CAST([] AS INT[]) AS los,
+             CAST([] AS INT[]) AS his, CAST([] AS BOOLEAN[]) AS status
+      UNION ALL
+      SELECT a.i,
+             CASE WHEN ok THEN list_append(r.seqs, len(r.seqs) + 1) ELSE r.seqs END,
+             CASE WHEN ok THEN list_append(r.los, a.lo) ELSE r.los END,
+             CASE WHEN ok THEN list_append(r.his, a.hi) ELSE r.his END,
+             list_append(r.status, ok)
+      FROM rec r JOIN att a ON a.i = r.i + 1,
+      LATERAL (SELECT len(list_filter(range(1, len(r.seqs) + 1),
+                 k -> r.seqs[k] > a.snap
+                      AND NOT (a.hi < r.los[k] OR a.lo > r.his[k]))) = 0 AS ok) x),
+    final AS (SELECT status FROM rec WHERE i = 10),
+    bucket AS (
+      SELECT o_custkey % 10 AS b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1)
+    SELECT a.i AS attempt, a.snap, a.lo, a.hi, f.status[a.i] AS committed,
+           CASE WHEN f.status[a.i]
+                THEN (SELECT CAST(sum(n) AS BIGINT) FROM bucket
+                      WHERE b BETWEEN a.lo AND a.hi) ELSE 0 END AS rows_written,
+           CASE WHEN f.status[a.i]
+                THEN (SELECT CAST(sum(cents) AS BIGINT) FROM bucket
+                      WHERE b BETWEEN a.lo AND a.hi) ELSE 0 END AS cents_written
+    FROM att a, final f
+    ORDER BY a.i
+"""
+
+_SNAPISO_ATTEMPTS = [
+    (1, 0, 0, 2), (2, 0, 3, 5), (3, 1, 1, 3), (4, 2, 6, 8),
+    (5, 2, 4, 6), (6, 3, 0, 0), (7, 3, 9, 9), (8, 5, 2, 4),
+    (9, 5, 7, 9), (10, 6, 5, 5),
+]
+
+
+def resolve_snapshot_isolation(attempts):
+    """First-committer-wins fold over a bounded commit-attempt log:
+    (attempt_id, read_snapshot, write_lo, write_hi) -> committed flag.
+    Pure metadata arithmetic — exactly what a lakehouse commit
+    coordinator evaluates per attempt; never touches data rows, so it
+    is O(attempts^2) at ANY table scale."""
+    committed = []  # (commit_seq, lo, hi)
+    out = []
+    for i, snap, lo, hi in attempts:
+        ok = not any(
+            seq > snap and not (hi < clo or lo > chi)
+            for seq, clo, chi in committed
+        )
+        if ok:
+            committed.append((len(committed) + 1, lo, hi))
+        out.append((i, snap, lo, hi, ok))
+    return out
+
+
+@pq("checkpoint_snapshot_isolation", _SNAPISO_SQL)
+def checkpoint_snapshot_isolation(spark, sf_dir):
+    """Snapshot-isolation conflict resolution over a 10-attempt commit
+    log (first-committer-wins: abort iff a successful commit AFTER the
+    attempt's read snapshot overlaps its bucket write range), with the
+    surviving commits joined to distributed per-bucket row/cents
+    aggregates. The resolution itself is a metadata-only fold over the
+    bounded log — the coordinator never touches data rows; the oracle
+    replays the identical fold with a recursive CTE."""
+    o = _t(spark, sf_dir, "orders")
+    resolved = spark.createDataFrame(
+        resolve_snapshot_isolation(_SNAPISO_ATTEMPTS),
+        "attempt int, snap int, lo int, hi int, committed boolean",
+    )
+    bucket = o.groupBy((F.col("o_custkey") % 10).alias("b")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("bigint").alias("cents"),
+    )
+    joined = (
+        resolved.join(
+            bucket,
+            (F.col("b") >= F.col("lo")) & (F.col("b") <= F.col("hi")) & F.col("committed"),
+            "left",
+        )
+        .groupBy("attempt", "snap", "lo", "hi", "committed")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("rows_written"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("cents_written"),
+        )
+    )
+    return joined.orderBy("attempt")
+
+
+# --- Late-arriving dimension attribution ------------------------------------------------------
+# The 1997 segment change (modal 1996 priority) ARRIVES 60 days late
+# (1997-03-01). Facts loaded before the arrival attribute to the old
+# version; the reprocessing pass re-attributes with full knowledge.
+# Output per segment label: initially attributed cents, corrected
+# cents, and the delta — the measurement that tells a warehouse team
+# how much a late dimension shifted reported numbers.
+_LATEDIM_SQL = """
+    WITH b1 AS (
+      SELECT o_custkey, o_orderpriority AS seg FROM (
+        SELECT o_custkey, o_orderpriority, count(*) AS c,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY count(*) DESC, o_orderpriority) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                      AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2) WHERE rn = 1),
+    dimlog AS (
+      SELECT c_custkey, TIMESTAMP '1995-01-01' AS valid_from,
+             TIMESTAMP '1995-01-01' AS arrived, c_mktsegment AS seg
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, TIMESTAMP '1997-01-01', TIMESTAMP '1997-03-01', b1.seg
+      FROM customer JOIN b1 ON b1.o_custkey = c_custkey),
+    facts AS (
+      SELECT o_orderkey AS fid, o_custkey, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-07-01'),
+    attributed AS (
+      SELECT f.cents,
+             max_by(d.seg, d.valid_from)
+               FILTER (WHERE d.arrived <= f.o_orderdate) AS seg_initial,
+             max_by(d.seg, d.valid_from) AS seg_corrected
+      FROM facts f JOIN dimlog d
+        ON d.c_custkey = f.o_custkey AND d.valid_from <= f.o_orderdate
+      GROUP BY f.fid, f.cents),
+    labels AS (
+      SELECT DISTINCT seg_initial AS seg FROM attributed
+      UNION SELECT DISTINCT seg_corrected FROM attributed),
+    init AS (
+      SELECT seg_initial AS seg, CAST(sum(cents) AS BIGINT) AS initial_cents
+      FROM attributed GROUP BY 1),
+    corr AS (
+      SELECT seg_corrected AS seg, CAST(sum(cents) AS BIGINT) AS corrected_cents
+      FROM attributed GROUP BY 1)
+    SELECT l.seg,
+           coalesce(i.initial_cents, 0) AS initial_cents,
+           coalesce(c.corrected_cents, 0) AS corrected_cents
+    FROM labels l
+    LEFT JOIN init i ON i.seg = l.seg
+    LEFT JOIN corr c ON c.seg = l.seg
+    ORDER BY l.seg
+"""
+
+
+@pq("late_arriving_dimension", _LATEDIM_SQL)
+def late_arriving_dimension(spark, sf_dir):
+    """Late-arriving dimension audit: the 1997 segment version arrives
+    1997-03-01 (60 days late), so facts loaded before then attributed
+    to the superseded version; per segment label the initially-
+    attributed cents vs the reprocessed (arrival-blind) cents quantify
+    the restatement. Plan: the dim log is customer-keyed (bounded
+    versions/key), attribution is one keyed join + max_by per fact —
+    the as-of shape, no windows over the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("cnt").desc(), "o_orderpriority")
+    b1 = (
+        o.where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderpriority").alias("seg"))
+    )
+    dimlog = (
+        c.select(
+            "c_custkey",
+            F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+            F.lit("1995-01-01").cast("timestamp").alias("arrived"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .unionByName(
+            c.join(b1, c.c_custkey == b1.o_custkey).select(
+                "c_custkey",
+                F.lit("1997-01-01").cast("timestamp").alias("valid_from"),
+                F.lit("1997-03-01").cast("timestamp").alias("arrived"),
+                "seg",
+            )
+        )
+    )
+    facts = (
+        o.where((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01"))
+        .select(
+            F.col("o_orderkey").alias("fid"),
+            "o_custkey", "o_orderdate",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        )
+    )
+    attributed = (
+        facts.join(dimlog, (F.col("c_custkey") == F.col("o_custkey"))
+                   & (F.col("valid_from") <= F.col("o_orderdate")))
+        .groupBy("fid", "cents")
+        .agg(
+            F.max_by("seg", F.when(F.col("arrived") <= F.col("o_orderdate"),
+                                   F.col("valid_from"))).alias("seg_initial"),
+            F.max_by("seg", "valid_from").alias("seg_corrected"),
+        )
+    )
+    labels = (
+        attributed.select(F.col("seg_initial").alias("seg"))
+        .union(attributed.select("seg_corrected")).distinct()
+    )
+    init = attributed.groupBy(F.col("seg_initial").alias("seg")).agg(
+        F.sum("cents").cast("bigint").alias("initial_cents"))
+    corr = attributed.groupBy(F.col("seg_corrected").alias("seg")).agg(
+        F.sum("cents").cast("bigint").alias("corrected_cents"))
+    return (
+        labels.join(init, "seg", "left").join(corr, "seg", "left")
+        .select(
+            "seg",
+            F.coalesce("initial_cents", F.lit(0)).cast("bigint").alias("initial_cents"),
+            F.coalesce("corrected_cents", F.lit(0)).cast("bigint").alias("corrected_cents"),
+        )
+        .orderBy("seg")
+    )
