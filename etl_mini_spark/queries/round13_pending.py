@@ -1052,3 +1052,576 @@ def late_arriving_dimension(spark, sf_dir):
         )
         .orderBy("seg")
     )
+
+
+# =====================================================================
+# Block C — entity resolution (Fellegi-Sunter)
+# =====================================================================
+
+# --- Fellegi-Sunter match weights over planted duplicates --------------------------------------
+# A dirty copy of every custkey%5==0 customer is synthesized IN the
+# query by md5 perturbation rules (segment swapped for ~20% of
+# variants, acctbal jittered by up to +/-1.00 for ~30%, a derived
+# 4-digit "phone" field corrupted for ~20%) — deterministic on both
+# engines. Candidate pairs block on nationkey (original x variant);
+# the TRUE pairs are (k, variant-of-k). m/u probabilities per field
+# come from exact counts over true/false candidate pairs, and each
+# agreement pattern's log2 weight folds 9dp-pre-rounded per-field
+# terms — the Fellegi-Sunter linkage model, end to end.
+_FS_FIELDS = """
+      SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c,
+             CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || ':ph'), 1, 15))
+                  AS BIGINT) % 10000 AS BIGINT) AS phone
+      FROM customer
+"""
+_FS_VARIANT = """
+      SELECT k, nat,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || ':segv'), 1, 15))
+                       AS BIGINT) % 10 < 2
+                  THEN 'VARIED' ELSE seg END AS seg,
+             bal_c + CASE WHEN CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || ':balv'), 1, 15))
+                               AS BIGINT) % 10 < 3
+                          THEN CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || ':balj'), 1, 15))
+                               AS BIGINT) % 201 - 100 ELSE 0 END AS bal_c,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || ':phv'), 1, 15))
+                       AS BIGINT) % 10 < 2
+                  THEN (phone + 1111) % 10000 ELSE phone END AS phone
+      FROM base WHERE k % 5 = 0
+"""
+_FS_SQL = f"""
+    WITH base AS ({_FS_FIELDS}),
+    var AS ({_FS_VARIANT}),
+    cand AS (
+      SELECT b.k AS a_key, v.k AS b_key,
+             CASE WHEN b.seg = v.seg THEN 1 ELSE 0 END AS a_seg,
+             CASE WHEN abs(b.bal_c - v.bal_c) <= 100 THEN 1 ELSE 0 END AS a_bal,
+             CASE WHEN b.phone = v.phone THEN 1 ELSE 0 END AS a_ph,
+             CASE WHEN b.k = v.k THEN 1 ELSE 0 END AS is_match
+      FROM base b JOIN var v ON b.nat = v.nat),
+    rates AS (
+      SELECT sum(a_seg * is_match) AS m_seg_n, sum(is_match) AS m_d,
+             sum(a_bal * is_match) AS m_bal_n, sum(a_ph * is_match) AS m_ph_n,
+             sum(a_seg * (1 - is_match)) AS u_seg_n, sum(1 - is_match) AS u_d,
+             sum(a_bal * (1 - is_match)) AS u_bal_n, sum(a_ph * (1 - is_match)) AS u_ph_n
+      FROM cand),
+    wts AS (
+      -- Laplace-smoothed rates ((n+0.5)/(d+1), standard FS practice) so
+      -- no field's log2 sees a zero at small blocking scales
+      SELECT
+        floor(log2(((m_seg_n + 0.5) * (u_d + 1)) / ((m_d + 1) * (u_seg_n + 0.5))) * 1e9 + 0.5) / 1e9 AS w_seg_a,
+        floor(log2(((m_d - m_seg_n + 0.5) * (u_d + 1)) / ((m_d + 1) * (u_d - u_seg_n + 0.5))) * 1e9 + 0.5) / 1e9 AS w_seg_d,
+        floor(log2(((m_bal_n + 0.5) * (u_d + 1)) / ((m_d + 1) * (u_bal_n + 0.5))) * 1e9 + 0.5) / 1e9 AS w_bal_a,
+        floor(log2(((m_d - m_bal_n + 0.5) * (u_d + 1)) / ((m_d + 1) * (u_d - u_bal_n + 0.5))) * 1e9 + 0.5) / 1e9 AS w_bal_d,
+        floor(log2(((m_ph_n + 0.5) * (u_d + 1)) / ((m_d + 1) * (u_ph_n + 0.5))) * 1e9 + 0.5) / 1e9 AS w_ph_a,
+        floor(log2(((m_d - m_ph_n + 0.5) * (u_d + 1)) / ((m_d + 1) * (u_d - u_ph_n + 0.5))) * 1e9 + 0.5) / 1e9 AS w_ph_d
+      FROM rates)
+    SELECT c.a_seg, c.a_bal, c.a_ph,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(c.is_match) AS BIGINT) AS n_true,
+           floor((CASE WHEN c.a_seg = 1 THEN w.w_seg_a ELSE w.w_seg_d END
+                + CASE WHEN c.a_bal = 1 THEN w.w_bal_a ELSE w.w_bal_d END
+                + CASE WHEN c.a_ph = 1 THEN w.w_ph_a ELSE w.w_ph_d END)
+                 * 1000000 + 0.5) / 1000000 AS weight
+    FROM cand c, wts w
+    GROUP BY c.a_seg, c.a_bal, c.a_ph, w.w_seg_a, w.w_seg_d, w.w_bal_a,
+             w.w_bal_d, w.w_ph_a, w.w_ph_d
+    ORDER BY c.a_seg, c.a_bal, c.a_ph
+"""
+
+
+def _md5_mod(expr, salt: str, mod: int):
+    return (
+        F.conv(F.substring(F.md5(F.concat(expr.cast("string"), F.lit(salt))), 1, 15),
+               16, 10).cast("bigint") % mod
+    )
+
+
+def _fs_frames(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").alias("bal_c"),
+        _md5_mod(F.col("c_custkey"), ":ph", 10000).alias("phone"),
+    )
+    var = base.where(F.col("k") % 5 == 0).select(
+        "k", "nat",
+        F.when(_md5_mod(F.col("k"), ":segv", 10) < 2, F.lit("VARIED"))
+        .otherwise(F.col("seg")).alias("seg"),
+        (F.col("bal_c") + F.when(_md5_mod(F.col("k"), ":balv", 10) < 3,
+                                 _md5_mod(F.col("k"), ":balj", 201) - 100)
+         .otherwise(F.lit(0))).alias("bal_c"),
+        F.when(_md5_mod(F.col("k"), ":phv", 10) < 2,
+               (F.col("phone") + 1111) % 10000)
+        .otherwise(F.col("phone")).alias("phone"),
+    )
+    a, v = base.alias("a"), var.alias("v")
+    cand = a.join(v, F.col("a.nat") == F.col("v.nat")).select(
+        F.col("a.k").alias("a_key"), F.col("v.k").alias("b_key"),
+        (F.col("a.seg") == F.col("v.seg")).cast("int").alias("a_seg"),
+        (F.abs(F.col("a.bal_c") - F.col("v.bal_c")) <= 100).cast("int").alias("a_bal"),
+        (F.col("a.phone") == F.col("v.phone")).cast("int").alias("a_ph"),
+        (F.col("a.k") == F.col("v.k")).cast("int").alias("is_match"),
+    )
+    return cand
+
+
+@pq("fellegi_sunter_weights", _FS_SQL)
+def fellegi_sunter_weights(spark, sf_dir):
+    """Fellegi-Sunter record-linkage weights over nationkey-blocked
+    (original x synthesized-variant) candidate pairs: per-field m/u
+    probabilities from exact counts over true/false pairs, per-pattern
+    log2 weights folded from 9dp-pre-rounded agreement/disagreement
+    terms — the probabilistic-linkage model (Fellegi & Sunter 1969)
+    that splink-style ER stacks fit at scale. Plan: variant synthesis
+    is pure Column md5 arithmetic, one blocked join (never all-pairs),
+    one 1-row rate aggregate broadcast onto the pattern rollup."""
+    cand = _fs_frames(spark, sf_dir)
+    rates = cand.agg(
+        F.sum(F.col("a_seg") * F.col("is_match")).alias("m_seg_n"),
+        F.sum("is_match").alias("m_d"),
+        F.sum(F.col("a_bal") * F.col("is_match")).alias("m_bal_n"),
+        F.sum(F.col("a_ph") * F.col("is_match")).alias("m_ph_n"),
+        F.sum(F.col("a_seg") * (1 - F.col("is_match"))).alias("u_seg_n"),
+        F.sum(1 - F.col("is_match")).alias("u_d"),
+        F.sum(F.col("a_bal") * (1 - F.col("is_match"))).alias("u_bal_n"),
+        F.sum(F.col("a_ph") * (1 - F.col("is_match"))).alias("u_ph_n"),
+    )
+
+    def w9(num, den):
+        return F.floor(F.log2(num / den) * 1e9 + F.lit(0.5)) / 1e9
+
+    # Laplace-smoothed rates ((n+0.5)/(d+1)) so no log2 sees a zero
+    half, one = F.lit(0.5), F.lit(1)
+    m_d1, u_d1 = F.col("m_d") + one, F.col("u_d") + one
+    wts = rates.select(
+        w9((F.col("m_seg_n") + half) * u_d1, m_d1 * (F.col("u_seg_n") + half)).alias("w_seg_a"),
+        w9((F.col("m_d") - F.col("m_seg_n") + half) * u_d1,
+           m_d1 * (F.col("u_d") - F.col("u_seg_n") + half)).alias("w_seg_d"),
+        w9((F.col("m_bal_n") + half) * u_d1, m_d1 * (F.col("u_bal_n") + half)).alias("w_bal_a"),
+        w9((F.col("m_d") - F.col("m_bal_n") + half) * u_d1,
+           m_d1 * (F.col("u_d") - F.col("u_bal_n") + half)).alias("w_bal_d"),
+        w9((F.col("m_ph_n") + half) * u_d1, m_d1 * (F.col("u_ph_n") + half)).alias("w_ph_a"),
+        w9((F.col("m_d") - F.col("m_ph_n") + half) * u_d1,
+           m_d1 * (F.col("u_d") - F.col("u_ph_n") + half)).alias("w_ph_d"),
+    )
+    pat = cand.groupBy("a_seg", "a_bal", "a_ph").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("is_match").cast("bigint").alias("n_true"),
+    )
+    weight = (
+        F.when(F.col("a_seg") == 1, F.col("w_seg_a")).otherwise(F.col("w_seg_d"))
+        + F.when(F.col("a_bal") == 1, F.col("w_bal_a")).otherwise(F.col("w_bal_d"))
+        + F.when(F.col("a_ph") == 1, F.col("w_ph_a")).otherwise(F.col("w_ph_d"))
+    )
+    return (
+        pat.crossJoin(F.broadcast(wts))
+        .select("a_seg", "a_bal", "a_ph", "n_pairs", "n_true",
+                _pin(weight).alias("weight"))
+        .orderBy("a_seg", "a_bal", "a_ph")
+    )
+
+
+# --- ER threshold quality vs planted truth ------------------------------------------------------
+# Classify candidate pairs by total agreement count (0..3 — the
+# integer skeleton of the FS weight, immune to float noise) and audit
+# precision/recall/F1 against the planted truth at every threshold —
+# the operating-point curve an ER pipeline is tuned on.
+_ERQ_SQL = f"""
+    WITH base AS ({_FS_FIELDS}),
+    var AS ({_FS_VARIANT}),
+    cand AS (
+      SELECT CASE WHEN b.seg = v.seg THEN 1 ELSE 0 END
+           + CASE WHEN abs(b.bal_c - v.bal_c) <= 100 THEN 1 ELSE 0 END
+           + CASE WHEN b.phone = v.phone THEN 1 ELSE 0 END AS score,
+             CASE WHEN b.k = v.k THEN 1 ELSE 0 END AS is_match
+      FROM base b JOIN var v ON b.nat = v.nat),
+    tot AS (SELECT CAST(sum(is_match) AS BIGINT) AS n_true FROM cand),
+    th AS (SELECT unnest(range(0, 4)) AS threshold)
+    SELECT t.threshold,
+           CAST(count(*) AS BIGINT) AS n_predicted,
+           CAST(sum(c.is_match) AS BIGINT) AS n_hit,
+           floor(sum(c.is_match) * 1.0 / count(*) * 1000000 + 0.5) / 1000000
+             AS precision,
+           floor(sum(c.is_match) * 1.0 / any_value(o.n_true) * 1000000 + 0.5) / 1000000
+             AS recall
+    FROM th t JOIN cand c ON c.score >= t.threshold, tot o
+    GROUP BY t.threshold
+    ORDER BY t.threshold
+"""
+
+
+@pq("er_threshold_quality", _ERQ_SQL)
+def er_threshold_quality(spark, sf_dir):
+    """Precision/recall of the agreement-count classifier against the
+    planted duplicate truth at thresholds 0..3 — the operating-point
+    sweep an ER pipeline is tuned on, with the score kept an exact
+    integer so the curve is engine-identical. Plan: one blocked join,
+    a 4-row threshold grid broadcast, one hash agg."""
+    cand = _fs_frames(spark, sf_dir).select(
+        (F.col("a_seg") + F.col("a_bal") + F.col("a_ph")).alias("score"), "is_match"
+    )
+    tot = cand.agg(F.sum("is_match").cast("bigint").alias("n_true"))
+    th = spark.range(0, 4).select(F.col("id").cast("int").alias("threshold"))
+    return (
+        cand.join(F.broadcast(th), F.col("score") >= F.col("threshold"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_predicted"),
+            F.sum("is_match").cast("bigint").alias("n_hit"),
+            _pin(F.sum("is_match") * 1.0 / F.count("*")).alias("precision"),
+            _pin(F.sum("is_match") * 1.0 / F.any_value("n_true")).alias("recall"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# =====================================================================
+# Block D — finance / sequential recursions
+# =====================================================================
+
+def _daily_cents(spark, sf_dir):
+    """Daily events revenue in exact BIGINT cents — the shared series
+    the recursion entries start from (round12_ops discipline)."""
+    t = _t(spark, sf_dir, "events")
+    return t.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("bigint").alias("c")
+    )
+
+
+_DAILY_SQL = """
+      SELECT strftime(ts, '%Y-%m-%d') AS d,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1
+"""
+
+
+# --- 1-D local-level Kalman filter --------------------------------------------------------------
+# Constant-model Kalman over the daily revenue series (z = cents/100,
+# one exact int->double conversion + one IEEE division): P' = P + Q;
+# K = P'/(P'+R); x += K*(z-x); P = (1-K)*P'. Seeds x0 = first z,
+# P0 = 1.0; Q=0.01, R=4.0 as 2dp literals. The whole trajectory is one
+# IEEE sequence replayed identically by the recursive-CTE oracle —
+# "incremental state estimation" with bit-exact parity.
+_KALMAN_SQL = f"""
+    WITH RECURSIVE daily AS ({_DAILY_SQL}),
+    ser AS (SELECT d, CAST(c AS DOUBLE) / 100.0 AS z,
+                   row_number() OVER (ORDER BY d) AS i FROM daily),
+    rec AS (
+      SELECT i, d, z, z AS x, CAST(1.0 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS k
+      FROM ser WHERE i = 1
+      UNION ALL
+      SELECT s.i, s.d, s.z,
+             r.x + ((r.p + 0.01) / ((r.p + 0.01) + 4.0)) * (s.z - r.x),
+             (1.0 - (r.p + 0.01) / ((r.p + 0.01) + 4.0)) * (r.p + 0.01),
+             (r.p + 0.01) / ((r.p + 0.01) + 4.0)
+      FROM rec r JOIN ser s ON s.i = r.i + 1)
+    SELECT d,
+           floor(x / 100.0 * 1000000 + 0.5) / 1000000 AS x_level,
+           floor(k * 1000000 + 0.5) / 1000000 AS gain,
+           floor(p * 1000000 + 0.5) / 1000000 AS p_var
+    FROM rec ORDER BY d
+"""
+
+
+@pq("kalman_filter_1d", _KALMAN_SQL)
+def kalman_filter_1d(spark, sf_dir):
+    """Local-level Kalman filter over the daily revenue series —
+    per-day filtered level, gain, and posterior variance, the exact
+    IEEE recursion replayed by the oracle's recursive CTE. The series
+    is calendar-bounded (days), so the sequential fold runs on a
+    DRIVER-COLLECTED bounded series, with the day aggregation itself
+    distributed (the accepted stream_holt class); at 100 TB the fact
+    scan dominates and the recursion stays O(days)."""
+    import pandas as pd
+
+    daily = _daily_cents(spark, sf_dir).orderBy("d").collect()
+    rows, x, p = [], None, 1.0
+    for r in daily:
+        z = r["c"] / 100.0
+        if x is None:
+            x, k = z, 0.0
+        else:
+            pp = p + 0.01
+            k = pp / (pp + 4.0)
+            x = x + k * (z - x)
+            p = (1.0 - k) * pp
+        rows.append((r["d"], x, k, p))
+    out = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["d", "x", "k", "p"])
+    )
+    return out.select(
+        "d",
+        _pin(F.col("x") / 100.0).alias("x_level"),
+        _pin(F.col("k")).alias("gain"),
+        _pin(F.col("p")).alias("p_var"),
+    ).orderBy("d")
+
+
+# --- IRR by bisection over a derived cashflow ----------------------------------------------------
+# Cashflows: t=0 pays out the TOTAL 1995 order cents (the investment),
+# t=1..10 receive the monthly 1996..(Oct 1996) order cents scaled so
+# the IRR lands inside (0, 1). NPV terms cf_t * df are pre-rounded at
+# 9dp and summed as DECIMAL(28,9), so every bisection SIGN decision is
+# exact-decimal — branch divergence between engines is impossible; df
+# accumulates by one division per period (identical IEEE sequence).
+_IRR_SQL = """
+    WITH RECURSIVE monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS m,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    cf AS (
+      SELECT 0 AS t,
+             -CAST((SELECT sum(cents) FROM monthly WHERE m LIKE '1995-%') / 4 AS BIGINT)
+               AS cents
+      UNION ALL
+      SELECT CAST(row_number() OVER (ORDER BY m) AS INT), cents
+      FROM monthly WHERE m >= '1996-01' AND m <= '1996-10'),
+    rec AS (
+      -- state: (iter, t, lo, hi, mid, df, npv-with-terms-0..t); t steps
+      -- 0..10 inside each iteration, then the DECIMAL npv sign picks
+      -- the half; the reset row re-seeds npv with the t=0 term
+      SELECT 1 AS iter, 0 AS t, CAST(0.0 AS DOUBLE) AS lo,
+             CAST(1.0 AS DOUBLE) AS hi, CAST(0.5 AS DOUBLE) AS mid,
+             CAST(1.0 AS DOUBLE) AS df,
+             CAST(floor(cents / 100.0 * 1e9 + 0.5) AS DECIMAL(28,9)) / 1e9 AS npv
+      FROM cf WHERE t = 0
+      UNION ALL
+      SELECT CASE WHEN r.t = 10 THEN r.iter + 1 ELSE r.iter END,
+             CASE WHEN r.t = 10 THEN 0 ELSE r.t + 1 END,
+             CASE WHEN r.t < 10 THEN r.lo
+                  WHEN r.npv > 0 THEN r.mid ELSE r.lo END,
+             CASE WHEN r.t < 10 THEN r.hi
+                  WHEN r.npv > 0 THEN r.hi ELSE r.mid END,
+             CASE WHEN r.t < 10 THEN r.mid
+                  WHEN r.npv > 0 THEN (r.mid + r.hi) / 2.0
+                  ELSE (r.lo + r.mid) / 2.0 END,
+             CASE WHEN r.t = 10 THEN 1.0 ELSE r.df / (1.0 + r.mid) END,
+             CASE WHEN r.t = 10
+                  THEN CAST(floor(c.cents / 100.0 * 1e9 + 0.5) AS DECIMAL(28,9)) / 1e9
+                  ELSE r.npv + CAST(floor(c.cents * (r.df / (1.0 + r.mid))
+                                          / 100.0 * 1e9 + 0.5) AS DECIMAL(28,9)) / 1e9
+             END
+      FROM rec r JOIN cf c
+        ON c.t = CASE WHEN r.t = 10 THEN 0 ELSE r.t + 1 END
+      WHERE r.iter <= 40)
+    SELECT floor(mid * 1000000 + 0.5) / 1000000 AS irr,
+           CAST(iter AS BIGINT) AS iters
+    FROM rec WHERE iter = 41 AND t = 0
+"""
+
+
+@pq("irr_bisection_npv", _IRR_SQL)
+def irr_bisection_npv(spark, sf_dir):
+    """IRR of a derived 11-period cashflow by 40 bisection steps. The
+    NPV at each step folds 9dp-pre-rounded DECIMAL terms, so the sign
+    that picks each half is exact — no branch divergence is possible —
+    and the discount factor accumulates by one IEEE division per
+    period, identical on both engines. The monthly aggregation is
+    distributed; the solve itself runs on the driver over the
+    11-element collected cashflow (bounded by construction)."""
+    from decimal import Decimal
+    import math
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+             .cast("bigint").alias("cents"))
+    )
+    rows = {r["m"]: r["cents"] for r in monthly.collect()}
+    inv = -(sum(v for k, v in rows.items() if k.startswith("1995-")) // 4)
+    cf = [inv] + [rows[m] for m in sorted(rows) if "1996-01" <= m <= "1996-10"]
+    lo, hi = 0.0, 1.0
+    mid = 0.5
+    for _ in range(40):
+        df, npv = 1.0, Decimal(0)
+        for t, cents in enumerate(cf):
+            if t > 0:
+                df = df / (1.0 + mid)
+            npv += Decimal(math.floor(cents * df / 100.0 * 1e9 + 0.5)) / Decimal(10**9)
+        if npv > 0:
+            lo, mid = mid, (mid + hi) / 2.0
+        else:
+            hi, mid = mid, (lo + mid) / 2.0
+    out = spark.createDataFrame([(mid, 41)], "irr double, iters long")
+    return out.select(_pin(F.col("irr")).alias("irr"), "iters")
+
+
+# --- Fixed-rate amortization schedule ------------------------------------------------------------
+# Principal = total January-1995 order cents; rate 0.5%/month exactly
+# (interest = HALF_UP(balance/200) = (balance+100) DIV 200 — pure
+# integer arithmetic); payment from the annuity formula with
+# (201/200)^24 built by explicit exponentiation-by-squaring (5 IEEE
+# multiplies, identical both engines), HALF_UP to cents once. After
+# that the ENTIRE 24-row schedule is exact BIGINT arithmetic; the
+# last payment clears the residual balance exactly.
+_AMORT_SQL = """
+    WITH RECURSIVE p0 AS (
+      SELECT CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS principal
+      FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'),
+    f AS (
+      SELECT principal,
+             ((CAST(1.005 AS DOUBLE) * CAST(1.005 AS DOUBLE))
+              * (CAST(1.005 AS DOUBLE) * CAST(1.005 AS DOUBLE))) AS f4
+      FROM p0),
+    pay AS (
+      SELECT principal,
+             CAST(floor(CAST(principal AS DOUBLE) * 0.005
+                        * (f4 * f4 * (f4 * f4 * f4 * f4))
+                        / ((f4 * f4 * (f4 * f4 * f4 * f4)) - 1.0) + 0.5) AS BIGINT)
+               AS payment
+      FROM f),
+    rec AS (
+      SELECT 1 AS month, principal AS bal_before,
+             (principal + 100) // 200 AS interest,
+             payment - (principal + 100) // 200 AS princ_part,
+             principal - (payment - (principal + 100) // 200) AS bal_after,
+             payment
+      FROM pay
+      UNION ALL
+      SELECT r.month + 1, r.bal_after,
+             (r.bal_after + 100) // 200,
+             CASE WHEN r.month + 1 = 24 THEN r.bal_after
+                  ELSE r.payment - (r.bal_after + 100) // 200 END,
+             CASE WHEN r.month + 1 = 24 THEN 0
+                  ELSE r.bal_after - (r.payment - (r.bal_after + 100) // 200) END,
+             r.payment
+      FROM rec r WHERE r.month < 24)
+    SELECT CAST(month AS BIGINT) AS month,
+           CAST(bal_before AS BIGINT) AS bal_before,
+           CAST(interest AS BIGINT) AS interest,
+           CAST(princ_part AS BIGINT) AS principal_part,
+           CAST(bal_after AS BIGINT) AS bal_after,
+           CAST(CASE WHEN month = 24 THEN interest + princ_part ELSE payment END
+                AS BIGINT) AS payment
+    FROM rec ORDER BY month
+"""
+
+
+@pq("amortization_schedule", _AMORT_SQL)
+def amortization_schedule(spark, sf_dir):
+    """24-month fixed-rate amortization of the January-1995 order
+    total: one annuity-formula payment (exponentiation-by-squaring,
+    HALF_UP to cents once), then a pure BIGINT recursion — interest =
+    (balance+100) DIV 200 — whose final payment clears the balance
+    exactly. Distributed aggregation feeds a bounded driver fold (24
+    rows), the round12 recursion discipline."""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders")
+    principal = (
+        o.where(F.date_format("o_orderdate", "yyyy-MM") == "1995-01")
+        .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+             .cast("bigint").alias("p"))
+        .collect()[0]["p"]
+    )
+    f4 = (1.005 * 1.005) * (1.005 * 1.005)
+    f24 = f4 * f4 * (f4 * f4 * f4 * f4)
+    import math
+    payment = int(math.floor(principal * 0.005 * f24 / (f24 - 1.0) + 0.5))
+    rows, bal = [], principal
+    for m in range(1, 25):
+        interest = (bal + 100) // 200
+        if m == 24:
+            princ_part, pay = bal, interest + bal
+        else:
+            princ_part, pay = payment - interest, payment
+        rows.append((m, bal, interest, princ_part, bal - princ_part, pay))
+        bal -= princ_part
+    out = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "month", "bal_before", "interest", "principal_part", "bal_after", "payment"
+        ])
+    )
+    return out.select(*[F.col(c).cast("bigint").alias(c) for c in out.columns]).orderBy("month")
+
+
+# --- Bond duration / convexity --------------------------------------------------------------------
+# A 5-year semiannual 3% bond priced at 2%/period yield: PV terms
+# cf_t * 1.02^-t pre-rounded at 9dp (pow on identical literal inputs),
+# summed as DECIMAL; Macaulay duration, modified duration, and
+# convexity are DECIMAL ratios pinned at 6dp. Face value scales with
+# the data (total 1995-01 cents) so the entry is data-driven without
+# touching the float discipline.
+_BOND_SQL = """
+    WITH face AS (
+      SELECT CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS fv
+      FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'),
+    per AS (SELECT unnest(range(1, 11)) AS t),
+    cf AS (
+      SELECT p.t,
+             CAST((f.fv * 15 + 500) // 1000 AS BIGINT)
+               + CASE WHEN p.t = 10 THEN f.fv ELSE 0 END AS cents
+      FROM per p, face f),
+    pv AS (
+      SELECT t, cents,
+             CAST(floor(cents * power(1.02, -t) / 100.0 * 1e9 + 0.5)
+                  AS DECIMAL(28,9)) / 1e9 AS pv_d,
+             CAST(floor(t * cents * power(1.02, -t) / 100.0 * 1e9 + 0.5)
+                  AS DECIMAL(28,9)) / 1e9 AS tpv_d,
+             CAST(floor(t * (t + 1) * cents * power(1.02, -t) / 100.0 * 1e9 + 0.5)
+                  AS DECIMAL(28,9)) / 1e9 AS ttpv_d
+      FROM cf),
+    agg AS (
+      SELECT CAST(sum(pv_d) AS DOUBLE) AS price,
+             CAST(sum(tpv_d) AS DOUBLE) AS tpv,
+             CAST(sum(ttpv_d) AS DOUBLE) AS ttpv
+      FROM pv)
+    SELECT floor(price * 100 + 0.5) / 100 AS price,
+           floor(tpv / price / 2.0 * 1000000 + 0.5) / 1000000 AS macaulay_yr,
+           floor(tpv / price / 2.0 / 1.02 * 1000000 + 0.5) / 1000000 AS modified_yr,
+           floor(ttpv / price / (1.02 * 1.02) / 4.0 * 1000000 + 0.5) / 1000000
+             AS convexity_yr2
+    FROM agg
+"""
+
+
+@pq("bond_duration_convexity", _BOND_SQL)
+def bond_duration_convexity(spark, sf_dir):
+    """Price, Macaulay/modified duration, and convexity of a 5-year
+    semiannual 3% bond at 2%/period yield, face value = total Jan-1995
+    order cents: PV terms pre-rounded at 9dp and folded as DECIMAL, so
+    the three ratio statistics are engine-exact at the 6dp pin. Plan:
+    one distributed agg for the face value; the 10-period grid is a
+    broadcast scalar table."""
+    o = _t(spark, sf_dir, "orders")
+    face = (
+        o.where(F.date_format("o_orderdate", "yyyy-MM") == "1995-01")
+        .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+             .cast("bigint").alias("fv"))
+    )
+    per = spark.range(1, 11).select(F.col("id").cast("int").alias("t"))
+    cf = per.crossJoin(F.broadcast(face)).select(
+        "t",
+        (((F.col("fv") * 15 + 500) / 1000).cast("bigint")
+         + F.when(F.col("t") == 10, F.col("fv")).otherwise(F.lit(0))).alias("cents"),
+    )
+
+    def d9(expr):
+        return F.floor(expr * 1e9 + F.lit(0.5)).cast("decimal(28,9)") / 1e9
+
+    dfac = F.pow(F.lit(1.02), -F.col("t"))
+    pv = cf.select(
+        d9(F.col("cents") * dfac / 100.0).alias("pv_d"),
+        d9(F.col("t") * F.col("cents") * dfac / 100.0).alias("tpv_d"),
+        d9(F.col("t") * (F.col("t") + 1) * F.col("cents") * dfac / 100.0).alias("ttpv_d"),
+    )
+    agg = pv.agg(
+        F.sum("pv_d").cast("double").alias("price"),
+        F.sum("tpv_d").cast("double").alias("tpv"),
+        F.sum("ttpv_d").cast("double").alias("ttpv"),
+    )
+    return agg.select(
+        (F.floor(F.col("price") * 100 + F.lit(0.5)) / 100).alias("price"),
+        _pin(F.col("tpv") / F.col("price") / 2.0).alias("macaulay_yr"),
+        _pin(F.col("tpv") / F.col("price") / 2.0 / 1.02).alias("modified_yr"),
+        _pin(F.col("ttpv") / F.col("price") / (1.02 * 1.02) / 4.0).alias("convexity_yr2"),
+    )
