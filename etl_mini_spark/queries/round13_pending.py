@@ -1625,3 +1625,665 @@ def bond_duration_convexity(spark, sf_dir):
         _pin(F.col("tpv") / F.col("price") / 2.0 / 1.02).alias("modified_yr"),
         _pin(F.col("ttpv") / F.col("price") / (1.02 * 1.02) / 4.0).alias("convexity_yr2"),
     )
+
+
+# =====================================================================
+# Block E — multivariate statistics / ML
+# =====================================================================
+
+# --- Two-predictor OLS via normal equations -----------------------------------------------------
+# Daily revenue cents regressed on (order count, distinct customers):
+# every moment sum is an exact BIGINT from one hash agg; the 3x3
+# normal-equation solve is closed-form Cramer arithmetic on the
+# once-converted doubles — one identical IEEE sequence on both
+# engines, no iterative fitting, no libm. The 100-TB shape: moments
+# are ONE distributed agg; the solve is O(1) driver arithmetic.
+_OLS2_SQL = """
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+             CAST(count(*) AS BIGINT) AS x1,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS x2,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+             CAST(sum(x1 * x2) AS BIGINT) AS sx1x2,
+             CAST(sum(x2 * x2) AS BIGINT) AS sx2x2,
+             CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+             CAST(sum(x2 * y) AS BIGINT) AS sx2y
+      FROM daily),
+    solve AS (
+      SELECT n,
+             -- Cramer on the 3x3 system [n sx1 sx2; sx1 sx1x1 sx1x2; sx2 sx1x2 sx2x2]
+             CAST(n AS DOUBLE) AS a, CAST(sx1 AS DOUBLE) AS b, CAST(sx2 AS DOUBLE) AS c,
+             CAST(sx1x1 AS DOUBLE) AS e, CAST(sx1x2 AS DOUBLE) AS f,
+             CAST(sx2x2 AS DOUBLE) AS g,
+             CAST(sy AS DOUBLE) AS p, CAST(sx1y AS DOUBLE) AS q, CAST(sx2y AS DOUBLE) AS r
+      FROM m),
+    det AS (
+      SELECT n,
+             a * (e * g - f * f) - b * (b * g - f * c) + c * (b * f - e * c) AS d0,
+             p * (e * g - f * f) - b * (q * g - f * r) + c * (q * f - e * r) AS d1,
+             a * (q * g - f * r) - p * (b * g - f * c) + c * (b * r - q * c) AS d2,
+             a * (e * r - q * f) - b * (b * r - q * c) + p * (b * f - e * c) AS d3
+      FROM solve)
+    SELECT n,
+           floor(d1 / d0 / 100.0 * 1000000 + 0.5) / 1000000 AS intercept,
+           floor(d2 / d0 / 100.0 * 1000000 + 0.5) / 1000000 AS beta_orders,
+           floor(d3 / d0 / 100.0 * 1000000 + 0.5) / 1000000 AS beta_customers
+    FROM det
+"""
+
+
+@pq("ols_two_predictors", _OLS2_SQL)
+def ols_two_predictors(spark, sf_dir):
+    """Two-predictor OLS (daily revenue ~ order count + distinct
+    customers) solved in closed form: exact-BIGINT moment sums from
+    one distributed hash agg, then Cramer's rule on the once-converted
+    doubles with an identical IEEE sequence — the normal-equation path
+    that needs no iterations and scales as one aggregation pass."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x1"),
+        F.countDistinct("o_custkey").cast("bigint").alias("x2"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("bigint").alias("y"),
+    )
+    m = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("sx1x1"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("sx1x2"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("sx2y"),
+    )
+    a, b, c = F.col("n").cast("double"), F.col("sx1").cast("double"), F.col("sx2").cast("double")
+    e, f_, g = (F.col("sx1x1").cast("double"), F.col("sx1x2").cast("double"),
+                F.col("sx2x2").cast("double"))
+    p_, q, r = (F.col("sy").cast("double"), F.col("sx1y").cast("double"),
+                F.col("sx2y").cast("double"))
+    d0 = a * (e * g - f_ * f_) - b * (b * g - f_ * c) + c * (b * f_ - e * c)
+    d1 = p_ * (e * g - f_ * f_) - b * (q * g - f_ * r) + c * (q * f_ - e * r)
+    d2 = a * (q * g - f_ * r) - p_ * (b * g - f_ * c) + c * (b * r - q * c)
+    d3 = a * (e * r - q * f_) - b * (b * r - q * c) + p_ * (b * f_ - e * c)
+    return m.select(
+        "n",
+        _pin(d1 / d0 / 100.0).alias("intercept"),
+        _pin(d2 / d0 / 100.0).alias("beta_orders"),
+        _pin(d3 / d0 / 100.0).alias("beta_customers"),
+    )
+
+
+# --- Mahalanobis outliers in (price, order-age) space --------------------------------------------
+# 2x2 covariance from exact integer sums, closed-form inverse, squared
+# Mahalanobis distance per order as one IEEE expression — top-10 by
+# (6dp distance DESC, orderkey). The multivariate outlier detector
+# whose moments are one agg and whose scoring is pure codegen.
+_MAHA_SQL = """
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+             CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS yd
+      FROM orders),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(yd) AS BIGINT) AS sy,
+             CAST(sum(xc * xc) AS HUGEINT) AS sxx,
+             CAST(sum(xc * yd) AS HUGEINT) AS sxy,
+             CAST(sum(yd * yd) AS HUGEINT) AS syy
+      FROM pts),
+    cov AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / n)) / (n - 1) AS vxx,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / n)) / (n - 1) AS vxy,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * (CAST(sy AS DOUBLE) / n)) / (n - 1) AS vyy
+      FROM m),
+    scored AS (
+      SELECT p.o_orderkey,
+             ((CAST(p.xc AS DOUBLE) - c.mx) * (c.vyy * (CAST(p.xc AS DOUBLE) - c.mx)
+                                               - c.vxy * (CAST(p.yd AS DOUBLE) - c.my))
+              + (CAST(p.yd AS DOUBLE) - c.my) * (c.vxx * (CAST(p.yd AS DOUBLE) - c.my)
+                                                 - c.vxy * (CAST(p.xc AS DOUBLE) - c.mx)))
+             / (c.vxx * c.vyy - c.vxy * c.vxy) AS d2
+      FROM pts p, cov c)
+    SELECT o_orderkey, floor(d2 * 1000000 + 0.5) / 1000000 AS maha_d2
+    FROM scored
+    ORDER BY maha_d2 DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+@pq("mahalanobis_outliers_2d", _MAHA_SQL)
+def mahalanobis_outliers_2d(spark, sf_dir):
+    """Top-10 Mahalanobis outliers in (total price, order age) space:
+    exact-BIGINT/HUGEINT moment sums, closed-form 2x2 inverse, one
+    identical IEEE scoring expression per row, (6dp DESC, orderkey)
+    tie-broken top-k. Plan: one moments agg broadcast onto one scoring
+    scan — no window over the fact table, the top-k is a TakeOrdered."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("xc"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint").alias("yd"),
+    )
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("sx"),
+        F.sum("yd").cast("bigint").alias("sy"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc")).alias("sxx"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("yd")).alias("sxy"),
+        F.sum(F.col("yd").cast("decimal(38,0)") * F.col("yd")).alias("syy"),
+    )
+    n = F.col("n")
+    mx, my = F.col("sx").cast("double") / n, F.col("sy").cast("double") / n
+    cov = m.select(
+        "n", mx.alias("mx"), my.alias("my"),
+        ((F.col("sxx").cast("double") - F.col("sx").cast("double") * (F.col("sx").cast("double") / n)) / (n - 1)).alias("vxx"),
+        ((F.col("sxy").cast("double") - F.col("sx").cast("double") * (F.col("sy").cast("double") / n)) / (n - 1)).alias("vxy"),
+        ((F.col("syy").cast("double") - F.col("sy").cast("double") * (F.col("sy").cast("double") / n)) / (n - 1)).alias("vyy"),
+    )
+    dx = F.col("xc").cast("double") - F.col("mx")
+    dy = F.col("yd").cast("double") - F.col("my")
+    d2 = (
+        (dx * (F.col("vyy") * dx - F.col("vxy") * dy)
+         + dy * (F.col("vxx") * dy - F.col("vxy") * dx))
+        / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+    )
+    return (
+        pts.crossJoin(F.broadcast(cov))
+        .select("o_orderkey", _pin(d2).alias("maha_d2"))
+        .orderBy(F.col("maha_d2").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --- Closed-form 2x2 PCA ---------------------------------------------------------------------------
+# Eigenvalues of the same 2x2 covariance by the quadratic formula
+# (sqrt is IEEE-correctly-rounded on both engines, so exact-integer-
+# derived doubles need no pre-rounding), explained-variance ratio and
+# the first component's slope in closed form — PCA as one aggregation
+# pass + O(1) arithmetic, the way a 2-feature screen actually runs.
+_PCA2_SQL = """
+    WITH pts AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+             CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS yd
+      FROM orders),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(yd) AS BIGINT) AS sy,
+             CAST(sum(xc * xc) AS HUGEINT) AS sxx,
+             CAST(sum(xc * yd) AS HUGEINT) AS sxy,
+             CAST(sum(yd * yd) AS HUGEINT) AS syy
+      FROM pts),
+    cov AS (
+      SELECT n,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / n)) / (n - 1) AS vxx,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / n)) / (n - 1) AS vxy,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * (CAST(sy AS DOUBLE) / n)) / (n - 1) AS vyy
+      FROM m),
+    eig AS (
+      SELECT n, vxx, vxy, vyy,
+             (vxx + vyy) / 2.0 + sqrt(((vxx - vyy) / 2.0) * ((vxx - vyy) / 2.0)
+                                      + vxy * vxy) AS l1,
+             (vxx + vyy) / 2.0 - sqrt(((vxx - vyy) / 2.0) * ((vxx - vyy) / 2.0)
+                                      + vxy * vxy) AS l2
+      FROM cov)
+    SELECT n,
+           floor(l1 / (l1 + l2) * 1000000 + 0.5) / 1000000 AS explained_ratio,
+           floor((l1 - vxx) / vxy * 1000000 + 0.5) / 1000000 AS pc1_slope,
+           floor(l2 / l1 * 1000000 + 0.5) / 1000000 AS condition_inv
+    FROM eig
+"""
+
+
+@pq("pca_eigen_2d", _PCA2_SQL)
+def pca_eigen_2d(spark, sf_dir):
+    """Closed-form 2x2 PCA over (price, order-age): eigenvalues by the
+    quadratic formula on the exact-moment covariance (IEEE sqrt is
+    correctly rounded — no pre-round needed on exact-derived doubles),
+    explained-variance ratio and first-component slope at 6dp. One
+    distributed moments agg + O(1) arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("xc"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint").alias("yd"),
+    )
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("sx"),
+        F.sum("yd").cast("bigint").alias("sy"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc")).alias("sxx"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("yd")).alias("sxy"),
+        F.sum(F.col("yd").cast("decimal(38,0)") * F.col("yd")).alias("syy"),
+    )
+    n = F.col("n")
+    cov = m.select(
+        "n",
+        ((F.col("sxx").cast("double") - F.col("sx").cast("double") * (F.col("sx").cast("double") / n)) / (n - 1)).alias("vxx"),
+        ((F.col("sxy").cast("double") - F.col("sx").cast("double") * (F.col("sy").cast("double") / n)) / (n - 1)).alias("vxy"),
+        ((F.col("syy").cast("double") - F.col("sy").cast("double") * (F.col("sy").cast("double") / n)) / (n - 1)).alias("vyy"),
+    )
+    half_diff = (F.col("vxx") - F.col("vyy")) / 2.0
+    root = F.sqrt(half_diff * half_diff + F.col("vxy") * F.col("vxy"))
+    mid = (F.col("vxx") + F.col("vyy")) / 2.0
+    eig = cov.select(
+        "n", "vxx", "vxy", "vyy",
+        (mid + root).alias("l1"), (mid - root).alias("l2"),
+    )
+    return eig.select(
+        "n",
+        _pin(F.col("l1") / (F.col("l1") + F.col("l2"))).alias("explained_ratio"),
+        _pin((F.col("l1") - F.col("vxx")) / F.col("vxy")).alias("pc1_slope"),
+        _pin(F.col("l2") / F.col("l1")).alias("condition_inv"),
+    )
+
+
+# --- Two rounds of gradient-boosted decision stumps ------------------------------------------------
+# Regression boosting on exact integers end-to-end: round 1 fits the
+# best stump on priority rank (thresholds 1..4), round 2 fits the best
+# stump on order month (1..11) over the ROUND-1 RESIDUALS — and because
+# stump predictions are per-side constants (HALF_UP'd to exact cents),
+# the residual sums per month cell derive from one bounded
+# (priority, month) base agg with NO per-row residual materialization.
+# Gains use the variance-reduction identity SL^2/nL + SR^2/nR - S^2/n
+# on once-converted doubles (identical IEEE sequence), tie-broken by
+# threshold; reported in dollars^2 at 2dp.
+_GBST_SQL = """
+    WITH base AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS f1,
+             CAST(month(o_orderdate) AS INT) AS f2,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS sy
+      FROM orders GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sy) AS BIGINT) AS s FROM base),
+    g1 AS (
+      SELECT t.t,
+             CAST(sum(CASE WHEN b.f1 <= t.t THEN b.n ELSE 0 END) AS BIGINT) AS nl,
+             CAST(sum(CASE WHEN b.f1 <= t.t THEN b.sy ELSE 0 END) AS BIGINT) AS sl
+      FROM (SELECT unnest(range(1, 5)) AS t) t CROSS JOIN base b
+      GROUP BY t.t),
+    g1s AS (
+      SELECT g.t, g.nl, g.sl, o.n - g.nl AS nr, o.s - g.sl AS sr,
+             CAST(g.sl AS DOUBLE) * g.sl / g.nl
+               + CAST(o.s - g.sl AS DOUBLE) * (o.s - g.sl) / (o.n - g.nl)
+               - CAST(o.s AS DOUBLE) * o.s / o.n AS gain
+      FROM g1 g, tot o
+      WHERE g.nl > 0 AND o.n - g.nl > 0),
+    best1 AS (
+      SELECT *, (2 * sl + nl) // (2 * nl) AS pl, (2 * sr + nr) // (2 * nr) AS pr
+      FROM g1s ORDER BY gain DESC, t LIMIT 1),
+    resid AS (
+      SELECT b.f2,
+             CAST(sum(b.n) AS BIGINT) AS n,
+             CAST(sum(b.sy - b.n * CASE WHEN b.f1 <= w.t THEN w.pl ELSE w.pr END)
+                  AS BIGINT) AS rs
+      FROM base b, best1 w GROUP BY 1),
+    rtot AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(rs) AS BIGINT) AS s FROM resid),
+    g2 AS (
+      SELECT t.t,
+             CAST(sum(CASE WHEN r.f2 <= t.t THEN r.n ELSE 0 END) AS BIGINT) AS nl,
+             CAST(sum(CASE WHEN r.f2 <= t.t THEN r.rs ELSE 0 END) AS BIGINT) AS sl
+      FROM (SELECT unnest(range(1, 12)) AS t) t CROSS JOIN resid r
+      GROUP BY t.t),
+    g2s AS (
+      SELECT g.t, g.nl, g.sl, o.n - g.nl AS nr, o.s - g.sl AS sr,
+             CAST(g.sl AS DOUBLE) * g.sl / g.nl
+               + CAST(o.s - g.sl AS DOUBLE) * (o.s - g.sl) / (o.n - g.nl)
+               - CAST(o.s AS DOUBLE) * o.s / o.n AS gain
+      FROM g2 g, rtot o
+      WHERE g.nl > 0 AND o.n - g.nl > 0),
+    best2 AS (SELECT * FROM g2s ORDER BY gain DESC, t LIMIT 1)
+    SELECT 1 AS round, 'priority' AS feature, CAST(t AS BIGINT) AS threshold,
+           floor(gain / 10000.0 * 100 + 0.5) / 100 AS gain_usd2,
+           floor(CAST(sl AS DOUBLE) / nl / 100.0 * 100 + 0.5) / 100 AS mean_left,
+           floor(CAST(sr AS DOUBLE) / nr / 100.0 * 100 + 0.5) / 100 AS mean_right
+    FROM best1
+    UNION ALL
+    SELECT 2, 'month', CAST(t AS BIGINT),
+           floor(gain / 10000.0 * 100 + 0.5) / 100,
+           floor(CAST(sl AS DOUBLE) / nl / 100.0 * 100 + 0.5) / 100,
+           floor(CAST(sr AS DOUBLE) / nr / 100.0 * 100 + 0.5) / 100
+    FROM best2
+    ORDER BY round
+"""
+
+
+@pq("gradient_boost_stumps", _GBST_SQL)
+def gradient_boost_stumps(spark, sf_dir):
+    """Two boosting rounds of regression stumps (priority rank, then
+    order month over the round-1 residuals) with exact-integer
+    arithmetic end-to-end: per-side predictions HALF_UP'd to cents, so
+    round-2 residual sums derive from one bounded (f1, f2) base agg
+    with no per-row residual pass; variance-reduction gains on
+    once-converted doubles, threshold tie-breaks. One fact-table agg
+    total — boosting as aggregation, the 100-TB shape."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("f1"),
+        F.month("o_orderdate").cast("int").alias("f2"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("bigint").alias("sy"),
+    )
+
+    def best_stump(cells, feat_col, val_col, n_col, s_col, t_lo, t_hi):
+        tgrid = spark.range(t_lo, t_hi + 1).select(F.col("id").cast("int").alias("t"))
+        g = (
+            tgrid.crossJoin(cells)
+            .groupBy("t")
+            .agg(
+                F.sum(F.when(F.col(feat_col) <= F.col("t"), F.col(n_col)).otherwise(0))
+                .cast("bigint").alias("nl"),
+                F.sum(F.when(F.col(feat_col) <= F.col("t"), F.col(s_col)).otherwise(0))
+                .cast("bigint").alias("sl"),
+                F.sum(F.col(n_col)).cast("bigint").alias("n"),
+                F.sum(F.col(s_col)).cast("bigint").alias("s"),
+            )
+            .withColumn("nr", F.col("n") - F.col("nl"))
+            .withColumn("sr", F.col("s") - F.col("sl"))
+            .where((F.col("nl") > 0) & (F.col("nr") > 0))
+        )
+        gain = (
+            F.col("sl").cast("double") * F.col("sl") / F.col("nl")
+            + F.col("sr").cast("double") * F.col("sr") / F.col("nr")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        return (
+            g.withColumn("gain", gain)
+            .orderBy(F.col("gain").desc(), "t")
+            .limit(1)
+        )
+
+    best1 = best_stump(base, "f1", None, "n", "sy", 1, 4).select(
+        "t", "nl", "sl", "nr", "sr", "gain",
+        F.floor((2 * F.col("sl") + F.col("nl")) / (2 * F.col("nl"))).cast("long").alias("pl"),
+        F.floor((2 * F.col("sr") + F.col("nr")) / (2 * F.col("nr"))).cast("long").alias("pr"),
+    )
+    resid = (
+        base.crossJoin(F.broadcast(best1.select("t", "pl", "pr")))
+        .groupBy("f2")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum(
+                F.col("sy")
+                - F.col("n") * F.when(F.col("f1") <= F.col("t"), F.col("pl")).otherwise(F.col("pr"))
+            ).cast("bigint").alias("rs"),
+        )
+    )
+    best2 = best_stump(resid, "f2", None, "n", "rs", 1, 11)
+
+    def emit(best, rnd, feat):
+        p2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+        return best.select(
+            F.lit(rnd).alias("round"), F.lit(feat).alias("feature"),
+            F.col("t").cast("bigint").alias("threshold"),
+            p2(F.col("gain") / 10000.0).alias("gain_usd2"),
+            p2(F.col("sl").cast("double") / F.col("nl") / 100.0).alias("mean_left"),
+            p2(F.col("sr").cast("double") / F.col("nr") / 100.0).alias("mean_right"),
+        )
+
+    return emit(best1, 1, "priority").unionByName(emit(best2, 2, "month")).orderBy("round")
+
+
+# --- Isotonic regression by the minimax characterization --------------------------------------------
+# The L2 isotonic fit over the 30-day revenue series via
+# fitted(j) = max_{i<=j} min_{k>=j} avg(y[i..k]) — the closed minimax
+# form of pool-adjacent-violators, exact on a calendar-bounded grid
+# (O(days^3) pairs = trivial; the day aggregation is the only
+# fact-table pass). Averages are one division of exact integer sums;
+# min/max over identical doubles are engine-identical.
+_ISOPAV_SQL = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    ser AS (SELECT d, c, row_number() OVER (ORDER BY d) AS i,
+                   sum(c) OVER (ORDER BY d) AS pre
+            FROM daily),
+    seg AS (
+      SELECT a.i AS i, b.i AS k,
+             CAST(b.pre - a.pre + a.c AS DOUBLE) / (b.i - a.i + 1) AS avg_ik
+      FROM ser a JOIN ser b ON a.i <= b.i),
+    inner_min AS (
+      SELECT s.i, j.i AS j, min(s.avg_ik) AS m
+      FROM seg s JOIN ser j ON s.i <= j.i AND s.k >= j.i
+      GROUP BY s.i, j.i)
+    SELECT s.d, CAST(s.c AS BIGINT) AS c,
+           floor(max(im.m) / 100.0 * 1000000 + 0.5) / 1000000 AS fitted
+    FROM inner_min im JOIN ser s ON s.i = im.j
+    WHERE im.i <= im.j
+    GROUP BY s.d, s.c
+    ORDER BY s.d
+"""
+
+
+@pq("isotonic_regression_pav", _ISOPAV_SQL)
+def isotonic_regression_pav(spark, sf_dir):
+    """Isotonic (monotone non-decreasing) regression of the daily
+    revenue series via the minimax characterization of PAV:
+    fitted(j) = max over i<=j of min over k>=j of the segment average
+    — exact on the calendar-bounded grid, with segment averages one
+    division of exact integer prefix sums. The fact-table pass is the
+    day aggregation alone; the O(days^3) grid is bounded by the
+    calendar, not the data."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("d")
+    ser = daily.select(
+        "d", "c",
+        F.row_number().over(w).alias("i"),
+        F.sum("c").over(w).alias("pre"),
+    )
+    a, b = ser.alias("a"), ser.alias("b")
+    seg = a.join(b, F.col("a.i") <= F.col("b.i")).select(
+        F.col("a.i").alias("i"), F.col("b.i").alias("k"),
+        ((F.col("b.pre") - F.col("a.pre") + F.col("a.c")).cast("double")
+         / (F.col("b.i") - F.col("a.i") + 1)).alias("avg_ik"),
+    )
+    jgrid = ser.select(F.col("i").alias("j"))
+    inner = (
+        seg.join(jgrid, (F.col("i") <= F.col("j")) & (F.col("k") >= F.col("j")))
+        .groupBy("i", "j")
+        .agg(F.min("avg_ik").alias("m"))
+    )
+    return (
+        inner.where(F.col("i") <= F.col("j"))
+        .groupBy("j")
+        .agg(F.max("m").alias("fit_c"))
+        .join(ser.select("d", "c", F.col("i").alias("j")), "j")
+        .select("d", F.col("c").cast("bigint").alias("c"),
+                _pin(F.col("fit_c") / 100.0).alias("fitted"))
+        .orderBy("d")
+    )
+
+
+# =====================================================================
+# Block F — SQL-surface parity differentials
+# =====================================================================
+
+# --- Window frame EXCLUDE modes (CURRENT ROW / TIES / GROUP) ------------------------------------
+# DuckDB evaluates the SQL:2011 EXCLUDE clause natively; Spark has no
+# EXCLUDE at all, so the engine re-expresses all three modes from two
+# primitive aggregates — frame sum (RANGE +/-1000 cents over 10-dollar
+# order buckets, deterministic under ties) and peer-group sum:
+#   exclude current = frame - v
+#   exclude group   = frame - peers
+#   exclude ties    = frame - peers + v
+# Exact BIGINT cents throughout; ties are real (bucketed order key).
+_EXCLF_SQL = """
+    WITH pe AS (
+      SELECT event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000 * 1000
+                  AS BIGINT) AS ord
+      FROM events WHERE event_type = 'purchase')
+    SELECT event_id, v, ord,
+           CAST(sum(v) OVER (ORDER BY ord RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+                        EXCLUDE CURRENT ROW) AS BIGINT) AS ex_current,
+           CAST(sum(v) OVER (ORDER BY ord RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+                        EXCLUDE TIES) AS BIGINT) AS ex_ties,
+           CAST(sum(v) OVER (ORDER BY ord RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+                        EXCLUDE GROUP) AS BIGINT) AS ex_group
+    FROM pe ORDER BY event_id
+"""
+
+
+@pq("window_exclude_frames_parity", _EXCLF_SQL)
+def window_exclude_frames_parity(spark, sf_dir):
+    """SQL:2011 window EXCLUDE clause differential: DuckDB runs the
+    native EXCLUDE CURRENT ROW / TIES / GROUP; Spark (which has no
+    EXCLUDE) derives all three from a RANGE frame sum and a peer-group
+    sum — frame-v, frame-peers+v, frame-peers. Exact BIGINT cents so
+    the parity is bit-exact. Plan: two windows over the same sort
+    order (one exchange), everything codegen."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    pe = e.select(
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+    ).withColumn("ord", (F.floor(F.col("v") / 1000) * 1000).cast("bigint"))
+    wf = Window.orderBy("ord").rangeBetween(-1000, 1000)
+    wp = Window.partitionBy("ord")
+    out = pe.select(
+        "event_id", "v", "ord",
+        (F.sum("v").over(wf)).alias("frame"),
+        (F.count("*").over(wf)).alias("nf"),
+        (F.sum("v").over(wp)).alias("peers"),
+        (F.count("*").over(wp)).alias("np"),
+    )
+    # SQL semantics: an emptied exclusion frame aggregates to NULL
+    return out.select(
+        "event_id", "v", "ord",
+        F.when(F.col("nf") > 1, F.col("frame") - F.col("v"))
+        .cast("bigint").alias("ex_current"),
+        (F.col("frame") - F.col("peers") + F.col("v")).cast("bigint").alias("ex_ties"),
+        F.when(F.col("nf") > F.col("np"), F.col("frame") - F.col("peers"))
+        .cast("bigint").alias("ex_group"),
+    ).orderBy("event_id")
+
+
+# --- QUALIFY semantics parity ---------------------------------------------------------------------
+# DuckDB's native QUALIFY filters on windows that never appear in the
+# projection — two different windows in one predicate. Spark has no
+# QUALIFY; the engine lowers it to a subquery with materialized window
+# columns then drops them, which is exactly what the clause sugars.
+_QUALIFY_SQL = """
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS mth, o_orderpriority AS pri,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2)
+    SELECT mth, pri, cents
+    FROM m
+    QUALIFY row_number() OVER (PARTITION BY mth ORDER BY cents DESC, pri) <= 2
+        AND cents > avg(cents) OVER (PARTITION BY mth)
+    ORDER BY mth, pri
+"""
+
+
+@pq("qualify_filter_parity", _QUALIFY_SQL)
+def qualify_filter_parity(spark, sf_dir):
+    """QUALIFY lowering parity: the oracle filters on two windows that
+    never reach the projection (top-2 rank AND above the partition
+    mean); Spark lowers the clause to materialized window columns +
+    filter + drop — the exact desugaring. Integer cents keep the mean
+    comparison engine-exact (avg of BIGINTs compared to a BIGINT —
+    one identical division)."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mth"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("bigint").alias("cents")
+    )
+    wr = Window.partitionBy("mth").orderBy(F.col("cents").desc(), "pri")
+    wa = Window.partitionBy("mth")
+    return (
+        m.withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__avg", F.avg("cents").over(wa))
+        .where((F.col("__rn") <= 2) & (F.col("cents") > F.col("__avg")))
+        .select("mth", "pri", "cents")
+        .orderBy("mth", "pri")
+    )
+
+
+# --- Regex path classification over sessions (MATCH_RECOGNIZE-lite) --------------------------------
+# Each user session (30-min gap) compresses to a string of event-type
+# initials in (ts, event_id) order; RE2-safe regexes (no backrefs —
+# DuckDB is RE2, Spark is Java regex; the patterns stay in the common
+# subset) classify journey shapes, and the counts per shape class are
+# the output — the pattern-matching analytics MATCH_RECOGNIZE sells,
+# from one window + one ordered string agg.
+_REGEXPATH_SQL = """
+    WITH g AS (
+      SELECT user_id, event_id, ts, substr(event_type, 1, 1) AS ch,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts, ch,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+      FROM g),
+    paths AS (
+      SELECT user_id, sess,
+             string_agg(ch, '' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY 1, 2)
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_sessions,
+      CAST(sum(CASE WHEN regexp_matches(path, '^v') THEN 1 ELSE 0 END) AS BIGINT)
+        AS starts_view,
+      CAST(sum(CASE WHEN regexp_matches(path, 'v[cv]*p') THEN 1 ELSE 0 END) AS BIGINT)
+        AS view_to_purchase,
+      CAST(sum(CASE WHEN len(path) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+      CAST(sum(CASE WHEN regexp_matches(path, 'e') THEN 1 ELSE 0 END) AS BIGINT)
+        AS with_error,
+      CAST(sum(CASE WHEN regexp_matches(path, 'ccc') THEN 1 ELSE 0 END) AS BIGINT)
+        AS click_burst
+    FROM paths
+"""
+
+
+@pq("sessions_regex_path", _REGEXPATH_SQL)
+def sessions_regex_path(spark, sf_dir):
+    """Session journey-shape classification: 30-min-gap sessions
+    compress to event-initial strings ((ts, event_id) order), then
+    RE2-safe regexes (the Java-regex/RE2 common subset — no backrefs)
+    count journey classes (view-led, view-to-purchase funnels,
+    bounces, error-touched, click bursts) — MATCH_RECOGNIZE-style
+    analytics from one keyed window + one ordered string agg."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id", "event_id", "ts",
+        F.substring("event_type", 1, 1).alias("ch"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0).alias("brk"),
+    )
+    s = g.withColumn("sess", F.sum("brk").over(w))
+    paths = (
+        s.groupBy("user_id", "sess")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))).alias("evs"))
+        .select(F.concat_ws("", F.transform(F.col("evs"), lambda x: x["ch"])).alias("path"))
+    )
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return paths.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        cnt(F.col("path").rlike("^v")).alias("starts_view"),
+        cnt(F.col("path").rlike("v[cv]*p")).alias("view_to_purchase"),
+        cnt(F.length("path") == 1).alias("bounces"),
+        cnt(F.col("path").rlike("e")).alias("with_error"),
+        cnt(F.col("path").rlike("ccc")).alias("click_burst"),
+    )
