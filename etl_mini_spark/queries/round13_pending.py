@@ -2287,3 +2287,503 @@ def sessions_regex_path(spark, sf_dir):
         cnt(F.col("path").rlike("e")).alias("with_error"),
         cnt(F.col("path").rlike("ccc")).alias("click_burst"),
     )
+
+
+# =====================================================================
+# Block G — sketch audits (count-min, Bloom)
+# =====================================================================
+
+# --- Count-min sketch vs exact counts ---------------------------------------------------------------
+# A 4x64 count-min sketch over the corpus token frequencies with
+# md5-portable row hashes — the sketch is a pure function of the data,
+# so BOTH engines build the identical 256-cell table and the estimate
+# audit (min over rows of the hashed cell) is bit-exact. Output: the
+# true top-20 tokens with exact count, CM estimate, and the
+# overestimate (>= 0 by the CM guarantee — a structural invariant the
+# differential enforces on every row). Vocabulary aggregates FIRST
+# (one hash agg), so the 4 hashes run per distinct token, not per
+# occurrence.
+_CMS_ROWS = 4
+_CMS_W = 64
+_CMS_SQL = f"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS token
+      FROM documents),
+    vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    cells AS (
+      SELECT j.j,
+             CAST(CAST(concat('0x', substr(md5(v.token || ':cm' || CAST(j.j AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_CMS_W} AS BIGINT) AS b,
+             CAST(sum(v.c) AS BIGINT) AS cell
+      FROM vocab v CROSS JOIN (SELECT unnest(range({_CMS_ROWS})) AS j) j
+      GROUP BY 1, 2),
+    top20 AS (
+      SELECT token, c FROM vocab ORDER BY c DESC, token LIMIT 20),
+    est AS (
+      SELECT t.token, t.c,
+             min(ce.cell) AS est
+      FROM top20 t
+      JOIN (SELECT unnest(range({_CMS_ROWS})) AS j) j ON true
+      JOIN cells ce
+        ON ce.j = j.j
+       AND ce.b = CAST(concat('0x', substr(md5(t.token || ':cm' || CAST(j.j AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_CMS_W}
+      GROUP BY t.token, t.c)
+    SELECT token, c AS exact_count, est AS cm_estimate,
+           est - c AS overestimate
+    FROM est ORDER BY exact_count DESC, token
+"""
+
+
+def _cm_cells(vocab, token_col="token", cnt_col="c"):
+    """(j, b, cell) count-min table from a (token, count) vocabulary —
+    md5 row hashes, identical to the oracle's."""
+    rows = F.explode(F.array(*[F.lit(j) for j in range(_CMS_ROWS)])).alias("j")
+    hashed = vocab.select(token_col, cnt_col, rows).withColumn(
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(token_col), F.lit(":cm"), F.col("j").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint") % _CMS_W,
+    )
+    return hashed.groupBy("j", "b").agg(F.sum(cnt_col).cast("bigint").alias("cell"))
+
+
+@pq("count_min_sketch_audit", _CMS_SQL)
+def count_min_sketch_audit(spark, sf_dir):
+    """Count-min sketch audit: 4x64 md5-hashed sketch of token
+    frequencies (built per DISTINCT token after one vocabulary agg),
+    CM estimates for the true top-20 tokens vs exact counts, with the
+    overestimate-only guarantee visible per row. The sketch is a pure
+    function of the data — both engines materialize the identical 256
+    cells, so even the estimates are bit-exact. Plan: explode x4 over
+    the VOCABULARY (not occurrences), two bounded hash aggs, a
+    broadcast top-20 probe join."""
+    from etl_mini_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
+    cells = _cm_cells(vocab)
+    top20 = vocab.orderBy(F.col("c").desc(), "token").limit(20)
+    probes = top20.select(
+        "token", "c",
+        F.explode(F.array(*[F.lit(j) for j in range(_CMS_ROWS)])).alias("j"),
+    ).withColumn(
+        "b",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("token"), F.lit(":cm"),
+                                       F.col("j").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("bigint") % _CMS_W,
+    )
+    est = (
+        probes.join(cells, ["j", "b"])
+        .groupBy("token", "c")
+        .agg(F.min("cell").cast("bigint").alias("est"))
+    )
+    return est.select(
+        "token", F.col("c").alias("exact_count"), F.col("est").alias("cm_estimate"),
+        (F.col("est") - F.col("c")).alias("overestimate"),
+    ).orderBy(F.col("exact_count").desc(), "token")
+
+
+# --- Bloom filter false-positive-rate audit ----------------------------------------------------------
+# A 4096-bit, 3-hash Bloom filter over the customers WITH 1995 orders,
+# probed by the customers WITHOUT — md5 bit positions make the filter
+# a pure function of the data, so bits-set, each probe's verdict, and
+# the measured FPR are engine-identical. The audit every capacity
+# plan for a 100-TB bloom-pruned join starts from.
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+_BLOOM_SQL = f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-01-01'),
+    nonmembers AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE c_custkey NOT IN (SELECT k FROM members)),
+    bits AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5(CAST(m.k AS VARCHAR) || ':bf' || CAST(i.i AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_BLOOM_BITS} AS bit
+      FROM members m CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i) i),
+    probe AS (
+      SELECT n.k,
+             CAST(sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM nonmembers n
+      CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i) i
+      LEFT JOIN bits b
+        ON b.bit = CAST(concat('0x', substr(md5(CAST(n.k AS VARCHAR) || ':bf' || CAST(i.i AS VARCHAR)), 1, 15))
+                   AS BIGINT) % {_BLOOM_BITS}
+      GROUP BY n.k)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS false_positives,
+           floor(sum(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END) * 1.0 / count(*)
+                 * 1000000 + 0.5) / 1000000 AS fpr
+    FROM probe
+"""
+
+
+@pq("bloom_fpr_audit", _BLOOM_SQL)
+def bloom_fpr_audit(spark, sf_dir):
+    """Bloom-filter FPR audit: 4096-bit/3-hash md5 filter over the
+    1995-active custkeys, probed by the inactive ones — bits-set,
+    false positives, and the measured FPR are exact because the filter
+    is a pure function of the data. Plan: members/nonmembers from one
+    scan each, bit table via a x3 bounded explode + distinct, probes
+    join the bit table on the hashed position (keyed join, no
+    broadcast of the fact table)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    members = (
+        o.where((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01"))
+        .select(F.col("o_custkey").alias("k")).distinct()
+    )
+    nonmembers = c.select(F.col("c_custkey").alias("k")).join(members, "k", "left_anti")
+
+    def bitpos(key_col, i_col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(key_col.cast("string"), F.lit(":bf"),
+                                              i_col.cast("string"))), 1, 15), 16, 10)
+            .cast("bigint") % _BLOOM_BITS
+        )
+
+    igrid = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i")
+    bits = (
+        members.select("k", igrid)
+        .select(bitpos(F.col("k"), F.col("i")).alias("bit"))
+        .distinct()
+    )
+    probes = nonmembers.select("k", igrid).withColumn(
+        "pbit", bitpos(F.col("k"), F.col("i"))
+    )
+    probe = (
+        probes.join(bits, probes.pbit == bits.bit, "left")
+        .groupBy("k")
+        .agg(F.sum(F.when(F.col("bit").isNotNull(), 1).otherwise(0)).cast("bigint").alias("hits"))
+    )
+    nm = members.agg(F.count("*").cast("bigint").alias("n_members"))
+    nb = bits.agg(F.count("*").cast("bigint").alias("bits_set"))
+    return (
+        probe.agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum(F.when(F.col("hits") == _BLOOM_K, 1).otherwise(0)).cast("bigint")
+            .alias("false_positives"),
+        )
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_members", "bits_set", "n_probes", "false_positives",
+            _pin(F.col("false_positives") * 1.0 / F.col("n_probes")).alias("fpr"),
+        )
+    )
+
+
+# =====================================================================
+# Block I — streaming differentials (+ incremental CM sketch)
+# =====================================================================
+
+# --- Incrementally-maintained count-min sketch ---------------------------------------------------
+# The CM sketch is MERGEABLE (cells are sums), so a foreachBatch sink
+# that folds each micro-batch's partial 4x64 sketch into a persisted
+# cell table must converge to exactly the batch sketch — and because
+# the hashes are md5-portable, to exactly the oracle's sketch. Tokens
+# are event_type:user%100 (500 distinct -> real cell collisions).
+# Unlike Misra-Gries (whose incremental form needs a candidates-only
+# recount), CM estimates are DETERMINISTIC — so this streaming entry
+# is fully oracle-backed, estimates included.
+_SCMS_SQL = f"""
+    WITH tok AS (
+      SELECT event_type || ':' || CAST(user_id % 100 AS VARCHAR) AS token
+      FROM events),
+    vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    cells AS (
+      SELECT j.j,
+             CAST(CAST(concat('0x', substr(md5(v.token || ':cm' || CAST(j.j AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_CMS_W} AS BIGINT) AS b,
+             CAST(sum(v.c) AS BIGINT) AS cell
+      FROM vocab v CROSS JOIN (SELECT unnest(range({_CMS_ROWS})) AS j) j
+      GROUP BY 1, 2),
+    top20 AS (SELECT token, c FROM vocab ORDER BY c DESC, token LIMIT 20),
+    est AS (
+      SELECT t.token, t.c, min(ce.cell) AS est
+      FROM top20 t
+      JOIN (SELECT unnest(range({_CMS_ROWS})) AS j) j ON true
+      JOIN cells ce
+        ON ce.j = j.j
+       AND ce.b = CAST(concat('0x', substr(md5(t.token || ':cm' || CAST(j.j AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_CMS_W}
+      GROUP BY t.token, t.c)
+    SELECT token, c AS exact_count, est AS cm_estimate, est - c AS overestimate
+    FROM est ORDER BY exact_count DESC, token
+"""
+
+
+@pq("stream_cms_incremental", _SCMS_SQL)
+def stream_cms_incremental(spark, sf_dir):
+    """Count-min sketch maintained INCREMENTALLY: the event stream
+    arrives as three date-chunked micro-batches, a foreachBatch sink
+    folds each batch's partial 4x64 cell table into persisted sketch
+    state, and the final estimates for the true top-20 tokens equal
+    the one-pass batch sketch EXACTLY (cells are sums; hashes are
+    md5-portable) — so unlike the MG heavy-hitter sink, the streaming
+    sketch is fully oracle-backed. Per batch only <=256 cell rows
+    cross the state boundary at any stream size."""
+    import os
+    import shutil
+    import uuid
+
+    import pandas as pd
+
+    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
+
+    tmp = _TMP / f"scms_{uuid.uuid4().hex[:8]}"
+    src, state, ckpt = tmp / "src", tmp / "state", tmp / "ckpt"
+    e = _t(spark, sf_dir, "events").select(
+        "ts",
+        F.concat(F.col("event_type"), F.lit(":"), (F.col("user_id") % 100).cast("string"))
+        .alias("token"),
+    )
+    cuts = ["0000-00-00", "2024-01-11", "2024-01-21", "9999-12-31"]
+    src.mkdir(parents=True, exist_ok=True)
+    all_pdf = e.withColumn("d", F.date_format("ts", "yyyy-MM-dd")).toPandas()
+    for i in range(3):
+        chunk = all_pdf[(all_pdf["d"] >= cuts[i]) & (all_pdf["d"] < cuts[i + 1])]
+        chunk[["token"]].to_parquet(src / f"{i:02d}.parquet", index=False)
+        os.utime(src / f"{i:02d}.parquet", (1_000_000_000 + i, 1_000_000_000 + i))
+
+    schema = spark.read.parquet(str(src / "00.parquet")).schema
+
+    def sink(batch_df, batch_id):
+        part = _cm_cells(
+            batch_df.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
+        ).toPandas()
+        if part.empty:
+            return
+        state.mkdir(parents=True, exist_ok=True)
+        try:
+            prev = pd.read_parquet(state / "cells.parquet")
+            merged = (
+                pd.concat([prev, part], ignore_index=True)
+                .groupby(["j", "b"], as_index=False)["cell"].sum()
+            )
+        except (FileNotFoundError, OSError):
+            merged = part
+        merged.to_parquet(state / "cells.parquet", index=False)
+
+    try:
+        stream = read_stream_parquet(
+            spark, str(src), schema, options={"maxFilesPerTrigger": "1"}
+        )
+        run_to_completion(stream, checkpoint_dir=str(ckpt), sink=sink)
+        cells_pdf = pd.read_parquet(state / "cells.parquet")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    cells = spark.createDataFrame(cells_pdf)
+    vocab = e.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
+    top20 = vocab.orderBy(F.col("c").desc(), "token").limit(20)
+    probes = top20.select(
+        "token", "c",
+        F.explode(F.array(*[F.lit(j) for j in range(_CMS_ROWS)])).alias("j"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5(F.concat(F.col("token"), F.lit(":cm"),
+                                          F.col("j").cast("string"))), 1, 15), 16, 10)
+        .cast("bigint") % _CMS_W,
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "b"])
+        .groupBy("token", "c")
+        .agg(F.min("cell").cast("bigint").alias("est"))
+    )
+    return est.select(
+        "token", F.col("c").alias("exact_count"), F.col("est").alias("cm_estimate"),
+        (F.col("est") - F.col("c")).alias("overestimate"),
+    ).orderBy(F.col("exact_count").desc(), "token")
+
+
+# --- Streaming sessionize vs the batch gap rule ---------------------------------------------------
+# Structured Streaming session_window over three date-chunked
+# micro-batches, with sessions that SPAN batch boundaries merging in
+# state; a far-future sentinel advances the watermark so every real
+# session finalizes into the append-mode output. The oracle is the
+# batch gap-rule sessionization — streaming state merge must agree
+# with it row for row.
+_SSESS_SQL = """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+      FROM g)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sess
+    ORDER BY user_id, session_start
+"""
+
+
+@pq("stream_sessionize_differential", _SSESS_SQL)
+def stream_sessionize_differential(spark, sf_dir):
+    """Streaming sessionization differential: session_window(30 min)
+    with watermarked state over three ordered micro-batches — sessions
+    spanning batch boundaries MERGE in state — must equal the batch
+    gap-rule sessionization exactly. A sentinel event 30 days past the
+    maximum timestamp advances the final watermark so append mode
+    flushes every real session; the sentinel's own session is
+    filtered. Plan: one keyed stateful agg per micro-batch, state
+    bounded by active users."""
+    import os
+    import shutil
+    import uuid
+
+    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
+
+    tmp = _TMP / f"ssess_{uuid.uuid4().hex[:8]}"
+    src, out, ckpt = tmp / "src", tmp / "out", tmp / "ckpt"
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    mx = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    cuts = ["0000-00-00", "2024-01-11", "2024-01-21", "9999-12-31"]
+    src.mkdir(parents=True, exist_ok=True)
+    all_pdf = e.withColumn("d", F.date_format("ts", "yyyy-MM-dd")).toPandas()
+    for i in range(3):
+        chunk = all_pdf[(all_pdf["d"] >= cuts[i]) & (all_pdf["d"] < cuts[i + 1])]
+        chunk[["user_id", "ts"]].to_parquet(
+            src / f"{i:02d}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(src / f"{i:02d}.parquet", (1_000_000_000 + i, 1_000_000_000 + i))
+    sentinel = spark.createDataFrame([(-1, mx)], "user_id long, ts timestamp").withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 30 DAY")
+    )
+    sentinel.toPandas().to_parquet(
+        src / "03.parquet", index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    os.utime(src / "03.parquet", (1_000_000_003, 1_000_000_003))
+
+    schema = spark.read.parquet(str(src / "00.parquet")).schema
+    try:
+        stream = read_stream_parquet(
+            spark, str(src), schema, options={"maxFilesPerTrigger": "1"}
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").cast("bigint").alias("n_events"))
+        )
+        run_to_completion(
+            agg.select("user_id", F.col("w.start").alias("ws"),
+                       F.col("w.end").alias("we"), "n_events"),
+            checkpoint_dir=str(ckpt), output_path=str(out),
+        )
+        res = spark.read.parquet(str(out)).where(F.col("user_id") >= 0).cache()
+        res.count()  # materialize before the tmp dir is removed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res.select(
+        "user_id",
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("we", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+# --- Streaming CDC keep-latest upsert --------------------------------------------------------------
+# A deterministic 3-batch CDC log (batch b re-segments custkeys with
+# md5(k:cdc:b)%3 = 0 to an md5-chosen label) applies through the
+# engine's keyed foreachBatch upsert; the final table must equal the
+# log's last-writer-wins projection, which the oracle computes with
+# one window. Exercises the streaming upsert sink the reference's
+# ES->PG pipeline runs in production (postgresql_service.py:117-296 —
+# re-expressed as idempotent parquet merge).
+_SCDC_SQL = """
+    WITH log AS (
+      SELECT c_custkey AS k, b.b AS seq,
+             'SEG-' || CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || ':lab:'
+                                        || CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+                            AS VARCHAR) AS segment
+      FROM customer CROSS JOIN (SELECT unnest(range(1, 4)) AS b) b
+      WHERE CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || ':cdc:'
+                         || CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT) % 3 = 0)
+    SELECT k AS c_custkey, segment, CAST(seq AS BIGINT) AS last_seq
+    FROM (SELECT k, segment, seq,
+                 row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM log)
+    WHERE rn = 1
+    ORDER BY c_custkey
+"""
+
+
+@pq("stream_cdc_upsert_latest", _SCDC_SQL)
+def stream_cdc_upsert_latest(spark, sf_dir):
+    """Streaming CDC apply: three ordered micro-batches of
+    deterministic segment updates flow through the keyed foreachBatch
+    parquet upsert (idempotent write-stage-swap merge), and the final
+    table must equal the log's last-writer-wins projection. The
+    streaming counterpart of upsert_keyed, same merge operator.
+    Cites reference services/sources/implementations/dwh/
+    postgresql_service.py:117-296 (keyed ON CONFLICT upsert loop)."""
+    import os
+    import shutil
+    import uuid
+
+    from etl_mini_spark.operators.upsert import upsert_parquet
+    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
+
+    tmp = _TMP / f"scdc_{uuid.uuid4().hex[:8]}"
+    src, tgt, ckpt = tmp / "src", str(tmp / "tgt"), tmp / "ckpt"
+    c = _t(spark, sf_dir, "customer")
+    src.mkdir(parents=True, exist_ok=True)
+    for b in range(1, 4):
+        batch = (
+            c.where(_md5_mod(F.col("c_custkey"), f":cdc:{b}", 3) == 0)
+            .select(
+                F.col("c_custkey").alias("k"),
+                F.lit(b).cast("long").alias("seq"),
+                F.concat(F.lit("SEG-"),
+                         _md5_mod(F.col("c_custkey"), f":lab:{b}", 4).cast("string"))
+                .alias("segment"),
+            )
+        )
+        batch.toPandas().to_parquet(src / f"{b:02d}.parquet", index=False)
+        os.utime(src / f"{b:02d}.parquet", (1_000_000_000 + b, 1_000_000_000 + b))
+
+    schema = spark.read.parquet(str(src / "01.parquet")).schema
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(batch_df.sparkSession, tgt, batch_df, keys=["k"])
+
+    try:
+        stream = read_stream_parquet(
+            spark, str(src), schema, options={"maxFilesPerTrigger": "1"}
+        )
+        run_to_completion(stream, checkpoint_dir=str(ckpt), sink=sink)
+        res = spark.read.parquet(tgt).cache()
+        res.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res.select(
+        F.col("k").alias("c_custkey"), "segment", F.col("seq").alias("last_seq")
+    ).orderBy("c_custkey")
