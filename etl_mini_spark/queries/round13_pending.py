@@ -2787,3 +2787,562 @@ def stream_cdc_upsert_latest(spark, sf_dir):
     return res.select(
         F.col("k").alias("c_custkey"), "segment", F.col("seq").alias("last_seq")
     ).orderBy("c_custkey")
+
+
+# =====================================================================
+# Block H+J+K — geohash blocking, corpus/binary, ops & graphs
+# =====================================================================
+
+# --- Geohash-prefix radius blocking (pure integer geometry) ------------------------------------------
+# Customers get deterministic md5 micro-degree coordinates; the
+# Z-order/Morton interleave of the quantized grid (operators/layout —
+# the SAME bit math Delta/Iceberg Z-ordering uses) becomes a geohash
+# whose PREFIX blocks candidate pairs, and candidates verify by exact
+# squared micro-degree distance — every step integer arithmetic, so
+# the blocked-join differential is bit-exact. The LSH-philosophy shape
+# for spatial joins: candidates by cell, verification exact, never
+# all-pairs.
+_GEOHASH_SQL = """
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || ':lat'), 1, 15))
+                  AS BIGINT) % 1000000 AS BIGINT) AS lat_u,
+             CAST(CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || ':lon'), 1, 15))
+                  AS BIGINT) % 1000000 AS BIGINT) AS lon_u
+      FROM customer),
+    g AS (
+      SELECT k, lat_u, lon_u,
+             (((((gx) & 1023) >> 0 & 1) << 0) | ((((gy) & 1023) >> 0 & 1) << 1) | ((((gx) & 1023) >> 1 & 1) << 2) | ((((gy) & 1023) >> 1 & 1) << 3) | ((((gx) & 1023) >> 2 & 1) << 4) | ((((gy) & 1023) >> 2 & 1) << 5) | ((((gx) & 1023) >> 3 & 1) << 6) | ((((gy) & 1023) >> 3 & 1) << 7) | ((((gx) & 1023) >> 4 & 1) << 8) | ((((gy) & 1023) >> 4 & 1) << 9) | ((((gx) & 1023) >> 5 & 1) << 10) | ((((gy) & 1023) >> 5 & 1) << 11) | ((((gx) & 1023) >> 6 & 1) << 12) | ((((gy) & 1023) >> 6 & 1) << 13) | ((((gx) & 1023) >> 7 & 1) << 14) | ((((gy) & 1023) >> 7 & 1) << 15) | ((((gx) & 1023) >> 8 & 1) << 16) | ((((gy) & 1023) >> 8 & 1) << 17) | ((((gx) & 1023) >> 9 & 1) << 18) | ((((gy) & 1023) >> 9 & 1) << 19)) >> 8 AS cell
+      FROM (SELECT k, lat_u, lon_u,
+                   lat_u >> 10 AS gx, lon_u >> 10 AS gy
+            FROM pts)),
+    pairs AS (
+      SELECT a.k AS a_key, b.k AS b_key,
+             (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+           + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS d2
+      FROM g a JOIN g b ON a.cell = b.cell AND a.k < b.k)
+    SELECT a_key, b_key, CAST(d2 AS BIGINT) AS d2
+    FROM pairs WHERE d2 <= 100000000
+    ORDER BY a_key, b_key
+"""
+
+
+@pq("geohash_prefix_radius", _GEOHASH_SQL)
+def geohash_prefix_radius(spark, sf_dir):
+    """Spatial near-pair search by geohash-prefix blocking: md5
+    micro-degree coordinates, Morton-interleaved cell ids (the
+    operators/layout Z-order bit math), candidates from equal cell
+    prefixes, exact integer squared-distance verification at 10k µdeg
+    — all BIGINT arithmetic, bit-exact vs the oracle replaying the
+    same interleave. Plan: one keyed self-join on the cell id; the
+    prefix width bounds cell population, never all-pairs."""
+    from etl_mini_spark.operators.layout import morton_code
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        _md5_mod(F.col("c_custkey"), ":lat", 1_000_000).alias("lat_u"),
+        _md5_mod(F.col("c_custkey"), ":lon", 1_000_000).alias("lon_u"),
+    )
+    g = pts.select(
+        "k", "lat_u", "lon_u",
+        F.shiftright(
+            morton_code(F.shiftright("lat_u", 10), F.shiftright("lon_u", 10), bits=10), 8
+        ).alias("cell"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    d2 = (
+        (F.col("a.lat_u") - F.col("b.lat_u")) * (F.col("a.lat_u") - F.col("b.lat_u"))
+        + (F.col("a.lon_u") - F.col("b.lon_u")) * (F.col("a.lon_u") - F.col("b.lon_u"))
+    )
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.k") < F.col("b.k")))
+        .select(F.col("a.k").alias("a_key"), F.col("b.k").alias("b_key"),
+                d2.cast("bigint").alias("d2"))
+        .where(F.col("d2") <= 100_000_000)
+        .orderBy("a_key", "b_key")
+    )
+
+
+# --- Amplified-corpus exact variant Jaccard ------------------------------------------------------------
+# The round-12 amplification rule (variant v of each doc drops tokens
+# where md5(doc:v:pos)%100 < 3v) regenerates a 4x corpus; per-token
+# VARIANT BITMASKS (one agg row per (doc, token)) turn all 6 variant
+# pairs' exact set-Jaccards into bit tests — no pairwise text join
+# ever happens, the 100-TB-safe shape for same-entity near-dup audits.
+_AMPJAC_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS tok,
+             unnest(range(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))))
+               AS pos
+      FROM documents),
+    kept AS (
+      SELECT DISTINCT t.doc_id, v.v, t.tok
+      FROM toks t CROSS JOIN (SELECT unnest(range(4)) AS v) v
+      WHERE (CAST(concat('0x', substr(md5(CAST(t.doc_id AS VARCHAR) || ':' ||
+                                      CAST(v.v AS VARCHAR) || ':' ||
+                                      CAST(t.pos AS VARCHAR) || ':amp'), 1, 15))
+               AS BIGINT) % 100) >= 3 * v.v),
+    masks AS (
+      SELECT doc_id, tok, CAST(sum(1 << v) AS BIGINT) AS m
+      FROM kept GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_id, p.v1, p.v2,
+             CAST(sum(CASE WHEN (m >> p.v1) & 1 = 1 AND (m >> p.v2) & 1 = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS inter,
+             CAST(sum(CASE WHEN (m >> p.v1) & 1 = 1 OR (m >> p.v2) & 1 = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS un
+      FROM masks CROSS JOIN (
+        SELECT * FROM (VALUES (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)) t(v1, v2)) p
+      GROUP BY 1, 2, 3)
+    SELECT doc_id, v1, v2, inter, un,
+           floor(inter * 1.0 / un * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM pairs
+    WHERE inter * 10 >= un * 8
+    ORDER BY doc_id, v1, v2
+"""
+
+
+@pq("corpus_amplified_jaccard", _AMPJAC_SQL)
+def corpus_amplified_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard between the 6 variant pairs of each
+    document in the md5-amplified 4x corpus, thresholded at >= 0.8 via
+    EXACT integer cross-multiplication (inter*10 >= un*8) — the
+    same-entity near-dup audit computed through per-token variant
+    BITMASKS, one agg row per (doc, token), so no pairwise text join
+    exists at any scale. Shares the round-12 amplification rule, so
+    the two entries cross-check each other."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        ).alias("pos", "tok"),
+    )
+    vgrid = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("v")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                                  F.col("v").cast("string"),
+                                  F.col("pos").cast("string"), F.lit("amp"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long") % 100
+    )
+    kept = (
+        toks.select("doc_id", "tok", "pos", vgrid)
+        .filter(bucket >= 3 * F.col("v"))
+        .select("doc_id", "v", "tok")
+        .distinct()
+    )
+    masks = kept.groupBy("doc_id", "tok").agg(
+        F.sum(F.expr("shiftleft(1, v)")).cast("bigint").alias("m")
+    )
+    pgrid = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], "v1 int, v2 int"
+    )
+    b1 = F.expr("(m >> v1) & 1")
+    b2 = F.expr("(m >> v2) & 1")
+    pairs = (
+        masks.crossJoin(F.broadcast(pgrid))
+        .groupBy("doc_id", "v1", "v2")
+        .agg(
+            F.sum(F.when((b1 == 1) & (b2 == 1), 1).otherwise(0))
+            .cast("bigint").alias("inter"),
+            F.sum(F.when((b1 == 1) | (b2 == 1), 1).otherwise(0))
+            .cast("bigint").alias("un"),
+        )
+    )
+    return (
+        pairs.where(F.col("inter") * 10 >= F.col("un") * 8)
+        .select("doc_id", "v1", "v2", "inter", "un",
+                _pin(F.col("inter") * 1.0 / F.col("un")).alias("jaccard"))
+        .orderBy("doc_id", "v1", "v2")
+    )
+
+
+# --- URL canonicalization dedup -----------------------------------------------------------------------
+# Four deterministic URL variants per document (tracking params, mixed
+# host case, trailing slash, fragment; one variant carries a REAL
+# query difference that must survive) canonicalize by the standard
+# rules — lowercase scheme+host, strip fragment, drop utm_* params,
+# sort the survivors, strip trailing slash — and the dedup audit
+# counts variants vs canonical forms. The web-corpus dedup gate every
+# crawl pipeline runs before content dedup.
+_URLCANON_SQL = """
+    WITH urls AS (
+      SELECT doc_id, 1 AS variant,
+             'https://Example.COM/docs/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2,
+             'https://example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?utm_source=feed&utm_campaign=x' FROM documents
+      UNION ALL
+      SELECT doc_id, 3,
+             'https://EXAMPLE.com/docs/' || CAST(doc_id AS VARCHAR) || '/#section-2'
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 4,
+             'https://example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?utm_medium=a&rev=' || CAST(doc_id % 3 AS VARCHAR) FROM documents),
+    canon AS (
+      SELECT doc_id, variant,
+             -- 1 strip fragment, 2 lowercase scheme+host, 3 drop utm_* params,
+             -- 4 clean ?&/ leftovers, 5 strip trailing slash
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(url, '#.*$', ''),
+                     '^(https?)://([^/]+)', '\\1://\\2', 'i'),
+                   'utm_[a-z]+=[^&#]*&?', '', 'g'),
+                 '[?&]$', ''),
+               '/$', '') AS c0
+      FROM urls),
+    canon2 AS (
+      SELECT doc_id, variant,
+             lower(regexp_extract(c0, '^https?://[^/]+', 0))
+               || regexp_replace(c0, '^https?://[^/]+', '') AS curl
+      FROM canon)
+    SELECT CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST(count(*) - count(DISTINCT curl) AS BIGINT) AS n_dups,
+           CAST(count(DISTINCT CASE WHEN curl LIKE '%rev=%' THEN curl END) AS BIGINT)
+             AS n_with_real_params
+    FROM canon2
+"""
+
+
+@pq("url_canonicalize_dedup", _URLCANON_SQL)
+def url_canonicalize_dedup(spark, sf_dir):
+    """URL canonicalization dedup over four deterministic variants per
+    document: strip fragments, lowercase scheme+host (path case
+    preserved), drop utm_* tracking params but KEEP real query params,
+    strip trailing slashes — variants 1-3 must collapse to one
+    canonical form while the rev= variant survives. The crawl-pipeline
+    URL gate, pure string expressions on both engines."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    urls = (
+        d.select("doc_id", F.lit(1).alias("variant"),
+                 F.concat(F.lit("https://Example.COM/docs/"), did).alias("url"))
+        .unionByName(d.select(
+            "doc_id", F.lit(2).alias("variant"),
+            F.concat(F.lit("https://example.com/docs/"), did,
+                     F.lit("?utm_source=feed&utm_campaign=x")).alias("url")))
+        .unionByName(d.select(
+            "doc_id", F.lit(3).alias("variant"),
+            F.concat(F.lit("https://EXAMPLE.com/docs/"), did,
+                     F.lit("/#section-2")).alias("url")))
+        .unionByName(d.select(
+            "doc_id", F.lit(4).alias("variant"),
+            F.concat(F.lit("https://example.com/docs/"), did,
+                     F.lit("?utm_medium=a&rev="),
+                     (F.col("doc_id") % 3).cast("string")).alias("url")))
+    )
+    c0 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("url"), "#.*$", ""),
+                "utm_[a-z]+=[^&#]*&?", ""),
+            r"[?&]$", ""),
+        "/$", "")
+    canon = urls.select("doc_id", "variant", c0.alias("c0"))
+    curl = F.concat(
+        F.lower(F.regexp_extract(F.col("c0"), "^https?://[^/]+", 0)),
+        F.regexp_replace(F.col("c0"), "^https?://[^/]+", ""),
+    )
+    canon2 = canon.select("doc_id", "variant", curl.alias("curl"))
+    return canon2.agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.countDistinct("curl").cast("bigint").alias("n_canonical"),
+        (F.count("*") - F.countDistinct("curl")).cast("bigint").alias("n_dups"),
+        F.countDistinct(F.when(F.col("curl").like("%rev=%"), F.col("curl")))
+        .cast("bigint").alias("n_with_real_params"),
+    )
+
+
+# --- Binary header metadata extraction ------------------------------------------------------------------
+# Deterministic 9-byte image-style headers ('IMG!' magic + big-endian
+# u16 width + u16 height + u8 channels, all md5-derived) are BUILT as
+# a real BinaryType column and PARSED BACK with substring/hex
+# arithmetic on the Spark side — proving the binary round-trip — while
+# the oracle derives the same integers straight from the md5 rules
+# (DuckDB's blob slicing differs, the VALUES are what's compared).
+# The schema-on-binary plumbing multimodal columns need, with an
+# exact differential.
+_BINHDR_SQL = """
+    WITH hdr AS (
+      SELECT doc_id,
+             640 + CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':w'), 1, 15))
+                   AS BIGINT) % 1280 AS w,
+             360 + CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':h'), 1, 15))
+                   AS BIGINT) % 720 AS h,
+             1 + CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':c'), 1, 15))
+                 AS BIGINT) % 4 AS ch
+      FROM documents)
+    SELECT CAST(ch AS BIGINT) AS channels,
+           CAST(w // 640 AS BIGINT) AS w_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(w * h) AS BIGINT) AS total_px,
+           CAST(max(w) AS BIGINT) AS max_w, CAST(max(h) AS BIGINT) AS max_h
+    FROM hdr GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@pq("binary_header_metadata", _BINHDR_SQL)
+def binary_header_metadata(spark, sf_dir):
+    """Binary metadata round-trip: 9-byte headers (magic + big-endian
+    u16 width/height + u8 channels, md5-derived) are BUILT as a real
+    BinaryType column, then PARSED BACK via substring + hex conversion
+    — the multimodal schema-on-binary plumbing — and the parsed
+    dimension histogram must match the oracle's direct md5 arithmetic.
+    A parse-time magic assertion guards the round-trip."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    w = (640 + _md5_mod(F.col("doc_id"), ":w", 1280)).alias("w")
+    h = (360 + _md5_mod(F.col("doc_id"), ":h", 720)).alias("h")
+    ch = (1 + _md5_mod(F.col("doc_id"), ":c", 4)).alias("ch")
+    hx = lambda c, n: F.lpad(F.conv(c.cast("string"), 10, 16), n, "0")  # noqa: E731
+    blob = F.unhex(
+        F.concat(
+            F.lit("494D4721"),  # 'IMG!'
+            hx(F.col("w"), 4), hx(F.col("h"), 4), hx(F.col("ch"), 2),
+        )
+    )
+    built = d.select("doc_id", w, h, ch).select(
+        "doc_id", blob.alias("payload")
+    )
+    # parse the binary back — the round-trip the multimodal tier relies on
+    magic_ok = F.hex(F.substring("payload", 1, 4)) == "494D4721"
+    parsed = built.select(
+        "doc_id",
+        F.when(magic_ok,
+               F.conv(F.hex(F.substring("payload", 5, 2)), 16, 10).cast("bigint"))
+        .alias("w"),
+        F.conv(F.hex(F.substring("payload", 7, 2)), 16, 10).cast("bigint").alias("h"),
+        F.conv(F.hex(F.substring("payload", 9, 1)), 16, 10).cast("bigint").alias("ch"),
+    )
+    return (
+        parsed.groupBy(
+            F.col("ch").alias("channels"),
+            F.floor(F.col("w") / 640).cast("bigint").alias("w_bucket"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("w") * F.col("h")).cast("bigint").alias("total_px"),
+            F.max("w").cast("bigint").alias("max_w"),
+            F.max("h").cast("bigint").alias("max_h"),
+        )
+        .orderBy("channels", "w_bucket")
+    )
+
+
+# --- Newsvendor order policy from discrete demand quantiles ------------------------------------------
+# Per brand: daily demand distribution (lineitem quantities), critical
+# fractile q = cu/(cu+co) = 3/4, order-up-to level = the smallest
+# demand with cumulative count >= ceil(0.75 n) (discrete quantile —
+# rank arithmetic on exact integers, the quantile_disc convention).
+# The classic stochastic-inventory policy computed as one keyed
+# window over per-brand daily aggregates.
+_NEWSV_SQL = """
+    WITH daily AS (
+      SELECT p.p_brand AS brand, strftime(l.l_shipdate, '%Y-%m-%d') AS d,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT brand, qty,
+             row_number() OVER (PARTITION BY brand ORDER BY qty, d) AS rn,
+             count(*) OVER (PARTITION BY brand) AS n
+      FROM daily)
+    SELECT brand, CAST(any_value(n) AS BIGINT) AS n_days,
+           CAST(min(CASE WHEN rn >= (3 * n + 3) // 4 THEN qty END) AS BIGINT)
+             AS order_upto_q75,
+           CAST(min(qty) AS BIGINT) AS min_demand,
+           CAST(max(qty) AS BIGINT) AS max_demand
+    FROM ranked GROUP BY brand ORDER BY brand
+"""
+
+
+@pq("newsvendor_quantile_policy", _NEWSV_SQL)
+def newsvendor_quantile_policy(spark, sf_dir):
+    """Newsvendor order-up-to levels per brand at critical fractile
+    3/4: discrete demand quantile by exact integer rank arithmetic
+    (ceil(0.75 n) = (3n+3) DIV 4) over per-brand daily demand — the
+    stochastic-inventory policy as one keyed agg + one keyed window,
+    both bounded by (brand x calendar)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"),
+                 F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    )
+    w = Window.partitionBy("brand").orderBy("qty", "d")
+    wn = Window.partitionBy("brand")
+    ranked = daily.select(
+        "brand", "qty",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("brand")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n_days"),
+            F.min(F.when(F.col("rn") >= F.floor((3 * F.col("n") + 3) / 4), F.col("qty")))
+            .cast("bigint").alias("order_upto_q75"),
+            F.min("qty").cast("bigint").alias("min_demand"),
+            F.max("qty").cast("bigint").alias("max_demand"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- k-core peeling over the co-purchase graph --------------------------------------------------------
+# Three peel rounds at k=3 over the part co-purchase graph (edge =
+# two parts in one order), each round dropping nodes of residual
+# degree < 3 — the iterative-subgraph pattern (label propagation,
+# k-core, degeneracy orderings) expressed as a FIXED-DEPTH unrolled
+# dataflow both engines replay identically. Per-round survivor and
+# edge counts are the output.
+_KCORE_SQL = """
+    WITH edges0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    sym0 AS (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+    n1 AS (SELECT u FROM sym0 GROUP BY u HAVING count(*) >= 3),
+    e1 AS (SELECT s.u, s.v FROM sym0 s
+           JOIN n1 a ON a.u = s.u JOIN n1 b ON b.u = s.v),
+    n2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 3),
+    e2 AS (SELECT s.u, s.v FROM e1 s
+           JOIN n2 a ON a.u = s.u JOIN n2 b ON b.u = s.v),
+    n3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 3),
+    e3 AS (SELECT s.u, s.v FROM e2 s
+           JOIN n3 a ON a.u = s.u JOIN n3 b ON b.u = s.v)
+    SELECT 1 AS round, CAST((SELECT count(*) FROM n1) AS BIGINT) AS nodes,
+           CAST((SELECT count(*) / 2 FROM e1) AS BIGINT) AS edges
+    UNION ALL
+    SELECT 2, CAST((SELECT count(*) FROM n2) AS BIGINT),
+           CAST((SELECT count(*) / 2 FROM e2) AS BIGINT)
+    UNION ALL
+    SELECT 3, CAST((SELECT count(*) FROM n3) AS BIGINT),
+           CAST((SELECT count(*) / 2 FROM e3) AS BIGINT)
+    ORDER BY round
+"""
+
+
+@pq("graph_kcore_peel", _KCORE_SQL)
+def graph_kcore_peel(spark, sf_dir):
+    """Three k=3 peel rounds over the part co-purchase graph: each
+    round drops nodes whose residual degree fell below k and the edges
+    touching them — the fixed-depth unrolled form of k-core
+    decomposition (every round is one degree agg + two semijoins, the
+    O(log n)-rounds pattern the connected-components operator uses).
+    Per-round survivor/edge counts; round 3 <= round 2 <= round 1
+    structurally."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    out_rows = []
+    e = sym
+    for rnd in (1, 2, 3):
+        nodes = e.groupBy("u").agg(F.count("*").alias("deg")).where(F.col("deg") >= 3).select("u")
+        e = (
+            e.join(nodes, "u")
+            .join(nodes.select(F.col("u").alias("v")), "v")
+        )
+        stats = nodes.agg(F.count("*").cast("bigint").alias("nodes")).crossJoin(
+            e.agg((F.count("*") / 2).cast("bigint").alias("edges"))
+        ).select(F.lit(rnd).alias("round"), "nodes", "edges")
+        out_rows.append(stats)
+    out = out_rows[0]
+    for st in out_rows[1:]:
+        out = out.unionByName(st)
+    return out.orderBy("round")
+
+
+# --- Common-neighbor Jaccard link prediction ------------------------------------------------------------
+# For SAMPLED part pairs (both keys % 20 = 0) that share a co-purchase
+# neighbor but are NOT adjacent, neighbor-set Jaccard ranks the top-20
+# predicted links — the classic link-prediction score, generated by a
+# postings join on the shared neighbor (candidate mass bounded by the
+# sample), with exact integer intersection/union and a cross-
+# multiplied 6dp-safe ordering.
+_LINKPRED_SQL = """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    cand AS (
+      SELECT s1.u AS a, s2.u AS b, CAST(count(*) AS BIGINT) AS inter
+      FROM sym s1 JOIN sym s2
+        ON s1.v = s2.v AND s1.u < s2.u
+       AND s1.u % 20 = 0 AND s2.u % 20 = 0
+      GROUP BY 1, 2),
+    nonedge AS (
+      SELECT c.a, c.b, c.inter
+      FROM cand c LEFT JOIN edges e ON e.u = c.a AND e.v = c.b
+      WHERE e.u IS NULL)
+    SELECT n.a, n.b, n.inter,
+           da.d + db.d - n.inter AS un,
+           floor(n.inter * 1.0 / (da.d + db.d - n.inter) * 1000000 + 0.5) / 1000000
+             AS jaccard
+    FROM nonedge n JOIN deg da ON da.u = n.a JOIN deg db ON db.u = n.b
+    ORDER BY jaccard DESC, n.a, n.b
+    LIMIT 20
+"""
+
+
+@pq("graph_jaccard_link_prediction", _LINKPRED_SQL)
+def graph_jaccard_link_prediction(spark, sf_dir):
+    """Common-neighbor Jaccard link prediction over the part
+    co-purchase graph: sampled non-adjacent pairs sharing a neighbor
+    score |N(a) ∩ N(b)| / |N(a) ∪ N(b)| with exact integers, top-20 by
+    (6dp score DESC, a, b). Plan: candidates from a postings join on
+    the shared neighbor (bounded by the key sample — the inverted-
+    index shape), degrees joined back, anti-join removes real edges;
+    never an all-pairs scan."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    cand = (
+        s1.join(s2, (F.col("s1.v") == F.col("s2.v")) & (F.col("s1.u") < F.col("s2.u"))
+                & (F.col("s1.u") % 20 == 0) & (F.col("s2.u") % 20 == 0))
+        .groupBy(F.col("s1.u").alias("a"), F.col("s2.u").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    nonedge = cand.join(
+        edges, (edges.u == cand.a) & (edges.v == cand.b), "left_anti"
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    un = F.col("da") + F.col("db") - F.col("inter")
+    return (
+        nonedge.join(da, "a").join(db, "b")
+        .select("a", "b", "inter", un.alias("un"),
+                _pin(F.col("inter") * 1.0 / un).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(20)
+    )
