@@ -224,6 +224,60 @@ def p_ivf(spark, vecs):
     return {"recall_vs_brute": round(recall, 4), "ok": recall >= 0.95}
 
 
+@probe("vector_pq_rerank")
+def p_pq_rerank(spark, vecs):
+    """Round-12 probe: PQ+ADC candidate generation with exact rerank
+    must hold recall >= 0.95 vs brute force at 1M clustered vectors —
+    the ANN quality tier's scale proof (one corpus pass for encode+ADC,
+    exact math on candidates only)."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq_rerank,
+    )
+
+    probes = vecs.filter(F.col("vec_id") % 100_000 == 17)  # 10 probes
+    pq = cosine_topk_pq_rerank(vecs, probes, k=5, m=8, n_codes=16, rerank=10)
+    got = {(r["probe_id"], r["neighbor_id"]) for r in pq.collect()}
+    brute = cosine_topk_bruteforce(vecs, probes, k=5)
+    want = {(r["probe_id"], r["neighbor_id"]) for r in brute.collect()}
+    recall = len(got & want) / max(1, len(want))
+    return {"recall_vs_brute": round(recall, 4), "ok": recall >= 0.95}
+
+
+@probe("vector_ivf_tie_determinism")
+def p_ivf_ties(spark):
+    """Round-12 probe: the IVF per-cell cut's tie discipline (stable
+    (sim DESC, id ASC) double-argsort, round-12 fix) must make results
+    identical across partitionings on a corpus where every similarity
+    ties — 200k vectors that are exact copies of 64 distinct ones."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.similarity import cosine_topk_ivf, train_ivf_centroids
+
+    rs = np.random.RandomState(3)
+    base = rs.randn(64, 64)
+    base /= np.linalg.norm(base, axis=1)[:, None]
+    n = 200_000
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": [base[i % 64].tolist() for i in range(n)]}
+    )
+    cdf = spark.createDataFrame(pdf)
+    probes = cdf.filter(F.col("vec_id") < 8)
+    cents = train_ivf_centroids(cdf, n_cells=16)
+    outs = []
+    for parts in (8, 64):
+        got = cosine_topk_ivf(
+            cdf.repartition(parts), probes, k=5, nprobe=4, n_cells=16, centroids=cents
+        )
+        outs.append(sorted(map(tuple, got.collect())))
+    return {"n_rows": len(outs[0]), "ok": outs[0] == outs[1] and len(outs[0]) > 0}
+
+
 @probe("vector_ivf_partitioned_scan")
 def p_ivf_layout(spark, vecs, tmpdir):
     from pyspark.sql import functions as F
@@ -576,9 +630,11 @@ def main() -> None:
     vecs.persist()
     vecs.count()
     p_ivf(spark, vecs)
+    p_pq_rerank(spark, vecs)
     with tempfile.TemporaryDirectory() as tmpdir:
         p_ivf_layout(spark, vecs, tmpdir)
         vecs.unpersist()
+        p_ivf_ties(spark)
         p_lsh(spark)
 
         print("generating names...", file=sys.stderr)

@@ -1552,8 +1552,10 @@ def amortization_schedule(spark, sf_dir):
 # touching the float discipline.
 _BOND_SQL = """
     WITH face AS (
-      SELECT CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
-               AS fv
+      -- face value scaled down 1000x: keeps every 6dp-pre-rounded PV
+      -- fold's floor argument < 2^63 up to sf1000 (still data-driven)
+      SELECT CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) // 1000
+               AS BIGINT) AS fv
       FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'),
     per AS (SELECT unnest(range(1, 11)) AS t),
     cf AS (
@@ -1563,12 +1565,12 @@ _BOND_SQL = """
       FROM per p, face f),
     pv AS (
       SELECT t, cents,
-             CAST(floor(cents * power(1.02, -t) / 100.0 * 1e9 + 0.5)
-                  AS DECIMAL(28,9)) / 1e9 AS pv_d,
-             CAST(floor(t * cents * power(1.02, -t) / 100.0 * 1e9 + 0.5)
-                  AS DECIMAL(28,9)) / 1e9 AS tpv_d,
-             CAST(floor(t * (t + 1) * cents * power(1.02, -t) / 100.0 * 1e9 + 0.5)
-                  AS DECIMAL(28,9)) / 1e9 AS ttpv_d
+             CAST(floor(cents * power(1.02, -t) / 100.0 * 1e6 + 0.5)
+                  AS DECIMAL(38,6)) / 1e6 AS pv_d,
+             CAST(floor(t * cents * power(1.02, -t) / 100.0 * 1e6 + 0.5)
+                  AS DECIMAL(38,6)) / 1e6 AS tpv_d,
+             CAST(floor(t * (t + 1) * cents * power(1.02, -t) / 100.0 * 1e6 + 0.5)
+                  AS DECIMAL(38,6)) / 1e6 AS ttpv_d
       FROM cf),
     agg AS (
       SELECT CAST(sum(pv_d) AS DOUBLE) AS price,
@@ -1595,8 +1597,9 @@ def bond_duration_convexity(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     face = (
         o.where(F.date_format("o_orderdate", "yyyy-MM") == "1995-01")
-        .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
-             .cast("bigint").alias("fv"))
+        .agg(F.floor(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")) / 1000
+        ).cast("bigint").alias("fv"))
     )
     per = spark.range(1, 11).select(F.col("id").cast("int").alias("t"))
     cf = per.crossJoin(F.broadcast(face)).select(
@@ -1606,7 +1609,9 @@ def bond_duration_convexity(spark, sf_dir):
     )
 
     def d9(expr):
-        return F.floor(expr * 1e9 + F.lit(0.5)).cast("decimal(28,9)") / 1e9
+        # 6dp pre-round on the 1000x-scaled face: floor arguments stay
+        # under 2^63 (Spark's floor(double) -> long) up to sf1000
+        return F.floor(expr * 1e6 + F.lit(0.5)).cast("decimal(38,6)") / 1e6
 
     dfac = F.pow(F.lit(1.02), -F.col("t"))
     pv = cf.select(
@@ -3346,3 +3351,19 @@ def graph_jaccard_link_prediction(spark, sf_dir):
         .orderBy(F.col("jaccard").desc(), "a", "b")
         .limit(20)
     )
+
+
+# --- PQ + ADC rerank ANN (rows-only: recall < 1 by design) ----------------------------------------------
+@pq("ann_pq_rerank")  # rows-only check; recall + determinism pinned in tests
+def ann_pq_rerank(spark, sf_dir):
+    """Product-quantization ANN with exact re-ranking: 8x16 codebooks
+    (deterministic sample + seeded k-means), ADC table-lookup scoring
+    in ONE corpus pass, top-10k candidates per probe re-ranked by
+    exact cosine via keyed joins. Recall < 1 by design — the rows-only
+    entry class (similarity_ivf discipline); recall >= pins and
+    repartition-independence are pytest-pinned."""
+    from etl_mini_spark.operators.similarity import cosine_topk_pq_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_pq_rerank(emb, probes, k=5, m=8, n_codes=16, rerank=10)

@@ -402,6 +402,56 @@ def test_ivf_partitioning_independent_ties(spark):
     assert outs[0] == outs[1] and len(outs[0]) > 0
 
 
+def test_pq_rerank_recall_clustered(spark):
+    """PQ+ADC rerank recall@5 >= 0.9 at rerank=6 on a corpus with real
+    cluster structure — PQ's operating regime. Deterministic seed."""
+    import numpy as np
+
+    from etl_mini_spark.operators.similarity import (
+        cosine_topk_bruteforce, cosine_topk_pq_rerank)
+
+    rs = np.random.RandomState(7)
+    centers = rs.randn(8, 64)
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + 0.15 * rs.randn(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    cdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = cdf.filter(F.col("vec_id") % 40 == 0)
+    exact = cosine_topk_bruteforce(cdf, probes, k=5)
+    approx = cosine_topk_pq_rerank(cdf, probes, k=5, m=8, n_codes=16, rerank=6)
+    recall = _recall_at_5(exact, approx)
+    assert recall >= 0.9, f"PQ rerank recall@5 on clustered corpus: {recall}"
+
+
+def test_pq_rerank_recall_natural_and_deterministic(spark):
+    """Natural (near-orthogonal) corpus: recall@5 >= 0.9 needs a wide
+    rerank window (20*k candidates = 20% of the corpus at this SF) —
+    the worst case for ANY pruned ANN, same story as IVF's nprobe=12.
+    Results must also be identical under repartition(1) vs (32) — the
+    per-batch ADC cut uses the brute kernel's tie discipline."""
+    from etl_mini_spark.operators.similarity import (
+        cosine_topk_bruteforce, cosine_topk_pq_rerank, train_pq_codebooks)
+    from etl_mini_spark.session import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk_bruteforce(emb, probes, k=5)
+    approx = cosine_topk_pq_rerank(emb, probes, k=5, m=8, n_codes=16, rerank=20)
+    recall = _recall_at_5(exact, approx)
+    assert recall >= 0.9, f"PQ rerank recall@5 on natural corpus: {recall}"
+
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    outs = []
+    for n in (1, 32):
+        got = cosine_topk_pq_rerank(
+            emb.repartition(n), probes, k=5, rerank=10, codebooks=books
+        )
+        outs.append(sorted(map(tuple, got.collect())))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
 def test_salted_join_identical_to_plain(spark):
     from etl_mini_spark.operators.joins import salted_join
     from etl_mini_spark.session import load_table
