@@ -1983,7 +1983,7 @@ def gradient_boost_stumps(spark, sf_dir):
         .cast("bigint").alias("sy"),
     )
 
-    def best_stump(cells, feat_col, val_col, n_col, s_col, t_lo, t_hi):
+    def best_stump(cells, feat_col, n_col, s_col, t_lo, t_hi):
         tgrid = spark.range(t_lo, t_hi + 1).select(F.col("id").cast("int").alias("t"))
         g = (
             tgrid.crossJoin(cells)
@@ -2011,7 +2011,7 @@ def gradient_boost_stumps(spark, sf_dir):
             .limit(1)
         )
 
-    best1 = best_stump(base, "f1", None, "n", "sy", 1, 4).select(
+    best1 = best_stump(base, "f1", "n", "sy", 1, 4).select(
         "t", "nl", "sl", "nr", "sr", "gain",
         F.floor((2 * F.col("sl") + F.col("nl")) / (2 * F.col("nl"))).cast("long").alias("pl"),
         F.floor((2 * F.col("sr") + F.col("nr")) / (2 * F.col("nr"))).cast("long").alias("pr"),
@@ -2027,7 +2027,7 @@ def gradient_boost_stumps(spark, sf_dir):
             ).cast("bigint").alias("rs"),
         )
     )
-    best2 = best_stump(resid, "f2", None, "n", "rs", 1, 11)
+    best2 = best_stump(resid, "f2", "n", "rs", 1, 11)
 
     def emit(best, rnd, feat):
         p2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731

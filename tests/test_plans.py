@@ -939,3 +939,60 @@ def test_round12_tier_no_cartesian_blanket(spark):
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in BOUNDED_NONEQUI_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_round13_staged_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-13 STAGED tier (same
+    contract as the round-7..12 blankets, applied before registration):
+    no CartesianProduct; BroadcastNestedLoopJoin only where the
+    non-equi/cross side is bounded by construction — 1-row moment/rate
+    scalars, fixed predicate/threshold/pair grids, bounded version or
+    attempt tables, or calendar-bounded series grids (never the fact
+    table)."""
+    import re as _re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round13_pending import PENDING_QUERIES
+
+    src = open("etl_mini_spark/queries/round13_pending.py").read()
+    ROUND13 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
+    assert len(ROUND13) == 37
+    SKIP_SIDE_EFFECTS = {
+        # run streaming jobs / driver folds before the final plan
+        "stream_cms_incremental", "stream_sessionize_differential",
+        "stream_cdc_upsert_latest", "kalman_filter_1d",
+        "irr_bisection_npv", "amortization_schedule",
+    }
+    BOUNDED_NONEQUI_OK = {
+        "manifest_pruning_audit",      # 3-row predicate grid broadcast
+        "delta_log_replay",            # version x bounded file-log join
+        "bitemporal_snapshot_query",   # 4-row as-of grid broadcast
+        "checkpoint_snapshot_isolation",  # 10-attempt metadata grid
+        "fellegi_sunter_weights",      # 1-row rate aggregate broadcast
+        "er_threshold_quality",        # 4-row threshold grid broadcast
+        "bond_duration_convexity",     # 1-row face value x 10-period grid
+        "gradient_boost_stumps",       # bounded (feature-value) cells x grids
+        "isotonic_regression_pav",     # calendar-bounded (i,j,k) grid
+        "ols_two_predictors",          # 1-row moments
+        "mahalanobis_outliers_2d",     # 1-row covariance broadcast
+        "pca_eigen_2d",                # 1-row covariance
+        "rrf_hybrid_fusion",           # bounded top-20 rank windows
+        "ndcg_graded_eval",            # bounded top-10 per probe
+        "int8_quant_cosine_topk",      # broadcast probe codes (bounded)
+        "matryoshka_overlap_audit",    # broadcast probes
+        "ann_pq_rerank",               # broadcast probe vectors (rerank join)
+        "count_min_sketch_audit",      # 20-probe x 256-cell bounded join
+        "stream_cms_incremental",      # (skipped above; listed for clarity)
+        "bloom_fpr_audit",             # 1-row member/bit counts broadcast
+        "url_canonicalize_dedup",      # variant-grid unions, no joins
+        "late_arriving_dimension",     # bounded dim-version join
+        "corpus_amplified_jaccard",    # 6-row variant-pair grid broadcast
+        "graph_kcore_peel",            # per-round 1-row stats crossJoin
+    }
+    for name in ROUND13:
+        if name in SKIP_SIDE_EFFECTS:
+            continue
+        s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in BOUNDED_NONEQUI_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
