@@ -3367,3 +3367,311 @@ def ann_pq_rerank(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
     return cosine_topk_pq_rerank(emb, probes, k=5, m=8, n_codes=16, rerank=10)
+
+
+# =====================================================================
+# Block L — round-12 late additions (ops research / ML-ops)
+# =====================================================================
+
+# --- Erlang-C staffing table --------------------------------------------------------------------------
+# Call-center staffing: offered load a = lambda/mu from the event
+# stream (arrivals = events/hour, service 3 min), and for agent counts
+# n in a fixed grid the Erlang-C waiting probability
+#   C(n, a) = (a^n/n!) / ((1-rho) * sum_{k<n} a^k/k! + a^n/n!)
+# evaluated through the RECURRENCE t_k = t_{k-1} * a / k (pure IEEE
+# multiply/divide chain, identical both engines; no factorial
+# explosion). A bounded per-n chain both engines unroll identically.
+_ERLANG_SQL = """
+    WITH RECURSIVE rates AS (
+      SELECT count(*) / (30.0 * 24.0) AS lam FROM events),
+    load AS (SELECT lam, lam * (3.0 / 60.0) AS a, lam * 0.05 AS dummy FROM rates),
+    grid AS (SELECT unnest(range(1, 9)) AS n),
+    terms AS (
+      -- t_k = a^k / k! by the multiplicative recurrence; s_k = running sum
+      SELECT 0 AS k, CAST(1.0 AS DOUBLE) AS t, CAST(1.0 AS DOUBLE) AS s,
+             a FROM load
+      UNION ALL
+      SELECT k + 1, t * a / (k + 1), s + t * a / (k + 1), a
+      FROM terms WHERE k < 8)
+    SELECT g.n,
+           floor(l.a * 1000000 + 0.5) / 1000000 AS offered_load,
+           floor((tn.t / ((1.0 - l.a / g.n) * (tn.s - tn.t) + tn.t))
+                 * 1000000 + 0.5) / 1000000 AS wait_prob
+    FROM grid g
+    JOIN terms tn ON tn.k = g.n
+    CROSS JOIN load l
+    WHERE g.n > l.a
+    ORDER BY g.n
+"""
+
+
+@pq("erlang_c_staffing", _ERLANG_SQL)
+def erlang_c_staffing(spark, sf_dir):
+    """Erlang-C waiting probability for agent counts 1..8 at the event
+    stream's offered load (arrivals/hour x 3-min service): the a^k/k!
+    terms come from the multiplicative recurrence t_k = t_{k-1}*a/k —
+    one identical IEEE chain on both engines, no factorials — and only
+    stable queues (n > a) report. One distributed count feeds a
+    bounded driver-side chain (the kalman/IRR recursion class)."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    n_events = e.count()
+    lam = n_events / (30.0 * 24.0)
+    a = lam * (3.0 / 60.0)
+    t, s = 1.0, 1.0
+    terms = {0: (1.0, 1.0)}
+    for k in range(1, 9):
+        t = t * a / k
+        s = s + t
+        terms[k] = (t, s)
+    rows = []
+    for n in range(1, 9):
+        if n > a:
+            tn, sn = terms[n]
+            wait = tn / ((1.0 - a / n) * (sn - tn) + tn)
+            rows.append((n, a, wait))
+    out = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["n", "offered_load", "wait_prob"])
+    )
+    return out.select(
+        "n", _pin(F.col("offered_load")).alias("offered_load"),
+        _pin(F.col("wait_prob")).alias("wait_prob"),
+    ).orderBy("n")
+
+
+# --- Weighted reservoir sampling (A-Res) -----------------------------------------------------------------
+# Efraimidis-Spirakis A-Res: each document draws an md5-portable
+# uniform u and competes on key = u^(1/w) (weight = doc length); the
+# top-32 keys ARE a weighted sample without replacement — fully
+# distributed (one TakeOrdered, no state), and because u is md5-derived
+# the sample is engine-identical. pow/ln appear only through identical
+# inputs and the key is 9dp-pre-rounded before the rank.
+_ARES_SQL = """
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS wt,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':ares'), 1, 15))
+               AS BIGINT) % 1000000 + 1) / 1000001.0 AS u
+      FROM documents WHERE n_chars > 0),
+    keyed AS (
+      SELECT doc_id, wt,
+             floor(power(u, 1.0 / wt) * 1000000000 + 0.5) / 1000000000 AS k9
+      FROM w)
+    SELECT doc_id, wt, k9
+    FROM keyed
+    ORDER BY k9 DESC, doc_id
+    LIMIT 32
+"""
+
+
+@pq("weighted_sample_ares", _ARES_SQL)
+def weighted_sample_ares(spark, sf_dir):
+    """Weighted sample WITHOUT replacement via Efraimidis-Spirakis
+    A-Res keys u^(1/w) on md5-portable uniforms (weight = document
+    length): the global top-32 keys are the sample — one TakeOrdered,
+    no sequential state, engine-identical because u is md5-derived and
+    the key pre-rounds at 9dp before ranking. The distributed
+    corpus-sampling shape mixture pipelines need."""
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (_md5_mod(F.col("doc_id"), ":ares", 1_000_000) + 1) / 1_000_001.0
+    k9 = F.floor(F.pow(u, 1.0 / F.col("n_chars")) * 1e9 + F.lit(0.5)) / 1e9
+    return (
+        d.select("doc_id", F.col("n_chars").cast("bigint").alias("wt"), k9.alias("k9"))
+        .orderBy(F.col("k9").desc(), "doc_id")
+        .limit(32)
+    )
+
+
+# --- Page-Hinkley drift detector ---------------------------------------------------------------------------
+# Sequential mean-drift detection on the daily revenue series: the PH
+# statistic m_t = max(0, m_{t-1} + (x_t - xbar_t - delta)) with a
+# RUNNING mean — a recursion over (running mean, cumulative deviation)
+# that flags the first day the statistic crosses lambda. Exact cents
+# keep the running mean a rational (one division per step, identical
+# IEEE), and the oracle replays the identical recursion.
+_PAGEH_SQL = f"""
+    WITH RECURSIVE daily AS ({_DAILY_SQL}),
+    ser AS (SELECT d, CAST(c AS DOUBLE) / 100.0 AS x,
+                   row_number() OVER (ORDER BY d) AS i FROM daily),
+    rec AS (
+      SELECT i, d, x, x AS mean, CAST(0.0 AS DOUBLE) AS ph,
+             CAST(0.0 AS DOUBLE) AS ph_max
+      FROM ser WHERE i = 1
+      UNION ALL
+      SELECT s.i, s.d, s.x,
+             r.mean + (s.x - r.mean) / s.i,
+             greatest(0.0, r.ph + (s.x - (r.mean + (s.x - r.mean) / s.i)) - 50.0),
+             greatest(r.ph_max,
+                      greatest(0.0, r.ph + (s.x - (r.mean + (s.x - r.mean) / s.i)) - 50.0))
+      FROM rec r JOIN ser s ON s.i = r.i + 1)
+    SELECT d,
+           floor(mean * 1000000 + 0.5) / 1000000 AS running_mean,
+           floor(ph * 1000000 + 0.5) / 1000000 AS ph_stat,
+           ph > 500.0 AS drift_flag
+    FROM rec ORDER BY d
+"""
+
+
+@pq("page_hinkley_drift", _PAGEH_SQL)
+def page_hinkley_drift(spark, sf_dir):
+    """Page-Hinkley drift detection over the daily revenue series:
+    running-mean recursion + cumulative positive deviation with
+    delta=50, flagging days where the statistic exceeds lambda=500 —
+    the sequential change detector ML-ops monitors run on feature
+    streams, replayed bit-for-bit by the oracle's recursive CTE. The
+    day aggregation is the only fact-table pass."""
+    import pandas as pd
+
+    daily = _daily_cents(spark, sf_dir).orderBy("d").collect()
+    rows, mean, ph = [], None, 0.0
+    for i, r in enumerate(daily, start=1):
+        x = r["c"] / 100.0
+        if mean is None:
+            mean = x
+            rows.append((r["d"], mean, 0.0))
+            continue
+        mean = mean + (x - mean) / i
+        ph = max(0.0, ph + (x - mean) - 50.0)
+        rows.append((r["d"], mean, ph))
+    out = spark.createDataFrame(pd.DataFrame(rows, columns=["d", "mean", "ph"]))
+    return out.select(
+        "d",
+        _pin(F.col("mean")).alias("running_mean"),
+        _pin(F.col("ph")).alias("ph_stat"),
+        (F.col("ph") > 500.0).alias("drift_flag"),
+    ).orderBy("d")
+
+
+# --- Walk-forward (expanding-window) validation ---------------------------------------------------------
+# Three expanding-window folds over the daily revenue series: each
+# fold trains on days 1..b and tests on the next 5 days with the
+# seasonal-naive (t-7) forecast; per-fold MAE in exact cents. The
+# leakage-safe time-series CV split every forecasting pipeline needs —
+# pure integer arithmetic, fold boundaries fixed by rank.
+_WFV_SQL = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    ser AS (SELECT d, c, row_number() OVER (ORDER BY d) AS i FROM daily),
+    folds AS (SELECT * FROM (VALUES (1, 10), (2, 15), (3, 20)) t(fold, train_end)),
+    scored AS (
+      SELECT f.fold, f.train_end, s.i, s.c,
+             l.c AS pred
+      FROM folds f
+      JOIN ser s ON s.i > f.train_end AND s.i <= f.train_end + 5
+      JOIN ser l ON l.i = s.i - 7)
+    SELECT fold, CAST(train_end AS BIGINT) AS train_end,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(abs(c - pred)) AS BIGINT) AS abs_err_cents,
+           floor(sum(abs(c - pred)) * 1.0 / count(*) / 100.0 * 100 + 0.5) / 100
+             AS mae_usd
+    FROM scored GROUP BY fold, train_end ORDER BY fold
+"""
+
+
+@pq("walk_forward_validation", _WFV_SQL)
+def walk_forward_validation(spark, sf_dir):
+    """Expanding-window walk-forward validation: three folds train on
+    days 1..b and test the seasonal-naive (t-7) forecast on the next 5
+    days, reporting per-fold MAE in exact cents — the leakage-safe
+    time-series cross-validation split, all integer arithmetic over
+    rank-fixed fold boundaries."""
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("d")
+    ser = daily.select("d", "c", F.row_number().over(w).alias("i"))
+    folds = spark.createDataFrame([(1, 10), (2, 15), (3, 20)], "fold int, train_end int")
+    lagged = ser.select(F.col("i").alias("li"), F.col("c").alias("pred"))
+    scored = (
+        folds.join(ser, (F.col("i") > F.col("train_end"))
+                   & (F.col("i") <= F.col("train_end") + 5))
+        .join(lagged, F.col("li") == F.col("i") - 7)
+    )
+    return (
+        scored.groupBy("fold", F.col("train_end").cast("bigint").alias("train_end"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(F.abs(F.col("c") - F.col("pred"))).cast("bigint").alias("abs_err_cents"),
+            (F.floor(F.sum(F.abs(F.col("c") - F.col("pred"))) * 1.0 / F.count("*")
+                     / 100.0 * 100 + F.lit(0.5)) / 100).alias("mae_usd"),
+        )
+        .orderBy("fold")
+    )
+
+
+# --- Multiplicative Holt-Winters (weekly season) -----------------------------------------------------------
+# The multiplicative companion of the registered additive
+# holt_winters_weekly: level/trend/season update with RATIO seasonals
+# (seed season = first-week value over the first-week mean, one
+# identical IEEE division each), alpha/beta/gamma as 2dp literals —
+# the same both-engine recursion discipline, different algebra.
+_HWM_SQL = f"""
+    WITH RECURSIVE daily AS ({_DAILY_SQL}),
+    ser AS (SELECT d, CAST(c AS DOUBLE) / 100.0 AS x,
+                   row_number() OVER (ORDER BY d) AS i FROM daily),
+    -- exact integer first-week sum -> one conversion + two divisions:
+    -- order-free on both engines (double avg() fold order is not)
+    w1 AS (SELECT CAST(sum(c) AS BIGINT) / 100.0 / 7.0 AS m
+           FROM (SELECT c, row_number() OVER (ORDER BY d) AS i FROM daily)
+           WHERE i <= 7),
+    seed AS (
+      SELECT 7 AS i, (SELECT m FROM w1) AS l, CAST(0.0 AS DOUBLE) AS b
+      ),
+    seas0 AS (SELECT i AS j, x / (SELECT m FROM w1) AS s FROM ser WHERE i <= 7),
+    rec AS (
+      SELECT s.i, s.d, s.x,
+             sd.l AS l, sd.b AS b,
+             s.x / (SELECT s0.s FROM seas0 s0 WHERE s0.j = ((s.i - 1) % 7) + 1)
+               AS dummy,
+             CAST(NULL AS DOUBLE) AS fitted
+      FROM ser s JOIN seed sd ON s.i = sd.i
+      UNION ALL
+      SELECT s.i, s.d, s.x,
+             0.3 * (s.x / (SELECT s0.s FROM seas0 s0 WHERE s0.j = ((s.i - 1) % 7) + 1))
+               + 0.7 * (r.l + r.b),
+             0.1 * ((0.3 * (s.x / (SELECT s0.s FROM seas0 s0 WHERE s0.j = ((s.i - 1) % 7) + 1))
+                     + 0.7 * (r.l + r.b)) - r.l)
+               + 0.9 * r.b,
+             s.x,
+             (r.l + r.b) * (SELECT s0.s FROM seas0 s0 WHERE s0.j = ((s.i - 1) % 7) + 1)
+      FROM rec r JOIN ser s ON s.i = r.i + 1)
+    SELECT d,
+           floor(l * 1000000 + 0.5) / 1000000 AS level,
+           floor(b * 1000000 + 0.5) / 1000000 AS trend,
+           floor(fitted * 1000000 + 0.5) / 1000000 AS fitted
+    FROM rec WHERE i > 7 ORDER BY d
+"""
+
+
+@pq("holt_winters_multiplicative", _HWM_SQL)
+def holt_winters_multiplicative(spark, sf_dir):
+    """Multiplicative Holt-Winters over the daily series with a FROZEN
+    first-week ratio seasonal (seed season = day value over first-week
+    mean): level 0.3/trend 0.1 smoothing against the deseasonalized
+    observation, one-step fitted value (l+b)*s — the multiplicative
+    companion of the registered additive holt_winters_weekly, same
+    bit-exact recursion discipline. Day aggregation distributed,
+    recursion bounded by the calendar."""
+    import pandas as pd
+
+    daily = _daily_cents(spark, sf_dir).orderBy("d").collect()
+    xs = [(r["d"], r["c"] / 100.0) for r in daily]
+    # first-week mean from the EXACT integer cents sum (order-free),
+    # then the identical conversion/division sequence as the oracle
+    m = sum(r["c"] for r in daily[:7]) / 100.0 / 7.0
+    season = {j + 1: xs[j][1] / m for j in range(7)}
+    rows = []
+    level, trend = m, 0.0
+    for i, (d, x) in enumerate(xs, start=1):
+        if i <= 7:
+            continue
+        s = season[((i - 1) % 7) + 1]
+        fitted = (level + trend) * s
+        new_l = 0.3 * (x / s) + 0.7 * (level + trend)
+        trend = 0.1 * (new_l - level) + 0.9 * trend
+        level = new_l
+        rows.append((d, level, trend, x, fitted))
+    out = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["d", "l", "b", "x", "fitted"])
+    )
+    return out.select(
+        "d", _pin(F.col("l")).alias("level"), _pin(F.col("b")).alias("trend"),
+        _pin(F.col("fitted")).alias("fitted"),
+    ).orderBy("d")

@@ -956,7 +956,7 @@ def test_round13_staged_tier_no_cartesian_blanket(spark):
 
     src = open("etl_mini_spark/queries/round13_pending.py").read()
     ROUND13 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
-    assert len(ROUND13) == 37
+    assert len(ROUND13) == 42
     SKIP_SIDE_EFFECTS = {
         # run streaming jobs / driver folds before the final plan
         "stream_cms_incremental", "stream_sessionize_differential",
@@ -988,6 +988,7 @@ def test_round13_staged_tier_no_cartesian_blanket(spark):
         "late_arriving_dimension",     # bounded dim-version join
         "corpus_amplified_jaccard",    # 6-row variant-pair grid broadcast
         "graph_kcore_peel",            # per-round 1-row stats crossJoin
+        "walk_forward_validation",     # 3-row fold grid joins
     }
     for name in ROUND13:
         if name in SKIP_SIDE_EFFECTS:

@@ -409,3 +409,58 @@ def test_link_prediction_nonedges_scored(spark):
     for r in rows:
         assert 0 < r["jaccard"] <= 1.0
         assert r["inter"] <= r["un"]
+
+
+# --- Block L: late additions --------------------------------------------------
+
+
+def test_erlang_c_stability_monotone(spark):
+    rows = sorted(PENDING["erlang_c_staffing"](spark, SF_SMOKE).collect(),
+                  key=lambda r: r["n"])
+    assert rows
+    ws = [r["wait_prob"] for r in rows]
+    assert all(0.0 <= w <= 1.0 for w in ws)
+    assert ws == sorted(ws, reverse=True)  # more agents, less waiting
+    assert all(r["n"] > r["offered_load"] for r in rows)  # only stable queues
+
+
+def test_ares_sample_weight_biased(spark):
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries._base import _t
+
+    rows = PENDING["weighted_sample_ares"](spark, SF_SMOKE).collect()
+    assert len(rows) == 32
+    ks = [r["k9"] for r in rows]
+    assert ks == sorted(ks, reverse=True)
+    pop_mean = (
+        _t(spark, SF_SMOKE, "documents").where(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars")).collect()[0][0]
+    )
+    sample_mean = sum(r["wt"] for r in rows) / len(rows)
+    assert sample_mean > pop_mean  # weighting biases toward long docs
+
+
+def test_page_hinkley_stat_nonnegative(spark):
+    rows = PENDING["page_hinkley_drift"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 25
+    assert all(r["ph_stat"] >= 0.0 for r in rows)
+    assert all(r["running_mean"] > 0.0 for r in rows)
+
+
+def test_walk_forward_folds_complete(spark):
+    rows = sorted(PENDING["walk_forward_validation"](spark, SF_SMOKE).collect(),
+                  key=lambda r: r["fold"])
+    assert [r["fold"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r["n_test"] == 5
+        assert r["abs_err_cents"] >= 0
+        assert abs(r["mae_usd"] - round(r["abs_err_cents"] / 5 / 100.0, 2)) < 0.02
+
+
+def test_hw_multiplicative_tracks_level(spark):
+    rows = PENDING["holt_winters_multiplicative"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 20
+    assert all(r["level"] > 0 for r in rows)
+    assert all(r["fitted"] > 0 for r in rows)
+    assert len({r["fitted"] for r in rows}) > 10  # seasonals actually vary
