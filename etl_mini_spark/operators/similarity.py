@@ -50,7 +50,7 @@ def _gather_unit_matrix(
     DRIVER-GATHER — only for probe sets / small corpora. ``max_rows``
     is a hard guard: above it this raises instead of silently OOMing
     the driver (1M × 64 float64 ≈ 512 MB); the caller should switch to
-    the distributed path (near_dup_pairs_embedding_lsh for near-dups,
+    the distributed path (embedding_near_dup_pairs_lsh for near-dups,
     cosine_topk_ivf for ANN), which never gathers the corpus. The guard
     costs no extra Spark action: we fetch max_rows+1 and fail on
     overflow."""
@@ -59,7 +59,7 @@ def _gather_unit_matrix(
         raise ValueError(
             f"_gather_unit_matrix: input exceeds max_rows={max_rows}; "
             "this driver-gather path is for probe sets / small corpora only — "
-            "use near_dup_pairs_embedding_lsh or cosine_topk_ivf for large "
+            "use embedding_near_dup_pairs_lsh or cosine_topk_ivf for large "
             "corpora (distributed, never gathers the vectors)."
         )
     ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -103,6 +103,8 @@ def cosine_topk_bruteforce(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pids, pmat = b.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             cmat = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             norms = np.linalg.norm(cmat, axis=1)
@@ -469,7 +471,7 @@ def embedding_near_dup_pairs(
     SQL `WHERE cos >= t` semantics. SMALL-CORPUS PATH: the corpus is
     gathered to the driver, guarded by ``max_gather_rows`` — past the
     cap this raises with a pointer at
-    :func:`near_dup_pairs_embedding_lsh`, the distributed twin with the
+    :func:`embedding_near_dup_pairs_lsh`, the distributed twin with the
     same output contract."""
     from etl_mini_spark.session import spread
 
@@ -487,6 +489,8 @@ def embedding_near_dup_pairs(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         aids, amat = b.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             cids = pdf[id_col].to_numpy(dtype=np.int64)
             cmat = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             norms = np.linalg.norm(cmat, axis=1)

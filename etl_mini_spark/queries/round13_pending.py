@@ -264,9 +264,12 @@ _RRF_SQL = """
       WHERE l.r_lex <= 20 AND v.r_vec <= 20)
     SELECT probe_id, cand_id,
            CAST(r_lex AS BIGINT) AS r_lex, CAST(r_vec AS BIGINT) AS r_vec,
-           CAST(rrf AS DOUBLE) AS rrf
+           floor(CAST(rrf AS DOUBLE) * 1000000 + 0.5) / 1000000 AS rrf
     FROM fused
-    QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, cand_id) <= 5
+    -- rank on the exact decimal column (fused.rrf), NOT the pinned
+    -- output alias that shadows it
+    QUALIFY row_number() OVER (PARTITION BY probe_id
+                               ORDER BY fused.rrf DESC, cand_id) <= 5
     ORDER BY probe_id, cand_id
 """
 
@@ -285,7 +288,8 @@ def rrf_hybrid_fusion(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("tok"),
     )
     ptok = tok.where(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("probe_id"), "tok"
@@ -315,14 +319,18 @@ def rrf_hybrid_fusion(spark, sf_dir):
             "probe_id", "cand_id",
             F.col("r_lex").cast("bigint").alias("r_lex"),
             F.col("r_vec").cast("bigint").alias("r_vec"),
-            (term(F.col("r_lex")) + term(F.col("r_vec"))).cast("double").alias("rrf"),
+            (term(F.col("r_lex")) + term(F.col("r_vec"))).alias("rrf_d"),
         )
     )
-    wf = Window.partitionBy("probe_id").orderBy(F.col("rrf").desc(), "cand_id")
+    # rank on the EXACT decimal sum, then pin the displayed double at
+    # 6dp — DuckDB evaluates decimal/int division as DOUBLE, so an
+    # unpinned raw double could straddle the harness's 6dp boundary
+    wf = Window.partitionBy("probe_id").orderBy(F.col("rrf_d").desc(), "cand_id")
     return (
         fused.withColumn("__rn", F.row_number().over(wf))
         .where(F.col("__rn") <= 5)
-        .drop("__rn")
+        .select("probe_id", "cand_id", "r_lex", "r_vec",
+                _pin(F.col("rrf_d").cast("double")).alias("rrf"))
         .orderBy("probe_id", "cand_id")
     )
 
@@ -715,6 +723,21 @@ def bitemporal_snapshot_query(spark, sf_dir):
     )
 
 
+def _modal_priority(o, lo: str, hi: str):
+    """Each customer's modal order priority in [lo, hi) — count DESC,
+    priority ASC tie-break. Shared by the SCD2+SCD6 composition and
+    the late-arriving-dimension entry (one rule, one place)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("__c").desc(), "o_orderpriority")
+    return (
+        o.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count("*").alias("__c"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("o_custkey", F.col("o_orderpriority").alias("seg"))
+    )
+
+
 # --- Composed SCD2 + SCD6 dimension maintenance -----------------------------------------------
 # Two sequential change batches (each customer's modal order priority
 # in 1996, then in 1998 — count DESC, priority ASC tie-break) apply to
@@ -778,22 +801,8 @@ def scd2_scd6_composed(spark, sf_dir):
     dimension scale."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-
-    def modal(lo, hi):
-        w = Window.partitionBy("o_custkey").orderBy(
-            F.col("c").desc(), "o_orderpriority"
-        )
-        return (
-            o.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
-            .groupBy("o_custkey", "o_orderpriority")
-            .agg(F.count("*").alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("o_custkey", F.col("o_orderpriority").alias("seg"))
-        )
-
-    b1 = modal("1996-01-01", "1997-01-01")
-    b2 = modal("1998-01-01", "1999-01-01")
+    b1 = _modal_priority(o, "1996-01-01", "1997-01-01")
+    b2 = _modal_priority(o, "1998-01-01", "1999-01-01")
     versions = (
         c.select("c_custkey", F.lit("1995-01-01").alias("valid_from"),
                  F.col("c_mktsegment").alias("seg"))
@@ -992,15 +1001,7 @@ def late_arriving_dimension(spark, sf_dir):
     the as-of shape, no windows over the fact table."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("cnt").desc(), "o_orderpriority")
-    b1 = (
-        o.where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
-        .groupBy("o_custkey", "o_orderpriority")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("o_custkey", F.col("o_orderpriority").alias("seg"))
-    )
+    b1 = _modal_priority(o, "1996-01-01", "1997-01-01")
     dimlog = (
         c.select(
             "c_custkey",
@@ -1655,11 +1656,11 @@ _OLS2_SQL = """
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
              CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
-             CAST(sum(x1 * x2) AS BIGINT) AS sx1x2,
-             CAST(sum(x2 * x2) AS BIGINT) AS sx2x2,
-             CAST(sum(x1 * y) AS BIGINT) AS sx1y,
-             CAST(sum(x2 * y) AS BIGINT) AS sx2y
+             CAST(sum(x1 * x1) AS HUGEINT) AS sx1x1,
+             CAST(sum(x1 * x2) AS HUGEINT) AS sx1x2,
+             CAST(sum(x2 * x2) AS HUGEINT) AS sx2x2,
+             CAST(sum(x1 * y) AS HUGEINT) AS sx1y,
+             CAST(sum(x2 * y) AS HUGEINT) AS sx2y
       FROM daily),
     solve AS (
       SELECT n,
@@ -1703,11 +1704,13 @@ def ols_two_predictors(spark, sf_dir):
         F.sum("x1").cast("bigint").alias("sx1"),
         F.sum("x2").cast("bigint").alias("sx2"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("sx1x1"),
-        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("sx1x2"),
-        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("sx2x2"),
-        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("sx1y"),
-        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("sx2y"),
+        # decimal(38,0) moments: sum(x1*y) passes 2^63 around sf30
+        # (siblings mahalanobis/pca use the same wide-integer class)
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x2").cast("decimal(38,0)") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2").cast("decimal(38,0)") * F.col("y")).alias("sx2y"),
     )
     a, b, c = F.col("n").cast("double"), F.col("sx1").cast("double"), F.col("sx2").cast("double")
     e, f_, g = (F.col("sx1x1").cast("double"), F.col("sx1x2").cast("double"),
@@ -2273,7 +2276,11 @@ def sessions_regex_path(spark, sf_dir):
         F.substring("event_type", 1, 1).alias("ch"),
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            # full-precision seconds (timestamp->double keeps the us
+            # fraction) — unix_timestamp truncates to whole seconds and
+            # would classify gaps like 1800.3s differently than the
+            # oracle's INTERVAL comparison
+            | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800.0),
             1,
         ).otherwise(0).alias("brk"),
     )
@@ -2341,19 +2348,26 @@ _CMS_SQL = f"""
 """
 
 
+def _cm_bucket(token_col, j_col):
+    """The md5 count-min bucket for (token, row j) — ONE definition
+    shared by cell building and both probe lookups on the Spark side
+    (the oracle inlines the identical expression); a drifted copy
+    would make probes silently join to nothing."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(token_col, F.lit(":cm"),
+                                       j_col.cast("string"))), 1, 15),
+            16, 10,
+        ).cast("bigint") % _CMS_W
+    )
+
+
 def _cm_cells(vocab, token_col="token", cnt_col="c"):
     """(j, b, cell) count-min table from a (token, count) vocabulary —
     md5 row hashes, identical to the oracle's."""
     rows = F.explode(F.array(*[F.lit(j) for j in range(_CMS_ROWS)])).alias("j")
     hashed = vocab.select(token_col, cnt_col, rows).withColumn(
-        "b",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(token_col), F.lit(":cm"), F.col("j").cast("string"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("bigint") % _CMS_W,
+        "b", _cm_bucket(F.col(token_col), F.col("j"))
     )
     return hashed.groupBy("j", "b").agg(F.sum(cnt_col).cast("bigint").alias("cell"))
 
@@ -2371,21 +2385,14 @@ def count_min_sketch_audit(spark, sf_dir):
     from etl_mini_spark.operators.text import tokens
 
     d = _t(spark, sf_dir, "documents")
-    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    tok = d.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
     vocab = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
     cells = _cm_cells(vocab)
     top20 = vocab.orderBy(F.col("c").desc(), "token").limit(20)
     probes = top20.select(
         "token", "c",
         F.explode(F.array(*[F.lit(j) for j in range(_CMS_ROWS)])).alias("j"),
-    ).withColumn(
-        "b",
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("token"), F.lit(":cm"),
-                                       F.col("j").cast("string"))), 1, 15),
-            16, 10,
-        ).cast("bigint") % _CMS_W,
-    )
+    ).withColumn("b", _cm_bucket(F.col("token"), F.col("j")))
     est = (
         probes.join(cells, ["j", "b"])
         .groupBy("token", "c")
@@ -2600,12 +2607,7 @@ def stream_cms_incremental(spark, sf_dir):
     probes = top20.select(
         "token", "c",
         F.explode(F.array(*[F.lit(j) for j in range(_CMS_ROWS)])).alias("j"),
-    ).withColumn(
-        "b",
-        F.conv(F.substring(F.md5(F.concat(F.col("token"), F.lit(":cm"),
-                                          F.col("j").cast("string"))), 1, 15), 16, 10)
-        .cast("bigint") % _CMS_W,
-    )
+    ).withColumn("b", _cm_bucket(F.col("token"), F.col("j")))
     est = (
         probes.join(F.broadcast(cells), ["j", "b"])
         .groupBy("token", "c")
@@ -2627,8 +2629,12 @@ def stream_cms_incremental(spark, sf_dir):
 _SSESS_SQL = """
     WITH g AS (
       SELECT user_id, ts,
+             -- >=: session_window's windows are half-open [start,
+             -- start+gap), so an event EXACTLY gap seconds later opens
+             -- a NEW session (same rule the registered
+             -- window_session_30m oracle pins)
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -2700,10 +2706,14 @@ def stream_sessionize_differential(spark, sf_dir):
                        F.col("w.end").alias("we"), "n_events"),
             checkpoint_dir=str(ckpt), output_path=str(out),
         )
-        res = spark.read.parquet(str(out)).where(F.col("user_id") >= 0).cache()
-        res.count()  # materialize before the tmp dir is removed
+        # materialize to pandas BEFORE the tmp dir is removed — a cached
+        # plan over deleted files would break on any recompute
+        res_pdf = (
+            spark.read.parquet(str(out)).where(F.col("user_id") >= 0).toPandas()
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    res = spark.createDataFrame(res_pdf)
     return res.select(
         "user_id",
         F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -2785,10 +2795,11 @@ def stream_cdc_upsert_latest(spark, sf_dir):
             spark, str(src), schema, options={"maxFilesPerTrigger": "1"}
         )
         run_to_completion(stream, checkpoint_dir=str(ckpt), sink=sink)
-        res = spark.read.parquet(tgt).cache()
-        res.count()
+        # materialize to pandas BEFORE the tmp dir is removed
+        res_pdf = spark.read.parquet(tgt).toPandas()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    res = spark.createDataFrame(res_pdf)
     return res.select(
         F.col("k").alias("c_custkey"), "segment", F.col("seq").alias("last_seq")
     ).orderBy("c_custkey")
@@ -3259,22 +3270,26 @@ def graph_kcore_peel(spark, sf_dir):
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    out_rows = []
-    e = sym
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    # gather the six per-round scalars eagerly with each round's edge
+    # table persisted — otherwise every later round's lineage re-derives
+    # the expensive co-purchase self-join (the DuckDB oracle
+    # materializes its CTEs once; ~7x redundant joins measured without
+    # the persist)
+    stats, e, persisted = [], sym, [sym]
     for rnd in (1, 2, 3):
-        nodes = e.groupBy("u").agg(F.count("*").alias("deg")).where(F.col("deg") >= 3).select("u")
-        e = (
-            e.join(nodes, "u")
-            .join(nodes.select(F.col("u").alias("v")), "v")
+        nodes = (
+            e.groupBy("u").agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= 3).select("u")
         )
-        stats = nodes.agg(F.count("*").cast("bigint").alias("nodes")).crossJoin(
-            e.agg((F.count("*") / 2).cast("bigint").alias("edges"))
-        ).select(F.lit(rnd).alias("round"), "nodes", "edges")
-        out_rows.append(stats)
-    out = out_rows[0]
-    for st in out_rows[1:]:
-        out = out.unionByName(st)
+        e = e.join(nodes, "u").join(nodes.select(F.col("u").alias("v")), "v").persist()
+        persisted.append(e)
+        stats.append((rnd, nodes.count(), e.count() // 2))
+    out = spark.createDataFrame(stats, "round int, nodes long, edges long")
+    for df in persisted:
+        df.unpersist()
     return out.orderBy("round")
 
 

@@ -686,7 +686,7 @@ def test_gather_guard_raises_above_cap(spark):
     df = spark.createDataFrame(
         [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(5)]
     )
-    with _pytest.raises(ValueError, match="near_dup_pairs_embedding_lsh"):
+    with _pytest.raises(ValueError, match="embedding_near_dup_pairs_lsh"):
         embedding_near_dup_pairs(df, max_gather_rows=3).collect()
 
 

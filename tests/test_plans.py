@@ -987,7 +987,6 @@ def test_round13_staged_tier_no_cartesian_blanket(spark):
         "url_canonicalize_dedup",      # variant-grid unions, no joins
         "late_arriving_dimension",     # bounded dim-version join
         "corpus_amplified_jaccard",    # 6-row variant-pair grid broadcast
-        "graph_kcore_peel",            # per-round 1-row stats crossJoin
         "walk_forward_validation",     # 3-row fold grid joins
     }
     for name in ROUND13:
