@@ -426,6 +426,50 @@ def p_budget(spark):
     }
 
 
+@probe("rank_quantile_buckets")
+def p_rank_buckets(spark):
+    """Round-12 probe: the quantile-derived bucket boundaries in
+    value_midranks/exact_global_rank must (a) keep a heavy-tailed
+    (log-normal-like) 10M-row value domain spread across buckets —
+    linear min/max interpolation parks ~everything in bucket 0 on this
+    shape — and (b) stay EXACT: the doubled-midrank rank-sum identity
+    sum(t * r2) = n*(n+1) holds for any monotone bucketing, so it
+    pins correctness at scale without a single-partition window
+    comparison."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.ranks import quantile_buckets, value_midranks
+
+    n = 10_000_000
+    # deterministic heavy tail: exp of a hash-uniform scaled to [0, 14)
+    # => values span ~6 decades with mass piled at the low end
+    df = spark.range(n).select(
+        F.exp(
+            (F.conv(F.substring(F.md5(F.concat(F.col("id").cast("string"),
+                                               F.lit(":ht"))), 1, 15), 16, 10)
+             .cast("double") % 1_000_000) / 1_000_000.0 * 14.0
+        ).alias("v")
+    )
+    hv = df.groupBy("v").agg(F.count("*").cast("bigint").alias("t"))
+    bucket, cuts = quantile_buckets(hv, "v", 32)
+    counts = [r["c"] for r in
+              hv.withColumn("__b", bucket).groupBy("__b")
+              .agg(F.count("*").alias("c")).collect()]
+    total = sum(counts)
+    max_frac = max(counts) / total
+    rank_sum = value_midranks(df, "v").agg(
+        F.sum(F.col("t") * F.col("r2"))
+    ).collect()[0][0]
+    n_rows = df.count()
+    return {
+        "n_rows": n_rows,
+        "n_buckets": len(counts),
+        "max_bucket_frac": round(max_frac, 4),
+        "rank_sum_exact": bool(rank_sum == n_rows * (n_rows + 1)),
+        "ok": max_frac <= 2 / 32 * 1.5 and rank_sum == n_rows * (n_rows + 1),
+    }
+
+
 @probe("token_heavy_hitters_mg")
 def p_heavy_hitters(spark):
     """20M zipf-skewed tokens: the Misra-Gries sketch path (map-side
@@ -664,6 +708,8 @@ def main() -> None:
         p_incremental(spark, tmpdir)
         print("generating tokens...", file=sys.stderr)
         p_heavy_hitters(spark)
+        print("ranking values...", file=sys.stderr)
+        p_rank_buckets(spark)
 
     total = round(time.monotonic() - t0, 2)
     payload = json.dumps(
