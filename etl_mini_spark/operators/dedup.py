@@ -287,6 +287,58 @@ def near_dup_pairs_containment(
     )
 
 
+def prefix_join_preflight(
+    postings: DataFrame,
+    doc_col: str = "doc_id",
+    token_col: str = "tok",
+    max_avg_candidates: float = 64.0,
+    mode: str = "raise",
+) -> dict:
+    """Candidate-mass preflight for prefix-filtered set-similarity joins.
+
+    A PPJoin-style prefix filter only prunes when the vocabulary has a
+    rare tail for the prefix to exploit. On df-FLAT corpora (tiny or
+    uniform vocabularies — e.g. the 31-token sf0.1 documents table,
+    measured 24× slower than the zipf case) every prefix token is
+    common and the candidate join degenerates toward all-pairs. The
+    exact candidate mass of a self-join on equal tokens is
+    Σ_tok df·(df−1)/2 over the (prefix) postings fed in — two keyed
+    aggregates, no data-size assumptions. When the average candidate
+    count per doc exceeds ``max_avg_candidates``, the filter is not
+    earning its keep: RAISE (or warn) with the swap-in rule — use
+    ``near_dup_pairs_minhash_lsh``, whose candidate mass is bounded by
+    band-bucket collisions rather than token frequency.
+
+    Returns ``{"n_docs", "candidate_mass", "avg_candidates"}``.
+    ``mode``: "raise" (ValueError), "warn" (warnings.warn), or "stat"
+    (never signals — callers that only want the numbers)."""
+    agg = (
+        postings.groupBy(token_col)
+        .agg(F.count("*").cast("double").alias("df"))
+        .agg(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("mass"),
+        )
+        .collect()[0]
+    )
+    n_docs = postings.select(doc_col).distinct().count()
+    mass = float(agg["mass"] or 0.0)
+    avg = mass / n_docs if n_docs else 0.0
+    stats = {"n_docs": n_docs, "candidate_mass": mass, "avg_candidates": avg}
+    if avg > max_avg_candidates and mode != "stat":
+        msg = (
+            f"prefix filter degenerate: {mass:.0f} candidate pairs for "
+            f"{n_docs} docs ({avg:.1f}/doc > {max_avg_candidates}/doc) — "
+            "df-flat vocabulary; swap to near_dup_pairs_minhash_lsh "
+            "(band-bucketed candidates, frequency-independent)"
+        )
+        if mode == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return stats
+
+
 def shingle_hash(col: Column) -> Column:
     """Stable 32-bit base hash of a shingle: first 8 hex chars of md5.
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 def quantile_buckets(
@@ -45,6 +46,15 @@ def quantile_buckets(
     order of the ``Window.orderBy`` they replace.
 
     Returns (bucket_column, cut_points)."""
+    dt = df.schema[value_col].dataType
+    if not isinstance(dt, NumericType):
+        # cast("double") of a date/string/timestamp yields NULL, which
+        # would silently park every row in bucket -1 and collapse the
+        # downstream per-bucket windows into one partition — fail fast
+        # instead of quietly losing the scaling this primitive exists for.
+        raise TypeError(
+            f"quantile_buckets requires a numeric column; {value_col!r} is {dt}"
+        )
     nn = df.select(F.col(value_col).cast("double").alias("__v")).where(
         F.col("__v").isNotNull()
     )

@@ -529,7 +529,8 @@ def train_pq_codebooks(
     norms[norms == 0] = 1.0
     X = X / norms[:, None]
     d = X.shape[1]
-    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
     n_codes = min(n_codes, len(X))
     books = np.empty((m, n_codes, dsub))
@@ -653,9 +654,13 @@ def cosine_topk_pq_rerank(
     dot = F.aggregate(
         F.zip_with("__cv", "__pv", lambda a, c: a * c), F.lit(0.0), lambda acc, x: acc + x
     )
-    nrm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    def nrm(col):
+        # zero-norm vectors take norm 1.0, mirroring the numpy kernels'
+        # norms[norms == 0] = 1.0 discipline — the ADC path and
+        # cosine_topk_bruteforce already do this, so the exact re-rank
+        # must agree (a NULL cosine would otherwise survive into top-k).
+        raw = F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+        return F.when(raw == 0.0, F.lit(1.0)).otherwise(raw)
     scored = (
         cand.join(cvec, "neighbor_id")
         .join(F.broadcast(pvec), probe_id_col)

@@ -122,7 +122,15 @@ def setjoin_prefix_filter(spark, sf_dir):
     Verification is per-pair ``array_intersect`` over each doc's
     collected token array — one O(|doc|) kernel per candidate, NOT an
     exploded postings re-join (measured 10× cheaper at a 200×-scale
-    probe: the exploded form shuffles |cand|·|doc| rows)."""
+    probe: the exploded form shuffles |cand|·|doc| rows).
+
+    df-FLAT CORPORA DEGENERATE (tiny/uniform vocabularies leave no
+    rare tail for the prefix to exploit — 24× at sf0.1's 31-token
+    vocabulary): production callers should run
+    ``operators.dedup.prefix_join_preflight`` on the prefix postings
+    first (exact candidate mass Σ df·(df−1)/2; raises with the
+    MinHash-LSH swap-in rule past 64 candidates/doc). Not invoked
+    here so the registered differential keeps its exact plan."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
     tok = (

@@ -1123,3 +1123,34 @@ def test_welford_merge_keeps_null_key_state(spark):
     ).collect()
     want = {r["k"]: (r["cnt"], round(r["vavg"], 6), round(r["sd"], 6)) for r in want_rows}
     assert got == want, (got, want)
+
+
+def test_prefix_join_preflight_flags_df_flat_passes_zipf(spark):
+    """Round-13 verdict item: the PPJoin prefix filter's documented
+    df-flat degeneracy gets an in-code guard. A flat corpus (every doc
+    shares the same tiny vocabulary) must raise with the MinHash
+    swap-in pointer; a zipf-tailed corpus (mostly-rare tokens) must
+    pass; 'warn'/'stat' modes never raise."""
+    import pytest as _pytest
+
+    from etl_mini_spark.operators.dedup import prefix_join_preflight
+
+    flat = spark.createDataFrame(
+        [(d, f"tok{t}") for d in range(200) for t in range(5)],
+        "doc_id int, tok string",
+    )
+    with _pytest.raises(ValueError, match="minhash_lsh"):
+        prefix_join_preflight(flat, max_avg_candidates=64.0)
+    stats = prefix_join_preflight(flat, max_avg_candidates=64.0, mode="stat")
+    assert stats["avg_candidates"] > 64.0
+
+    # zipf-ish: each doc carries mostly unique tokens + one common one
+    zipf = spark.createDataFrame(
+        [(d, f"rare_{d}_{t}") for d in range(200) for t in range(4)]
+        + [(d, "common") for d in range(200)],
+        "doc_id int, tok string",
+    )
+    # prefix postings = the rare end only (as setjoin_prefix_filter feeds)
+    prefix = zipf.filter("tok != 'common'")
+    s = prefix_join_preflight(prefix, max_avg_candidates=64.0)
+    assert s["avg_candidates"] < 1.0, s
