@@ -464,3 +464,45 @@ def test_hw_multiplicative_tracks_level(spark):
     assert all(r["level"] > 0 for r in rows)
     assert all(r["fitted"] > 0 for r in rows)
     assert len({r["fitted"] for r in rows}) > 10  # seasonals actually vary
+
+
+# --- Block M: REAL multimodal decode ------------------------------------------
+
+
+def test_multimodal_decode_real_known_dims(spark):
+    rows = {r["file_name"]: r for r in PENDING["multimodal_decode_real"](spark, SF_SMOKE).collect()}
+    assert len(rows) == 8
+    assert (rows["imgreal_a.png"]["width"], rows["imgreal_a.png"]["height"]) == (37, 23)
+    assert (rows["imgreal_d.jpg"]["width"], rows["imgreal_d.jpg"]["height"]) == (320, 200)
+    assert (rows["imgreal_f.gif"]["width"], rows["imgreal_f.gif"]["height"]) == (101, 67)
+    assert rows["imgreal_g.wav"]["format"] == "wav" and rows["imgreal_g.wav"]["width"] is None
+    assert rows["imgreal_h.blob"]["format"] is None
+
+
+def test_multimodal_resize_real_covers_all_pngs(spark):
+    rows = PENDING["multimodal_resize_real"](spark, SF_SMOKE).collect()
+    assert {r["file_name"] for r in rows} == {"imgreal_a.png", "imgreal_b.png", "imgreal_c.png"}
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+    assert len({r["out_md5"] for r in rows}) == 3  # distinct images -> distinct digests
+
+
+def test_multimodal_features_real_conserves_pixels(spark):
+    rows = PENDING["multimodal_features_real"](spark, SF_SMOKE).collect()
+    per = {}
+    for r in rows:
+        per[r["file_name"]] = per.get(r["file_name"], 0) + r["cnt"]
+    # histogram mass == pixel count of each fixture
+    assert per == {"imgreal_a.png": 37 * 23, "imgreal_b.png": 64 * 48, "imgreal_c.png": 17 * 31}
+
+
+def test_png_decoder_rejects_unsupported_and_parser_handles_truncation():
+    import pytest as _pytest
+
+    from etl_mini_spark.operators.multimodal import decode_png_pixels, parse_media_header
+
+    assert parse_media_header(b"") == (None, None, None)
+    assert parse_media_header(b"\xff\xd8\xff") == ("jpeg", None, None)  # truncated walk
+    # magic-only PNG (the legacy img_a.bin shape): format, NULL dims
+    assert parse_media_header(b"\x89PNG\r\n\x1a\x0a" + b"\x00" * 20)[1] is None
+    with _pytest.raises(ValueError):
+        decode_png_pixels(b"not a png at all")
