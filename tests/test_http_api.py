@@ -181,3 +181,55 @@ def test_pyds_unknown_transport_fails_fast():
 
     with pytest.raises(ValueError, match="unknown transport"):
         _resolve_transport("carrier_pigeon")
+
+
+# --- secret resolution (round-13: reference app/utils/secret_loader.py) ------
+
+
+def test_secret_loader_reference_failure_modes(tmp_path):
+    import pytest as _pytest
+
+    from etl_mini_spark.sources.secrets import SecretLoader
+
+    with _pytest.raises(FileNotFoundError, match="Secrets file not found"):
+        SecretLoader(str(tmp_path / "nope.json")).load_token("svc")
+    p = tmp_path / "api_tokens.json"
+    p.write_text('{"svc": {"token": "tok-123"}, "broken": {"key": "x"}}')
+    loader = SecretLoader(str(p))
+    assert loader.load_token("svc") == "tok-123"
+    for bad in ("missing", "broken"):
+        with _pytest.raises(ValueError, match=f"Token for {bad} not found"):
+            loader.load_token(bad)
+
+
+def test_secret_params_resolve_and_redact(tmp_path, monkeypatch):
+    import pytest as _pytest
+
+    from etl_mini_spark.sources.http_api import render_template
+    from etl_mini_spark.sources.secrets import Secret, SecretLoader, resolve_secret_params
+
+    p = tmp_path / "api_tokens.json"
+    p.write_text('{"github": {"token": "ghp_secret"}}')
+    monkeypatch.setenv("MY_API_KEY", "env-val")
+    params = resolve_secret_params(
+        {"TOKEN": "secret://github", "KEY": "env://MY_API_KEY", "APP": "myapp"},
+        SecretLoader(str(p)),
+    )
+    # redaction-safe repr, transparent interpolation
+    assert repr(params["TOKEN"]) == "Secret('***')" and params["TOKEN"] == "ghp_secret"
+    assert isinstance(params["KEY"], Secret) and params["KEY"] == "env-val"
+    assert "ghp_secret" not in repr(params) and "env-val" not in repr(params)
+    templates = {
+        "t": {
+            "url": "https://api.example.com/{APP}/export",
+            "headers": {"Authorization": "Bearer {TOKEN}", "X-Key": "{KEY}"},
+        }
+    }
+    req = render_template(templates, "t", params)
+    assert req["headers"]["Authorization"] == "Bearer ghp_secret"
+    assert req["headers"]["X-Key"] == "env-val"
+    # loud failures: unset env var, reference without a loader
+    with _pytest.raises(KeyError, match="NOT_SET_VAR"):
+        resolve_secret_params({"K": "env://NOT_SET_VAR"})
+    with _pytest.raises(ValueError, match="needs a SecretLoader"):
+        resolve_secret_params({"K": "secret://svc"})
