@@ -42,6 +42,19 @@ HEADLINE = [
     "sql_q10_returned",
 ]
 
+# Round-13 extension suite (verdict #5): representatives of the
+# post-r9 tiers so regressions in newer code are bench-visible. Kept
+# SEPARATE from HEADLINE — "value" stays the round-1 23-query total
+# for baseline continuity; the extension total is reported as
+# "ext_value"/"ext_queries" alongside.
+HEADLINE_EXT = [
+    "equi_depth_histogram",       # exact_global_rank/layout path (r12)
+    "rsi_wilder_14",              # sequential cross-batch recursion (r12)
+    "ann_pq_rerank",              # PQ ADC + exact re-rank ANN (r13)
+    "merge_when_clauses",         # lakehouse MERGE clause semantics (r12)
+    "corpus_curation_pipeline",   # end-to-end curation capstone (r08)
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,7 +67,7 @@ def main() -> None:
     # Python UDF worker pools all spin up here so the timed pass
     # measures steady-state throughput (what a long-running cluster job
     # actually sees), not process cold-start.
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_EXT:
         QUERIES[name](spark, sf_dir).collect()
 
     # Per-query min over REPS timed runs — the machine is shared, so a
@@ -64,14 +77,17 @@ def main() -> None:
     # that min-of-2 failed to suppress (see BASELINE.md bench protocol).
     REPS = 3
     timings: dict[str, float] = {}
+    ext_timings: dict[str, float] = {}
     for _ in range(REPS):
-        for name in HEADLINE:
+        for name, sink in [(n, timings) for n in HEADLINE] + [
+            (n, ext_timings) for n in HEADLINE_EXT
+        ]:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.collect()
             dt = round(time.perf_counter() - t0, 4)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            if name not in sink or dt < sink[name]:
+                sink[name] = dt
     total = sum(timings.values())
 
     sf = float(Path(sf_dir).name.replace("sf", "")) if "sf" in Path(sf_dir).name else None
@@ -82,6 +98,8 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "ext_value": round(sum(ext_timings.values()), 4),
+                "ext_queries": ext_timings,
                 "sf": sf,
                 "warmup_passes": 1,
                 "reps": REPS,

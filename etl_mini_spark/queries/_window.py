@@ -14,32 +14,59 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #   every round by tests/test_queries_oracle.py at sf0.001 (same
 #   DuckDB-oracle check the driver runs at sf0.01).
 #
-# Round-12 rotation (CORRECTNESS_r11 came back 50/50 green, so every
-# round-11 slot owner rotates to the tail):
-# (a) the 39 round12_ops entries registered this round — authored and
-#     staged in round 11 as round12_pending, swept vs DuckDB at
+# Round-13 rotation (CORRECTNESS_r12 came back 50/50 green, so every
+# round-12 slot owner rotates to the tail):
+# (a) the 44 oracle-backed round13_ops entries registered this round —
+#     41 authored and staged in round 12 as round13_pending plus the 3
+#     round-13 REAL-multimodal differentials (multimodal_decode_real /
+#     _resize_real / _features_real), every one swept vs DuckDB at
 #     sf0.001 + sf0.01 + sf0.1 (and under a bare default SparkSession
 #     at sf0.01, the driver's exact gate) before registration, never
 #     driver-verified, so each must hold a slot
-#     (tests/test_window_rotation.py);
-# (b) code-change canaries — registered queries whose behavior-
-#     touching code changed AFTER their last driver-green row:
-#     mann_whitney_u + roc_auc_exact + kruskal_wallis_h (r12: their
-#     shared operators/ranks.value_midranks primitive moved from
-#     linear min/max bucket boundaries to approx-quantile cut points
-#     and grew an explicit nulls-first bucket — same twice-the-midrank
-#     integers, re-swept at sf0.001 + sf0.01 before this rotation),
-#     and stream_holt_incremental (r12: chunk files now get strictly
-#     increasing pinned mtimes so FileStreamSource can never reorder
-#     the cross-batch recursion's micro-batches);
-# (c) the remaining 7 slots re-verify the STALEST green entries — the
-#     whole remaining r04 cohort, name order (eight rounds since last
-#     driver verification; the stalest after this rotation is the r05
-#     cohort, 48 entries).
+#     (tests/test_window_rotation.py). ann_pq_rerank registered with
+#     the tier is rows-only (recall < 1 by design) and CANNOT hold a
+#     slot — pinned by recall/determinism tests instead;
+# (b) code-change canaries: NONE this round — the round-13 advice
+#     fixes are guard-only (ranks.quantile_buckets type check,
+#     similarity assert->ValueError) or touch only rows-only paths
+#     (cosine_topk_pq_rerank zero-norm guard), so no registered
+#     oracle-backed entry's green-path plan changed after its last
+#     driver-green row;
+# (c) the remaining 6 slots re-verify the STALEST green entries — the
+#     r05 cohort (join_asof_last_order, sql_q5_local_volume,
+#     stream_dedup_watermark), r06 (stream_foreachbatch_upsert), and
+#     the first two of the r07 dedup cohort (dedup_ngram_jaccard,
+#     dedup_minhash_lsh); dedup_simhash + embedding_near_dups_lsh are
+#     next round's stalest.
 # =========================================================================
 
 _DRIVER_WINDOW = [
-    # (a) round-12 promotions:
+    "int8_quant_cosine_topk", "matryoshka_overlap_audit", "rrf_hybrid_fusion",
+    "ndcg_graded_eval", "manifest_pruning_audit", "delta_log_replay",
+    "bitemporal_snapshot_query", "scd2_scd6_composed",
+    "checkpoint_snapshot_isolation", "late_arriving_dimension",
+    "fellegi_sunter_weights", "er_threshold_quality", "kalman_filter_1d",
+    "irr_bisection_npv", "amortization_schedule", "bond_duration_convexity",
+    "ols_two_predictors", "mahalanobis_outliers_2d", "pca_eigen_2d",
+    "gradient_boost_stumps", "isotonic_regression_pav",
+    "window_exclude_frames_parity", "qualify_filter_parity",
+    "sessions_regex_path", "count_min_sketch_audit", "bloom_fpr_audit",
+    "stream_cms_incremental", "stream_sessionize_differential",
+    "stream_cdc_upsert_latest", "geohash_prefix_radius",
+    "corpus_amplified_jaccard", "url_canonicalize_dedup",
+    "binary_header_metadata", "newsvendor_quantile_policy", "graph_kcore_peel",
+    "graph_jaccard_link_prediction", "erlang_c_staffing",
+    "weighted_sample_ares", "page_hinkley_drift", "walk_forward_validation",
+    "holt_winters_multiplicative", "multimodal_decode_real",
+    "multimodal_resize_real", "multimodal_features_real",
+    "join_asof_last_order", "sql_q5_local_volume", "stream_dedup_watermark",
+    "stream_foreachbatch_upsert", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+]
+
+_TAIL = [
+    # driver-green in earlier rounds (the round-12 window cohort
+    # leads); every entry still locally oracle-verified per round at
+    # sf0.001 (rows-only entries verified by dedicated pinned tests).
     "friedman_test_blocks", "cochran_q_raters", "mcnemar_paired_rules",
     "fleiss_kappa_multi", "cliffs_delta_effect", "jonckheere_terpstra_trend",
     "pettitt_changepoint", "grubbs_max_outlier", "chow_structural_break",
@@ -53,19 +80,10 @@ _DRIVER_WINDOW = [
     "http_paginated_extract", "pacf_durbin_levinson", "orderkey_gap_audit",
     "mean_family_suite", "pages_l_trend", "turning_points_test",
     "bartels_rank_vonneumann", "cox_stuart_trend", "stream_rsi_incremental",
-    # (b) code-change canaries:
     "mann_whitney_u", "roc_auc_exact", "kruskal_wallis_h",
-    "stream_holt_incremental",
-    # (c) stale-green re-verification — the full r04 cohort, name order:
-    "timeseries_resample_fill", "udf_registry_iso_parts",
-    "unpivot_part_metrics", "upsert_null_update", "window_rank_suite",
-    "window_sliding_15m", "window_topk_per_group",
-]
-
-_TAIL = [
-    # driver-green in earlier rounds (the round-11 window cohort
-    # leads); every entry still locally oracle-verified per round at
-    # sf0.001 (rows-only entries verified by dedicated pinned tests).
+    "stream_holt_incremental", "timeseries_resample_fill",
+    "udf_registry_iso_parts", "unpivot_part_metrics", "upsert_null_update",
+    "window_rank_suite", "window_sliding_15m", "window_topk_per_group",
     "kendall_tau_daily", "mann_kendall_trend", "cohens_kappa_rules",
     "mcc_threshold", "two_proportion_ztest", "holt_winters_weekly",
     "max_drawdown_daily", "bollinger_bands_7d", "stream_mg_incremental",
@@ -88,10 +106,9 @@ _TAIL = [
     "histogram2d_margins", "confusion_matrix_thresholds",
     "feature_hash_collision_audit", "bm25_topk_docs", "char_ngram_profile",
     "regex_extract_all_suite", "graph_degree_histogram",
-    "price_volume_mix_decomp", "table_row_checksum",
-    "partition_skew_advisor", "privacy_erasure_audit",
-    "shipping_lead_percentiles", "sql_distinct_on", "fixed_width_parse",
-    "json_multiline_array_read", "corpus_heaps_law",
+    "price_volume_mix_decomp", "table_row_checksum", "partition_skew_advisor",
+    "privacy_erasure_audit", "shipping_lead_percentiles", "sql_distinct_on",
+    "fixed_width_parse", "json_multiline_array_read", "corpus_heaps_law",
     "event_interarrival_expfit", "session_bounce_rate", "text_hapax_ratio",
     "levene_brown_forsythe", "rolling_regression_slope", "wow_movers_topk",
     "runs_test_wald_wolfowitz", "ljung_box_q", "inventory_abc_classes",
@@ -101,48 +118,45 @@ _TAIL = [
     "funnel_conversion", "groupby_date_type", "groupwise_zscore",
     "http_api_extract", "join_anti_no_orders", "join_full_outer",
     "join_range_followups", "join_semi_active", "multimodal_frames",
-    "ndjson_roundtrip", "chi_square_cramers_v",
-    "mutual_information_discrete", "gini_lorenz", "herfindahl_concentration",
-    "wilson_ci_rates", "acf_hourly_lags", "pr_auc_exact",
-    "brier_calibration_bins", "woe_iv_binning", "stratified_kfold_assign",
-    "unigram_sampling_table", "token_pmi_bigrams", "url_parse_suite",
-    "ip_subnet_rollup", "calendar_spine_fill", "dq_freshness_sla",
-    "dq_duplicate_key_audit", "csv_multiline_quoted", "sql_groupby_all",
-    "kl_divergence_bins", "seasonal_weekday_index",
-    "events_new_vs_returning", "agg_distinct", "agg_pricing_summary",
-    "dedup_keep_first", "drop_null_required", "filter_term",
-    "filter_time_range", "join_inner_revenue", "join_left_counts",
-    "join_star_dims", "nested_json_extract", "project_select",
-    "scan_checksum", "upsert_keyed", "window_running_total", "agg_cube",
-    "agg_grouping_sets", "agg_histogram", "agg_minmax_by", "agg_percentiles",
-    "agg_rollup", "agg_stats_suite", "array_math_suite",
-    "corpus_top_bigrams", "csv_roundtrip", "doc_chunks",
-    "embedding_near_dups", "timeseries_ema", "agg_weighted_median",
-    "cdc_apply_log", "pivot_multi_agg", "interval_union_coverage",
-    "quality_threshold_sweep", "sample_weighted_topk", "pareto_front_parts",
-    "stream_interval_join_outer", "audience_overlap_jaccard",
-    "dynamic_partition_overwrite", "agg_distinct_salted",
-    "attribution_time_decay", "stream_tumbling_late_drop",
-    "dq_referential_integrity", "psi_population_stability",
-    "embedding_centroid_drift", "inventory_wac_ledger", "text_zipf_fit",
-    "ndjson_corrupt_quarantine", "timeseries_seasonal_decompose",
-    "impute_missing_values", "feature_crosses_hashed",
-    "train_test_temporal_split", "multimodal_binary_ingest",
-    "constant_columns", "dedup_exact_docs", "iso_normalize",
-    "multimodal_decode", "placeholder_extract", "sanitize_values",
-    "set_intersect", "set_union_halves", "text_fingerprint", "text_lang_id",
-    "text_quality", "text_token_counts", "time_derive_parts",
+    "ndjson_roundtrip", "chi_square_cramers_v", "mutual_information_discrete",
+    "gini_lorenz", "herfindahl_concentration", "wilson_ci_rates",
+    "acf_hourly_lags", "pr_auc_exact", "brier_calibration_bins",
+    "woe_iv_binning", "stratified_kfold_assign", "unigram_sampling_table",
+    "token_pmi_bigrams", "url_parse_suite", "ip_subnet_rollup",
+    "calendar_spine_fill", "dq_freshness_sla", "dq_duplicate_key_audit",
+    "csv_multiline_quoted", "sql_groupby_all", "kl_divergence_bins",
+    "seasonal_weekday_index", "events_new_vs_returning", "agg_distinct",
+    "agg_pricing_summary", "dedup_keep_first", "drop_null_required",
+    "filter_term", "filter_time_range", "join_inner_revenue",
+    "join_left_counts", "join_star_dims", "nested_json_extract",
+    "project_select", "scan_checksum", "upsert_keyed", "window_running_total",
+    "agg_cube", "agg_grouping_sets", "agg_histogram", "agg_minmax_by",
+    "agg_percentiles", "agg_rollup", "agg_stats_suite", "array_math_suite",
+    "corpus_top_bigrams", "csv_roundtrip", "doc_chunks", "embedding_near_dups",
+    "timeseries_ema", "agg_weighted_median", "cdc_apply_log",
+    "pivot_multi_agg", "interval_union_coverage", "quality_threshold_sweep",
+    "sample_weighted_topk", "pareto_front_parts", "stream_interval_join_outer",
+    "audience_overlap_jaccard", "dynamic_partition_overwrite",
+    "agg_distinct_salted", "attribution_time_decay",
+    "stream_tumbling_late_drop", "dq_referential_integrity",
+    "psi_population_stability", "embedding_centroid_drift",
+    "inventory_wac_ledger", "text_zipf_fit", "ndjson_corrupt_quarantine",
+    "timeseries_seasonal_decompose", "impute_missing_values",
+    "feature_crosses_hashed", "train_test_temporal_split",
+    "multimodal_binary_ingest", "constant_columns", "dedup_exact_docs",
+    "iso_normalize", "multimodal_decode", "placeholder_extract",
+    "sanitize_values", "set_intersect", "set_union_halves", "text_fingerprint",
+    "text_lang_id", "text_quality", "text_token_counts", "time_derive_parts",
     "tolerant_select", "topk_limit", "window_lag_lead", "window_session_30m",
     "window_tumbling_1h", "ks_statistic_2sample", "lift_gains_deciles",
     "target_encoding_loo", "feature_scaler_leakage_safe",
     "class_balance_downsample", "setjoin_prefix_filter",
-    "timeseries_interpolate_linear", "privacy_k_anonymity",
-    "sql_pipe_syntax", "mixture_temperature_weights", "set_ops_all",
-    "text_bigram_lm_score", "window_rolling_median",
-    "sliding_distinct_users_7d", "event_transition_matrix",
-    "timeseries_anomaly_zscore", "corpus_quota_cap", "text_inverted_index",
-    "corpus_ngram_novelty", "ab_test_lift", "benford_first_digit",
-    "timeseries_cusum_changepoint", "basket_rules_lift",
+    "timeseries_interpolate_linear", "privacy_k_anonymity", "sql_pipe_syntax",
+    "mixture_temperature_weights", "set_ops_all", "text_bigram_lm_score",
+    "window_rolling_median", "sliding_distinct_users_7d",
+    "event_transition_matrix", "timeseries_anomaly_zscore", "corpus_quota_cap",
+    "text_inverted_index", "corpus_ngram_novelty", "ab_test_lift",
+    "benford_first_digit", "timeseries_cusum_changepoint", "basket_rules_lift",
     "user_activity_streaks", "corpus_skipgram_pairs", "dau_mau_stickiness",
     "incremental_agg_merge", "forecast_seasonal_naive_eval",
     "doc_keywords_tfidf_topk", "split_leakage_safe", "survival_kaplan_meier",
@@ -151,47 +165,42 @@ _TAIL = [
     "pareto_revenue_curve", "business_days_to_ship", "join_asof_tolerance",
     "join_asof_nearest", "corpus_curation_pipeline", "trend_theil_sen",
     "fifo_lot_matching", "attribution_linear_multitouch",
-    "dedup_ngram_jaccard", "minhash_containment", "dedup_simhash",
-    "join_salted_skew", "embedding_near_dups_lsh",
-    "join_asof_nearest_bucketed", "incremental_welford_merge",
-    "dedup_minhash_lsh", "try_arithmetic_suite", "window_time_range_7d",
-    "sql_q4_priority", "sql_q8_mkt_share", "sql_q9_product_profit",
-    "sql_q12_late_lines", "sql_q15_top_supplier", "sql_q17_small_qty",
-    "sql_q20_promo_suppliers", "sql_q21_waiting_supplier",
+    "minhash_containment", "dedup_simhash", "join_salted_skew",
+    "embedding_near_dups_lsh", "join_asof_nearest_bucketed",
+    "incremental_welford_merge", "try_arithmetic_suite",
+    "window_time_range_7d", "sql_q4_priority", "sql_q8_mkt_share",
+    "sql_q9_product_profit", "sql_q12_late_lines", "sql_q15_top_supplier",
+    "sql_q17_small_qty", "sql_q20_promo_suppliers", "sql_q21_waiting_supplier",
     "sql_recursive_series", "sql_lateral_topn", "listagg_sorted",
     "variant_shred_extract", "collation_distinct", "sessionize_events",
     "cohort_retention", "rfm_segments", "ratio_to_report", "churn_gap_flag",
     "corpus_token_entropy", "mad_outliers", "dedup_canonical_pick",
-    "window_tumbling_distinct", "graph_triangle_count",
-    "graph_pagerank_parts", "geo_radius_pairs", "timeseries_ohlc_twap",
-    "dq_expectations_report", "co_purchase_pairs", "scd2_point_in_time_join",
-    "xml_roundtrip", "join_null_safe", "partitioned_roundtrip",
-    "bucketed_join_roundtrip", "csv_malformed_tolerant",
-    "parquet_schema_evolution", "stream_foreachbatch_upsert",
-    "join_asof_bucketed", "graph_pagerank_converged", "scd2_late_correction",
-    "join_asof_forward", "seq_packing_bins", "vocab_oov_coverage",
-    "dpp_partitioned_join", "dedup_repeated_spans", "similarity_tfidf_pairs",
-    "sql_udf_scalar", "graph_khop_reach", "snapshot_table_diff",
-    "join_asof_last_order", "mixture_weighted_sample",
-    "stream_dedup_watermark", "stream_interval_join", "agg_corr_regr",
-    "corpus_idf", "decontaminate_13gram", "dedup_incremental",
-    "embedding_quantize", "higher_order_fns", "map_fns_suite",
-    "orc_roundtrip", "outlier_trim", "pipeline_corpus_filter",
-    "posexplode_tokens", "skew_diagnostic", "sql_q6_forecast",
-    "sql_q7_volume", "sql_q13_custdist", "sql_q14_promo",
+    "window_tumbling_distinct", "graph_triangle_count", "graph_pagerank_parts",
+    "geo_radius_pairs", "timeseries_ohlc_twap", "dq_expectations_report",
+    "co_purchase_pairs", "scd2_point_in_time_join", "xml_roundtrip",
+    "join_null_safe", "partitioned_roundtrip", "bucketed_join_roundtrip",
+    "csv_malformed_tolerant", "parquet_schema_evolution", "join_asof_bucketed",
+    "graph_pagerank_converged", "scd2_late_correction", "join_asof_forward",
+    "seq_packing_bins", "vocab_oov_coverage", "dpp_partitioned_join",
+    "dedup_repeated_spans", "similarity_tfidf_pairs", "sql_udf_scalar",
+    "graph_khop_reach", "snapshot_table_diff", "mixture_weighted_sample",
+    "stream_interval_join", "agg_corr_regr", "corpus_idf",
+    "decontaminate_13gram", "dedup_incremental", "embedding_quantize",
+    "higher_order_fns", "map_fns_suite", "orc_roundtrip", "outlier_trim",
+    "pipeline_corpus_filter", "posexplode_tokens", "skew_diagnostic",
+    "sql_q6_forecast", "sql_q7_volume", "sql_q13_custdist", "sql_q14_promo",
     "sql_q18_large_orders", "sql_q19_disjunctive", "table_profile",
     "text_repetition", "time_trunc_suite", "window_value_suite",
-    "zorder_locality", "dedup_clusters", "sql_q3_shipping",
-    "sql_q5_local_volume", "sql_q10_returned", "approx_quantile_sketch",
-    "dedup_bloom_prefilter", "token_stats_bpe", "json_table_extract",
-    "lateral_tokens_topk", "interval_overlap_agg",
+    "zorder_locality", "dedup_clusters", "sql_q3_shipping", "sql_q10_returned",
+    "approx_quantile_sketch", "dedup_bloom_prefilter", "token_stats_bpe",
+    "json_table_extract", "lateral_tokens_topk", "interval_overlap_agg",
     "sql_q2_min_cost_supplier", "sql_q11_important_stock",
     "sql_q16_supplier_cnt", "sql_q22_global_sales", "event_path_3gram",
     "first_touch_attribution", "text_near_template", "cdc_scd2_history",
-    "range_bucket_join", "similarity_ivf", "multimodal_resize",
-    "multimodal_features", "agg_approx_distinct", "stream_capped_sessions",
+    "range_bucket_join", "similarity_ivf",
+    "agg_approx_distinct", "stream_capped_sessions",
     "stream_capped_sessions_checksum", "embedding_kmeans",
-    "stream_static_enrich",
+    "stream_static_enrich", "ann_pq_rerank",
 ]
 
 

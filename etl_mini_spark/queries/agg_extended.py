@@ -175,28 +175,12 @@ def multimodal_frames(spark, sf_dir):
     return frame_sample(d, "doc_id").select("doc_id", "frame_idx")
 
 
-@q("multimodal_resize")  # binary payload output — rows-only check
-def multimodal_resize(spark, sf_dir):
-    """Resize plumbing (stub kernel): fixed target dims, binary out."""
-    from etl_mini_spark.operators.multimodal import resize_media
-
-    d = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
-    return resize_media(d, "doc_id")
-
-
-@q("multimodal_features")  # float32 stub embedding — rows-only check
-def multimodal_features(spark, sf_dir):
-    """Feature extraction plumbing: payload → dense array<float> via the
-    stub embedder; output feeds operators/similarity.py unchanged."""
-    from etl_mini_spark.operators.multimodal import extract_features
-
-    d = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
-    out = extract_features(d, "doc_id")
-    return out.select(
-        "doc_id",
-        F.size("feature").alias("dim"),
-        F.round(F.aggregate(F.transform("feature", lambda x: x.cast("double")), F.lit(0.0), lambda a, x: a + x), 6).alias("fsum"),
-    )
+# Round-13: the legacy rows-only `multimodal_resize`/`multimodal_features`
+# stub entries (fake kernels over string-encoded payloads) retired from
+# the registry — superseded by the oracle-backed real-pixel
+# multimodal_resize_real / multimodal_features_real differentials in
+# round13_ops.py; the stub operators stay pytest-covered as the
+# drop-in batch shape for heavy production decoders.
 
 
 # =========================================================================

@@ -9,12 +9,11 @@ OLS, Mahalanobis, 2x2 PCA, boosted stumps, isotonic PAV), SQL-surface
 differentials (window EXCLUDE, mode tie-break, QUALIFY), sketch audits
 (count-min batch + incremental streaming, Bloom FPR), geohash prefix
 blocking, streaming differentials (sessionize, CDC keep-latest), and
-amplified-corpus dedup — authored in round 12, to be registered when
-the round-12 window comes back.
-
-Module-local PENDING_QUERIES/PENDING_ORACLE (swept by sweep_oracle.py
-alongside the registry) until registration rotates them into the
-driver window — the same two-step every round since 7 has used.
+amplified-corpus dedup, plus the round-13-authored REAL multimodal
+decode block (header-parse + PNG pixel differentials) — authored and
+staged in round 12 (swept vs the DuckDB oracle at sf0.001/0.01/0.1 as
+`round13_pending`), registered in round 13 with names and oracles
+verbatim.
 
 Parity rules as in round9..12_ops (FIXTURES.md §C): integer/decimal
 arithmetic end-to-end (money as exact BIGINT cents; int8 codes and
@@ -29,25 +28,11 @@ IEEE expression sequence on both engines.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mini_spark.queries._base import _t
-
-PENDING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-PENDING_ORACLE: dict[str, str] = {}
-
-
-def pq(name: str, sql: str | None = None):
-    def deco(fn):
-        PENDING_QUERIES[name] = fn
-        if sql is not None:
-            PENDING_ORACLE[name] = sql
-        return fn
-
-    return deco
+from etl_mini_spark.queries._base import q as pq
 
 
 def _pin(col, k: int = 6):

@@ -941,9 +941,9 @@ def test_round12_tier_no_cartesian_blanket(spark):
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
 
 
-def test_round13_staged_tier_no_cartesian_blanket(spark):
-    """Blanket physical-plan audit of the round-13 STAGED tier (same
-    contract as the round-7..12 blankets, applied before registration):
+def test_round13_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-13 tier (same contract
+    as the round-7..12 blankets, re-run against the REGISTERED form):
     no CartesianProduct; BroadcastNestedLoopJoin only where the
     non-equi/cross side is bounded by construction — 1-row moment/rate
     scalars, fixed predicate/threshold/pair grids, bounded version or
@@ -952,11 +952,11 @@ def test_round13_staged_tier_no_cartesian_blanket(spark):
     import re as _re
 
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round13_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES as PENDING_QUERIES
 
-    src = open("etl_mini_spark/queries/round13_pending.py").read()
+    src = open("etl_mini_spark/queries/round13_ops.py").read()
     ROUND13 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
-    assert len(ROUND13) == 42
+    assert len(ROUND13) == 45
     SKIP_SIDE_EFFECTS = {
         # run streaming jobs / driver folds before the final plan
         "stream_cms_incremental", "stream_sessionize_differential",
@@ -988,8 +988,57 @@ def test_round13_staged_tier_no_cartesian_blanket(spark):
         "late_arriving_dimension",     # bounded dim-version join
         "corpus_amplified_jaccard",    # 6-row variant-pair grid broadcast
         "walk_forward_validation",     # 3-row fold grid joins
+        "multimodal_decode_real",      # 8-fixture broadcast name join
+        "multimodal_resize_real",      # 3-fixture broadcast name join
+        "multimodal_features_real",    # 3-fixture broadcast name join
     }
     for name in ROUND13:
+        if name in SKIP_SIDE_EFFECTS:
+            continue
+        s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in BOUNDED_NONEQUI_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_round14_staged_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-14 STAGED tier (same
+    contract as the round-7..13 blankets, applied before registration):
+    no CartesianProduct; BroadcastNestedLoopJoin only where the
+    non-equi/cross side is bounded by construction — broadcast probe
+    sets, 1-row scalar aggregates, fixed offset/predicate grids, or
+    catalog-sized manifests (never the fact table)."""
+    import re as _re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round14_pending import PENDING_QUERIES
+
+    src = open("etl_mini_spark/queries/round14_pending.py").read()
+    ROUND14 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
+    assert len(ROUND14) == 34
+    SKIP_SIDE_EFFECTS = {
+        # driver-side bounded folds / streaming jobs before the final plan
+        "ewma_volatility_riskmetrics", "loan_prepay_cpr_schedule",
+        "theta_method_forecast", "compaction_nfd_bins",
+        "stream_state_ttl_eviction",
+    }
+    BOUNDED_NONEQUI_OK = {
+        "geo_knn_topk_equirect",        # broadcast bounded probe set (<> join)
+        "geo_grid_density_hotspots",    # 9-row offset grid broadcast
+        "sql_quantified_any_all",       # per-nation extrema broadcast (< / > join)
+        "rocchio_relevance_vector",     # 1-row q0 + scalar broadcasts
+        "benford_second_digit",         # 10x9 literal grid + 1-row total
+        "dq_composite_key_candidates",  # 1-row count broadcast
+        "markov_transition_stationary", # 1-row moments broadcast
+        "sax_symbolization_paa",        # 1-row moments broadcast
+        "snapshot_retention_expiry",    # 3-row snap grid + 1-row max
+        "partition_spec_evolution_routing",  # cutover scalar + 3-pred grid
+        "dq_column_entropy_profile",    # domain-sized histogram broadcast
+        "query_likelihood_dirichlet",   # 3-term query + 1-row total broadcasts
+        "vwap_anchored_monthly",        # none expected; keep strict
+        "window_groups_frame_parity",   # domain-sized ord-frame broadcast
+    } - {"vwap_anchored_monthly"}
+    for name in ROUND14:
         if name in SKIP_SIDE_EFFECTS:
             continue
         s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))

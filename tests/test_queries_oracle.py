@@ -23,8 +23,7 @@ QUERIES, ORACLE = _registry()
 # registry-level pin makes empty output or schema drift fail loudly.
 ROWS_ONLY_SCHEMAS = {
     "similarity_ivf": ["probe_id", "neighbor_id", "cosine"],
-    "multimodal_resize": ["doc_id", "width", "height", "resized"],
-    "multimodal_features": ["doc_id", "dim", "fsum"],
+    "ann_pq_rerank": ["probe_id", "neighbor_id", "cosine"],
     "agg_approx_distinct": ["approx_users", "approx_types"],
     "stream_capped_sessions": [
         "user_id", "session_start", "session_end", "n_events", "closed_by",

@@ -1,21 +1,21 @@
-"""Non-vacuity pins for the round-13 STAGED tier (oracle equivalence
-is swept by sweep_oracle.py / verified at sf0.001 + sf0.01 before
-staging): bounds, conservation laws, monotonicity, and exact-identity
-checks so no entry can go green as a degenerate constant. At
-registration these pins migrate to the registry harness unchanged."""
+"""Non-vacuity pins for the round-13 tier (oracle equivalence is
+verified by tests/test_queries_oracle.py at sf0.001 and the driver at
+sf0.01): bounds, conservation laws, monotonicity, and exact-identity
+checks so no entry can go green as a degenerate constant. Migrated
+unchanged from the staging harness at registration."""
 
 from __future__ import annotations
 
 from tests.conftest import SF_SMOKE
 
 
-def _pending():
-    from etl_mini_spark.queries.round13_pending import PENDING_QUERIES
+def _registry():
+    from etl_mini_spark.queries import QUERIES
 
-    return PENDING_QUERIES
+    return QUERIES
 
 
-PENDING = _pending()
+PENDING = _registry()
 
 
 # --- Block A: modern retrieval -----------------------------------------------
@@ -326,12 +326,12 @@ def test_amplified_minhash_matches_exact_pairs(spark):
     from pyspark.sql import functions as F
 
     from etl_mini_spark.operators.dedup import near_dup_pairs_minhash_lsh
-    from etl_mini_spark.queries.round13_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES
     from etl_mini_spark.queries._base import _t
 
     exact = {
         (r["doc_id"] * 10 + r["v1"], r["doc_id"] * 10 + r["v2"])
-        for r in PENDING_QUERIES["corpus_amplified_jaccard"](spark, SF_SMOKE).collect()
+        for r in QUERIES["corpus_amplified_jaccard"](spark, SF_SMOKE).collect()
     }
     d = _t(spark, SF_SMOKE, "documents").where(F.col("doc_id") % 5 == 0)
     toks = d.select(

@@ -1,0 +1,335 @@
+"""Non-vacuity pins for the round-14 STAGED tier (oracle equivalence
+is swept by sweep_oracle.py / verified at sf0.001 + sf0.01 before
+staging): bounds, conservation laws, monotonicity, and exact-identity
+checks so no entry can go green as a degenerate constant. At
+registration these pins migrate to the registry harness unchanged."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _pending():
+    from etl_mini_spark.queries.round14_pending import PENDING_QUERIES
+
+    return PENDING_QUERIES
+
+
+PENDING = _pending()
+
+
+# --- Block A: geospatial ------------------------------------------------------
+
+
+def test_geo_knn_exactly_three_sorted_neighbors(spark):
+    rows = PENDING["geo_knn_topk_equirect"](spark, SF_SMOKE).collect()
+    per = {}
+    for r in rows:
+        assert r["probe_id"] % 97 == 0 and r["neighbor_id"] != r["probe_id"]
+        assert r["d2"] >= 0.0
+        per.setdefault(r["probe_id"], []).append(r["d2"])
+    assert per and all(len(v) == 3 and v == sorted(v) for v in per.values())
+
+
+def test_geo_bbox_counts_cover_every_box(spark):
+    rows = PENDING["geo_bbox_containment_join"](spark, SF_SMOKE).collect()
+    assert rows and all(r["n_points"] >= 0 for r in rows)
+    assert any(r["n_points"] > 0 for r in rows)  # boxes sit on the point cloud
+    assert all(r["box_id"] % 13 == 0 for r in rows)
+
+
+def test_geo_track_length_positive_with_min_segments(spark):
+    rows = PENDING["geo_polyline_track_length"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_segments"] >= 5 and r["track_deg"] > 0.0
+
+
+def test_geo_hotspots_mass_dominates_cell_count(spark):
+    rows = PENDING["geo_grid_density_hotspots"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    masses = [r["mass"] for r in rows]
+    assert masses == sorted(masses, reverse=True)
+
+
+# --- Block B: window frames ---------------------------------------------------
+
+
+def test_groups_frame_contains_own_group(spark):
+    rows = PENDING["window_groups_frame_parity"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["gcnt"] >= 1 and r["gsum"] >= r["v"] - 1  # own group included
+        assert r["ord"] <= r["v"] < r["ord"] + 1000
+
+
+def test_qualify_keeps_top2_at_or_above_mean(spark):
+    rows = PENDING["qualify_rank_of_rank"](spark, SF_SMOKE).collect()
+    assert rows and all(r["rnk"] <= 2 for r in rows)
+    per_month = {}
+    for r in rows:
+        per_month.setdefault(r["month_"], []).append(r["rnk"])
+    assert all(min(v) == 1 for v in per_month.values())
+
+
+# --- Block D: SQL surface -----------------------------------------------------
+
+
+def test_quantified_flags_consistent(spark):
+    rows = PENDING["sql_quantified_any_all"](spark, SF_SMOKE).collect()
+    assert rows
+    # beats_all -> not below_some is NOT generally true, but beats_all
+    # and below_some cannot BOTH be true for the same supplier vs the
+    # same max (beats max implies not below max)
+    for r in rows:
+        if r["beats_all"]:
+            assert not r["below_some"]
+
+
+def test_grouping_sets_conserve_totals(spark):
+    rows = PENDING["sql_grouping_id_sets"](spark, SF_SMOKE).collect()
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1
+    lvl0 = sum(r["n"] for r in rows if r["gid"] == 0)
+    lvl1 = sum(r["n"] for r in rows if r["gid"] == 1)
+    assert lvl0 == lvl1 == total[0]["n"]
+
+
+def test_agg_filter_subsets(spark):
+    rows = PENDING["sql_agg_filter_clause"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_filled"] <= r["n_all"]
+        assert (r["open_custs"] or 0) <= r["n_all"]
+
+
+def test_null_order_checksum_nonzero_every_month(spark):
+    rows = PENDING["sql_order_nulls_mixed"](spark, SF_SMOKE).collect()
+    assert rows and all(r["ord_checksum"] > 0 and r["n"] > 0 for r in rows)
+
+
+def test_pivot_statement_row_per_month(spark):
+    rows = PENDING["sql_pivot_statement"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["rev_f"] >= 0 and r["rev_o"] >= 0 and r["rev_p"] >= 0
+        assert r["rev_f"] + r["rev_o"] + r["rev_p"] > 0
+
+
+# --- Block E: retrieval & text ------------------------------------------------
+
+
+def test_dirichlet_scores_negative_and_sorted(spark):
+    rows = PENDING["query_likelihood_dirichlet"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s < 0.0 for s in scores)  # log-likelihoods
+
+
+def test_rake_phrases_scored_and_capped(spark):
+    rows = PENDING["text_rake_keywords"](spark, SF_SMOKE).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        assert r["score"] >= 1.0  # deg/freq >= 1 per word
+        assert 1 <= len(r["phrase"].split(" ")) <= 4
+        per[r["doc_id"]] = per.get(r["doc_id"], 0) + 1
+    assert all(v <= 3 for v in per.values())
+
+
+def test_stems_shrink_tokens(spark):
+    rows = PENDING["text_porter_stems_lite"](spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    assert all(not r["stem"].endswith("ing") for r in rows)
+    assert all(r["df"] <= r["n"] for r in rows)
+
+
+def test_rocchio_vector_64_dims(spark):
+    rows = PENDING["rocchio_relevance_vector"](spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    assert {r["dim"] for r in rows} == set(range(1, 65))
+    assert len({r["q_new"] for r in rows}) > 1
+
+
+def test_sentence_stats_consistent(spark):
+    rows = PENDING["text_sentence_stats"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["max_chars"] <= r["total_chars"]
+        assert 0 < r["mean_chars"] <= r["max_chars"]
+
+
+# --- Block F: finance / ops ---------------------------------------------------
+
+
+def test_vwap_within_price_range(spark):
+    rows = PENDING["vwap_anchored_monthly"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["q"] > 0 and r["pv"] > 0
+        assert abs(r["vwap"] - r["pv"] / r["q"] / 100.0) < 1e-5
+
+
+def test_ewma_vol_nonnegative_and_smooth(spark):
+    rows = PENDING["ewma_volatility_riskmetrics"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 10
+    assert all(r["vol"] >= 0.0 for r in rows)
+    assert any(r["ret"] != 0.0 for r in rows)
+
+
+def test_ccc_component_identity(spark):
+    rows = PENDING["cash_conversion_cycle"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dso"] <= 30.0 and 0.0 <= r["dio"] <= 30.0
+        assert abs(r["ccc"] - (r["dso"] + r["dio"] - r["dpo"])) < 2e-6
+
+
+def test_cpr_balance_monotone_decreasing(spark):
+    rows = PENDING["loan_prepay_cpr_schedule"](spark, SF_SMOKE).collect()
+    assert len(rows) == 12
+    bals = [r["balance"] for r in rows]
+    assert bals == sorted(bals, reverse=True)
+    assert all(r["prepay"] > 0.0 and r["interest"] > 0.0 for r in rows)
+
+
+def test_cvp_breakeven_ceiling_identity(spark):
+    rows = PENDING["break_even_cvp"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        c, fx, be = r["unit_contrib_cents"], r["fixed_cents"], r["breakeven_units"]
+        assert (be - 1) * c < fx <= be * c  # exact ceiling division
+
+
+# --- Block G: DQ profiling ----------------------------------------------------
+
+
+def test_benford2_expected_sums_to_one(spark):
+    rows = PENDING["benford_second_digit"](spark, SF_SMOKE).collect()
+    assert {r["d"] for r in rows} <= set(range(10))
+    assert abs(sum(r["expected_p"] for r in rows) - 1.0) < 1e-4
+    assert all(r["chi_term"] >= 0.0 for r in rows)
+
+
+def test_entropy_normalized_in_unit_interval(spark):
+    rows = PENDING["dq_column_entropy_profile"](spark, SF_SMOKE).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 <= r["entropy_norm"] <= 1.0 + 1e-9
+        assert r["entropy_nats"] >= 0.0 and r["k"] >= 2
+
+
+def test_key_candidates_orderkey_is_key(spark):
+    rows = {r["key_cols"]: r for r in PENDING["dq_composite_key_candidates"](spark, SF_SMOKE).collect()}
+    assert rows["o_orderkey"]["is_key"]
+    assert not rows["o_custkey"]["is_key"]
+    assert rows["o_custkey"]["uniqueness"] < 1.0
+
+
+# --- Block H: graph -----------------------------------------------------------
+
+
+def test_adamic_adar_nonadjacent_and_positive(spark):
+    rows = PENDING["graph_adamic_adar_linkpred"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["x"] < r["y"] and r["common_n"] >= 2 and r["aa_score"] > 0.0
+
+
+def test_lcc_in_unit_interval(spark):
+    rows = PENDING["graph_local_clustering_coeff"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["lcc"] <= 1.0
+        assert r["degree"] >= 2
+        assert 2 * r["n_triangles"] <= r["degree"] * (r["degree"] - 1)
+
+
+def test_bipartite_projection_bounded_by_users(spark):
+    rows = PENDING["graph_bipartite_projection"](spark, SF_SMOKE).collect()
+    assert rows
+    from etl_mini_spark.queries._base import _t
+
+    n_users = _t(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    for r in rows:
+        assert r["t1"] < r["t2"] and 0 < r["shared_users"] <= n_users
+
+
+# --- Block I: lakehouse maintenance -------------------------------------------
+
+
+def test_nfd_bins_capacity_respected(spark):
+    rows = PENDING["compaction_nfd_bins"](spark, SF_SMOKE).collect()
+    assert rows
+    bins = [r["bin"] for r in rows]
+    assert bins == list(range(1, len(bins) + 1))  # dense bin ids
+    # a bin overflows capacity only when it holds a single oversized file
+    for r in rows:
+        assert r["bin_bytes"] <= 65536 or r["n_files"] == 1
+
+
+def test_retention_rules_exhaustive(spark):
+    rows = PENDING["snapshot_retention_expiry"](spark, SF_SMOKE).collect()
+    assert rows
+    kept = [r for r in rows if not r["expired"]]
+    assert kept and len(kept) < len(rows)  # something kept, something expired
+    for r in rows:
+        assert r["expired"] == (
+            not (r["keep_latest"] or r["keep_daily"] or r["keep_weekly"])
+        )
+
+
+def test_spec_evolution_bucket_pred_scans_all_v1(spark):
+    rows = {r["pred_id"]: r for r in PENDING["partition_spec_evolution_routing"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert 0 < r["files_scanned"] < r["files_total"]
+    # the bucket predicate (2) cannot prune v1 files, so it scans more
+    # than the v2-only predicate (3)
+    assert rows[2]["files_scanned"] > rows[3]["files_scanned"]
+
+
+# --- Block J: time series -----------------------------------------------------
+
+
+def test_markov_probabilities_bounded(spark):
+    r = PENDING["markov_transition_stationary"](spark, SF_SMOKE).collect()[0]
+    assert r["n00"] + r["n01"] + r["n10"] + r["n11"] >= 10
+    assert 0.0 <= r["p01"] <= 1.0 and 0.0 <= r["p10"] <= 1.0
+    assert 0.0 < r["pi_high"] < 1.0
+
+
+def test_sax_symbols_from_pinned_z(spark):
+    rows = PENDING["sax_symbolization_paa"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        want = "a" if r["z"] < -0.43 else ("c" if r["z"] > 0.43 else "b")
+        assert r["sym"] == want
+    assert len({r["sym"] for r in rows}) >= 2
+
+
+def test_theta_fit_is_midpoint(spark):
+    rows = PENDING["theta_method_forecast"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 10
+    for r in rows:
+        assert abs(r["theta_fit"] - 0.5 * (r["ses_theta2"] + r["trend"])) < 2e-6
+
+
+# --- Block K: streaming TTL eviction ------------------------------------------
+
+
+def test_ttl_eviction_conserves_events(spark):
+    from etl_mini_spark.queries._base import _t
+    from pyspark.sql import functions as F
+
+    rows = PENDING["stream_state_ttl_eviction"](spark, SF_SMOKE).collect()
+    assert rows
+    total = (
+        _t(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_emitted"] + r["n_suppressed"] for r in rows) == total
+    assert all(r["n_emitted"] >= 1 for r in rows)  # first occurrence always emits
+    assert any(r["n_suppressed"] > 0 for r in rows)  # TTL actually suppresses
