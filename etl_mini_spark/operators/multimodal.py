@@ -110,6 +110,29 @@ def parse_media_header(data: bytes) -> tuple[str | None, int | None, int | None]
     return None, None, None
 
 
+def parse_wav_fmt(data: bytes) -> tuple[int | None, int | None, int | None]:
+    """REAL (sample_rate, channels, bits_per_sample) from a RIFF/WAVE
+    fmt chunk, pure Python: walks the chunk list (4-byte tag + LE u32
+    size, word-aligned) to the first ``fmt `` chunk and reads the PCM
+    fields at their fixed little-endian offsets. Non-WAV or truncated
+    payloads return (None, None, None)."""
+    n = len(data)
+    if n < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None, None, None
+    pos = 12
+    while pos + 8 <= n:
+        tag = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if tag == b"fmt " and size >= 16 and pos + 8 + 16 <= n:
+            body = data[pos + 8 : pos + 24]
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            return rate, channels, bits
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    return None, None, None
+
+
 def decode_media_real(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
     """Header-parsed media metadata over Arrow batches: (id, format,
     width, height, n_bytes). Same mapInPandas plumbing as decode_media

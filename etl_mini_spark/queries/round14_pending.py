@@ -2588,3 +2588,441 @@ def stream_state_ttl_eviction(spark, sf_dir):
         F.col("n_suppressed").cast("bigint"),
         F.col("emitted_checksum").cast("bigint"),
     ).orderBy("user_id")
+
+
+# =====================================================================
+# Block L — late additions (audio header, econometrics, SQL surface)
+# =====================================================================
+
+# --- REAL WAV fmt-chunk parse -----------------------------------------------------------------------
+# The audio leg of the real-decode story: Spark walks the RIFF chunk
+# list in the Arrow kernel (operators/multimodal.py parse_wav_fmt);
+# DuckDB parses the same little-endian fmt fields from hex(content).
+# The fixture is a canonical PCM WAV written by media_gen.py — real
+# tag/channels/rate/bits, not noise.
+from pathlib import Path as _Path14
+
+_WAV_GLOB = str(
+    _Path14(__file__).resolve().parents[2] / "tests" / "fixtures" / "media" / "imgreal_*.wav"
+)
+assert "'" not in _WAV_GLOB
+
+_WAVHDR_SQL = f"""
+    WITH b AS (
+      SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+             CAST(size AS BIGINT) AS n_bytes,
+             hex(content) AS h
+      FROM read_blob('{_WAV_GLOB}'))
+    SELECT file_name,
+           CAST('0x' || substr(h, 49, 2) AS INTEGER)
+             + 256 * CAST('0x' || substr(h, 51, 2) AS INTEGER)
+             + 65536 * CAST('0x' || substr(h, 53, 2) AS INTEGER)
+             + 16777216 * CAST('0x' || substr(h, 55, 2) AS INTEGER) AS sample_rate,
+           CAST('0x' || substr(h, 45, 2) AS INTEGER)
+             + 256 * CAST('0x' || substr(h, 47, 2) AS INTEGER) AS channels,
+           CAST('0x' || substr(h, 69, 2) AS INTEGER)
+             + 256 * CAST('0x' || substr(h, 71, 2) AS INTEGER) AS bits_per_sample,
+           n_bytes
+    FROM b
+    WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+      AND substr(h, 25, 8) = '666D7420'
+    ORDER BY file_name
+"""
+
+
+@pq("multimodal_wav_header_real", _WAVHDR_SQL)
+def multimodal_wav_header_real(spark, sf_dir):
+    """REAL WAV metadata: the Spark kernel walks the RIFF chunk list
+    (tag + LE u32 size, word-aligned) to the fmt chunk — robust to any
+    chunk order — while the oracle reads the canonical fixture's fmt
+    fields at their fixed little-endian hex offsets (guarded by the
+    fmt-tag check). Two independent parses of the same bytes; a
+    byte-order or offset bug flips the hash."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_mini_spark.operators.multimodal import parse_wav_fmt
+    from etl_mini_spark.session import spread
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(_WAV_GLOB)
+        .select(
+            F.regexp_extract(F.col("path"), r"[^/]+$", 0).alias("file_name"),
+            F.col("content"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("file_name", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("bits_per_sample", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def process(batches):
+        for pdf in batches:
+            names, rates, chans, bits, nb = [], [], [], [], []
+            for name, p in zip(pdf["file_name"], pdf["content"]):
+                b = bytes(p)
+                r, c, bi = parse_wav_fmt(b)
+                if r is None:
+                    continue
+                names.append(name); rates.append(r); chans.append(c)
+                bits.append(bi); nb.append(len(b))
+            yield pd.DataFrame(
+                {"file_name": names, "sample_rate": rates, "channels": chans,
+                 "bits_per_sample": bits, "n_bytes": nb}
+            )
+
+    return spread(raw).mapInPandas(process, out_schema).orderBy("file_name")
+
+
+# --- log-log price elasticity -----------------------------------------------------------------------
+# Per-brand demand elasticity: each order line contributes the point
+# (x, y) = (ln price_cents, ln quantity), both PRE-SCALED to exact
+# 1e9-grid BIGINTs, so every OLS moment (including the cross moment
+# sum(x*y), the fold-order trap for float sums) is an EXACT wide
+# integer; the slope converts to double once. The r13 OLS discipline
+# extended to log-transformed inputs.
+_ELAST_SQL = """
+    WITH pt AS (
+      SELECT p.p_brand,
+             CAST(floor(ln(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        * 1000000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(l.l_quantity AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity >= 1),
+    m AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM pt GROUP BY 1 HAVING count(*) >= 30)
+    SELECT p_brand, n,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS elasticity
+    FROM m ORDER BY p_brand
+"""
+
+
+@pq("price_elasticity_loglog", _ELAST_SQL)
+def price_elasticity_loglog(spark, sf_dir):
+    """Log-log elasticity per brand: ln() terms snap to the 1e9
+    integer grid BEFORE any summation, so the cross moment is an exact
+    wide-integer sum (decimal(38,0) — HUGEINT on the oracle) and the
+    closed-form slope needs four double conversions total. One
+    part-key join + one keyed agg; brands under 30 points are dropped
+    (an elasticity from a handful of lines is noise, and the HAVING
+    keeps both engines' row sets identical)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    x = F.floor(F.log(cents.cast("double")) * 1000000000 + F.lit(0.5)).cast("bigint")
+    y = F.floor(
+        F.log(F.col("l_quantity").cast("double")) * 1000000000 + F.lit(0.5)
+    ).cast("bigint")
+    pt = (
+        li.filter(F.col("l_quantity") >= 1)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select("p_brand", x.alias("x"), y.alias("y"))
+    )
+    m = (
+        pt.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        )
+        .filter(F.col("n") >= 30)
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return m.select(
+        "p_brand", "n",
+        (F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000).alias("elasticity"),
+    ).orderBy("p_brand")
+
+
+# --- Weibull median-rank fit ------------------------------------------------------------------------
+# Shipping-delay reliability fit: delays in whole days (exact ints)
+# aggregate to the VALUE level; each value's grouped median rank
+# F = (cum_before + (c+1)/2 - 0.3) / (n + 0.4) is rational, and the
+# regression runs on the 1e9-grid integers x = ln t, y = ln(-ln(1-F))
+# — same exact-moment OLS as the elasticity entry. Slope estimates the
+# Weibull shape k; intercept is reported pinned (scale needs exp —
+# deliberately not computed, exp(libm) never decides output).
+_WEIB_SQL = """
+    WITH d AS (
+      SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS t
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate),
+    hv AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hv),
+    r AS (
+      SELECT t, c,
+             coalesce(sum(c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hv),
+    xy AS (
+      SELECT CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(-ln(1.0 - (cb + (c + 1.0) / 2.0 - 0.3) / (n.n + 0.4)))
+                        * 1000000000 + 0.5) AS BIGINT) AS y,
+             c
+      FROM r CROSS JOIN n),
+    m AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS HUGEINT) * x) AS HUGEINT) AS sx,
+             CAST(sum(CAST(c AS HUGEINT) * y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(c AS HUGEINT) * x * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(c AS HUGEINT) * x * y) AS HUGEINT) AS sxy
+      FROM xy)
+    SELECT n,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS shape_k,
+           floor((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000000.0 * 1000000 + 0.5) / 1000000
+             AS intercept
+    FROM m
+"""
+
+
+@pq("weibull_median_rank_fit", _WEIB_SQL)
+def weibull_median_rank_fit(spark, sf_dir):
+    """Weibull probability-plot fit over shipping delays, entirely at
+    the VALUE level: the delay domain (integer days) is tiny, so the
+    cumulative rank window runs over the histogram, each value carries
+    its count as the regression weight, and the weighted OLS moments
+    are exact wide integers over 1e9-grid ln terms. Note the 1e9
+    de-scaling of the intercept — x and y live on the grid, so
+    intercept/1e9 is the natural-units value."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(F.datediff("l_shipdate", "o_orderdate").alias("t"))
+    )
+    hv = d.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
+    n = hv.agg(F.sum("c").cast("bigint").alias("n"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = hv.select(
+        "t", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cb")
+    )
+    ff = (F.col("cb") + (F.col("c") + 1.0) / 2.0 - 0.3) / (F.col("n") + 0.4)
+    x = F.floor(F.log(F.col("t").cast("double")) * 1000000000 + F.lit(0.5)).cast("bigint")
+    y = F.floor(F.log(-F.log(1.0 - ff)) * 1000000000 + F.lit(0.5)).cast("bigint")
+    xy = r.crossJoin(F.broadcast(n)).select(x.alias("x"), y.alias("y"), "c")
+    cd = F.col("c").cast("decimal(38,0)")
+    m = xy.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(cd * F.col("x")).alias("sx"),
+        F.sum(cd * F.col("y")).alias("sy"),
+        F.sum(cd * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(cd * F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    return m.select(
+        "n",
+        (F.floor(slope * 1000000 + F.lit(0.5)) / 1000000).alias("shape_k"),
+        (
+            F.floor((sy - slope * sx) / nn / 1000000000.0 * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("intercept"),
+    )
+
+
+# --- named WINDOW clause ----------------------------------------------------------------------------
+_NAMEDW_SQL = """
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month_,
+             o_orderpriority AS prio,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2)
+    SELECT month_, prio, rev,
+           rank() OVER w AS rnk,
+           CAST(sum(rev) OVER w AS BIGINT) AS run_rev,
+           CAST(lag(rev) OVER w AS BIGINT) AS prev_rev
+    FROM m
+    WINDOW w AS (PARTITION BY month_ ORDER BY rev DESC, prio)
+    ORDER BY month_, rnk
+"""
+
+
+@pq("sql_named_window_clause", _NAMEDW_SQL)
+def sql_named_window_clause(spark, sf_dir):
+    """SQL:2003 named WINDOW clause parity, literal SQL both engines:
+    one named spec shared by rank(), a running sum, and lag() — the
+    engine must plan all three in a single window pass over the month
+    aggregate. Exact cents; deterministic (rev desc, prio) order."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_r14_orders_w")
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT date_format(o_orderdate, 'yyyy-MM') AS month_,
+                 o_orderpriority AS prio,
+                 CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                      AS BIGINT) AS rev
+          FROM _r14_orders_w GROUP BY 1, 2)
+        SELECT month_, prio, rev,
+               rank() OVER w AS rnk,
+               CAST(sum(rev) OVER w AS BIGINT) AS run_rev,
+               CAST(lag(rev) OVER w AS BIGINT) AS prev_rev
+        FROM m
+        WINDOW w AS (PARTITION BY month_ ORDER BY rev DESC, prio)
+        ORDER BY month_, rnk
+        """
+    )
+
+
+# --- accent-fold dedup ------------------------------------------------------------------------------
+# Unicode-ish normalization parity on an EXPLICIT shared accent map.
+# The synthetic corpus is ASCII-only, so the differential AMPLIFIES it
+# first (the corpus_amplified discipline): every doc gains an
+# accent-injected variant (a->á, e->é, u->ü — identical injection
+# literals both engines), and the fold must collapse variant+original
+# to ONE fingerprint per doc — a true normalization-dedup round trip,
+# not a no-op scan.
+_ACCENTS = [
+    ("á", "a"), ("à", "a"), ("â", "a"), ("ä", "a"),
+    ("é", "e"), ("è", "e"), ("ê", "e"), ("ë", "e"),
+    ("í", "i"), ("î", "i"), ("ó", "o"), ("ô", "o"), ("ö", "o"),
+    ("ú", "u"), ("û", "u"), ("ü", "u"), ("ñ", "n"), ("ç", "c"), ("ß", "ss"),
+]
+
+
+def _fold_sql(expr: str) -> str:
+    out = f"lower({expr})"
+    for a, b in _ACCENTS:
+        out = f"replace({out}, '{a}', '{b}')"
+    return out
+
+
+_INJECT_SQL = "replace(replace(replace(text, 'a', 'á'), 'e', 'é'), 'u', 'ü')"
+_ACCFOLD_SQL = f"""
+    WITH amp AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, {_INJECT_SQL} FROM documents),
+    f AS (
+      SELECT doc_id, lang, text, {_fold_sql('text')} AS folded
+      FROM amp)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN folded <> lower(text) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accent_changed,
+           CAST(count(DISTINCT md5(folded)) AS BIGINT) AS n_distinct_folded
+    FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
+@pq("text_accent_fold_dedup", _ACCFOLD_SQL)
+def text_accent_fold_dedup(spark, sf_dir):
+    """Accent-fold normalization dedup over the amplified corpus: the
+    explicit 19-pair replace chain (shared with the oracle verbatim —
+    no engine unicode tables, which differ between ICU builds) must
+    fold every injected variant back onto its original's fingerprint,
+    so n_distinct_folded collapses to the per-lang original count.
+    One union scan + one codegen fold + one keyed agg."""
+    docs = _t(spark, sf_dir, "documents")
+    inject = F.replace(
+        F.replace(F.replace(F.col("text"), F.lit("a"), F.lit("á")), F.lit("e"), F.lit("é")),
+        F.lit("u"), F.lit("ü"),
+    )
+    amp = docs.select("doc_id", "lang", "text").unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "lang", inject.alias("text"))
+    )
+    folded = F.lower(F.col("text"))
+    for a, b in _ACCENTS:
+        folded = F.replace(folded, F.lit(a), F.lit(b))
+    f = amp.select("lang", F.lower("text").alias("lowered"), folded.alias("folded"))
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("folded") != F.col("lowered"), 1).otherwise(0))
+            .cast("bigint").alias("n_accent_changed"),
+            F.count_distinct(F.md5("folded")).cast("bigint").alias("n_distinct_folded"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- safety stock / reorder point -------------------------------------------------------------------
+_SSTOCK_SQL = """
+    WITH dd AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(count(*) AS BIGINT) AS q
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(q) AS BIGINT) AS s1,
+             CAST(sum(q * q) AS HUGEINT) AS s2
+      FROM dd GROUP BY 1)
+    SELECT event_type,
+           floor(CAST(s1 AS DOUBLE) / k * 1000000 + 0.5) / 1000000 AS mean_daily,
+           floor(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / k)
+                 * 1000000 + 0.5) / 1000000 AS sigma_daily,
+           floor(1.645 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / k)
+                       * sqrt(7.0) * 1000000 + 0.5) / 1000000 AS safety_stock,
+           floor((7.0 * CAST(s1 AS DOUBLE) / k
+                  + 1.645 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / k)
+                          * sqrt(7.0)) * 1000000 + 0.5) / 1000000 AS reorder_point
+    FROM m ORDER BY event_type
+"""
+
+
+@pq("inventory_safety_stock", _SSTOCK_SQL)
+def inventory_safety_stock(spark, sf_dir):
+    """Safety stock & reorder point (z=1.645, 7-day lead literal) per
+    event type: daily demand moments from exact integer day counts
+    (s2 as a wide integer), population sigma via one sqrt on the
+    once-converted doubles, identical expression sequence both
+    engines. Two keyed aggs, no window."""
+    dd = _t(spark, sf_dir, "events").groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("q"))
+    m = dd.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("k")
+    ) / F.col("k")
+    ss = 1.645 * F.sqrt(var) * F.sqrt(F.lit(7.0))
+    return m.select(
+        "event_type",
+        _pin(mean).alias("mean_daily"),
+        _pin(F.sqrt(var)).alias("sigma_daily"),
+        _pin(ss).alias("safety_stock"),
+        _pin(7.0 * mean + ss).alias("reorder_point"),
+    ).orderBy("event_type")

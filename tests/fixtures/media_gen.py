@@ -14,7 +14,9 @@ streams), so re-running reproduces the committed bytes exactly:
   dims, SOS, deterministic entropy bytes, EOI). Pixels are NOT real
   (stdlib can't inflate DCT) — only header dims are contract.
 - GIF89a: header + logical screen dims + trailer.
-- WAV: RIFF/WAVE magic + seeded noise (format detection only).
+- WAV: canonical PCM layout (RIFF size, 16-byte fmt chunk with real
+  tag/channels/rate/align/bits, data chunk of seeded noise) — the
+  fmt fields are REAL metadata the wav-header differential parses.
 - blob: seeded noise, no magic (NULL-format path).
 
 Run: python tests/fixtures/media_gen.py  (writes files, prints truth
@@ -125,7 +127,13 @@ def write_gif(name: str, w: int, h: int) -> bytes:
 
 
 def write_misc() -> dict[str, bytes]:
-    wav = b"RIFF" + struct.pack("<I", 512) + b"WAVEfmt " + _noise("imgreal_g.wav", 500)
+    # canonical PCM WAV: RIFF size, fmt chunk (16-byte PCM: tag 1,
+    # 2 ch, 22050 Hz, block align 4, 16 bit), data chunk of seeded noise
+    data = _noise("imgreal_g.wav:data", 400)
+    fmt = struct.pack("<HHIIHH", 1, 2, 22050, 22050 * 4, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
     (OUT / "imgreal_g.wav").write_bytes(wav)
     blob = _noise("imgreal_h.blob", 222)
     assert blob[:2] != b"\xff\xd8" and blob[:4] != b"RIFF"

@@ -333,3 +333,59 @@ def test_ttl_eviction_conserves_events(spark):
     assert sum(r["n_emitted"] + r["n_suppressed"] for r in rows) == total
     assert all(r["n_emitted"] >= 1 for r in rows)  # first occurrence always emits
     assert any(r["n_suppressed"] > 0 for r in rows)  # TTL actually suppresses
+
+
+# --- Block L: late additions ---------------------------------------------------
+
+
+def test_wav_header_real_fields(spark):
+    rows = PENDING["multimodal_wav_header_real"](spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["file_name"] == "imgreal_g.wav"
+    assert (r["sample_rate"], r["channels"], r["bits_per_sample"]) == (22050, 2, 16)
+
+
+def test_elasticity_defined_per_brand(spark):
+    rows = PENDING["price_elasticity_loglog"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] >= 30
+        assert abs(r["elasticity"]) < 10.0  # log-log slope sanity band
+    assert len({r["elasticity"] for r in rows}) > 1
+
+
+def test_weibull_shape_positive(spark):
+    r = PENDING["weibull_median_rank_fit"](spark, SF_SMOKE).collect()[0]
+    assert r["n"] > 100
+    assert r["shape_k"] > 0.0  # delays are a positive-support lifetime
+
+
+def test_named_window_shares_one_spec(spark):
+    rows = PENDING["sql_named_window_clause"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["rnk"] == 1:
+            assert r["prev_rev"] is None and r["run_rev"] == r["rev"]
+        else:
+            assert r["prev_rev"] is not None and r["run_rev"] > r["rev"]
+
+
+def test_accent_fold_collapses_injected_variants(spark):
+    rows = {r["lang"]: r for r in PENDING["text_accent_fold_dedup"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"en", "de", "es", "fr", "zh"}
+    for r in rows.values():
+        # amplified corpus: originals + injected variants...
+        assert r["n_docs"] % 2 == 0
+        # ...and the fold collapses each variant onto its original
+        assert r["n_distinct_folded"] == r["n_docs"] // 2
+        # every injected variant was actually accent-changed
+        assert r["n_accent_changed"] == r["n_docs"] // 2
+
+
+def test_safety_stock_identity(spark):
+    rows = PENDING["inventory_safety_stock"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["sigma_daily"] >= 0.0 and r["safety_stock"] >= 0.0
+        assert abs(r["reorder_point"] - (7.0 * r["mean_daily"] + r["safety_stock"])) < 2e-5
