@@ -2351,7 +2351,8 @@ _SAX_SQL = f"""
     z AS (
       SELECT p.seg, p.sc,
              floor((CAST(p.sc AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.k)
-                   / sqrt((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.k) / m.k)
+                   / sqrt(greatest((CAST(m.s2 AS DOUBLE) - CAST(m.s1 AS DOUBLE) * m.s1 / m.k)
+                                   / m.k, 0.0))
                    * 1000000 + 0.5) / 1000000 AS zz
       FROM paa p CROSS JOIN mom m)
     SELECT seg, sc AS seg_cents_5d, zz AS z,
@@ -2383,9 +2384,16 @@ def sax_symbolization_paa(spark, sf_dir):
         F.count("*").cast("bigint").alias("k"),
     )
     mean = F.col("s1").cast("double") / F.col("k")
-    var = (
-        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("k")
-    ) / F.col("k")
+    # ss - s^2/n cancellation can land ~-1e-17 for near-constant
+    # segments and NaN the sqrt (the round-7 Welford clamp lesson) —
+    # clamp identically on both engines
+    var = F.greatest(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("k")
+        ) / F.col("k"),
+        F.lit(0.0),
+    )
     z = (
         F.floor(
             (F.col("sc").cast("double") - mean) / F.sqrt(var) * 1000000 + F.lit(0.5)
@@ -2988,12 +2996,12 @@ _SSTOCK_SQL = """
       FROM dd GROUP BY 1)
     SELECT event_type,
            floor(CAST(s1 AS DOUBLE) / k * 1000000 + 0.5) / 1000000 AS mean_daily,
-           floor(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / k)
+           floor(sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / k, 0.0))
                  * 1000000 + 0.5) / 1000000 AS sigma_daily,
-           floor(1.645 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / k)
+           floor(1.645 * sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / k, 0.0))
                        * sqrt(7.0) * 1000000 + 0.5) / 1000000 AS safety_stock,
            floor((7.0 * CAST(s1 AS DOUBLE) / k
-                  + 1.645 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / k)
+                  + 1.645 * sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / k, 0.0))
                           * sqrt(7.0)) * 1000000 + 0.5) / 1000000 AS reorder_point
     FROM m ORDER BY event_type
 """
@@ -3015,9 +3023,14 @@ def inventory_safety_stock(spark, sf_dir):
         F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("k")
-    var = (
-        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("k")
-    ) / F.col("k")
+    # clamp the cancellation residue before sqrt (Welford-clamp rule)
+    var = F.greatest(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("k")
+        ) / F.col("k"),
+        F.lit(0.0),
+    )
     ss = 1.645 * F.sqrt(var) * F.sqrt(F.lit(7.0))
     return m.select(
         "event_type",
