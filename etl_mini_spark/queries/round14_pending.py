@@ -883,9 +883,10 @@ def text_rake_keywords(spark, sf_dir):
     running stop count per doc — partitioned window, never global),
     phrase table grouped per island, corpus-wide word degree/freq from
     ONE keyed agg over phrase words, scores joined back postings-style
-    (the word-score table is vocabulary-sized and never broadcast
-    whole — keyed join, the BM25 discipline). deg/freq pre-rounds at
-    9dp; per-doc top-3 on (score desc, phrase)."""
+    on the word key (Catalyst broadcasts it while the vocabulary is
+    small; at corpus scale the same plan shuffles — the BM25
+    discipline, never a driver-side vocabulary). deg/freq pre-rounds
+    at 9dp; per-doc top-3 on (score desc, phrase)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " ")), " "
