@@ -354,6 +354,59 @@ def p_lsh(spark):
 # --- event tier -------------------------------------------------------------
 
 
+@probe("geo_grid_radius")
+def p_geo_grid(spark):
+    """Grid-cell radius self-join at 10M points (the round-14 geo
+    blocking design): points spread over a 100x100-degree area, radius
+    0.01 degrees, 1000 planted near-pairs (clones offset by r/2).
+    Candidates come ONLY from the 3x3 cell neighborhood equi join —
+    the invariant is every planted pair recovered AND candidate mass
+    orders below the 5e13 all-pairs count."""
+    from pyspark.sql import functions as F
+
+    n = 10_000_000
+    r = 0.01
+    base = spark.range(n).select(
+        F.col("id"),
+        (F.expr("(id * 48271 % 65537) / CAST(65537 AS DOUBLE)") * 100.0).alias("lat"),
+        (F.expr("(id * 25253 % 65521) / CAST(65521 AS DOUBLE)") * 100.0).alias("lon"),
+    )
+    planted = spark.range(1000).select(
+        (F.col("id") + n).alias("id"),
+        (F.expr("(id * 48271 % 65537) / CAST(65537 AS DOUBLE)") * 100.0 + r / 2).alias("lat"),
+        (F.expr("(id * 25253 % 65521) / CAST(65521 AS DOUBLE)") * 100.0).alias("lon"),
+    )
+    pt = base.unionByName(planted)
+    cell = lambda c: F.floor(c / r).cast("long")  # noqa: E731
+    home = pt.select("id", "lat", "lon", cell(F.col("lat")).alias("cx"), cell(F.col("lon")).alias("cy"))
+    off = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy"))
+    )
+    exp = home.crossJoin(F.broadcast(off)).select(
+        F.col("id").alias("ia"), F.col("lat").alias("la"), F.col("lon").alias("lo"),
+        (F.col("cx") + F.col("dx")).alias("cx"), (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    cand = exp.join(home, ["cx", "cy"]).filter(F.col("ia") < F.col("id"))
+    n_cand = cand.count()
+    dlat = F.col("la") - F.col("lat")
+    dlon = F.col("lo") - F.col("lon")
+    pairs = cand.filter(dlat * dlat + dlon * dlon <= r * r).select("ia", "id")
+    n_pairs = pairs.count()
+    found = (
+        pairs.filter((F.col("id") >= n) & (F.col("ia") == F.col("id") - n)).count()
+        + pairs.filter((F.col("ia") >= n) & (F.col("id") == F.col("ia") - n)).count()
+    )
+    quadratic = (n + 1000) * (n + 999) // 2
+    return {
+        "n_points": n + 1000,
+        "n_candidates": n_cand,
+        "n_pairs": n_pairs,
+        "planted_found": found,
+        "candidate_ratio": round(n_cand / quadratic, 10),
+        "ok": bool(found == 1000 and n_cand * 1000 < quadratic),
+    }
+
+
 @probe("event_asof_celebrity")
 def p_asof(spark, events):
     from pyspark.sql import functions as F
@@ -701,6 +754,9 @@ def main() -> None:
 
         print("generating names...", file=sys.stderr)
         p_jaro_blocked(spark)
+
+        print("generating points...", file=sys.stderr)
+        p_geo_grid(spark)
 
         print("generating events...", file=sys.stderr)
         p_asof(spark, gen_events(spark))
