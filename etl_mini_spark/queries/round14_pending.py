@@ -3040,3 +3040,471 @@ def inventory_safety_stock(spark, sf_dir):
         _pin(ss).alias("safety_stock"),
         _pin(7.0 * mean + ss).alias("reorder_point"),
     ).orderBy("event_type")
+
+
+# =====================================================================
+# Block M — experimentation / causal analytics, queueing, distances
+# =====================================================================
+
+def _md5_mod14(expr, salt: str, mod: int):
+    """Portable deterministic bucket: md5 of (key || salt), first 15
+    hex chars as an integer, mod — identical on both engines (the
+    operators/sampling.hash_bucket recipe)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(expr.cast("string"), F.lit(salt))), 1, 15),
+               16, 10).cast("bigint") % mod
+    )
+
+
+_MD5MOD_SQL = "(CAST(('0x' || substr(md5(CAST({k} AS VARCHAR) || '{salt}'), 1, 15)) AS BIGINT) % {mod})"
+
+
+# --- difference-in-differences ----------------------------------------------------------------------
+# Treatment = md5-bucket of user_id (portable randomness), the
+# pre/post split at the median calendar day; the DiD estimator on
+# mean event value is pure exact-cents arithmetic: four cell means
+# from integer sums, three subtractions, one pin.
+_DID_SQL = f"""
+    WITH ev AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             {_MD5MOD_SQL.format(k='user_id', salt=':did', mod=2)} AS treat
+      FROM events),
+    cut AS (
+      SELECT d AS dcut FROM (
+        SELECT d, row_number() OVER (ORDER BY d) AS rn, count(*) OVER () AS n
+        FROM (SELECT DISTINCT d FROM ev))
+      WHERE rn = (n + 1) // 2),
+    cells AS (
+      SELECT e.treat, CASE WHEN e.d >= c.dcut THEN 1 ELSE 0 END AS post,
+             CAST(sum(e.c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM ev e CROSS JOIN cut c
+      GROUP BY 1, 2),
+    w AS (
+      SELECT
+        max(CASE WHEN treat = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS t1,
+        max(CASE WHEN treat = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS t0,
+        max(CASE WHEN treat = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS c1,
+        max(CASE WHEN treat = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS c0
+      FROM cells)
+    SELECT floor(t1 * 1000000 + 0.5) / 1000000 AS treat_post,
+           floor(t0 * 1000000 + 0.5) / 1000000 AS treat_pre,
+           floor(c1 * 1000000 + 0.5) / 1000000 AS ctrl_post,
+           floor(c0 * 1000000 + 0.5) / 1000000 AS ctrl_pre,
+           floor(((t1 - t0) - (c1 - c0)) * 1000000 + 0.5) / 1000000 AS did
+    FROM w
+"""
+
+
+@pq("did_difference_in_differences", _DID_SQL)
+def did_difference_in_differences(spark, sf_dir):
+    """Difference-in-differences on mean event value (cents): md5
+    treatment assignment, the pre/post cut at the median calendar day
+    (a 1-row broadcast), four cells from ONE keyed agg, the estimator
+    as three subtractions of exact-sum-derived means. The whole
+    analysis is a single shuffle over (treat, post)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+        _md5_mod14(F.col("user_id"), ":did", 2).alias("treat"),
+    )
+    days = ev.select("d").distinct()
+    wm = Window.orderBy("d")
+    cut = (
+        days.select("d", F.row_number().over(wm).alias("rn"),
+                    F.count("*").over(Window.partitionBy()).alias("n"))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("d").alias("dcut"))
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("treat", F.when(F.col("d") >= F.col("dcut"), 1).otherwise(0).alias("post"))
+        .agg(F.sum("c").cast("bigint").alias("s"), F.count("*").cast("bigint").alias("n"))
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    w = cells.agg(
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 1), mean)).alias("t1"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 0), mean)).alias("t0"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 1), mean)).alias("c1"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 0), mean)).alias("c0"),
+    )
+    return w.select(
+        _pin(F.col("t1")).alias("treat_post"), _pin(F.col("t0")).alias("treat_pre"),
+        _pin(F.col("c1")).alias("ctrl_post"), _pin(F.col("c0")).alias("ctrl_pre"),
+        _pin((F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))).alias("did"),
+    )
+
+
+# --- uplift deciles (two-model differencing) ----------------------------------------------------------
+# Per-user conversion (any purchase) under md5 treatment assignment;
+# users rank into 10 md5-score buckets (a stand-in for a model score —
+# portable and deterministic), and each bucket reports treated vs
+# control conversion and the uplift difference. Exact integer
+# counts; ratios pinned.
+_UPLIFT_SQL = f"""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1),
+    a AS (
+      SELECT user_id, converted,
+             {_MD5MOD_SQL.format(k='user_id', salt=':utr', mod=2)} AS treat,
+             {_MD5MOD_SQL.format(k='user_id', salt=':usc', mod=10)} AS decile
+      FROM u),
+    g AS (
+      SELECT decile, treat,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM a GROUP BY 1, 2),
+    wd AS (
+      SELECT decile,
+             max(CASE WHEN treat = 1 THEN n END) AS nt,
+             max(CASE WHEN treat = 1 THEN conv END) AS ct,
+             max(CASE WHEN treat = 0 THEN n END) AS nc,
+             max(CASE WHEN treat = 0 THEN conv END) AS cc
+      FROM g GROUP BY 1)
+    SELECT decile, nt, nc,
+           floor(CAST(ct AS DOUBLE) / nt * 1000000 + 0.5) / 1000000 AS rate_treat,
+           floor(CAST(cc AS DOUBLE) / nc * 1000000 + 0.5) / 1000000 AS rate_ctrl,
+           floor((CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc) * 1000000 + 0.5)
+             / 1000000 AS uplift
+    FROM wd ORDER BY decile
+"""
+
+
+@pq("uplift_two_model_deciles", _UPLIFT_SQL)
+def uplift_two_model_deciles(spark, sf_dir):
+    """Uplift by decile: per-user conversion flags (one keyed agg over
+    the fact table), md5 treatment + md5 score deciles, a (decile,
+    treat) cell table, and the treated-minus-control rate difference
+    pinned per decile. Everything after the first agg is domain-sized."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+        )
+    )
+    a = u.select(
+        "converted",
+        _md5_mod14(F.col("user_id"), ":utr", 2).alias("treat"),
+        _md5_mod14(F.col("user_id"), ":usc", 10).alias("decile"),
+    )
+    g = a.groupBy("decile", "treat").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("converted").cast("bigint").alias("conv")
+    )
+    wd = g.groupBy("decile").agg(
+        F.max(F.when(F.col("treat") == 1, F.col("n"))).alias("nt"),
+        F.max(F.when(F.col("treat") == 1, F.col("conv"))).alias("ct"),
+        F.max(F.when(F.col("treat") == 0, F.col("n"))).alias("nc"),
+        F.max(F.when(F.col("treat") == 0, F.col("conv"))).alias("cc"),
+    )
+    rt = F.col("ct").cast("double") / F.col("nt")
+    rc = F.col("cc").cast("double") / F.col("nc")
+    return wd.select(
+        "decile", "nt", "nc",
+        _pin(rt).alias("rate_treat"), _pin(rc).alias("rate_ctrl"),
+        _pin(rt - rc).alias("uplift"),
+    ).orderBy("decile")
+
+
+# --- CUPED variance reduction --------------------------------------------------------------------------
+# CUPED (controlled-experiment using pre-experiment data): Y = user's
+# post-period spend, X = pre-period spend (split at the median day),
+# theta = cov(X,Y)/var(X) from exact integer moments, adjusted
+# Y' = Y - theta*(X - mean(X)). Report theta and the variance
+# reduction ratio var(Y')/var(Y) — the metric CUPED exists to shrink.
+_CUPED_SQL = f"""
+    WITH ev AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events),
+    cut AS (
+      SELECT d AS dcut FROM (
+        SELECT d, row_number() OVER (ORDER BY d) AS rn, count(*) OVER () AS n
+        FROM (SELECT DISTINCT d FROM ev))
+      WHERE rn = (n + 1) // 2),
+    u AS (
+      SELECT e.user_id,
+             CAST(coalesce(sum(CASE WHEN e.d < c.dcut THEN e.c END), 0) AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN e.d >= c.dcut THEN e.c END), 0) AS BIGINT) AS y
+      FROM ev e CROSS JOIN cut c GROUP BY 1),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM u),
+    s AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS theta,
+             (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vy_n2,
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS vx_n2,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS cxy_n2
+      FROM m)
+    SELECT n,
+           floor(theta * 1000000 + 0.5) / 1000000 AS theta,
+           floor((1.0 - cxy_n2 * cxy_n2 / (vx_n2 * vy_n2)) * 1000000 + 0.5) / 1000000
+             AS var_ratio
+    FROM s
+"""
+
+
+@pq("cuped_variance_reduction", _CUPED_SQL)
+def cuped_variance_reduction(spark, sf_dir):
+    """CUPED: per-user pre/post spend in exact cents (one keyed agg),
+    theta and the variance-reduction ratio from exact wide-integer
+    moments — var(Y')/var(Y) simplifies to 1 - rho^2, computed from
+    the n^2-scaled covariance forms so no mean ever subtracts
+    unrounded. Moments are ONE distributed agg; the report is 1 row."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    days = ev.select("d").distinct()
+    wm = Window.orderBy("d")
+    cut = (
+        days.select("d", F.row_number().over(wm).alias("rn"),
+                    F.count("*").over(Window.partitionBy()).alias("n"))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("d").alias("dcut"))
+    )
+    u = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("d") < F.col("dcut"), F.col("c"))), F.lit(0))
+            .cast("bigint").alias("x"),
+            F.coalesce(F.sum(F.when(F.col("d") >= F.col("dcut"), F.col("c"))), F.lit(0))
+            .cast("bigint").alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"), F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("sxx").cast("double"), F.col("sxy").cast("double"), F.col("syy").cast("double"),
+    )
+    vx = nn * sxx - sx * sx
+    vy = nn * syy - sy * sy
+    cxy = nn * sxy - sx * sy
+    return m.select(
+        "n",
+        _pin(cxy / vx).alias("theta"),
+        _pin(1.0 - cxy * cxy / (vx * vy)).alias("var_ratio"),
+    )
+
+
+# --- sample-ratio-mismatch check -------------------------------------------------------------------------
+_SRM_SQL = f"""
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             {_MD5MOD_SQL.format(k='user_id', salt=':srm', mod=2)} AS arm
+      FROM events),
+    c AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+    SELECT c.arm, c.n, t.tot,
+           floor((CAST(c.n AS DOUBLE) - t.tot / 2.0) * (CAST(c.n AS DOUBLE) - t.tot / 2.0)
+                 / (t.tot / 2.0) * 1000000 + 0.5) / 1000000 AS chi_term
+    FROM c CROSS JOIN t
+    ORDER BY c.arm
+"""
+
+
+@pq("ab_srm_check", _SRM_SQL)
+def ab_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail: md5 arm assignment over the
+    distinct-user set must split ~50/50; the per-arm chi-square term
+    against the expected half is the SRM statistic an experimentation
+    platform alerts on. Exact integer counts, one pinned ratio."""
+    a = (
+        _t(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .select(_md5_mod14(F.col("user_id"), ":srm", 2).alias("arm"))
+    )
+    c = a.groupBy("arm").agg(F.count("*").cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("tot"))
+    half = F.col("tot") / 2.0
+    dev = F.col("n").cast("double") - half
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select("arm", "n", "tot", _pin(dev * dev / half).alias("chi_term"))
+        .orderBy("arm")
+    )
+
+
+# --- Little's law audit ------------------------------------------------------------------------------------
+# L = lambda * W over the event stream with a fixed 10-minute service
+# interval per event: lambda = events per microsecond of span, W =
+# 600s (constant by construction), L = time-average concurrency from
+# the +1/-1 sweep integrated exactly in microseconds. The audit
+# reports L, lambda*W and their pinned ratio — 1.0 up to the edge
+# effect of intervals open past the span end, which the span EXTENDS
+# to cover (span runs to max(ts)+10min so every interval closes).
+_LITTLE_SQL = """
+    WITH pts AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) + 600000000, -1 FROM events),
+    sw AS (
+      SELECT t, sum(d) OVER (ORDER BY t, d ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS conc,
+             lead(t) OVER (ORDER BY t, d) AS t_next
+      FROM pts),
+    span AS (
+      SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) + 600000000 AS t1,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events),
+    area AS (
+      SELECT CAST(sum(CAST(conc AS BIGINT) * (t_next - t)) AS BIGINT) AS a
+      FROM sw WHERE t_next IS NOT NULL)
+    SELECT s.n,
+           floor(CAST(a.a AS DOUBLE) / (s.t1 - s.t0) * 1000000 + 0.5) / 1000000 AS l_avg,
+           floor(CAST(s.n AS DOUBLE) / (s.t1 - s.t0) * 600000000.0 * 1000000 + 0.5)
+             / 1000000 AS lambda_w,
+           floor(CAST(a.a AS DOUBLE) / (s.n * 600000000.0) * 1000000 + 0.5) / 1000000
+             AS ratio
+    FROM span s CROSS JOIN area a
+"""
+
+
+@pq("queueing_little_law_audit", _LITTLE_SQL)
+def queueing_little_law_audit(spark, sf_dir):
+    """Little's law L = lambda W audited exactly: the concurrency area
+    integrates the +1/-1 sweep in integer microseconds (conc x gap
+    sums as BIGINTs), lambda and W come from the same exact span, and
+    since every 10-min interval lies inside the extended span the
+    area/(n*600s) ratio is EXACTLY 1 — the audit's invariant, which
+    both engines must hit on the nose. The sweep orders within one
+    global window over 2n points; at scale this entry's shape
+    partitions by day the way interval_overlap_agg partitions by type
+    (documented here because the audit needs the global constant)."""
+    ev = _t(spark, sf_dir, "events").select(F.unix_micros("ts").alias("t"))
+    pts = ev.select("t", F.lit(1).alias("d")).unionByName(
+        ev.select((F.col("t") + 600000000).alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.orderBy("t", "d")
+    sw = pts.select(
+        "t",
+        F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("conc"),
+        F.lead("t").over(w).alias("t_next"),
+    )
+    span = ev.agg(
+        F.min("t").alias("t0"),
+        (F.max("t") + 600000000).alias("t1"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    area = sw.filter(F.col("t_next").isNotNull()).agg(
+        F.sum(F.col("conc").cast("bigint") * (F.col("t_next") - F.col("t")))
+        .cast("bigint").alias("a")
+    )
+    return (
+        span.crossJoin(area)
+        .select(
+            "n",
+            _pin(F.col("a").cast("double") / (F.col("t1") - F.col("t0"))).alias("l_avg"),
+            _pin(
+                F.col("n").cast("double") / (F.col("t1") - F.col("t0")) * 600000000.0
+            ).alias("lambda_w"),
+            _pin(F.col("a").cast("double") / (F.col("n") * 600000000.0)).alias("ratio"),
+        )
+    )
+
+
+# --- 1-D Wasserstein distance -------------------------------------------------------------------------------
+# Earth-mover's distance between the purchase and view value
+# distributions: W1 = integral |CDF_a - CDF_b| over the value grid =
+# sum over consecutive distinct values of |cumshare_a - cumshare_b| *
+# gap. Counts are exact integers; the cum shares convert once and the
+# per-gap terms pre-round at 9dp into a DECIMAL fold.
+_EMD_SQL = """
+    WITH v AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    h AS (SELECT c, grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1, 2),
+    piv AS (
+      SELECT c,
+             CAST(coalesce(sum(CASE WHEN grp = 1 THEN n END), 0) AS BIGINT) AS na,
+             CAST(coalesce(sum(CASE WHEN grp = 0 THEN n END), 0) AS BIGINT) AS nb
+      FROM h GROUP BY 1),
+    tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM piv),
+    cum AS (
+      SELECT c,
+             sum(na) OVER (ORDER BY c) AS ca,
+             sum(nb) OVER (ORDER BY c) AS cb,
+             lead(c) OVER (ORDER BY c) AS c_next
+      FROM piv),
+    terms AS (
+      SELECT floor(abs(CAST(cum.ca AS DOUBLE) / t.ta - CAST(cum.cb AS DOUBLE) / t.tb)
+                   * (c_next - c) / 100.0 * 1000000000 + 0.5) / 1000000000 AS term
+      FROM cum CROSS JOIN tot t WHERE c_next IS NOT NULL)
+    SELECT CAST(count(*) + 1 AS BIGINT) AS n_values,
+           floor(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS wasserstein_1
+    FROM terms
+"""
+
+
+@pq("emd_1d_wasserstein", _EMD_SQL)
+def emd_1d_wasserstein(spark, sf_dir):
+    """1-D Wasserstein (earth-mover's) distance between the purchase
+    and view value distributions: value histograms from one keyed agg
+    (the domain, not the rows), cumulative counts over the value
+    table, |CDF gap| x value gap terms pre-rounded at 9dp and folded
+    as DECIMAL. The KS entry takes the sup of the same curve; this is
+    its integral — together they pin the whole CDF-difference
+    geometry."""
+    v = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        )
+    )
+    h = v.groupBy("c", "grp").agg(F.count("*").cast("bigint").alias("n"))
+    piv = h.groupBy("c").agg(
+        F.coalesce(F.sum(F.when(F.col("grp") == 1, F.col("n"))), F.lit(0))
+        .cast("bigint").alias("na"),
+        F.coalesce(F.sum(F.when(F.col("grp") == 0, F.col("n"))), F.lit(0))
+        .cast("bigint").alias("nb"),
+    )
+    tot = piv.agg(
+        F.sum("na").cast("bigint").alias("ta"), F.sum("nb").cast("bigint").alias("tb")
+    )
+    w = Window.orderBy("c")
+    cum = piv.select(
+        "c",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+        F.lead("c").over(w).alias("c_next"),
+    )
+    gap = F.abs(
+        F.col("ca").cast("double") / F.col("ta") - F.col("cb").cast("double") / F.col("tb")
+    )
+    term = (
+        F.floor(gap * (F.col("c_next") - F.col("c")) / 100.0 * 1000000000 + F.lit(0.5))
+        / 1000000000
+    ).cast("decimal(28,9)")
+    terms = cum.crossJoin(F.broadcast(tot)).filter(F.col("c_next").isNotNull()).select(
+        term.alias("term")
+    )
+    return terms.agg(
+        (F.count("*") + 1).cast("bigint").alias("n_values"),
+        (
+            F.floor(F.sum("term").cast("double") * 1000000 + F.lit(0.5)) / 1000000
+        ).alias("wasserstein_1"),
+    )

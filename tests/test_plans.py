@@ -1015,7 +1015,7 @@ def test_round14_staged_tier_no_cartesian_blanket(spark):
 
     src = open("etl_mini_spark/queries/round14_pending.py").read()
     ROUND14 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
-    assert len(ROUND14) == 40
+    assert len(ROUND14) == 46
     SKIP_SIDE_EFFECTS = {
         # driver-side bounded folds / streaming jobs before the final plan
         "ewma_volatility_riskmetrics", "loan_prepay_cpr_schedule",
@@ -1036,6 +1036,11 @@ def test_round14_staged_tier_no_cartesian_blanket(spark):
         "dq_column_entropy_profile",    # domain-sized histogram broadcast
         "query_likelihood_dirichlet",   # 3-term query + 1-row total broadcasts
         "weibull_median_rank_fit",      # 1-row n broadcast over the value table
+        "did_difference_in_differences",  # 1-row median-day cut broadcast
+        "cuped_variance_reduction",     # 1-row cut + 1-row moments
+        "ab_srm_check",                 # 1-row total broadcast
+        "queueing_little_law_audit",    # 1-row span x area scalars
+        "emd_1d_wasserstein",           # 1-row totals broadcast
         "vwap_anchored_monthly",        # none expected; keep strict
         "window_groups_frame_parity",   # domain-sized ord-frame broadcast
     } - {"vwap_anchored_monthly"}
