@@ -311,16 +311,27 @@ def prefix_join_preflight(
 
     Returns ``{"n_docs", "candidate_mass", "avg_candidates"}``.
     ``mode``: "raise" (ValueError), "warn" (warnings.warn), or "stat"
-    (never signals — callers that only want the numbers)."""
-    agg = (
-        postings.groupBy(token_col)
-        .agg(F.count("*").cast("double").alias("df"))
-        .agg(
-            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("mass"),
-        )
-        .collect()[0]
-    )
-    n_docs = postings.select(doc_col).distinct().count()
+    (never signals — callers that only want the numbers).
+
+    Both numbers come from ONE Spark action over ONE scan of the
+    postings: GROUPING SETS ((token), (doc)) expands each row into the
+    two keyed streams, so the token-df mass Σ df·(df−1)/2 and the
+    distinct-doc count (= number of doc-level groups) fall out of a
+    single aggregate — the preflight never reads its input twice."""
+    gid = F.grouping_id()
+    per_group = postings.groupingSets(
+        [[token_col], [doc_col]], token_col, doc_col
+    ).agg(F.count("*").cast("double").alias("c"), gid.alias("gid"))
+    # grouping_id bits: token_col is the first (most significant) col,
+    # so the (token) set — doc aggregated away — has gid 0b01 = 1 and
+    # the (doc) set has gid 0b10 = 2.
+    agg = per_group.agg(
+        F.sum(
+            F.when(F.col("gid") == 1, F.col("c") * (F.col("c") - 1) / 2)
+        ).alias("mass"),
+        F.count(F.when(F.col("gid") == 2, F.lit(1))).alias("n_docs"),
+    ).collect()[0]
+    n_docs = int(agg["n_docs"] or 0)
     mass = float(agg["mass"] or 0.0)
     avg = mass / n_docs if n_docs else 0.0
     stats = {"n_docs": n_docs, "candidate_mass": mass, "avg_candidates": avg}

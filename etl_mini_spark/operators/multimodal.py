@@ -64,9 +64,12 @@ def parse_media_header(data: bytes) -> tuple[str | None, int | None, int | None]
       byte offsets 16/20 (only if the chunk tag at 12..15 really is
       IHDR — magic-only blobs report format with NULL dims).
     - JPEG: FFD8 then a marker walk; dims live in the first SOF0/1/2
-      segment (height BE u16 at seg+5, width at seg+7). The walk stops
-      at SOS (entropy-coded data follows — dims NULL if no SOF seen),
-      on a segment length < 2, or at end-of-bytes.
+      segment (height BE u16 at seg+5, width at seg+7). Spec-legal
+      0xFF fill bytes before a marker are skipped one at a time (the
+      second FF becomes the new marker prefix), so padded JPEGs walk
+      correctly. The walk stops at SOS (entropy-coded data follows —
+      dims NULL if no SOF seen), on a segment length < 2, or at
+      end-of-bytes.
     - GIF87a/89a: logical-screen little-endian u16 pair at offsets 6/8.
     - RIFF/WAVE and ISO-BMFF ftyp report format only (audio has no
       dims; real video dims live in codec boxes out of scope here).
@@ -85,6 +88,9 @@ def parse_media_header(data: bytes) -> tuple[str | None, int | None, int | None]
             if data[pos] != 0xFF:
                 break
             marker = data[pos + 1]
+            if marker == 0xFF:  # fill byte: next FF is the marker prefix
+                pos += 1
+                continue
             if marker == 0xDA:  # SOS: entropy data follows, stop
                 break
             if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
@@ -173,10 +179,19 @@ def decode_png_pixels(data: bytes):
     zlib.decompress → per-scanline unfilter (types 0 None, 1 Sub, 2 Up,
     3 Average, 4 Paeth). Supports 8-bit gray (color 0), RGB (2) and
     RGBA (6), non-interlaced. Returns a numpy uint8 array [h, w, ch].
-    Raises ValueError on anything else — callers NULL the row rather
-    than guess."""
+    Raises ValueError on anything else — ALL malformed-input failures
+    (short IHDR body, corrupt IDAT zlib stream, truncated scanlines)
+    are re-raised as ValueError so callers NULL the row rather than
+    crash the task."""
     import zlib
 
+    try:
+        return _decode_png_pixels(data, zlib)
+    except (IndexError, zlib.error) as exc:
+        raise ValueError(f"malformed PNG: {exc}") from exc
+
+
+def _decode_png_pixels(data: bytes, zlib):
     import numpy as np
 
     if data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -292,9 +307,13 @@ def extract_features_real(
     histogram, one row per (id, bin, cnt). Luma is the exact integer
     (299·R + 587·G + 114·B) // 1000 (gray images use the single
     channel), binned as luma // (256 // bins) — all-integer, so the
-    differential carries no float noise. Undecodable payloads emit no
-    rows."""
+    differential carries no float noise. ``bins`` must divide 256
+    evenly (otherwise the top bins would silently drop pixels).
+    Undecodable payloads emit no rows."""
     from etl_mini_spark.session import spread
+
+    if bins <= 0 or 256 % bins != 0:
+        raise ValueError(f"bins must be a positive divisor of 256, got {bins}")
 
     out_schema = T.StructType(
         [

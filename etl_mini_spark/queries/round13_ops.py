@@ -3709,7 +3709,8 @@ _MDECR_SQL = f"""
       FROM b WHERE substr(h, 1, 4) = 'FFD8'
       UNION ALL
       SELECT file_name, h,
-             CASE WHEN marker = 1 OR (marker BETWEEN 208 AND 215)
+             CASE WHEN marker = 255 THEN pos + 1
+                  WHEN marker = 1 OR (marker BETWEEN 208 AND 215)
                   THEN pos + 2 ELSE pos + 2 + seglen END,
              CASE WHEN marker IN (192, 193, 194) THEN pos END
       FROM (
@@ -3721,7 +3722,8 @@ _MDECR_SQL = f"""
           AND substr(h, 2*pos+1, 2) = 'FF'
       ) s
       WHERE marker <> 218
-        AND (marker = 1 OR (marker BETWEEN 208 AND 215) OR seglen >= 2)
+        AND (marker = 255 OR marker = 1
+             OR (marker BETWEEN 208 AND 215) OR seglen >= 2)
     ),
     jdims AS (
       SELECT file_name,

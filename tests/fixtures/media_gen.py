@@ -36,6 +36,11 @@ PNG_SPECS = [  # (name, w, h, color_type, scanline_filter)
     ("imgreal_c.png", 17, 31, 6, 2),
 ]
 JPEG_SPECS = [("imgreal_d.jpg", 320, 200), ("imgreal_e.jpg", 41, 59)]
+# padded variant: spec-legal 0xFF fill bytes precede the DQT and SOF0
+# markers (ITU T.81 §B.1.1.2 allows any number of FF fill bytes before
+# a marker) — exercises the fill-byte skip in parse_media_header and
+# the oracle's recursive marker walk (round-13 advice item).
+JPEG_PADDED_SPECS = [("imgreal_i.jpg", 77, 55)]
 GIF_SPECS = [("imgreal_f.gif", 101, 67)]
 
 
@@ -120,6 +125,27 @@ def write_jpeg(name: str, w: int, h: int) -> bytes:
     return data
 
 
+def write_jpeg_padded(name: str, w: int, h: int) -> bytes:
+    """Same marker structure as write_jpeg but with runs of 0xFF fill
+    bytes before the DQT and SOF0 markers (so the stream reads
+    ... FF FF FF DB ... and ... FF FF FF FF C0 ...)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xff" + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + _noise(name + ":dqt", 64)
+    sof0 = (
+        b"\xff\xff\xff"
+        + b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x11\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    entropy = _noise(name + ":entropy", 199).replace(b"\xff", b"\xfe")
+    data = b"\xff\xd8" + app0 + dqt + sof0 + sos + entropy + b"\xff\xd9"
+    (OUT / name).write_bytes(data)
+    return data
+
+
 def write_gif(name: str, w: int, h: int) -> bytes:
     data = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
     (OUT / name).write_bytes(data)
@@ -148,6 +174,9 @@ def main() -> None:
         rows.append((name, "png", w, h, len(d), hashlib.md5(d).hexdigest()))
     for name, w, h in JPEG_SPECS:
         d = write_jpeg(name, w, h)
+        rows.append((name, "jpeg", w, h, len(d), hashlib.md5(d).hexdigest()))
+    for name, w, h in JPEG_PADDED_SPECS:
+        d = write_jpeg_padded(name, w, h)
         rows.append((name, "jpeg", w, h, len(d), hashlib.md5(d).hexdigest()))
     for name, w, h in GIF_SPECS:
         d = write_gif(name, w, h)

@@ -471,9 +471,11 @@ def test_hw_multiplicative_tracks_level(spark):
 
 def test_multimodal_decode_real_known_dims(spark):
     rows = {r["file_name"]: r for r in PENDING["multimodal_decode_real"](spark, SF_SMOKE).collect()}
-    assert len(rows) == 8
+    assert len(rows) == 9
     assert (rows["imgreal_a.png"]["width"], rows["imgreal_a.png"]["height"]) == (37, 23)
     assert (rows["imgreal_d.jpg"]["width"], rows["imgreal_d.jpg"]["height"]) == (320, 200)
+    # FF-padded JPEG (fill bytes before DQT/SOF0): the marker-walk skip
+    assert (rows["imgreal_i.jpg"]["width"], rows["imgreal_i.jpg"]["height"]) == (77, 55)
     assert (rows["imgreal_f.gif"]["width"], rows["imgreal_f.gif"]["height"]) == (101, 67)
     assert rows["imgreal_g.wav"]["format"] == "wav" and rows["imgreal_g.wav"]["width"] is None
     assert rows["imgreal_h.blob"]["format"] is None
@@ -506,3 +508,34 @@ def test_png_decoder_rejects_unsupported_and_parser_handles_truncation():
     assert parse_media_header(b"\x89PNG\r\n\x1a\x0a" + b"\x00" * 20)[1] is None
     with _pytest.raises(ValueError):
         decode_png_pixels(b"not a png at all")
+    # r13-advice guards: ALL malformed-input failures surface as ValueError
+    import struct as _struct
+    import zlib as _zlib
+
+    def _chunk(tag, body):
+        return (_struct.pack(">I", len(body)) + tag + body
+                + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    with _pytest.raises(ValueError):  # IHDR body shorter than 13 bytes
+        decode_png_pixels(magic + _chunk(b"IHDR", _struct.pack(">II", 4, 4) + b"\x08"))
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    with _pytest.raises(ValueError):  # corrupt IDAT zlib stream
+        decode_png_pixels(magic + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"garbage!"))
+    # FF fill bytes before a marker are skipped (padded-JPEG walk)
+    sof0 = b"\xff\xff\xff\xc0" + _struct.pack(">H", 11) + b"\x08" + _struct.pack(">HH", 9, 7) + b"\x01\x11\x00"
+    assert parse_media_header(b"\xff\xd8" + sof0) == ("jpeg", 7, 9)
+
+
+def test_extract_features_real_rejects_non_divisor_bins(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.multimodal import extract_features_real
+
+    df = spark.range(1).select(F.col("id").alias("media_id"), F.lit(None).cast("binary").alias("payload"))
+    with _pytest.raises(ValueError, match="divisor of 256"):
+        extract_features_real(df, "media_id", bins=10)
+    with _pytest.raises(ValueError, match="divisor of 256"):
+        extract_features_real(df, "media_id", bins=512)
