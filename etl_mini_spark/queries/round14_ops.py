@@ -12,12 +12,10 @@ candidates), graph link prediction & local clustering, lakehouse
 maintenance (next-fit-decreasing compaction bins, snapshot retention
 expiry, partition-spec evolution routing), time-series symbolization
 (two-state Markov stationary, SAX/PAA, Theta forecast), and a
-streaming state-TTL eviction differential — authored in round 13, to
-be registered when the round-13 window comes back.
-
-Module-local PENDING_QUERIES/PENDING_ORACLE (swept by sweep_oracle.py
-alongside the registry) until registration rotates them into the
-driver window — the same two-step every round since 7 has used.
+streaming state-TTL eviction differential — authored and swept in
+round 13 as round14_pending, registered verbatim in round 14 (names
+and oracles unchanged; the staging `pq` decorator becomes the registry
+`q`).
 
 Parity rules as in round9..13_ops (FIXTURES.md §C): integer/decimal
 arithmetic end-to-end (money as exact BIGINT cents), libm terms
@@ -33,25 +31,11 @@ and the IDENTICAL IEEE expression sequence on both engines.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mini_spark.queries._base import _t
-
-PENDING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-PENDING_ORACLE: dict[str, str] = {}
-
-
-def pq(name: str, sql: str | None = None):
-    def deco(fn):
-        PENDING_QUERIES[name] = fn
-        if sql is not None:
-            PENDING_ORACLE[name] = sql
-        return fn
-
-    return deco
+from etl_mini_spark.queries._base import q as pq
 
 
 def _pin(col, k: int = 6):

@@ -69,13 +69,13 @@ def main():
     # a staged pending tier, when one exists, sweeps alongside the registry
     todo = [(n, QUERIES[n], ORACLE[n]) for n in ORACLE]
     try:
-        from etl_mini_spark.queries.round14_pending import PENDING_ORACLE, PENDING_QUERIES
+        from etl_mini_spark.queries.round15_pending import PENDING_ORACLE, PENDING_QUERIES
 
         todo += [(n, PENDING_QUERIES[n], PENDING_ORACLE[n]) for n in PENDING_ORACLE]
     except ModuleNotFoundError as e:
         # only "no pending tier this round" is skippable; a transitive
         # import failure inside a real pending module must surface
-        if e.name != "etl_mini_spark.queries.round14_pending":
+        if e.name != "etl_mini_spark.queries.round15_pending":
             raise
     skip_from = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark("sweep-sf01")

@@ -1002,18 +1002,19 @@ def test_round13_tier_no_cartesian_blanket(spark):
 
 
 def test_round14_staged_tier_no_cartesian_blanket(spark):
-    """Blanket physical-plan audit of the round-14 STAGED tier (same
-    contract as the round-7..13 blankets, applied before registration):
-    no CartesianProduct; BroadcastNestedLoopJoin only where the
-    non-equi/cross side is bounded by construction — broadcast probe
-    sets, 1-row scalar aggregates, fixed offset/predicate grids, or
-    catalog-sized manifests (never the fact table)."""
+    """Blanket physical-plan audit of the round-14 tier (same contract
+    as the round-7..13 blankets; repointed from the staging module to
+    the registry at registration): no CartesianProduct;
+    BroadcastNestedLoopJoin only where the non-equi/cross side is
+    bounded by construction — broadcast probe sets, 1-row scalar
+    aggregates, fixed offset/predicate grids, or catalog-sized
+    manifests (never the fact table)."""
     import re as _re
 
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round14_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES as PENDING_QUERIES
 
-    src = open("etl_mini_spark/queries/round14_pending.py").read()
+    src = open("etl_mini_spark/queries/round14_ops.py").read()
     ROUND14 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
     assert len(ROUND14) == 46
     SKIP_SIDE_EFFECTS = {

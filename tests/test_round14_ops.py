@@ -9,13 +9,13 @@ from __future__ import annotations
 from tests.conftest import SF_SMOKE
 
 
-def _pending():
-    from etl_mini_spark.queries.round14_pending import PENDING_QUERIES
+def _registry():
+    from etl_mini_spark.queries import QUERIES
 
-    return PENDING_QUERIES
+    return QUERIES
 
 
-PENDING = _pending()
+PENDING = _registry()
 
 
 # --- Block A: geospatial ------------------------------------------------------
