@@ -1052,3 +1052,36 @@ def test_round14_staged_tier_no_cartesian_blanket(spark):
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in BOUNDED_NONEQUI_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_round15_staged_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-15 STAGED tier (same
+    contract as the round-7..14 blankets, applied before registration):
+    no CartesianProduct; BroadcastNestedLoopJoin only where the
+    non-equi/cross side is bounded by construction."""
+    import re as _re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round15_pending import PENDING_QUERIES
+
+    src = open("etl_mini_spark/queries/round15_pending.py").read()
+    ROUND15 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
+    assert len(ROUND15) == 16
+    SKIP_SIDE_EFFECTS = {
+        # superstep localCheckpoints / applyInPandas state machines run
+        # jobs before the final plan
+        "graph_hits_hubs_authorities", "tsb_intermittent_forecast",
+    }
+    BOUNDED_NONEQUI_OK = {
+        "map_mrr_eval",               # broadcast probe set (<> join)
+        "kmv_distinct_estimate",      # 1-row n x 1-row kth-hash join
+        "shapley_attribution_paths",  # 16-mask grid x <=16-mask histogram
+        "forecast_error_suite",       # 5-row priority set x calendar spine
+    }
+    for name in ROUND15:
+        if name in SKIP_SIDE_EFFECTS:
+            continue
+        s = plan_summary(PENDING_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in BOUNDED_NONEQUI_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
