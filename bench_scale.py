@@ -407,6 +407,94 @@ def p_geo_grid(spark):
     }
 
 
+@probe("graph_hits_5m_edges")
+def p_hits_scale(spark):
+    """HITS at 5M edges (the round-15 superstep design): a skewed
+    bipartite graph (50k hubs quadratically skewed, 200k authorities),
+    4 iterations of BIGINT-nano state with one controlled float op per
+    L1 normalization, each superstep localCheckpoint'ed (lineage
+    truncation — without it the lazy plan re-evaluates the prefix
+    exponentially). Invariants: both final L1 masses within n nanos of
+    1e9 (each score carries at most 0.5 nano of HALF_UP rounding), and
+    the top hub strictly dominates (the skew must surface)."""
+    from pyspark.sql import functions as F
+
+    n = 5_000_000
+    edges = (
+        spark.range(n)
+        .select(
+            F.expr("CAST(floor(50000 * pow((id * 48271 % 65537) / 65537.0, 2)) AS BIGINT)")
+            .alias("s"),
+            (F.col("id") % 200_000).alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    h = edges.select("s").distinct().withColumn("hs", F.lit(1000000000).cast("long"))
+
+    def norm(df, raw_col, out_col):
+        tot = df.agg(F.sum(raw_col).cast("long").alias("_tot"))
+        return df.join(F.broadcast(tot), F.lit(True)).select(
+            *[c for c in df.columns if c != raw_col],
+            F.floor(
+                F.col(raw_col).cast("double") / F.col("_tot").cast("double") * 1000000000
+                + F.lit(0.5)
+            ).cast("long").alias(out_col),
+        )
+
+    a = None
+    for _ in range(4):
+        ar = edges.join(h, "s").groupBy("p").agg(F.sum("hs").cast("long").alias("raw"))
+        a = norm(ar, "raw", "asc_").localCheckpoint(eager=True)
+        hr = edges.join(a, "p").groupBy("s").agg(F.sum("asc_").cast("long").alias("raw"))
+        h = norm(hr, "raw", "hs").localCheckpoint(eager=True)
+    n_hub = h.count()
+    n_auth = a.count()
+    sum_h = h.agg(F.sum("hs")).collect()[0][0]
+    sum_a = a.agg(F.sum("asc_")).collect()[0][0]
+    top2 = [r["hs"] for r in h.orderBy(F.desc("hs"), "s").limit(2).collect()]
+    ok = (
+        abs(sum_h - 10**9) <= n_hub
+        and abs(sum_a - 10**9) <= n_auth
+        and len(top2) == 2 and top2[0] > top2[1]
+    )
+    return {
+        "n_edges": n_edges, "n_hubs": n_hub, "n_authorities": n_auth,
+        "l1_hub_nanos": int(sum_h), "l1_auth_nanos": int(sum_a),
+        "top_hub_nanos": int(top2[0]),
+        "ok": bool(ok),
+    }
+
+
+@probe("kmv_sketch_10m")
+def p_kmv_scale(spark):
+    """KMV distinct sketch at 10M exact-distinct keys, k=1024: the
+    k smallest hashes come from orderBy().limit(k) — compiled to
+    TakeOrderedAndProject (per-partition top-k + driver merge), never
+    a global sort or single-partition window. Expected relative error
+    ~1/sqrt(k) = 3.1%; the invariant is a 4-sigma band (12.5%) plus
+    the plan shape check."""
+    from pyspark.sql import functions as F
+
+    n = 10_000_000
+    k = 1024
+    h = spark.range(n).select(
+        F.conv(F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(":kmvs"))), 1, 15),
+               16, 10).cast("long").alias("hv")
+    )
+    plan = h.orderBy("hv").limit(k)._jdf.queryExecution().executedPlan().toString()
+    topk = h.orderBy("hv").limit(k).agg(F.max("hv").alias("hk")).collect()[0]
+    est = (k - 1) * 1152921504606846976 / topk["hk"]
+    rel = abs(est - n) / n
+    return {
+        "n_exact": n, "k": k, "estimate": round(est, 1),
+        "rel_err": round(rel, 5),
+        "take_ordered": bool("TakeOrderedAndProject" in plan),
+        "ok": bool(rel < 0.125 and "TakeOrderedAndProject" in plan),
+    }
+
+
 @probe("event_asof_celebrity")
 def p_asof(spark, events):
     from pyspark.sql import functions as F
@@ -757,6 +845,10 @@ def main() -> None:
 
         print("generating points...", file=sys.stderr)
         p_geo_grid(spark)
+
+        print("generating graph + kmv stream...", file=sys.stderr)
+        p_hits_scale(spark)
+        p_kmv_scale(spark)
 
         print("generating events...", file=sys.stderr)
         p_asof(spark, gen_events(spark))

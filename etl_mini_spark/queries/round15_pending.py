@@ -218,9 +218,16 @@ def kmv_distinct_estimate(spark, sf_dir):
     h = e.select(
         _hex15(F.concat(F.col("user_id").cast("string"), F.lit(":kmv"))).alias("hv")
     ).distinct()
-    r = h.withColumn("rn", F.row_number().over(Window.orderBy("hv")))
     n = h.agg(F.count("*").cast("bigint").alias("n_exact"))
-    kth = r.filter(F.col("rn") == 32).select(F.col("hv").alias("hk"))
+    # kth smallest = max of the 32 smallest; orderBy().limit() compiles
+    # to TakeOrderedAndProject (per-partition top-k + merge), never a
+    # single-partition window sort — the shape that survives 100 TB.
+    kth = (
+        h.orderBy("hv").limit(32)
+        .agg(F.max("hv").alias("hk"), F.count("*").alias("kn"))
+        .filter(F.col("kn") == 32)
+        .select("hk")
+    )
     H = 1152921504606846976  # 16^15 = 2^60
     est_raw = F.lit(31.0) * H / F.col("hk")
     return n.join(kth, F.lit(True), "left").select(
