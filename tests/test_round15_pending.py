@@ -237,3 +237,134 @@ def test_bh_adjusted_monotone_and_capped(spark):
         assert 0.0 < r["pval"] <= 1.0 and 0.0 < r["p_adj"] <= 1.0
         assert r["p_adj"] >= r["pval"] - 1e-9  # adjustment never shrinks p
         assert r["rejected"] == (1 if r["p_adj"] <= 0.1 else 0)
+
+
+# --- Independent-path references (python/numpy replays, not oracles) ----------
+
+
+def _duck(sf, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("events", "customer", "orders", "lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    out = con.execute(sql).fetchall()
+    con.close()
+    return out
+
+
+def test_shapley_matches_permutation_enumeration(spark):
+    """Brute-force Shapley: average marginal over all 4! channel
+    orderings, computed in pure python from the mask histogram — an
+    independent path from the subset-grid formulation."""
+    from itertools import permutations
+
+    masks = dict(_duck(SF_SMOKE, """
+        WITH conv AS (
+          SELECT user_id, min(ts) AS cts FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+        touch AS (
+          SELECT c.user_id,
+                 CAST(coalesce(sum(DISTINCT CASE e.event_type
+                     WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                     WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END), 0) AS BIGINT) AS mask
+          FROM conv c LEFT JOIN events e
+            ON e.user_id = c.user_id AND e.ts < c.cts AND e.event_type <> 'purchase'
+          GROUP BY 1)
+        SELECT mask, count(*) FROM touch GROUP BY 1"""))
+
+    def v(s):  # users whose mask is contained in coalition s
+        return sum(c for m, c in masks.items() if (m & s) == m)
+
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    phi = {ch: 0 for ch in bits}
+    for perm in permutations(bits):
+        s = 0
+        for ch in perm:
+            phi[ch] += v(s | bits[ch]) - v(s)
+            s |= bits[ch]
+    rows = {r["channel"]: r for r in
+            PENDING["shapley_attribution_paths"](spark, SF_SMOKE).collect()}
+    for ch, total in phi.items():
+        assert rows[ch]["phi_num"] == total, (ch, rows[ch]["phi_num"], total)
+
+
+def test_water_filling_matches_bisection(spark):
+    """Bisection on the allocation function Σ min(d_i, θ) = C — an
+    independent solver for the water level and the capped count."""
+    dem = _duck(SF_SMOKE, """
+        SELECT c.c_mktsegment, c.c_custkey,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2""")
+    by_seg: dict[str, list[int]] = {}
+    for seg, _, d in dem:
+        by_seg.setdefault(seg, []).append(int(d))
+    rows = {r["segment"]: r for r in
+            PENDING["water_filling_allocation"](spark, SF_SMOKE).collect()}
+    for seg, ds in by_seg.items():
+        c = (sum(ds) * 4) // 5
+        lo, hi = 0.0, float(max(ds))
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if sum(min(d, mid) for d in ds) < c:
+                lo = mid
+            else:
+                hi = mid
+        theta = (lo + hi) / 2
+        r = rows[seg]
+        assert abs(r["water_level"] - theta / 100.0) < 0.01, (seg, r["water_level"], theta)
+        assert r["n_capped"] == sum(1 for d in ds if d > theta + 0.5), seg
+        assert r["capacity_cents"] == c
+
+
+def test_hits_matches_numpy_replay(spark):
+    """The exact integer-nano HITS recursion replayed in numpy int64
+    from the raw edge list — independent of both the Spark plan and
+    the oracle CTE chain."""
+    import numpy as np
+
+    edges = _duck(SF_SMOKE, "SELECT DISTINCT l_suppkey, l_partkey FROM lineitem")
+    ss = sorted({e[0] for e in edges})
+    pp = sorted({e[1] for e in edges})
+    si = {s: i for i, s in enumerate(ss)}
+    pi = {p: i for i, p in enumerate(pp)}
+    es = np.array([si[a] for a, _ in edges])
+    ep = np.array([pi[b] for _, b in edges])
+    h = np.full(len(ss), 10**9, dtype=np.int64)
+    a = None
+    for _ in range(4):
+        raw = np.zeros(len(pp), dtype=np.int64)
+        np.add.at(raw, ep, h[es])
+        a = np.floor(raw.astype(float) / float(raw.sum()) * 1e9 + 0.5).astype(np.int64)
+        raw = np.zeros(len(ss), dtype=np.int64)
+        np.add.at(raw, es, a[ep])
+        h = np.floor(raw.astype(float) / float(raw.sum()) * 1e9 + 0.5).astype(np.int64)
+    rows = PENDING["graph_hits_hubs_authorities"](spark, SF_SMOKE).collect()
+    for r in rows:
+        ref = h[si[r["node_id"]]] if r["role"] == "hub" else a[pi[r["node_id"]]]
+        assert r["score_nanos"] == int(ref), (r["role"], r["node_id"], r["score_nanos"], ref)
+
+
+def test_bh_matches_python_reference(spark):
+    """Pure-python BH over the same planted p-values (hashes recomputed
+    with hashlib, ranks and suffix cummin replayed with floats)."""
+    import hashlib
+
+    ids = [r[0] for r in _duck(SF_SMOKE, "SELECT p_partkey FROM part WHERE p_partkey % 3 = 0")]
+    ps = sorted(
+        ((int(hashlib.md5(f"{i}:bh".encode()).hexdigest()[:15], 16) % 999999 + 1) / 1000000.0, i)
+        for i in ids
+    )
+    n = len(ps)
+    radj = [__import__("math").floor(p * n / (i + 1) * 1e9 + 0.5) / 1e9 for i, (p, _) in enumerate(ps)]
+    adj, cur = [0.0] * n, float("inf")
+    for i in range(n - 1, -1, -1):
+        cur = min(cur, radj[i])
+        adj[i] = min(cur, 1.0)
+    rows = PENDING["benjamini_hochberg_fdr"](spark, SF_SMOKE).collect()
+    for r in rows:
+        i = r["rank_i"] - 1
+        assert ps[i][1] == r["unit_id"], (i, ps[i][1], r["unit_id"])
+        assert abs(adj[i] - r["p_adj"]) < 1e-12, (i, adj[i], r["p_adj"])
