@@ -1,4 +1,4 @@
-"""Round-14 staged tier: geospatial beyond geohash blocking (equirect
+"""Round-14 tier: geospatial beyond geohash blocking (equirect
 k-NN, bbox containment via grid cells, polyline track length, density
 hotspots), window-frame SQL parity follow-ons (EXCLUDE GROUP/TIES,
 GROUPS frames, second-order QUALIFY, IGNORE NULLS gap-fill),

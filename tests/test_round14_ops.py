@@ -1,8 +1,8 @@
-"""Non-vacuity pins for the round-14 STAGED tier (oracle equivalence
-is swept by sweep_oracle.py / verified at sf0.001 + sf0.01 before
-staging): bounds, conservation laws, monotonicity, and exact-identity
-checks so no entry can go green as a degenerate constant. At
-registration these pins migrate to the registry harness unchanged."""
+"""Non-vacuity pins for the round-14 tier (oracle equivalence is
+verified by tests/test_queries_oracle.py at sf0.001 and the driver at
+sf0.01): bounds, conservation laws, monotonicity, and exact-identity
+checks so no entry can go green as a degenerate constant. Migrated
+unchanged from the staging harness at registration."""
 
 from __future__ import annotations
 
