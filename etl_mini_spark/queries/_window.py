@@ -155,7 +155,7 @@ _TAIL = [
     "text_zipf_fit", "ndjson_corrupt_quarantine", "timeseries_seasonal_decompose",
     "impute_missing_values", "feature_crosses_hashed", "train_test_temporal_split",
     "multimodal_binary_ingest", "constant_columns", "dedup_exact_docs",
-    "iso_normalize", "multimodal_decode", "placeholder_extract", "sanitize_values",
+    "iso_normalize", "placeholder_extract", "sanitize_values",
     "set_intersect", "set_union_halves", "text_fingerprint", "text_lang_id",
     "text_quality", "text_token_counts", "time_derive_parts", "tolerant_select",
     "topk_limit", "window_lag_lead", "window_session_30m", "window_tumbling_1h",

@@ -280,16 +280,15 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
-@q(
-    "multimodal_decode",
-    """SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              sha256(text) AS sha256,
-              CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-              CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
-              CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
-       FROM documents""",
-)
+# Round-14: the legacy `multimodal_decode` stub entry (deterministic
+# fake kernel over fabricated payloads) retired from the registry —
+# superseded by the oracle-backed real-pixel `multimodal_decode_real`
+# differential in round13_ops.py, completing the retirement already
+# made for multimodal_resize/multimodal_features in round 13. The
+# function stays (un-registered) because bench.py's round-1 headline
+# suite times it for BASELINE.md continuity, and the stub operator
+# stays pytest-covered as the documented drop-in batch shape for heavy
+# production decoders (tests/test_operators.py).
 def multimodal_decode(spark, sf_dir):
     """Multimodal plumbing: binary payload column → mapInPandas decode
     (deterministic stub kernel; real batch/schema/Arrow path)."""

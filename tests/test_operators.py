@@ -1154,3 +1154,33 @@ def test_prefix_join_preflight_flags_df_flat_passes_zipf(spark):
     prefix = zipf.filter("tok != 'common'")
     s = prefix_join_preflight(prefix, max_avg_candidates=64.0)
     assert s["avg_candidates"] < 1.0, s
+
+
+def test_decode_media_stub_batch_shape(spark):
+    """Round-14 retirement contract: the legacy `multimodal_decode`
+    registry entry is gone, but the stub kernel remains the documented
+    drop-in batch shape for heavy production decoders — pin its
+    mapInPandas schema, NULL passthrough, and deterministic dims so a
+    real decoder can be swapped in against a frozen interface."""
+    import hashlib
+
+    from etl_mini_spark.operators.multimodal import decode_media
+
+    payload = b"\x89fakebytes" * 3
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, None)], "media_id long, payload binary"
+    )
+    out = decode_media(df, "media_id")
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "n_bytes", "sha256", "width", "height", "n_frames",
+    ]
+    rows = {r["media_id"]: r for r in out.collect()}
+    r1, r2 = rows[1], rows[2]
+    assert r1["n_bytes"] == len(payload)
+    assert r1["sha256"] == hashlib.sha256(payload).hexdigest()
+    # deterministic stub dims (what the retired oracle reproduced)
+    assert (r1["width"], r1["height"], r1["n_frames"]) == (
+        len(payload) % 640 + 1, (len(payload) * 7) % 480 + 1, len(payload) % 16 + 1,
+    )
+    # NULL payload → NULL metadata row, never a task crash
+    assert all(r2[c] is None for c in ["n_bytes", "sha256", "width", "height", "n_frames"])
