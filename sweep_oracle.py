@@ -31,8 +31,48 @@ from tests.oracle_harness import TABLES, canonicalize  # noqa: E402
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.1"
 ORACLE_BUDGET_S = 180
 
+# Per-query tolerance predicates (r13 verdict #5). Exact hash equality
+# is the default; an entry here relaxes ONLY the named numeric columns
+# to a relative tolerance, with every other column still exact. This
+# formalizes known ε-approximate semantics so the sweep reads green on
+# documented sketch noise and ANY real drift (wrong rank direction,
+# wrong group, schema change) still fails loudly.
+#
+# approx_quantile_sketch: percentile_approx is Greenwald-Khanna with
+# accuracy=1e6 → rank error bound n/accuracy (0.6 ranks at sf0.1's
+# 600k lineitem rows), so past sf0.01 the sketch may legally return
+# the order statistic ADJACENT to DuckDB's quantile_disc pick
+# (observed: 26960.18 vs 26960.27 at sf0.1 — 3e-6 relative). Adjacent
+# l_extendedprice order statistics differ by <<0.1% at any SF with
+# ≥10k rows, so rel_tol 1e-3 accepts the ε-neighborhood and still
+# rejects a quantile landing in the wrong tail.
+TOLERANCE: dict[str, dict[str, float]] = {
+    "approx_quantile_sketch": {"v": 1e-3},
+}
 
-def compare_with_watchdog(spark_df, sql):
+
+def _within_tolerance(a, b, col_tols):
+    """Exact frame equality, except columns in col_tols compare with a
+    relative tolerance. Frames arrive canonicalized (sorted/rounded)."""
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return False
+    for c in a.columns:
+        if c in col_tols:
+            x, y = a[c].astype(float), b[c].astype(float)
+            both_nan = x.isna() & y.isna()
+            import numpy as np
+
+            close = np.isclose(x, y, rtol=col_tols[c], equal_nan=False)
+            if not bool((close | both_nan).all()):
+                return False
+        else:
+            neq = ~(a[c].eq(b[c]) | (a[c].isna() & b[c].isna()))
+            if neq.any():
+                return False
+    return True
+
+
+def compare_with_watchdog(spark_df, sql, name=None):
     con = duckdb.connect()
     for t in TABLES:
         p = Path(SF) / f"{t}.parquet"
@@ -55,6 +95,8 @@ def compare_with_watchdog(spark_df, sql):
         return False, f"row count mismatch: spark={len(a)} oracle={len(b)}"
     if a.equals(b):
         return True, "ok"
+    if name in TOLERANCE and _within_tolerance(a, b, TOLERANCE[name]):
+        return True, f"ok (within documented tolerance {TOLERANCE[name]})"
     for c in a.columns:
         neq = ~(a[c].eq(b[c]) | (a[c].isna() & b[c].isna()))
         if neq.any():
@@ -89,7 +131,7 @@ def main():
         print(f"[{i + 1}/{len(todo)} {time.monotonic() - t0:.0f}s] {name}", flush=True)
         t = time.monotonic()
         try:
-            ok, msg = compare_with_watchdog(fn(spark, SF), sql)
+            ok, msg = compare_with_watchdog(fn(spark, SF), sql, name=name)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXC {type(e).__name__}: {str(e)[:200]}"
         dt = time.monotonic() - t

@@ -1184,3 +1184,21 @@ def test_decode_media_stub_batch_shape(spark):
     )
     # NULL payload → NULL metadata row, never a task crash
     assert all(r2[c] is None for c in ["n_bytes", "sha256", "width", "height", "n_frames"])
+
+
+def test_sweep_tolerance_predicate_bounds():
+    """sweep_oracle's per-query tolerance (r13 verdict #5) accepts the
+    documented GK ε-neighborhood and still rejects real drift — and
+    non-tolerated columns stay exact."""
+    import pandas as pd
+
+    import sweep_oracle as so
+
+    a = pd.DataFrame({"p": [0.25, 0.5], "v": [26960.18, 50000.0]})
+    b = pd.DataFrame({"p": [0.25, 0.5], "v": [26960.27, 50000.0]})
+    assert so._within_tolerance(a, b, {"v": 1e-3})          # ε noise → green
+    c = pd.DataFrame({"p": [0.25, 0.5], "v": [27500.0, 50000.0]})
+    assert not so._within_tolerance(a, c, {"v": 1e-3})      # 2% drift → red
+    d = pd.DataFrame({"p": [0.26, 0.5], "v": [26960.18, 50000.0]})
+    assert not so._within_tolerance(a, d, {"v": 1e-3})      # exact col drift → red
+    assert "approx_quantile_sketch" in so.TOLERANCE
