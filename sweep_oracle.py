@@ -11,10 +11,13 @@ divergence (rank-boundary flips, threshold assumptions, float noise
 crossing rounding edges) before the driver or a user does.
 
 Per-query progress lines + a DuckDB watchdog: an oracle grinding past
-its budget (the deliberately naive quadratic oracles do, at sf0.1's
-5,000-doc corpus) is interrupted and reported as ORACLE_TIMEOUT —
-an oracle-side limit, not an engine failure — instead of hanging the
-sweep."""
+its budget is interrupted and reported as ORACLE_TIMEOUT — an
+oracle-side limit, not an engine failure — instead of hanging the
+sweep. The seven deliberately-quadratic oracles that used to hit that
+watchdog at sf0.1's 5,000-doc corpus now run CAPPED (identical Spark
+query + identical SQL over a deterministic doc_id-residue subset sized
+to fit the budget — see CAPPED_ORACLE), so every registry entry gets a
+VALUE check at sf0.1 and ORACLE_TIMEOUT only appears on regressions."""
 
 import sys
 import threading
@@ -50,6 +53,68 @@ TOLERANCE: dict[str, dict[str, float]] = {
     "approx_quantile_sketch": {"v": 1e-3},
 }
 
+# Queries whose DuckDB *oracles* are deliberately quadratic (all-pairs
+# shingle/jaccard formulations — the point of the oracle is a naive
+# independent derivation, the Spark side is bucketed and finishes in
+# seconds) and blow the 180 s watchdog at sf0.1's 5,000-doc corpus.
+# r13 verdict #6: instead of recording nothing at sf0.1, these run the
+# IDENTICAL Spark query over a deterministic 30 % doc subset
+# (doc_id % 10 < 3, ~1,500 docs — 3× the driver's sf0.01 gate, ~9 % of
+# the quadratic cost that times out) against the same oracle SQL on the
+# same subset, so the sweep checks *values* at above-gate scale. The
+# subset directory symlinks every other table and is rebuilt from the
+# SF parquet on demand.
+CAPPED_ORACLE = {
+    # measured at sf0.1 under ambient load, oracle side: 36-141 s at
+    # the 30 % cap for these five...
+    "dedup_ngram_jaccard": 3,
+    "dedup_minhash_lsh": 3,
+    "corpus_curation_pipeline": 3,
+    "minhash_containment": 3,
+    "dedup_canonical_pick": 3,
+    # ...the recursive-CTE connected-components oracle fits at 20 %
+    # (1,000 docs, 121 s — still 2× the driver's gate corpus)...
+    "dedup_clusters": 2,
+    # ...and the split-leakage oracle (all-pairs 13-gram overlap ACROSS
+    # split assignment, worse than quadratic in practice) only fits at
+    # 10 % — the same corpus SIZE as the driver's gate but a disjoint
+    # doc_id population drawn from the sf0.1 distribution, so it still
+    # checks rows the gate never sees.
+    "split_leakage_safe": 1,
+}
+
+
+def capped_dir(sf_dir: str, tenths: int) -> str:
+    """Materialize (once) the deterministic capped twin of sf_dir:
+    documents down-sampled to `tenths`/10 by doc_id residue via DuckDB
+    COPY (schema-preserving), every other table symlinked."""
+    src = Path(sf_dir)
+    dst = Path(__file__).resolve().parent / "tmp" / f"cap{tenths}0_{src.name}"
+    marker = dst / ".complete"
+    if marker.exists():
+        return str(dst)
+    dst.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            p = src / f"{t}.parquet"
+            if not p.exists():
+                continue
+            out = dst / f"{t}.parquet"
+            if out.exists() or out.is_symlink():
+                out.unlink()
+            if t == "documents":
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{p}') WHERE doc_id % 10 < {tenths} "
+                    f"ORDER BY doc_id) TO '{out}' (FORMAT PARQUET)"
+                )
+            else:
+                out.symlink_to(p)
+    finally:
+        con.close()
+    marker.touch()
+    return str(dst)
+
 
 def _within_tolerance(a, b, col_tols):
     """Exact frame equality, except columns in col_tols compare with a
@@ -72,10 +137,10 @@ def _within_tolerance(a, b, col_tols):
     return True
 
 
-def compare_with_watchdog(spark_df, sql, name=None):
+def compare_with_watchdog(spark_df, sql, name=None, sf_dir=None):
     con = duckdb.connect()
     for t in TABLES:
-        p = Path(SF) / f"{t}.parquet"
+        p = Path(sf_dir or SF) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     timer = threading.Timer(ORACLE_BUDGET_S, con.interrupt)
@@ -120,6 +185,14 @@ def main():
         if e.name != "etl_mini_spark.queries.round15_pending":
             raise
     skip_from = sys.argv[2] if len(sys.argv) > 2 else None
+    # The quadratic oracles finish comfortably at the driver's sf0.01
+    # gate (500 docs); capping only kicks in where the full oracle
+    # provably cannot run (sf0.1's 5,000 docs) so smaller SFs keep the
+    # stronger full-corpus check.
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{Path(SF) / 'documents.parquet'}')"
+    ).fetchone()[0]
+    cap_active = n_docs > 2000
     spark = get_spark("sweep-sf01")
     spark.sparkContext.setLogLevel("ERROR")
     if skip_from:
@@ -131,7 +204,13 @@ def main():
         print(f"[{i + 1}/{len(todo)} {time.monotonic() - t0:.0f}s] {name}", flush=True)
         t = time.monotonic()
         try:
-            ok, msg = compare_with_watchdog(fn(spark, SF), sql, name=name)
+            use_cap = cap_active and name in CAPPED_ORACLE
+            run_dir = capped_dir(SF, CAPPED_ORACLE[name]) if use_cap else SF
+            ok, msg = compare_with_watchdog(fn(spark, run_dir), sql, name=name, sf_dir=run_dir)
+            if ok and run_dir != SF:
+                msg = (f"ok (capped oracle: identical query + SQL over the "
+                       f"{CAPPED_ORACLE[name] * 10}% doc subset)")
+                print(f"  {msg}", flush=True)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXC {type(e).__name__}: {str(e)[:200]}"
         dt = time.monotonic() - t
