@@ -512,3 +512,513 @@ def damerau_dl_blocked(spark, sf_dir):
         .select("w1", "w2", "dl", "docs_w1", "docs_w2")
         .orderBy("w1", "w2")
     )
+
+
+# =====================================================================
+# Block F — Cronbach's alpha (internal consistency, k=4 items)
+# =====================================================================
+
+# Subjects = orders with ≥4 lineitems; item j = quantity of the j-th
+# line by (linenumber, partkey) order, j = 1..4. Quantities are exact
+# small integers (1..50), so every sum of squares is BIGINT-exact and
+# n cancels out of the variance ratio: alpha = k/(k-1) * (1 - NUM/DEN)
+# with NUM = Σ_j (n·ΣXj² − (ΣXj)²) and DEN = n·ΣT² − (ΣT)² — ONE
+# float division at the end. Worst-case magnitudes (n ≤ 1.5e5 orders,
+# X ≤ 50, T ≤ 200) keep every product under 2^53, let alone 2^63.
+_CRONBACH_SQL = """
+    WITH lines AS (
+      SELECT l_orderkey AS o, CAST(l_quantity AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS j
+      FROM lineitem),
+    wide AS (
+      SELECT o,
+             max(CASE WHEN j = 1 THEN x END) AS x1,
+             max(CASE WHEN j = 2 THEN x END) AS x2,
+             max(CASE WHEN j = 3 THEN x END) AS x3,
+             max(CASE WHEN j = 4 THEN x END) AS x4
+      FROM lines WHERE j <= 4 GROUP BY o
+      HAVING count(*) = 4),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x1) AS s1, sum(x1 * x1) AS q1,
+             sum(x2) AS s2, sum(x2 * x2) AS q2,
+             sum(x3) AS s3, sum(x3 * x3) AS q3,
+             sum(x4) AS s4, sum(x4 * x4) AS q4,
+             sum(x1 + x2 + x3 + x4) AS st,
+             sum((x1 + x2 + x3 + x4) * (x1 + x2 + x3 + x4)) AS qt
+      FROM wide)
+    SELECT n,
+           CAST((n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+              + (n * q3 - s3 * s3) + (n * q4 - s4 * s4) AS BIGINT) AS num,
+           CAST(n * qt - st * st AS BIGINT) AS den,
+           floor((4.0 / 3.0) * (1.0 - CAST((n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+                + (n * q3 - s3 * s3) + (n * q4 - s4 * s4) AS DOUBLE)
+                / CAST(n * qt - st * st AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS alpha
+    FROM sums
+"""
+
+
+@pq("cronbach_alpha_items", _CRONBACH_SQL)
+def cronbach_alpha_items(spark, sf_dir):
+    """Cronbach's alpha over 4 item scores per order: one corpus pass
+    pivots the first four lines per order (window + conditional agg),
+    one scalar aggregate produces every sum of squares, and the only
+    float ops are the final ratio and display pin. Plan at scale: hash
+    agg on orderkey, then a single-row reduce — no sort, no second
+    scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+        ).alias("j"),
+    ).filter(F.col("j") <= 4)
+    wide = (
+        lines.groupBy("o")
+        .agg(
+            F.max(F.when(F.col("j") == 1, F.col("x"))).alias("x1"),
+            F.max(F.when(F.col("j") == 2, F.col("x"))).alias("x2"),
+            F.max(F.when(F.col("j") == 3, F.col("x"))).alias("x3"),
+            F.max(F.when(F.col("j") == 4, F.col("x"))).alias("x4"),
+            F.count("*").alias("m"),
+        )
+        .filter(F.col("m") == 4)
+        .withColumn("t", F.col("x1") + F.col("x2") + F.col("x3") + F.col("x4"))
+    )
+    sums = wide.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[f for j in (1, 2, 3, 4) for f in (
+            F.sum(f"x{j}").alias(f"s{j}"),
+            F.sum(F.col(f"x{j}") * F.col(f"x{j}")).alias(f"q{j}"),
+        )],
+        F.sum("t").alias("st"), F.sum(F.col("t") * F.col("t")).alias("qt"),
+    )
+    num = sum(
+        (F.col("n") * F.col(f"q{j}") - F.col(f"s{j}") * F.col(f"s{j}"))
+        for j in (1, 2, 3, 4)
+    )
+    den = F.col("n") * F.col("qt") - F.col("st") * F.col("st")
+    return sums.select(
+        "n", num.cast("bigint").alias("num"), den.cast("bigint").alias("den"),
+        _pin((4.0 / 3.0) * (1.0 - num.cast("double") / den.cast("double"))).alias("alpha"),
+    )
+
+
+# =====================================================================
+# Block G — one-way ICC(1) (intraclass correlation, unbalanced)
+# =====================================================================
+
+# Groups = parts with ≥2 lines, ratings = quantity (exact 1..50).
+# SSW/SSB need Σ_g Sg²/ng — a per-group division, pre-rounded to
+# BIGINT nanos per the 9dp discipline (Sg² ≤ (30·50)² → ·1e9 stays
+# under 2^53 for the IEEE path and the nanos SUM is bounded by
+# N·2500·1e9 < 2^63). MSB/MSW/k0/ICC are the textbook one-way
+# random-effects estimates; every division is a final float op in the
+# same order on both engines.
+_ICC_SQL = """
+    WITH g AS (
+      SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS ng,
+             sum(CAST(l_quantity AS BIGINT)) AS sg,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS qg
+      FROM lineitem GROUP BY 1 HAVING count(*) >= 2),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(ng) AS BIGINT) AS nn,
+             CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS BIGINT) AS q,
+             CAST(sum(ng * ng) AS BIGINT) AS nsq,
+             CAST(sum(CAST(floor(CAST(sg * sg AS DOUBLE) * 1000000000 / ng + 0.5)
+                  AS BIGINT)) AS BIGINT) AS ratio_nanos
+      FROM g)
+    SELECT n_groups, nn,
+           floor((CAST(ratio_nanos AS DOUBLE) / 1000000000
+                  - CAST(s AS DOUBLE) * s / nn) / (n_groups - 1)
+                 * 1000000 + 0.5) / 1000000 AS msb,
+           floor((CAST(q AS DOUBLE) - CAST(ratio_nanos AS DOUBLE) / 1000000000)
+                 / (nn - n_groups) * 1000000 + 0.5) / 1000000 AS msw,
+           floor((CAST(nn AS DOUBLE) - CAST(nsq AS DOUBLE) / nn) / (n_groups - 1)
+                 * 1000000 + 0.5) / 1000000 AS k0,
+           floor(((CAST(ratio_nanos AS DOUBLE) / 1000000000
+                   - CAST(s AS DOUBLE) * s / nn) / (n_groups - 1)
+                  - (CAST(q AS DOUBLE) - CAST(ratio_nanos AS DOUBLE) / 1000000000)
+                    / (nn - n_groups))
+                 / ((CAST(ratio_nanos AS DOUBLE) / 1000000000
+                     - CAST(s AS DOUBLE) * s / nn) / (n_groups - 1)
+                    + (((CAST(nn AS DOUBLE) - CAST(nsq AS DOUBLE) / nn)
+                        / (n_groups - 1)) - 1.0)
+                      * ((CAST(q AS DOUBLE) - CAST(ratio_nanos AS DOUBLE) / 1000000000)
+                         / (nn - n_groups)))
+                 * 1000000 + 0.5) / 1000000 AS icc1
+    FROM tot
+"""
+
+
+@pq("icc_oneway_quantity", _ICC_SQL)
+def icc_oneway_quantity(spark, sf_dir):
+    """One-way random-effects ICC(1): per-part rating consistency of
+    quantities. One hash agg to per-group sums, one scalar reduce —
+    identical float op order on both engines for MSB, MSW, the
+    unbalanced k0 and the ICC itself."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    g = (
+        li.groupBy(F.col("l_partkey").alias("p"))
+        .agg(
+            F.count("*").cast("bigint").alias("ng"),
+            F.sum(x).alias("sg"), F.sum(x * x).alias("qg"),
+        )
+        .filter(F.col("ng") >= 2)
+    )
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("ng").cast("bigint").alias("nn"),
+        F.sum("sg").cast("bigint").alias("s"),
+        F.sum("qg").cast("bigint").alias("q"),
+        F.sum(F.col("ng") * F.col("ng")).cast("bigint").alias("nsq"),
+        F.sum(
+            F.floor((F.col("sg") * F.col("sg")).cast("double") * 1000000000
+                    / F.col("ng") + F.lit(0.5)).cast("bigint")
+        ).cast("bigint").alias("ratio_nanos"),
+    )
+    ratio = F.col("ratio_nanos").cast("double") / 1000000000
+    msb = (ratio - F.col("s").cast("double") * F.col("s") / F.col("nn")) / (
+        F.col("n_groups") - 1
+    )
+    msw = (F.col("q").cast("double") - ratio) / (F.col("nn") - F.col("n_groups"))
+    k0 = (F.col("nn").cast("double") - F.col("nsq").cast("double") / F.col("nn")) / (
+        F.col("n_groups") - 1
+    )
+    return tot.select(
+        "n_groups", "nn",
+        _pin(msb).alias("msb"), _pin(msw).alias("msw"), _pin(k0).alias("k0"),
+        _pin((msb - msw) / (msb + (k0 - 1.0) * msw)).alias("icc1"),
+    )
+
+
+# =====================================================================
+# Block H — Krippendorff's alpha (nominal, returnflag codings)
+# =====================================================================
+
+# Units = orders with ≥2 lines; codings = l_returnflag (3 categories).
+# Do's per-unit term Σ_c n_uc(m_u − n_uc)/(m_u − 1) is pre-rounded to
+# BIGINT nanos and summed exactly; De's Σ_c n_c(N − n_c) is pure
+# BIGINT. alpha = 1 − (N−1)·(Do_nanos/1e9)/De with the identical final
+# float sequence on both engines.
+_KRIPP_SQL = """
+    WITH lines AS (
+      SELECT l_orderkey AS u, l_returnflag AS c FROM lineitem),
+    mu AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS m FROM lines GROUP BY 1
+      HAVING count(*) >= 2),
+    nuc AS (
+      SELECT l.u, l.c, CAST(count(*) AS BIGINT) AS n_uc, any_value(m.m) AS m
+      FROM lines l JOIN mu m ON m.u = l.u
+      GROUP BY l.u, l.c),
+    do_u AS (
+      SELECT u,
+             CAST(floor(CAST(sum(n_uc * (m - n_uc)) AS DOUBLE) * 1000000000
+                        / (any_value(m) - 1) + 0.5) AS BIGINT) AS dn
+      FROM nuc GROUP BY u),
+    marg AS (
+      SELECT c, CAST(sum(n_uc) AS BIGINT) AS n_c FROM nuc GROUP BY c),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM mu) AS n_units,
+             (SELECT CAST(sum(m) AS BIGINT) FROM mu) AS n_vals,
+             (SELECT CAST(sum(dn) AS BIGINT) FROM do_u) AS do_nanos,
+             (SELECT CAST(sum(n_c * ((SELECT sum(m) FROM mu) - n_c)) AS BIGINT)
+              FROM marg) AS de_int)
+    SELECT n_units, n_vals, do_nanos, de_int,
+           floor((1.0 - (CAST(n_vals AS DOUBLE) - 1.0)
+                        * (CAST(do_nanos AS DOUBLE) / 1000000000)
+                        / CAST(de_int AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS alpha
+    FROM tot
+"""
+
+
+@pq("krippendorff_alpha_nominal", _KRIPP_SQL)
+def krippendorff_alpha_nominal(spark, sf_dir):
+    """Krippendorff's nominal alpha over per-order returnflag codings:
+    two hash aggs (unit sizes, unit×category counts), a category
+    marginal, and a scalar combine. The per-unit observed-disagreement
+    term is the only division before the end and is 9dp-pre-rounded to
+    BIGINT nanos on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.select(F.col("l_orderkey").alias("u"), F.col("l_returnflag").alias("c"))
+    mu = lines.groupBy("u").agg(F.count("*").cast("bigint").alias("m")).filter("m >= 2")
+    nuc = (
+        lines.join(mu, "u")
+        .groupBy("u", "c")
+        .agg(F.count("*").cast("bigint").alias("n_uc"), F.any_value("m").alias("m"))
+    )
+    do_u = nuc.groupBy("u").agg(
+        F.floor(
+            F.sum(F.col("n_uc") * (F.col("m") - F.col("n_uc"))).cast("double")
+            * 1000000000 / (F.any_value("m") - 1) + F.lit(0.5)
+        ).cast("bigint").alias("dn")
+    )
+    marg = nuc.groupBy("c").agg(F.sum("n_uc").cast("bigint").alias("n_c"))
+    t1 = mu.agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum("m").cast("bigint").alias("n_vals"),
+    )
+    t2 = do_u.agg(F.sum("dn").cast("bigint").alias("do_nanos"))
+    t3 = marg.crossJoin(F.broadcast(t1.select("n_vals").withColumnRenamed("n_vals", "nv"))).agg(
+        F.sum(F.col("n_c") * (F.col("nv") - F.col("n_c"))).cast("bigint").alias("de_int")
+    )
+    tot = t1.crossJoin(F.broadcast(t2)).crossJoin(F.broadcast(t3))
+    return tot.select(
+        "n_units", "n_vals", "do_nanos", "de_int",
+        _pin(
+            1.0 - (F.col("n_vals").cast("double") - 1.0)
+            * (F.col("do_nanos").cast("double") / 1000000000)
+            / F.col("de_int").cast("double")
+        ).alias("alpha"),
+    )
+
+
+# =====================================================================
+# Block I — deterministic RANSAC line fit (pure-integer inlier test)
+# =====================================================================
+
+# Points: the l_orderkey % 97 = 11 subset (bounded, ~1% of lineitem),
+# x = quantity (1..50), y = floor(extendedprice) dollars. Candidate
+# models: the 45 pairs of the 10 seeds with the smallest md5 keys.
+# Inlier test: point-to-line distance ≤ T without sqrt or division —
+# cross² ≤ T²·L² with cross = dx·(y−y1) − dy·(x−x1), all BIGINT
+# (|cross|² ≤ ~1e14, T²L² ≤ ~4.4e16, both < 2^63 by the column
+# bounds). Best model = max inliers, ties to the smallest seed pair.
+_RANSAC_SQL = """
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice) AS BIGINT) AS y,
+             l_orderkey AS ok, l_linenumber AS ln
+      FROM lineitem WHERE l_orderkey % 97 = 11),
+    seeds AS (
+      SELECT x, y, row_number() OVER (
+               ORDER BY substr(md5(CAST(ok AS VARCHAR) || ':' || CAST(ln AS VARCHAR)), 1, 8),
+                        ok, ln) AS r
+      FROM pts QUALIFY r <= 10),
+    cand AS (
+      SELECT a.r AS i, b.r AS j, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+             (b.x - a.x) AS dx, (b.y - a.y) AS dy,
+             (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) AS l2
+      FROM seeds a JOIN seeds b ON a.r < b.r
+      WHERE NOT (a.x = b.x AND a.y = b.y)),
+    scored AS (
+      SELECT c.i, c.j, c.x1, c.y1, c.x2, c.y2,
+             CAST(sum(CASE WHEN
+               (c.dx * (p.y - c.y1) - c.dy * (p.x - c.x1))
+             * (c.dx * (p.y - c.y1) - c.dy * (p.x - c.x1))
+               <= 2000 * 2000 * c.l2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM cand c CROSS JOIN pts p
+      GROUP BY c.i, c.j, c.x1, c.y1, c.x2, c.y2)
+    SELECT i, j, x1, y1, x2, y2, n_inliers, n_points
+    FROM scored
+    ORDER BY n_inliers DESC, i, j
+    LIMIT 1
+"""
+
+
+@pq("ransac_integer_line", _RANSAC_SQL)
+def ransac_integer_line(spark, sf_dir):
+    """RANSAC line consensus with a pure-integer inlier test (cross² ≤
+    T²·L², no sqrt/division ever decides membership) over a bounded
+    deterministic sample; 45 candidate models broadcast against the
+    point set, one hash agg scores them all in a single pass. At scale
+    the candidate side stays O(seeds²) and broadcastable while the
+    point scan parallelizes freely."""
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.filter(F.col("l_orderkey") % 97 == 11).select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor("l_extendedprice").cast("bigint").alias("y"),
+        F.col("l_orderkey").alias("ok"), F.col("l_linenumber").alias("ln"),
+    )
+    sk = F.substring(
+        F.md5(F.concat(F.col("ok").cast("string"), F.lit(":"), F.col("ln").cast("string"))),
+        1, 8)
+    seeds = (
+        pts.withColumn("r", F.row_number().over(Window.orderBy(sk, "ok", "ln")))
+        .filter(F.col("r") <= 10)
+        .select("x", "y", "r")
+    )
+    a, b = seeds.alias("a"), seeds.alias("b")
+    cand = (
+        a.join(b, F.col("a.r") < F.col("b.r"))
+        .filter(~((F.col("a.x") == F.col("b.x")) & (F.col("a.y") == F.col("b.y"))))
+        .select(
+            F.col("a.r").alias("i"), F.col("b.r").alias("j"),
+            F.col("a.x").alias("x1"), F.col("a.y").alias("y1"),
+            F.col("b.x").alias("x2"), F.col("b.y").alias("y2"),
+            (F.col("b.x") - F.col("a.x")).alias("dx"),
+            (F.col("b.y") - F.col("a.y")).alias("dy"),
+        )
+        .withColumn("l2", F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+    )
+    cross = F.col("dx") * (F.col("y") - F.col("y1")) - F.col("dy") * (F.col("x") - F.col("x1"))
+    scored = (
+        pts.crossJoin(F.broadcast(cand))
+        .groupBy("i", "j", "x1", "y1", "x2", "y2")
+        .agg(
+            F.sum(F.when(cross * cross <= F.lit(2000 * 2000) * F.col("l2"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_inliers"),
+            F.count("*").cast("bigint").alias("n_points"),
+        )
+    )
+    return scored.orderBy(F.desc("n_inliers"), "i", "j").limit(1)
+
+
+# =====================================================================
+# Block J — geometric adstock carryover (exact integer halving)
+# =====================================================================
+
+# Per event_type daily spend cents; adstock a_t = x_t + a_{t-1} // 2 —
+# an integer-exact half-life-one-day carryover, so the WHOLE recursion
+# is BIGINT with no float anywhere (a sharper discipline than the 9dp
+# pre-round: there is nothing to round). Spark runs one Arrow pass per
+# type; the oracle replays the recursion as a recursive CTE.
+_ADSTOCK_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS et, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    ser AS (
+      SELECT et, d, c,
+             row_number() OVER (PARTITION BY et ORDER BY d) AS i
+      FROM daily),
+    rec AS (
+      SELECT et, i, d, c, c AS adstock FROM ser WHERE i = 1
+      UNION ALL
+      SELECT s.et, s.i, s.d, s.c, s.c + r.adstock // 2
+      FROM rec r JOIN ser s ON s.et = r.et AND s.i = r.i + 1)
+    SELECT et, d, c AS spend_cents, adstock AS adstock_cents
+    FROM rec ORDER BY et, d
+"""
+
+
+@pq("adstock_geometric_decay", _ADSTOCK_SQL)
+def adstock_geometric_decay(spark, sf_dir):
+    """Geometric adstock (integer-halving carryover) per event type:
+    the day agg is the only corpus-sized pass; the recursion runs over
+    the calendar-bounded per-type series as one Arrow pass per group
+    (the RSI/Holt sequential-state discipline, here with zero float
+    ops — the state is a BIGINT)."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint").alias("c")
+    )
+
+    def adstock(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        a = 0
+        out = []
+        for first, (d, c) in zip([True] + [False] * (len(pdf) - 1),
+                                 zip(pdf["d"], pdf["c"])):
+            a = int(c) if first else int(c) + a // 2
+            out.append((pdf["et"][0], d, int(c), a))
+        return pd.DataFrame(out, columns=["et", "d", "spend_cents", "adstock_cents"])
+
+    return (
+        daily.groupBy("et")
+        .applyInPandas(adstock,
+                       schema="et string, d string, spend_cents long, adstock_cents long")
+        .orderBy("et", "d")
+    )
+
+
+# =====================================================================
+# Block K — MMR diverse top-k (greedy maximal marginal relevance)
+# =====================================================================
+
+# Pool = documents; relevance = md5-derived BIGINT in [0, 1e6);
+# similarity to the selected set is the binary same-source flag.
+# Step score = 7·rel − 3,000,000·sim (λ = 0.7 over rel scaled 1e6) —
+# pure integers. Each greedy argmax is decided by a PACKED BIGINT key
+# (score shifted non-negative)·2^24 + (2^24−1−doc_id), so "max score,
+# ties to smallest doc_id" is a plain max() on both engines (DuckDB
+# 1.0 lacks composite arg_max). The oracle unrolls the k=10 greedy
+# steps as chained CTEs — no recursion, no procedural SQL.
+_MMR_POOL_SQL = """
+    pool AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':mmr'), 1, 15))
+                  AS BIGINT) % 1000000 AS rel
+      FROM documents)
+"""
+
+
+def _mmr_oracle(k: int = 10) -> str:
+    # every stage is MATERIALIZED: DuckDB 1.0 inlines plain CTEs, and
+    # each s{t} references s{t-1} three times (sim subquery, exclusion,
+    # union) — inlined, the pool would be scanned 3^k times
+    parts = ["WITH " + _MMR_POOL_SQL.strip().replace("pool AS (", "pool AS MATERIALIZED (", 1)]
+    prev = None
+    for t in range(1, k + 1):
+        sim = ("CASE WHEN source IN (SELECT source FROM {p}) THEN 1 ELSE 0 END"
+               .format(p=prev) if prev else "0")
+        excl = f"WHERE doc_id NOT IN (SELECT doc_id FROM {prev})" if prev else ""
+        parts.append(
+            f"p{t} AS (SELECT max((7 * rel - 3000000 * {sim} + 3000000) * 16777216"
+            f" + (16777215 - doc_id)) AS pk FROM pool {excl})"
+        )
+        pick = (
+            f"SELECT {t} AS step, CAST(16777215 - pk % 16777216 AS BIGINT) AS doc_id,"
+            f" CAST(pk // 16777216 - 3000000 AS BIGINT) AS score FROM p{t}"
+        )
+        if prev:
+            parts.append(f"t{t} AS ({pick})")
+            parts.append(
+                f"s{t} AS MATERIALIZED (SELECT q.step, q.doc_id, p.source, q.score"
+                f" FROM t{t} q JOIN pool p USING (doc_id)"
+                f" UNION ALL SELECT * FROM {prev})"
+            )
+        else:
+            parts.append(
+                f"s{t} AS MATERIALIZED (SELECT q.step, q.doc_id, p.source, q.score"
+                f" FROM ({pick}) q JOIN pool p USING (doc_id))"
+            )
+        prev = f"s{t}"
+    return (",\n    ".join(parts)
+            + f"\n    SELECT step, doc_id, source, score FROM {prev} ORDER BY step")
+
+
+@pq("mmr_diverse_topk", _mmr_oracle(10))
+def mmr_diverse_topk(spark, sf_dir):
+    """Greedy MMR selection of 10 docs: each step collects ONE packed
+    BIGINT (a scalar agg — the repo's bounded-collect discipline), so
+    the driver holds k rows total while every scoring pass stays
+    distributed. At corpus scale each step is one scan + one reduce;
+    the selected set enters the next step as broadcast literals."""
+    d = _t(spark, sf_dir, "documents")
+    pool = d.select(
+        "doc_id", "source",
+        (F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                           F.lit(":mmr"))), 1, 15), 16, 10)
+         .cast("long") % 1000000).alias("rel"),
+    )
+    selected: list[tuple[int, str, int]] = []  # (doc_id, source, score)
+    for step in range(1, 11):
+        sel_ids = [s[0] for s in selected]
+        sel_srcs = sorted({s[1] for s in selected})
+        base = pool.filter(~F.col("doc_id").isin(sel_ids)) if sel_ids else pool
+        sim = (F.when(F.col("source").isin(sel_srcs), 1).otherwise(0)
+               if sel_srcs else F.lit(0))
+        packed = (7 * F.col("rel") - 3000000 * sim + 3000000) * 16777216 + (
+            16777215 - F.col("doc_id")
+        )
+        pk = base.agg(F.max(packed)).first()[0]
+        doc_id = 16777215 - pk % 16777216
+        score = pk // 16777216 - 3000000
+        src = pool.filter(F.col("doc_id") == doc_id).select("source").first()[0]
+        selected.append((doc_id, src, score))
+    return spark.createDataFrame(
+        [(i + 1, s[0], s[1], s[2]) for i, s in enumerate(selected)],
+        "step int, doc_id long, source string, score long",
+    ).orderBy("step")
