@@ -519,7 +519,10 @@ def damerau_dl_blocked(spark, sf_dir):
 # =====================================================================
 
 # Subjects = orders with ≥4 lineitems; item j = quantity of the j-th
-# line by (linenumber, partkey) order, j = 1..4. Quantities are exact
+# line by (linenumber, partkey, quantity) order, j = 1..4 — quantity
+# is in the key because (orderkey, linenumber, partkey) is NOT unique
+# in the testdata (7 dup triples at sf0.01) and a value-ambiguous tie
+# would make the item assignment engine-dependent. Quantities are exact
 # small integers (1..50), so every sum of squares is BIGINT-exact and
 # n cancels out of the variance ratio: alpha = k/(k-1) * (1 - NUM/DEN)
 # with NUM = Σ_j (n·ΣXj² − (ΣXj)²) and DEN = n·ΣT² − (ΣT)² — ONE
@@ -529,7 +532,7 @@ _CRONBACH_SQL = """
     WITH lines AS (
       SELECT l_orderkey AS o, CAST(l_quantity AS BIGINT) AS x,
              row_number() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_linenumber, l_partkey) AS j
+                                ORDER BY l_linenumber, l_partkey, l_quantity) AS j
       FROM lineitem),
     wide AS (
       SELECT o,
@@ -572,7 +575,8 @@ def cronbach_alpha_items(spark, sf_dir):
         F.col("l_orderkey").alias("o"),
         F.col("l_quantity").cast("bigint").alias("x"),
         F.row_number().over(
-            Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+            Window.partitionBy("l_orderkey")
+            .orderBy("l_linenumber", "l_partkey", "l_quantity")
         ).alias("j"),
     ).filter(F.col("j") <= 4)
     wide = (
@@ -782,22 +786,25 @@ def krippendorff_alpha_nominal(spark, sf_dir):
 # =====================================================================
 
 # Points: the l_orderkey % 97 = 11 subset (bounded, ~1% of lineitem),
-# x = quantity (1..50), y = floor(extendedprice) dollars. Candidate
+# rescaled to COMPARABLE integer units so the tolerance band actually
+# discriminates (x = quantity·100 ∈ [100, 5000], y = dollars // 20
+# ∈ [45, 5250] — with raw units the y-range dominates every line's
+# direction and all points are inliers of everything). Candidate
 # models: the 45 pairs of the 10 seeds with the smallest md5 keys.
-# Inlier test: point-to-line distance ≤ T without sqrt or division —
-# cross² ≤ T²·L² with cross = dx·(y−y1) − dy·(x−x1), all BIGINT
-# (|cross|² ≤ ~1e14, T²L² ≤ ~4.4e16, both < 2^63 by the column
-# bounds). Best model = max inliers, ties to the smallest seed pair.
+# Inlier test: point-to-line distance ≤ T=250 without sqrt or division
+# — cross² ≤ T²·L² with cross = dx·(y−y1) − dy·(x−x1), all BIGINT
+# (cross² ≤ ~2.6e15, T²L² ≤ ~3.3e12, both < 2^63 by the unit bounds).
+# Best model = max inliers, ties to the smallest seed pair.
 _RANSAC_SQL = """
     WITH pts AS (
-      SELECT CAST(l_quantity AS BIGINT) AS x,
-             CAST(floor(l_extendedprice) AS BIGINT) AS y,
+      SELECT CAST(l_quantity AS BIGINT) * 100 AS x,
+             CAST(floor(l_extendedprice) AS BIGINT) // 20 AS y,
              l_orderkey AS ok, l_linenumber AS ln
       FROM lineitem WHERE l_orderkey % 97 = 11),
     seeds AS (
       SELECT x, y, row_number() OVER (
                ORDER BY substr(md5(CAST(ok AS VARCHAR) || ':' || CAST(ln AS VARCHAR)), 1, 8),
-                        ok, ln) AS r
+                        ok, ln, x, y) AS r
       FROM pts QUALIFY r <= 10),
     cand AS (
       SELECT a.r AS i, b.r AS j, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
@@ -810,7 +817,7 @@ _RANSAC_SQL = """
              CAST(sum(CASE WHEN
                (c.dx * (p.y - c.y1) - c.dy * (p.x - c.x1))
              * (c.dx * (p.y - c.y1) - c.dy * (p.x - c.x1))
-               <= 2000 * 2000 * c.l2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers,
+               <= 250 * 250 * c.l2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers,
              CAST(count(*) AS BIGINT) AS n_points
       FROM cand c CROSS JOIN pts p
       GROUP BY c.i, c.j, c.x1, c.y1, c.x2, c.y2)
@@ -831,15 +838,15 @@ def ransac_integer_line(spark, sf_dir):
     point scan parallelizes freely."""
     li = _t(spark, sf_dir, "lineitem")
     pts = li.filter(F.col("l_orderkey") % 97 == 11).select(
-        F.col("l_quantity").cast("bigint").alias("x"),
-        F.floor("l_extendedprice").cast("bigint").alias("y"),
+        (F.col("l_quantity").cast("bigint") * 100).alias("x"),
+        F.floor(F.floor("l_extendedprice").cast("bigint") / 20).cast("bigint").alias("y"),
         F.col("l_orderkey").alias("ok"), F.col("l_linenumber").alias("ln"),
     )
     sk = F.substring(
         F.md5(F.concat(F.col("ok").cast("string"), F.lit(":"), F.col("ln").cast("string"))),
         1, 8)
     seeds = (
-        pts.withColumn("r", F.row_number().over(Window.orderBy(sk, "ok", "ln")))
+        pts.withColumn("r", F.row_number().over(Window.orderBy(sk, "ok", "ln", "x", "y")))
         .filter(F.col("r") <= 10)
         .select("x", "y", "r")
     )
@@ -861,7 +868,7 @@ def ransac_integer_line(spark, sf_dir):
         pts.crossJoin(F.broadcast(cand))
         .groupBy("i", "j", "x1", "y1", "x2", "y2")
         .agg(
-            F.sum(F.when(cross * cross <= F.lit(2000 * 2000) * F.col("l2"), 1)
+            F.sum(F.when(cross * cross <= F.lit(250 * 250) * F.col("l2"), 1)
                   .otherwise(0)).cast("bigint").alias("n_inliers"),
             F.count("*").cast("bigint").alias("n_points"),
         )
@@ -1022,3 +1029,409 @@ def mmr_diverse_topk(spark, sf_dir):
         [(i + 1, s[0], s[1], s[2]) for i, s in enumerate(selected)],
         "step int, doc_id long, source string, score long",
     ).orderBy("step")
+
+
+# =====================================================================
+# Block L — single-source BFS on a formulaic circulant graph
+# =====================================================================
+
+# Nodes = the distinct event users (indexed 0..n-1 by user_id order);
+# edges i ↔ (i ± s) mod n for s ∈ {1,3,9,27,81} — formulaic, so
+# neighbor expansion is arithmetic, no edge table is ever
+# materialized. BFS from node 0; output the exact distance histogram.
+# Spark iterates frontier supersteps (≤ ~n/162 + log rounds, each
+# localCheckpoint'ed — the HITS lineage discipline); the oracle runs
+# the whole BFS as ONE recursive CTE row per level carrying frontier
+# and visited as lists with lambda-filtered arithmetic neighbors.
+_BFS_SQL = """
+    WITH RECURSIVE nodes AS (
+      SELECT DISTINCT user_id FROM events),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    bfs AS (
+      SELECT 0 AS d, [CAST(0 AS BIGINT)] AS frontier, [CAST(0 AS BIGINT)] AS visited
+      UNION ALL
+      SELECT d + 1, nf, list_concat(visited, nf) FROM (
+        SELECT b.d, b.visited,
+               list_sort(list_filter(
+                 list_distinct(flatten(list_transform(b.frontier, x -> [
+                   (x + 1) % nn.n, ((x - 1) % nn.n + nn.n) % nn.n,
+                   (x + 3) % nn.n, ((x - 3) % nn.n + nn.n) % nn.n,
+                   (x + 9) % nn.n, ((x - 9) % nn.n + nn.n) % nn.n,
+                   (x + 27) % nn.n, ((x - 27) % nn.n + nn.n) % nn.n,
+                   (x + 81) % nn.n, ((x - 81) % nn.n + nn.n) % nn.n]))),
+                 y -> NOT list_contains(b.visited, y))) AS nf
+        FROM bfs b, nn) t
+      WHERE len(nf) > 0)
+    SELECT d, CAST(len(frontier) AS BIGINT) AS n_nodes
+    FROM bfs ORDER BY d
+"""
+
+
+@pq("graph_bfs_circulant", _BFS_SQL)
+def graph_bfs_circulant(spark, sf_dir):
+    """Frontier BFS over the {±1,±3,±9,±27,±81} circulant on the user
+    set: each superstep expands the frontier arithmetically (explode of
+    ten mod-n expressions — no edge table, no join to a neighbor list),
+    anti-joins the visited set, and localCheckpoints to keep lineage
+    flat. Superstep count is the graph diameter (~n/162), and each
+    step's work is O(frontier) — the textbook scalable BFS shape."""
+    e = _t(spark, sf_dir, "events")
+    nodes = e.select("user_id").distinct()
+    n = nodes.count()  # bounded scalar (the node count)
+    idx = nodes.select(
+        (F.row_number().over(Window.orderBy("user_id")) - 1).cast("bigint").alias("i")
+    )
+    offs = [1, 3, 9, 27, 81]
+    visited = idx.sparkSession.createDataFrame([(0, 0)], "i long, d int").localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("i")
+    d = 0
+    while True:
+        # pmod, not %: both engines' % follows the dividend sign, and
+        # when an offset exceeds n (tiny node sets) x - o is negative —
+        # plain % would mint phantom negative node ids on BOTH engines
+        # (caught by the conservation pin, not the differential)
+        neigh = [F.pmod(F.col("i") + o, F.lit(n)).alias("x") for o in offs] + [
+            F.pmod(F.col("i") - o, F.lit(n)).alias("x") for o in offs
+        ]
+        cand = frontier.select(F.explode(F.array(*neigh)).alias("i")).distinct()
+        new = cand.join(visited, "i", "left_anti").withColumn("d", F.lit(d + 1))
+        if new.count() == 0:  # bounded: one scalar per superstep
+            break
+        visited = visited.union(new).localCheckpoint(eager=True)
+        frontier = new.select("i")
+        d += 1
+    return (
+        visited.groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("d")
+    )
+
+
+# =====================================================================
+# Block M — streaming state-eviction batch twin (watermark GC audit)
+# =====================================================================
+
+# The stateful-session GC rule replayed as a batch differential: with
+# 15-min triggers, a 10-min watermark delay and a 30-min session gap,
+# a session's state is evicted at the FIRST trigger whose watermark
+# (running max event time − 10 min) exceeds session_end + gap. The
+# watermark is a nondecreasing step function over the calendar-bounded
+# trigger sequence, so the lookup is an as-of join against its STRICT
+# increase points (ties would otherwise make "the" trigger ambiguous):
+# the last step with wm ≤ threshold, then the NEXT step is the
+# eviction trigger. Spark runs its own union-sort as-of operator,
+# day-bucketed so no single task ever owns the whole session history;
+# DuckDB runs its native ASOF JOIN — two independent engines' as-of
+# implementations checking each other.
+_EVICTION_SQL = """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             epoch_us(ts) // 900000000 AS trig
+      FROM events),
+    trigmax AS (
+      SELECT trig, max(t) AS mx FROM ev GROUP BY 1),
+    wm AS (
+      SELECT trig, max(mx) OVER (ORDER BY trig) - 600000000 AS wm FROM trigmax),
+    wmp AS (
+      SELECT trig, wm, lag(wm) OVER (ORDER BY trig) AS prev FROM wm),
+    strict AS (
+      SELECT trig, wm, row_number() OVER (ORDER BY trig) AS j
+      FROM wmp WHERE prev IS NULL OR wm > prev),
+    sess AS (
+      SELECT user_id, t,
+             CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                       > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM ev),
+    sid AS (
+      SELECT user_id, t,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS s
+      FROM sess),
+    sessions AS (
+      SELECT user_id, s, max(t) + 1800000000 AS thr
+      FROM sid GROUP BY user_id, s),
+    hit AS (
+      SELECT se.user_id, se.s, st.j
+      FROM sessions se ASOF LEFT JOIN strict st ON se.thr >= st.wm),
+    evict AS (
+      SELECT h.user_id, h.s, nx.trig AS evict_trig
+      FROM hit h JOIN strict nx ON nx.j = coalesce(h.j, 0) + 1)
+    SELECT evict_trig, CAST(count(*) AS BIGINT) AS n_evicted
+    FROM evict GROUP BY 1 ORDER BY evict_trig
+"""
+
+
+@pq("stream_eviction_twin", _EVICTION_SQL)
+def stream_eviction_twin(spark, sf_dir):
+    """Watermark state-eviction audit: sessions (30-min gap) against
+    the 15-min-trigger watermark step function (10-min delay). The
+    as-of lookup runs on the repo's union-sort operator with 1-day
+    bucketing (a hot key spans history/86400s tasks, row-identical to
+    the plain path); the strict-increase step table it probes is
+    calendar-bounded. Sessions that outlive the data's watermark are
+    correctly absent (their state would still be resident)."""
+    from etl_mini_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("t"),
+        (F.unix_micros("ts") / F.lit(900000000)).cast("bigint").alias("trig"),
+    )
+    trigmax = ev.groupBy("trig").agg(F.max("t").alias("mx"))
+    wm = trigmax.select(
+        "trig",
+        (F.max("mx").over(Window.orderBy("trig").rowsBetween(Window.unboundedPreceding, 0))
+         - 600000000).alias("wm"),
+    )
+    strict = (
+        wm.withColumn("prev", F.lag("wm").over(Window.orderBy("trig")))
+        .filter(F.col("prev").isNull() | (F.col("wm") > F.col("prev")))
+        .withColumn("j", F.row_number().over(Window.orderBy("trig")))
+        .select("trig", "wm", "j")
+    )
+    wu = Window.partitionBy("user_id").orderBy("t", "event_id")
+    sid = ev.withColumn(
+        "brk",
+        F.when(F.col("t") - F.lag("t").over(wu) > 1800000000, 1).otherwise(0),
+    ).withColumn("s", F.sum("brk").over(wu.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions = (
+        sid.groupBy("user_id", "s")
+        .agg((F.max("t") + 1800000000).alias("thr_us"))
+        .withColumn("k", F.lit(1))
+        .withColumn("thr_ts", F.timestamp_micros(F.col("thr_us")))
+    )
+    probe = strict.withColumn("k", F.lit(1)).withColumn(
+        "wm_ts", F.timestamp_micros(F.col("wm"))
+    )
+    hit = asof_join(
+        sessions, probe.select("k", "wm_ts", "j"),
+        on=["k"], left_time="thr_ts", right_time="wm_ts",
+        right_cols=["j"], tiebreak="j", bucket_seconds=86400,
+    )
+    nx = strict.select(F.col("j").alias("jn"), F.col("trig").alias("evict_trig"))
+    evict = hit.withColumn("jn", F.coalesce(F.col("j"), F.lit(0)) + 1).join(
+        F.broadcast(nx), "jn"
+    )
+    return (
+        evict.groupBy("evict_trig")
+        .agg(F.count("*").cast("bigint").alias("n_evicted"))
+        .orderBy("evict_trig")
+    )
+
+
+# =====================================================================
+# Block N — seasonal Mann-Kendall trend (monthly revenue, 12 seasons)
+# =====================================================================
+
+# Season = calendar month, observations = that month's revenue cents
+# across years (6-7 points per season over the 1995-2001 span). S_m is
+# the exact pair-sign sum within each season; the variance numerator
+# VAR18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) stays a BIGINT (the /18 and
+# the sqrt happen once, in the total row's z with continuity
+# correction). Output: 12 season rows + season 0 = the combined test.
+_SMK_SQL = """
+    WITH monthly AS (
+      SELECT CAST(strftime(o_orderdate, '%m') AS INT) AS season,
+             CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    s AS (
+      SELECT a.season,
+             CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM monthly a JOIN monthly b
+        ON b.season = a.season AND b.yr > a.yr
+      GROUP BY a.season),
+    nsz AS (
+      SELECT season, CAST(count(*) AS BIGINT) AS n_years FROM monthly GROUP BY 1),
+    ties AS (
+      SELECT season,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+      FROM (SELECT season, CAST(count(*) AS BIGINT) AS t
+            FROM monthly GROUP BY season, c) GROUP BY season),
+    per AS (
+      SELECT n.season, n.n_years, s.s_stat,
+             CAST(n.n_years * (n.n_years - 1) * (2 * n.n_years + 5)
+                  - t.tie18 AS BIGINT) AS var18
+      FROM nsz n JOIN s USING (season) JOIN ties t USING (season)),
+    tot AS (
+      SELECT CAST(0 AS INT) AS season, CAST(sum(n_years) AS BIGINT) AS n_years,
+             CAST(sum(s_stat) AS BIGINT) AS s_stat,
+             CAST(sum(var18) AS BIGINT) AS var18
+      FROM per)
+    SELECT season, n_years, s_stat, var18, CAST(NULL AS DOUBLE) AS z FROM per
+    UNION ALL
+    SELECT season, n_years, s_stat, var18,
+           floor((CAST(s_stat AS DOUBLE)
+                  - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1000000 + 0.5) / 1000000 AS z
+    FROM tot
+    ORDER BY season
+"""
+
+
+@pq("seasonal_mann_kendall", _SMK_SQL)
+def seasonal_mann_kendall(spark, sf_dir):
+    """Seasonal Mann-Kendall: per-month pair-sign sums across years
+    (exact integers; the within-season self-join is ≤ C(7,2) pairs per
+    season), tie-corrected variance numerators kept as BIGINTs, one
+    continuity-corrected z in the season-0 total row. The only corpus
+    pass is the month agg."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").alias("season"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint").alias("c")
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    s = (
+        a.join(b, (F.col("b.season") == F.col("a.season")) & (F.col("b.yr") > F.col("a.yr")))
+        .groupBy(F.col("a.season").alias("season"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1).otherwise(0)
+            ).cast("bigint").alias("s_stat")
+        )
+    )
+    nsz = monthly.groupBy("season").agg(F.count("*").cast("bigint").alias("n_years"))
+    ties = (
+        monthly.groupBy("season", "c").agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("season")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+             .cast("bigint").alias("tie18"))
+    )
+    per = (
+        nsz.join(s, "season").join(ties, "season")
+        .select(
+            "season", "n_years", "s_stat",
+            (F.col("n_years") * (F.col("n_years") - 1) * (2 * F.col("n_years") + 5)
+             - F.col("tie18")).cast("bigint").alias("var18"),
+        )
+    )
+    tot = per.agg(
+        F.lit(0).cast("int").alias("season"),
+        F.sum("n_years").cast("bigint").alias("n_years"),
+        F.sum("s_stat").cast("bigint").alias("s_stat"),
+        F.sum("var18").cast("bigint").alias("var18"),
+    )
+    cc = (
+        F.when(F.col("s_stat") > 0, 1).when(F.col("s_stat") < 0, -1).otherwise(0)
+    )
+    return (
+        per.select("season", "n_years", "s_stat", "var18",
+                   F.lit(None).cast("double").alias("z"))
+        .unionByName(
+            tot.select(
+                "season", "n_years", "s_stat", "var18",
+                _pin((F.col("s_stat").cast("double") - cc)
+                     / F.sqrt(F.col("var18").cast("double") / 18.0)).alias("z"),
+            )
+        )
+        .orderBy("season")
+    )
+
+
+# =====================================================================
+# Block O — Dunn's post-hoc pairwise z (rank sums, tie-corrected)
+# =====================================================================
+
+# Groups = event types over value cents. Average ranks with ties are
+# kept exact as HALF-UNITS: r2(v) = 2·cum_less + n_v + 1 (an integer),
+# so every rank sum R2_g is a BIGINT and the mean rank is one final
+# division. The tie term T = Σ(t³ − t) and N are exact; z_ij uses the
+# textbook Kruskal-Wallis pooled variance with the identical float op
+# order on both engines, and significance is a fixed offline literal
+# (2.807034 = Bonferroni for 10 pairs at α=.05, two-sided).
+_DUNN_SQL = """
+    WITH x AS (
+      SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events),
+    vals AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n_v FROM x GROUP BY 1),
+    rk AS (
+      SELECT v, n_v,
+             CAST(2 * coalesce(sum(n_v) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + n_v + 1 AS BIGINT) AS r2
+      FROM vals),
+    gv AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS n_gv FROM x GROUP BY 1, 2),
+    grp AS (
+      SELECT gv.g, CAST(sum(gv.n_gv) AS BIGINT) AS n_g,
+             CAST(sum(gv.n_gv * rk.r2) AS BIGINT) AS r2_g
+      FROM gv JOIN rk ON rk.v = gv.v GROUP BY gv.g),
+    tot AS (
+      SELECT CAST(sum(n_v) AS BIGINT) AS n,
+             CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS t
+      FROM vals)
+    SELECT a.g AS g1, b.g AS g2, a.n_g AS n1, b.n_g AS n2,
+           floor((CAST(a.r2_g AS DOUBLE) / (2.0 * a.n_g)
+                  - CAST(b.r2_g AS DOUBLE) / (2.0 * b.n_g))
+                 / sqrt((CAST(tot.n AS DOUBLE) * (tot.n + 1) / 12.0
+                         - CAST(tot.t AS DOUBLE) / (12.0 * (tot.n - 1)))
+                        * (1.0 / a.n_g + 1.0 / b.n_g))
+                 * 1000000 + 0.5) / 1000000 AS z,
+           abs((CAST(a.r2_g AS DOUBLE) / (2.0 * a.n_g)
+                - CAST(b.r2_g AS DOUBLE) / (2.0 * b.n_g))
+               / sqrt((CAST(tot.n AS DOUBLE) * (tot.n + 1) / 12.0
+                       - CAST(tot.t AS DOUBLE) / (12.0 * (tot.n - 1)))
+                      * (1.0 / a.n_g + 1.0 / b.n_g))) >= 2.807034 AS significant
+    FROM grp a JOIN grp b ON a.g < b.g CROSS JOIN tot
+    ORDER BY g1, g2
+"""
+
+
+@pq("dunns_pairwise_z", _DUNN_SQL)
+def dunns_pairwise_z(spark, sf_dir):
+    """Dunn's post-hoc pairwise z after Kruskal-Wallis: rank sums in
+    exact half-units over the DISTINCT-VALUE table (the ordered window
+    runs on the value domain, which is bounded by the cent range, not
+    the row count), tie-corrected pooled variance, Bonferroni literal.
+    Plan: two hash aggs + a tiny group self-join."""
+    e = _t(spark, sf_dir, "events")
+    x = e.select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    vals = x.groupBy("v").agg(F.count("*").cast("bigint").alias("n_v"))
+    rk = vals.select(
+        "v", "n_v",
+        (2 * F.coalesce(
+            F.sum("n_v").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)) + F.col("n_v") + 1).cast("bigint").alias("r2"),
+    )
+    gv = x.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("n_gv"))
+    grp = (
+        gv.join(rk, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("n_gv").cast("bigint").alias("n_g"),
+            F.sum(F.col("n_gv") * F.col("r2")).cast("bigint").alias("r2_g"),
+        )
+    )
+    tot = vals.agg(
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .cast("bigint").alias("t"),
+    )
+    a = grp.select(F.col("g").alias("g1"), F.col("n_g").alias("n1"),
+                   F.col("r2_g").alias("r21"))
+    b = grp.select(F.col("g").alias("g2"), F.col("n_g").alias("n2"),
+                   F.col("r2_g").alias("r22"))
+    pairs = a.join(b, F.col("g1") < F.col("g2")).crossJoin(F.broadcast(tot))
+    mean_diff = (F.col("r21").cast("double") / (2.0 * F.col("n1"))
+                 - F.col("r22").cast("double") / (2.0 * F.col("n2")))
+    pooled = (F.col("n").cast("double") * (F.col("n") + 1) / 12.0
+              - F.col("t").cast("double") / (12.0 * (F.col("n") - 1)))
+    denom = F.sqrt(pooled * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    return pairs.select(
+        "g1", "g2", "n1", "n2",
+        _pin(mean_diff / denom).alias("z"),
+        (F.abs(mean_diff / denom) >= 2.807034).alias("significant"),
+    ).orderBy("g1", "g2")

@@ -184,6 +184,14 @@ def main():
         # import failure inside a real pending module must surface
         if e.name != "etl_mini_spark.queries.round15_pending":
             raise
+    try:
+        from etl_mini_spark.queries.round16_pending import (
+            PENDING16_ORACLE, PENDING16_QUERIES)
+
+        todo += [(n, PENDING16_QUERIES[n], PENDING16_ORACLE[n]) for n in PENDING16_ORACLE]
+    except ModuleNotFoundError as e:
+        if e.name != "etl_mini_spark.queries.round16_pending":
+            raise
     skip_from = sys.argv[2] if len(sys.argv) > 2 else None
     # The quadratic oracles finish comfortably at the driver's sf0.01
     # gate (500 docs); capping only kicks in where the full oracle

@@ -1085,3 +1085,40 @@ def test_round15_staged_tier_no_cartesian_blanket(spark):
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in BOUNDED_NONEQUI_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_round16_staged_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-16 STAGED tier (same
+    contract as the round-7..15 blankets, applied before registration):
+    no CartesianProduct; BroadcastNestedLoopJoin only where the
+    non-equi/cross side is bounded by construction — vocabulary-sized
+    word tables, 10-seed candidate grids, 1-row scalar aggregates —
+    never the fact table."""
+    import re as _re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round16_pending import PENDING16_QUERIES
+
+    src = open("etl_mini_spark/queries/round16_pending.py").read()
+    ROUND16 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
+    assert len(ROUND16) == 15
+    SKIP_SIDE_EFFECTS = {
+        # bounded driver iterations (greedy argmax collects / BFS
+        # supersteps) run jobs before the final plan exists
+        "mmr_diverse_topk", "graph_bfs_circulant",
+    }
+    BOUNDED_NONEQUI_OK = {
+        "damerau_dl_blocked",    # vocabulary-sized w1 < w2 block join
+        "ransac_integer_line",   # 10-seed pair grid + 45-candidate broadcast
+        "dunns_pairwise_z",      # 5-group pair join + 1-row totals broadcast
+        "krippendorff_alpha_nominal",  # 1-row scalar crossJoins
+        "cronbach_alpha_items",  # 1-row scalar combine
+        "seasonal_mann_kendall", # within-season year-pair join (≤C(7,2)/season)
+    }
+    for name in ROUND16:
+        if name in SKIP_SIDE_EFFECTS:
+            continue
+        s = plan_summary(PENDING16_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in BOUNDED_NONEQUI_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
