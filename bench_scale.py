@@ -812,6 +812,116 @@ def p_incremental(spark, tmpdir):
     }
 
 
+@probe("bfs_frontier_1m_nodes")
+def p_bfs_scale(spark):
+    """Frontier-BFS machinery (round-16 graph_bfs_circulant shape:
+    arithmetic neighbor expansion, anti-join vs visited,
+    localCheckpoint per superstep) at 1M nodes. At this node count the
+    registered query's FIXED offset set would need ~n/162 supersteps —
+    the scale rule is offsets that grow with n: powers of 3 up to n/2
+    give ternary reachability and an O(log3 n) diameter. Invariants:
+    every node reached exactly once (conservation), superstep count
+    within the log bound."""
+    from pyspark.sql import functions as F
+
+    n = 1_000_000
+    offs = []
+    o = 1
+    while o < n // 2:
+        offs.append(o)
+        o *= 3
+    visited = spark.createDataFrame([(0, 0)], "i long, d int").localCheckpoint(eager=True)
+    frontier = visited.select("i")
+    d = 0
+    while True:
+        neigh = [F.pmod(F.col("i") + o, F.lit(n)).alias("x") for o in offs] + [
+            F.pmod(F.col("i") - o, F.lit(n)).alias("x") for o in offs
+        ]
+        cand = frontier.select(F.explode(F.array(*neigh)).alias("i")).distinct()
+        new = cand.join(visited, "i", "left_anti").withColumn("d", F.lit(d + 1))
+        if new.count() == 0:
+            break
+        visited = visited.union(new).localCheckpoint(eager=True)
+        frontier = new.select("i")
+        d += 1
+        if d > 60:  # runaway guard: the log bound is ~2*log3(n) ~ 26
+            break
+    total = visited.count()
+    log_bound = 2 * len(offs) + 4
+    return {
+        "n_nodes": n,
+        "n_offsets": len(offs),
+        "supersteps": d,
+        "reached": total,
+        "ok": bool(total == n and d <= log_bound),
+    }
+
+
+@probe("eviction_asof_9m_events")
+def p_eviction_scale(spark, events):
+    """Round-16 stream_eviction_twin at 9M events / ~1M sessions /
+    ~105k triggers: sessionize (30-min gap), watermark step table
+    (15-min triggers, 10-min delay), day-bucketed union-sort as-of.
+    Invariant (closed form): a session is evicted iff its threshold is
+    strictly below the FINAL watermark — so sum(n_evicted) must equal
+    that count exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.joins import asof_join
+
+    ev = events.select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("t"),
+        (F.unix_micros("ts") / F.lit(900000000)).cast("bigint").alias("trig"),
+    )
+    trigmax = ev.groupBy("trig").agg(F.max("t").alias("mx"))
+    wm = trigmax.select(
+        "trig",
+        (F.max("mx").over(Window.orderBy("trig").rowsBetween(Window.unboundedPreceding, 0))
+         - 600000000).alias("wm"),
+    )
+    strict = (
+        wm.withColumn("prev", F.lag("wm").over(Window.orderBy("trig")))
+        .filter(F.col("prev").isNull() | (F.col("wm") > F.col("prev")))
+        .withColumn("j", F.row_number().over(Window.orderBy("trig")))
+        .select("trig", "wm", "j")
+    )
+    wu = Window.partitionBy("user_id").orderBy("t", "event_id")
+    sessions = (
+        ev.withColumn(
+            "brk", F.when(F.col("t") - F.lag("t").over(wu) > 1800000000, 1).otherwise(0))
+        .withColumn("s", F.sum("brk").over(wu.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "s")
+        .agg((F.max("t") + 1800000000).alias("thr_us"))
+        .withColumn("k", F.lit(1))
+        .withColumn("thr_ts", F.timestamp_micros(F.col("thr_us")))
+    ).localCheckpoint(eager=True)
+    probe_t = strict.withColumn("k", F.lit(1)).withColumn(
+        "wm_ts", F.timestamp_micros(F.col("wm")))
+    hit = asof_join(
+        sessions, probe_t.select("k", "wm_ts", "j"),
+        on=["k"], left_time="thr_ts", right_time="wm_ts",
+        right_cols=["j"], tiebreak="j", bucket_seconds=86400,
+    )
+    nx = strict.select(F.col("j").alias("jn"), F.col("trig").alias("evict_trig"))
+    evicted = (
+        hit.withColumn("jn", F.coalesce(F.col("j"), F.lit(0)) + 1)
+        .join(F.broadcast(nx), "jn")
+        .count()
+    )
+    wm_max = strict.agg(F.max("wm")).collect()[0][0]
+    expect = sessions.filter(F.col("thr_us") < wm_max).count()
+    n_sessions = sessions.count()
+    return {
+        "n_sessions": n_sessions,
+        "n_triggers": strict.count(),
+        "evicted": evicted,
+        "expected_closed_form": expect,
+        "ok": bool(evicted == expect and 0 < evicted <= n_sessions),
+    }
+
+
 def main() -> None:
     import tempfile
 
@@ -849,9 +959,13 @@ def main() -> None:
         print("generating graph + kmv stream...", file=sys.stderr)
         p_hits_scale(spark)
         p_kmv_scale(spark)
+        print("bfs frontier sweep...", file=sys.stderr)
+        p_bfs_scale(spark)
 
         print("generating events...", file=sys.stderr)
-        p_asof(spark, gen_events(spark))
+        ev9 = gen_events(spark)
+        p_asof(spark, ev9)
+        p_eviction_scale(spark, ev9)
         p_budget(spark)
         p_incremental(spark, tmpdir)
         print("generating tokens...", file=sys.stderr)
