@@ -1,0 +1,599 @@
+"""Round-17 staged tier: post-hoc + nonparametric classics (Tukey-
+Kramer HSD, Wilcoxon signed-rank), information/coding theory (Huffman
+code lengths with deterministic merges), dynamic programming over
+bounded series (two-state integer Viterbi with path carry, lookback-3
+critical path), optimal stopping (the secretary 37% rule as pure
+windows), diversity/privacy (Simpson's index, t-closeness EMD over
+ordered deciles), sequential rating systems (Elo with an offline
+fixed-point expectation ladder — no logistic ever evaluated), density
+clustering (DBSCAN as grid-blocked neighbor counts + connected
+components, the scale-safe decomposition), and retrieval (BM25F
+fielded scoring, TextRank keyword centrality under the integer-nano
+iteration discipline) — authored in round 14, to be registered when
+the small-tier backlog-drain plan reaches it (r17+). DELIBERATELY
+~14 entries, same reason as rounds 15/16.
+
+Module-local PENDING17_QUERIES/PENDING17_ORACLE, swept by
+sweep_oracle.py alongside the registry and the earlier pending tiers.
+
+Parity rules as in round9..16 (FIXTURES.md §C): integer/decimal
+arithmetic wherever a comparison decides a row; libm-free except
+IEEE-exact sqrt of identical doubles; offline literals for every
+transcendental constant (Tukey q, Wilcoxon normal critical, Elo
+expectation ladder, Viterbi log-weights in centi-nats); per-term 9dp
+pre-rounds summed as BIGINT nanos; deterministic tie-breaks on every
+rank, merge, and argmax; floor(x*10^k + 0.5)/10^k HALF_UP display
+rounding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mini_spark.queries._base import _t
+
+PENDING17_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+PENDING17_ORACLE: dict[str, str] = {}
+
+
+def pq(name: str, sql: str | None = None):
+    def deco(fn):
+        PENDING17_QUERIES[name] = fn
+        if sql is not None:
+            PENDING17_ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _pin(col, k: int = 6):
+    """floor(x*10^k + 0.5)/10^k — HALF_UP display rounding, identical
+    IEEE op sequence on both engines (FIXTURES.md §C)."""
+    scale = 10 ** k
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+_DAILY_SQL = """
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+"""
+
+
+def _daily_cents(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint").alias("c")
+    )
+
+
+# =====================================================================
+# Block A — Tukey-Kramer HSD (post-hoc pairwise means, fixed q)
+# =====================================================================
+
+# Groups = event types over value cents. MSE comes from integer sums
+# with the per-group Sg²/ng terms computed as IDENTICAL double ops
+# (Sg² exceeds both 2^63 and the nano-preround headroom at cent
+# scale, so the term is pre-rounded to whole cent² units instead —
+# same op sequence on both engines); the studentized-range critical
+# value for k=5,
+# df=∞, α=.05 is the OFFLINE literal 3.858 — neither engine ever
+# evaluates the studentized range distribution. Tukey-Kramer handles
+# the unbalanced n's; the significance comparison happens on the same
+# float expressions in the same order on both engines.
+_TUKEY_SQL = """
+    WITH g AS (
+      SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS q
+      FROM events GROUP BY 1),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(q) AS BIGINT) AS qq,
+             CAST(sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n + 0.5)
+                  AS BIGINT)) AS BIGINT) AS ratio_units
+      FROM g)
+    SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+           floor((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+                 * 10000 + 0.5) / 10000 AS mean_diff_cents,
+           floor(3.858 * sqrt((CAST(tot.qq AS DOUBLE)
+                               - CAST(tot.ratio_units AS DOUBLE))
+                              / (tot.nn - tot.k)
+                              * 0.5 * (1.0 / a.n + 1.0 / b.n))
+                 * 10000 + 0.5) / 10000 AS hsd_cents,
+           abs(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             >= 3.858 * sqrt((CAST(tot.qq AS DOUBLE)
+                              - CAST(tot.ratio_units AS DOUBLE))
+                             / (tot.nn - tot.k)
+                             * 0.5 * (1.0 / a.n + 1.0 / b.n)) AS significant
+    FROM g a JOIN g b ON a.g < b.g CROSS JOIN tot
+    ORDER BY g1, g2
+"""
+
+
+@pq("tukey_kramer_hsd", _TUKEY_SQL)
+def tukey_kramer_hsd(spark, sf_dir):
+    """Tukey-Kramer honestly-significant-difference over event-type
+    mean cents: one hash agg to per-group integer sums, one scalar
+    combine for MSE, a 10-pair group self-join. Scale: the only
+    corpus-sized pass is the first agg."""
+    e = _t(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    g = e.groupBy(F.col("event_type").alias("g")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).alias("s"), F.sum(x * x).alias("q"),
+    )
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("q").cast("bigint").alias("qq"),
+        F.sum(F.floor(F.col("s").cast("double") * F.col("s").cast("double")
+                      / F.col("n") + F.lit(0.5)).cast("bigint"))
+        .cast("bigint").alias("ratio_units"),
+    )
+    a = g.select(F.col("g").alias("g1"), F.col("n").alias("n1"), F.col("s").alias("s1"))
+    b = g.select(F.col("g").alias("g2"), F.col("n").alias("n2"), F.col("s").alias("s2"))
+    pairs = a.join(b, F.col("g1") < F.col("g2")).crossJoin(F.broadcast(tot))
+    mean_diff = (F.col("s1").cast("double") / F.col("n1")
+                 - F.col("s2").cast("double") / F.col("n2"))
+    mse = ((F.col("qq").cast("double") - F.col("ratio_units").cast("double"))
+           / (F.col("nn") - F.col("k")))
+    hsd = 3.858 * F.sqrt(mse * 0.5 * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    return pairs.select(
+        "g1", "g2", "n1", "n2",
+        _pin(mean_diff, 4).alias("mean_diff_cents"),
+        _pin(hsd, 4).alias("hsd_cents"),
+        (F.abs(mean_diff) >= hsd).alias("significant"),
+    ).orderBy("g1", "g2")
+
+
+# =====================================================================
+# Block B — Simpson's diversity index (per source, exact pair counts)
+# =====================================================================
+
+# D = 1 − Σ_l n_l(n_l−1) / (N(N−1)) over language counts per source —
+# the probability two random docs differ in language. Pure BIGINT
+# until the single final ratio.
+_SIMPSON_SQL = """
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    agg AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS same_pairs,
+             CAST(count(*) AS BIGINT) AS n_langs
+      FROM c GROUP BY 1)
+    SELECT source, nn AS n_docs, n_langs,
+           floor((1.0 - CAST(same_pairs AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1)))
+                 * 1000000 + 0.5) / 1000000 AS simpson_d
+    FROM agg WHERE nn >= 2
+    ORDER BY source
+"""
+
+
+@pq("simpson_diversity_index", _SIMPSON_SQL)
+def simpson_diversity_index(spark, sf_dir):
+    """Simpson's diversity of languages within each source: two hash
+    aggs, exact integer pair counts, one final ratio."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("n"))
+    agg = c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("same_pairs"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    return (
+        agg.filter(F.col("nn") >= 2)
+        .select(
+            "source", F.col("nn").alias("n_docs"), "n_langs",
+            _pin(1.0 - F.col("same_pairs").cast("double")
+                 / (F.col("nn").cast("double") * (F.col("nn") - 1))).alias("simpson_d"),
+        )
+        .orderBy("source")
+    )
+
+
+# =====================================================================
+# Block C — Wilcoxon signed-rank (paired months, year over year)
+# =====================================================================
+
+# Pairs = (month of year y, same month of y+1) monthly revenue cents;
+# |diff| ranks kept exact in HALF-UNITS (r2 = 2·cum_less + n_eq + 1
+# over the distinct |diff| table), zero diffs dropped per the standard
+# procedure. W+ = Σ half-ranks of positive diffs (BIGINT); the normal
+# approximation z uses the tie-corrected variance with IEEE sqrt of
+# identical doubles.
+_WILCOXON_SQL = """
+    WITH monthly AS (
+      SELECT CAST(strftime(o_orderdate, '%m') AS INT) AS m,
+             CAST(strftime(o_orderdate, '%Y') AS INT) AS y,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.m, a.y, CAST(b.c - a.c AS BIGINT) AS diff
+      FROM monthly a JOIN monthly b ON b.m = a.m AND b.y = a.y + 1
+      WHERE b.c <> a.c),
+    ad AS (
+      SELECT abs(diff) AS ad, CAST(count(*) AS BIGINT) AS n_v,
+             CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM pairs GROUP BY 1),
+    rk AS (
+      SELECT ad, n_v, n_pos,
+             CAST(2 * coalesce(sum(n_v) OVER (ORDER BY ad
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + n_v + 1 AS BIGINT) AS r2
+      FROM ad),
+    tot AS (
+      SELECT CAST(sum(n_v) AS BIGINT) AS n,
+             CAST(sum(n_pos * r2) AS BIGINT) AS wplus2,
+             CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie3
+      FROM rk)
+    SELECT n, wplus2,
+           floor((CAST(wplus2 AS DOUBLE) / 2.0
+                  - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                        - CAST(tie3 AS DOUBLE) / 48.0)
+                 * 1000000 + 0.5) / 1000000 AS z,
+           abs((CAST(wplus2 AS DOUBLE) / 2.0
+                - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+               / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                      - CAST(tie3 AS DOUBLE) / 48.0)) >= 1.959964 AS significant
+    FROM tot
+"""
+
+
+@pq("wilcoxon_signed_rank", _WILCOXON_SQL)
+def wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank on year-over-year monthly revenue pairs:
+    half-unit exact tied ranks over the distinct-|diff| table, BIGINT
+    W+, tie-corrected normal z against the offline 1.959964 literal."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").alias("m"), F.year("o_orderdate").alias("y")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint").alias("c")
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.m") == F.col("a.m")) & (F.col("b.y") == F.col("a.y") + 1))
+        .filter(F.col("b.c") != F.col("a.c"))
+        .select((F.col("b.c") - F.col("a.c")).cast("bigint").alias("diff"))
+    )
+    ad = pairs.groupBy(F.abs("diff").alias("ad")).agg(
+        F.count("*").cast("bigint").alias("n_v"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+    )
+    rk = ad.select(
+        "ad", "n_v", "n_pos",
+        (2 * F.coalesce(
+            F.sum("n_v").over(Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)) + F.col("n_v") + 1).cast("bigint").alias("r2"),
+    )
+    tot = rk.agg(
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum(F.col("n_pos") * F.col("r2")).cast("bigint").alias("wplus2"),
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .cast("bigint").alias("tie3"),
+    )
+    zexp = (
+        (F.col("wplus2").cast("double") / 2.0
+         - F.col("n").cast("double") * (F.col("n") + 1) / 4.0)
+        / F.sqrt(F.col("n").cast("double") * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24.0
+                 - F.col("tie3").cast("double") / 48.0)
+    )
+    return tot.select(
+        "n", "wplus2", _pin(zexp).alias("z"),
+        (F.abs(zexp) >= 1.959964).alias("significant"),
+    )
+
+
+# =====================================================================
+# Block D — Huffman code lengths (deterministic merges, bounded domain)
+# =====================================================================
+
+# Symbols = event types with corpus frequencies. Merge rule is fully
+# deterministic: at each step combine the two components with the
+# smallest (freq, representative) — representative = min symbol — and
+# every member's depth grows by 1. The symbol DOMAIN is a bounded
+# dimension (≤ 7 guarded stages cover it), so the oracle unrolls the
+# merges as guarded MATERIALIZED CTE stages while Spark runs the ONE
+# corpus-sized pass (frequency count) distributed and replays the
+# O(k log k) merge loop on the collected k-row frequency table (the
+# MMR bounded-collect discipline). Kraft Σ2^-len = 1 is pinned in
+# tests.
+def _huffman_oracle(max_stages: int = 6) -> str:
+    parts = ["""WITH s0 AS MATERIALIZED (
+      SELECT event_type AS sym, event_type AS comp,
+             CAST(count(*) AS BIGINT) AS freq, 0 AS depth
+      FROM events GROUP BY event_type)"""]
+    prev = "s0"
+    for k in range(1, max_stages + 1):
+        parts.append(f"""c{k} AS (SELECT comp, min(freq) AS f FROM {prev} GROUP BY comp),
+    p{k} AS (SELECT comp, f, row_number() OVER (ORDER BY f, comp) AS r FROM c{k}),
+    m{k} AS (SELECT min(comp) AS newc, CAST(sum(f) AS BIGINT) AS newf,
+                    CAST(count(*) AS BIGINT) AS npick
+             FROM p{k} WHERE r <= 2),
+    live{k} AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c{k}),
+    s{k} AS MATERIALIZED (
+      SELECT s.sym,
+             CASE WHEN l.n >= 2 AND s.comp IN (SELECT comp FROM p{k} WHERE r <= 2)
+                  THEN m.newc ELSE s.comp END AS comp,
+             CASE WHEN l.n >= 2 AND s.comp IN (SELECT comp FROM p{k} WHERE r <= 2)
+                  THEN m.newf ELSE s.freq END AS freq,
+             s.depth + CASE WHEN l.n >= 2
+                             AND s.comp IN (SELECT comp FROM p{k} WHERE r <= 2)
+                            THEN 1 ELSE 0 END AS depth
+      FROM {prev} s CROSS JOIN m{k} m CROSS JOIN live{k} l)""")
+        prev = f"s{k}"
+    return (",\n    ".join(parts)
+            + f"""
+    SELECT s.sym, s0.freq, CAST(s.depth AS BIGINT) AS code_len
+    FROM {prev} s JOIN s0 ON s0.sym = s.sym
+    ORDER BY s.sym""")
+
+
+@pq("huffman_code_lengths", _huffman_oracle())
+def huffman_code_lengths(spark, sf_dir):
+    """Huffman code lengths for the event-type alphabet: the corpus
+    pass is one distributed hash agg; the merge loop runs on the
+    collected k-row (bounded dimension) frequency table with the
+    deterministic (freq, min-symbol) rule, then returns as a
+    DataFrame. The oracle performs the SAME merges as guarded chained
+    CTE stages — an independent implementation of the algorithm."""
+    e = _t(spark, sf_dir, "events")
+    freqs = e.groupBy(F.col("event_type").alias("sym")).agg(
+        F.count("*").cast("bigint").alias("freq")
+    )
+    rows = sorted((r["sym"], int(r["freq"])) for r in freqs.collect())  # bounded: k types
+    comp = {s: s for s, _ in rows}
+    cfreq = {s: f for s, f in rows}
+    depth = {s: 0 for s, _ in rows}
+    while len(set(comp.values())) >= 2:
+        comps = sorted({(cfreq[c], c) for c in set(comp.values())})
+        (f1, c1), (f2, c2) = comps[0], comps[1]
+        newc, newf = min(c1, c2), f1 + f2
+        for s in comp:
+            if comp[s] in (c1, c2):
+                comp[s] = newc
+                depth[s] += 1
+        cfreq[newc] = newf
+    out = [(s, f, depth[s]) for s, f in rows]
+    return spark.createDataFrame(out, "sym string, freq long, code_len long").orderBy("sym")
+
+
+# =====================================================================
+# Block E — two-state integer Viterbi (MAP path over daily directions)
+# =====================================================================
+
+# Observations: daily revenue direction U/D/F (exact cent diffs, day 2
+# onward). Two hidden states B(ull)/R(bear); all log-weights are
+# OFFLINE centi-nat literals (stay −11 ≈ ln .9, switch −230 ≈ ln .1;
+# emissions B: U −51, D −120, F −230; R mirrored) — BIGINT scores,
+# ties resolved toward B then toward staying. The MAP path is carried
+# as a string on both engines (the forward-with-path Viterbi trick),
+# so the full per-day state sequence is value-checked, not just the
+# final score.
+_VITERBI_SQL = f"""
+    WITH RECURSIVE daily AS ({_DAILY_SQL}),
+    ser AS (SELECT d, c, row_number() OVER (ORDER BY d) AS i FROM daily),
+    obs AS (
+      SELECT s2.i - 1 AS i, s2.d,
+             CASE WHEN s2.c > s1.c THEN 'U' WHEN s2.c < s1.c THEN 'D'
+                  ELSE 'F' END AS o
+      FROM ser s1 JOIN ser s2 ON s2.i = s1.i + 1),
+    eb AS (SELECT i, d, o,
+                  CASE o WHEN 'U' THEN -51 WHEN 'D' THEN -120 ELSE -230 END AS wb,
+                  CASE o WHEN 'U' THEN -120 WHEN 'D' THEN -51 ELSE -230 END AS wr
+           FROM obs),
+    rec AS (
+      SELECT i, CAST(wb AS BIGINT) AS sb, CAST(wr AS BIGINT) AS sr,
+             'B' AS pb, 'R' AS pr
+      FROM eb WHERE i = 1
+      UNION ALL
+      SELECT e.i,
+             greatest(r.sb - 11, r.sr - 230) + e.wb,
+             greatest(r.sb - 230, r.sr - 11) + e.wr,
+             CASE WHEN r.sb - 11 >= r.sr - 230 THEN r.pb ELSE r.pr END || 'B',
+             CASE WHEN r.sb - 230 >= r.sr - 11 THEN r.pb ELSE r.pr END || 'R'
+      FROM rec r JOIN eb e ON e.i = r.i + 1),
+    fin AS (
+      SELECT CASE WHEN sb >= sr THEN pb ELSE pr END AS path,
+             CASE WHEN sb >= sr THEN sb ELSE sr END AS score
+      FROM rec ORDER BY i DESC LIMIT 1)
+    SELECT o.d, substr(f.path, CAST(o.i AS INT), 1) AS state, f.score
+    FROM obs o CROSS JOIN fin f
+    ORDER BY o.d
+"""
+
+
+@pq("viterbi_two_state", _VITERBI_SQL)
+def viterbi_two_state(spark, sf_dir):
+    """Two-state integer Viterbi over the calendar-bounded daily
+    direction series: one day agg, one Arrow pass carrying (score,
+    path) per state — the oracle replays the identical integer DP as a
+    recursive CTE with string path carry."""
+    import pandas as pd
+
+    daily = _daily_cents(spark, sf_dir)
+
+    def vit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        c = pdf["c"].tolist()
+        ds = pdf["d"].tolist()
+        obs = []
+        for k in range(1, len(c)):
+            obs.append((ds[k], "U" if c[k] > c[k - 1] else ("D" if c[k] < c[k - 1] else "F")))
+        if not obs:
+            return pd.DataFrame({"d": [], "state": [], "score": []})
+        EB = {"U": -51, "D": -120, "F": -230}
+        ER = {"U": -120, "D": -51, "F": -230}
+        sb, sr = EB[obs[0][1]], ER[obs[0][1]]
+        pb, pr = "B", "R"
+        for _, o in obs[1:]:
+            nb = max(sb - 11, sr - 230) + EB[o]
+            nr = max(sb - 230, sr - 11) + ER[o]
+            npb = (pb if sb - 11 >= sr - 230 else pr) + "B"
+            npr = (pb if sb - 230 >= sr - 11 else pr) + "R"
+            sb, sr, pb, pr = nb, nr, npb, npr
+        path, score = (pb, sb) if sb >= sr else (pr, sr)
+        return pd.DataFrame(
+            {"d": [d for d, _ in obs], "state": list(path), "score": [score] * len(obs)}
+        )
+
+    res = daily.withColumn("k", F.lit(1)).groupBy("k").applyInPandas(
+        vit, schema="d string, state string, score long"
+    )
+    return res.orderBy("d")
+
+
+# =====================================================================
+# Block F — optimal stopping (secretary 37% rule, pure windows)
+# =====================================================================
+
+# Per user, candidates arrive in event-time order with an md5 score;
+# skip the first k = floor(n·368/1000), then take the first candidate
+# beating the best of the skipped prefix (else the last). Success =
+# picked the overall best. Everything is windows + one argmax per
+# user — no recursion, no kernel. The classic ~37% success rate is an
+# emergent check (pinned loosely in tests).
+_SECRETARY_SQL = """
+    WITH cand AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) || ':sec'), 1, 15))
+                  AS BIGINT) AS score,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS i,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      FROM events),
+    k AS (
+      SELECT user_id, n, CAST(n * 368 // 1000 AS BIGINT) AS k
+      FROM cand WHERE i = 1 AND n >= 3),
+    pref AS (
+      SELECT c.user_id, max(c.score) AS best_pref
+      FROM cand c JOIN k ON k.user_id = c.user_id AND c.i <= k.k
+      GROUP BY c.user_id),
+    pick AS (
+      SELECT c.user_id, k.n, k.k,
+             coalesce(min(CASE WHEN c.i > k.k AND c.score > p.best_pref
+                               THEN c.i END), k.n) AS chosen_i
+      FROM cand c JOIN k ON k.user_id = c.user_id
+      JOIN pref p ON p.user_id = c.user_id
+      GROUP BY c.user_id, k.n, k.k),
+    best AS (
+      SELECT user_id, max(score) AS best_all FROM cand GROUP BY user_id)
+    SELECT p.user_id, p.n, p.k, p.chosen_i,
+           (c.score = b.best_all) AS success
+    FROM pick p
+    JOIN cand c ON c.user_id = p.user_id AND c.i = p.chosen_i
+    JOIN best b ON b.user_id = p.user_id
+    ORDER BY p.user_id
+"""
+
+
+@pq("secretary_stopping_rule", _SECRETARY_SQL)
+def secretary_stopping_rule(spark, sf_dir):
+    """The secretary problem's 37% stopping rule replayed per user:
+    prefix max over the skip window, first-crossing argmin, overall
+    argmax — three windows and two joins, no sequential kernel
+    needed. Scale: everything partitions by user."""
+    e = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    cand = e.select(
+        "user_id",
+        F.conv(F.substring(F.md5(F.concat(F.col("event_id").cast("string"),
+                                          F.lit(":sec"))), 1, 15), 16, 10)
+        .cast("long").alias("score"),
+        F.row_number().over(wu.orderBy(F.unix_micros("ts"), "event_id")).alias("i"),
+        F.count("*").over(wu).cast("bigint").alias("n"),
+    )
+    k = (
+        cand.filter((F.col("i") == 1) & (F.col("n") >= 3))
+        .select("user_id", "n", F.floor(F.col("n") * 368 / 1000).cast("bigint").alias("k"))
+    )
+    pref = (
+        cand.join(k.select("user_id", "k"), "user_id")
+        .filter(F.col("i") <= F.col("k"))
+        .groupBy("user_id")
+        .agg(F.max("score").alias("best_pref"))
+    )
+    pick = (
+        cand.select("user_id", "i", "score").join(k, "user_id").join(pref, "user_id")
+        .groupBy("user_id", "n", "k")
+        .agg(
+            F.coalesce(
+                F.min(F.when((F.col("i") > F.col("k"))
+                             & (F.col("score") > F.col("best_pref")), F.col("i"))),
+                F.first("n"),
+            ).alias("chosen_i")
+        )
+    )
+    best = cand.groupBy("user_id").agg(F.max("score").alias("best_all"))
+    return (
+        pick.join(cand.select("user_id", "i", "score"),
+                  (pick["user_id"] == cand["user_id"]) & (pick["chosen_i"] == cand["i"]))
+        .drop(cand["user_id"])
+        .join(best, "user_id")
+        .select("user_id", "n", "k", "chosen_i",
+                (F.col("score") == F.col("best_all")).alias("success"))
+        .orderBy("user_id")
+    )
+
+
+# =====================================================================
+# Block G — lookback-3 critical path (longest path in a layered DAG)
+# =====================================================================
+
+# DAG: day i receives edges from days i-1, i-2, i-3; node weight = the
+# day's revenue cents. Longest path ending at i is the recursion
+# dp_i = c_i + max(dp_{i-1}, dp_{i-2}, dp_{i-3}) — sequential state no
+# window frame expresses (dp references dp): one Arrow pass over the
+# calendar-bounded series vs a recursive CTE carrying the last three
+# dp values. Pure BIGINT.
+_CPATH_SQL = f"""
+    WITH RECURSIVE daily AS ({_DAILY_SQL}),
+    ser AS (SELECT d, c, row_number() OVER (ORDER BY d) AS i FROM daily),
+    n AS (SELECT CAST(max(i) AS BIGINT) AS n FROM ser),
+    rec AS (
+      SELECT i, c AS dp, CAST(-1 AS BIGINT) AS dp1, CAST(-1 AS BIGINT) AS dp2
+      FROM ser WHERE i = 1
+      UNION ALL
+      SELECT s.i,
+             s.c + greatest(r.dp, r.dp1, r.dp2),
+             r.dp, r.dp1
+      FROM rec r JOIN ser s ON s.i = r.i + 1)
+    SELECT n.n AS n_days, CAST(max(r.dp) AS BIGINT) AS cp_cents
+    FROM rec r CROSS JOIN n
+    WHERE r.i = n.n
+    GROUP BY n.n
+"""
+
+
+@pq("critical_path_lookback", _CPATH_SQL)
+def critical_path_lookback(spark, sf_dir):
+    """Longest path through the lookback-3 day DAG (one Arrow pass
+    over the bounded series; the oracle recursion carries a 3-slot dp
+    window). Note the path must END at the LAST day by construction of
+    the recursion — dp at n is the answer because every dp is the best
+    path ending exactly there and the last day dominates (weights are
+    positive and it can extend any of the three predecessors)."""
+    import pandas as pd
+
+    daily = _daily_cents(spark, sf_dir)
+
+    def cp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        c = pdf["c"].tolist()
+        dp = [0] * len(c)
+        for i in range(len(c)):
+            prevs = [dp[j] for j in range(max(0, i - 3), i)] or [0]
+            dp[i] = int(c[i]) + max(prevs)
+        return pd.DataFrame({"n_days": [len(c)], "cp_cents": [dp[-1]]})
+
+    return daily.withColumn("k", F.lit(1)).groupBy("k").applyInPandas(
+        cp, schema="n_days long, cp_cents long"
+    )
