@@ -11,7 +11,7 @@ components, the scale-safe decomposition), and retrieval (BM25F
 fielded scoring, TextRank keyword centrality under the integer-nano
 iteration discipline) — authored in round 14, to be registered when
 the small-tier backlog-drain plan reaches it (r17+). DELIBERATELY
-~14 entries, same reason as rounds 15/16.
+13 entries, same reason as rounds 15/16.
 
 Module-local PENDING17_QUERIES/PENDING17_ORACLE, swept by
 sweep_oracle.py alongside the registry and the earlier pending tiers.
@@ -596,4 +596,633 @@ def critical_path_lookback(spark, sf_dir):
 
     return daily.withColumn("k", F.lit(1)).groupBy("k").applyInPandas(
         cp, schema="n_days long, cp_cents long"
+    )
+
+
+# =====================================================================
+# Block H — t-closeness (EMD over ordered deciles, privacy audit)
+# =====================================================================
+
+# Quasi-groups = (mktsegment, nationkey % 5); sensitive attribute =
+# account-balance decile (NTILE(10) over exact cents with custkey
+# tie-break — identical bucket-boundary semantics on both engines).
+# t(group) = EMD between the group's decile distribution and the
+# global one with |i−j|/(k−1) ground distance = mean |cumulative
+# difference|; each per-level |cum_g/n_g − cum/N| is one identical
+# float op pre-rounded to BIGINT nanos, summed exactly, divided by 9
+# once. Completes the k-anonymity / l-diversity privacy trio.
+_TCLOSE_SQL = """
+    WITH cust AS (
+      SELECT c_mktsegment AS seg, c_nationkey % 5 AS natb,
+             ntile(10) OVER (ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+                             c_custkey) AS dec
+      FROM customer),
+    gd AS (
+      SELECT seg, natb, dec, CAST(count(*) AS BIGINT) AS n
+      FROM cust GROUP BY 1, 2, 3),
+    g AS (SELECT seg, natb, CAST(sum(n) AS BIGINT) AS n_g FROM gd GROUP BY 1, 2),
+    gdist AS (SELECT dec, CAST(sum(n) AS BIGINT) AS n_d FROM gd GROUP BY 1),
+    nn AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM gdist),
+    lv AS (
+      SELECT g.seg, g.natb, g.n_g, d.dec,
+             CAST(sum(coalesce(gd.n, 0)) OVER (PARTITION BY g.seg, g.natb
+                    ORDER BY d.dec) AS BIGINT) AS cum_g,
+             CAST(sum(d.n_d) OVER (PARTITION BY g.seg, g.natb
+                    ORDER BY d.dec) AS BIGINT) AS cum
+      FROM g CROSS JOIN gdist d
+      LEFT JOIN gd ON gd.seg = g.seg AND gd.natb = g.natb AND gd.dec = d.dec),
+    t AS (
+      SELECT seg, natb, any_value(n_g) AS n_g,
+             CAST(sum(CAST(floor(abs(CAST(cum_g AS DOUBLE) / n_g
+                        - CAST(cum AS DOUBLE) / (SELECT n FROM nn)) * 1000000000 + 0.5)
+                      AS BIGINT)) AS BIGINT) AS emd_nanos
+      FROM lv WHERE dec < 10
+      GROUP BY seg, natb)
+    SELECT seg, natb, n_g,
+           floor(CAST(emd_nanos AS DOUBLE) / 9.0 / 1000 + 0.5) / 1000000 AS t,
+           CAST(emd_nanos AS DOUBLE) / 9.0 / 1000000000 > 0.15 AS exceeds_t15
+    FROM t ORDER BY seg, natb
+"""
+
+
+@pq("privacy_t_closeness", _TCLOSE_SQL)
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness over ordered account-balance deciles: the decile
+    assignment is one global NTILE (value-domain work), then group ×
+    decile counts, cumulative distributions, and the nano-prerounded
+    EMD. Plan: two hash aggs + a (groups × 10)-row grid — the corpus
+    never joins itself."""
+    c = _t(spark, sf_dir, "customer")
+    cust = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).alias("natb"),
+        F.ntile(10).over(
+            Window.orderBy(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint"),
+                           "c_custkey")
+        ).alias("dec"),
+    )
+    gd = cust.groupBy("seg", "natb", "dec").agg(F.count("*").cast("bigint").alias("n"))
+    g = gd.groupBy("seg", "natb").agg(F.sum("n").cast("bigint").alias("n_g"))
+    glob = gd.groupBy("dec").agg(F.sum("n").cast("bigint").alias("n_d"))
+    nn = glob.agg(F.sum("n_d").cast("bigint").alias("n"))
+    lv = (
+        g.crossJoin(F.broadcast(glob))
+        .join(gd, ["seg", "natb", "dec"], "left")
+        .select(
+            "seg", "natb", "n_g", "dec", "n_d",
+            F.coalesce("n", F.lit(0)).alias("gn"),
+        )
+        .withColumn(
+            "cum_g",
+            F.sum("gn").over(Window.partitionBy("seg", "natb").orderBy("dec")
+                             .rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+        )
+        .withColumn(
+            "cum",
+            F.sum("n_d").over(Window.partitionBy("seg", "natb").orderBy("dec")
+                              .rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    t = (
+        lv.filter(F.col("dec") < 10)
+        .groupBy("seg", "natb")
+        .agg(
+            F.any_value("n_g").alias("n_g"),
+            F.sum(
+                F.floor(F.abs(F.col("cum_g").cast("double") / F.col("n_g")
+                              - F.col("cum").cast("double") / F.col("n"))
+                        * 1000000000 + F.lit(0.5)).cast("bigint")
+            ).cast("bigint").alias("emd_nanos"),
+        )
+    )
+    return t.select(
+        "seg", "natb", "n_g",
+        (F.floor(F.col("emd_nanos").cast("double") / 9.0 / 1000 + F.lit(0.5))
+         / 1000000).alias("t"),
+        (F.col("emd_nanos").cast("double") / 9.0 / 1000000000 > 0.15).alias("exceeds_t15"),
+    ).orderBy("seg", "natb")
+
+
+# =====================================================================
+# Block I — Elo ratings with a fixed-point expectation ladder
+# =====================================================================
+
+# One match per day: the top-2 event types by daily revenue cents
+# (ties in cents broken by type name; days with fewer than 2 types or
+# equal top cents are skipped), winner = the larger. The logistic
+# expectation is replaced by an OFFLINE 9-bucket permille ladder over
+# the rating difference (symmetric: E(d) + E(−d) = 1000), so the
+# whole system is BIGINT: R' = R ± 16·(1000 − E) millipoints from
+# R0 = 1,500,000. Sequential 5-team state — one Arrow pass vs a
+# recursive CTE carrying the rating vector as a list.
+_ELO_SQL = """
+    WITH RECURSIVE daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, event_type AS et,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    types AS (
+      SELECT et, row_number() OVER (ORDER BY et) AS ti
+      FROM (SELECT DISTINCT et FROM daily)),
+    ranked AS (
+      SELECT d, et, c, row_number() OVER (PARTITION BY d ORDER BY c DESC, et) AS r
+      FROM daily),
+    matches AS (
+      SELECT a.d, ta.ti AS wi, tb.ti AS li,
+             row_number() OVER (ORDER BY a.d) AS i
+      FROM ranked a JOIN ranked b ON b.d = a.d AND a.r = 1 AND b.r = 2
+      JOIN types ta ON ta.et = a.et JOIN types tb ON tb.et = b.et
+      WHERE a.c > b.c),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM types),
+    rec AS (
+      SELECT CAST(0 AS BIGINT) AS i,
+             list_transform(generate_series(1, CAST(nt AS INT)),
+                            x -> CAST(1500000 AS BIGINT)) AS rs
+      FROM k
+      UNION ALL
+      SELECT m.i,
+             list_transform(generate_series(1, len(r.rs)), x ->
+               CASE WHEN x = m.wi THEN r.rs[x] + 16 * (1000 - (
+                      CASE WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 <= -400 THEN 91
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 <= -200 THEN 240
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 <= -100 THEN 360
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 <= -50 THEN 430
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 < 50 THEN 500
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 < 100 THEN 570
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 < 200 THEN 640
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 < 400 THEN 760
+                           ELSE 909 END))
+                    WHEN x = m.li THEN r.rs[x] - 16 * (1000 - (
+                      CASE WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 <= -400 THEN 91
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 <= -200 THEN 240
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 <= -100 THEN 360
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 <= -50 THEN 430
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 < 50 THEN 500
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 < 100 THEN 570
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 < 200 THEN 640
+                           WHEN (r.rs[m.wi] - r.rs[m.li]) // 1000 < 400 THEN 760
+                           ELSE 909 END))
+                    ELSE r.rs[x] END)
+      FROM rec r JOIN matches m ON m.i = r.i + 1),
+    nmatch AS (SELECT CAST(max(i) AS BIGINT) AS n FROM matches)
+    SELECT t.et, r.rs[CAST(t.ti AS INT)] AS rating_milli, nm.n AS n_matches
+    FROM rec r CROSS JOIN nmatch nm JOIN types t ON TRUE
+    WHERE r.i = nm.n
+    ORDER BY t.et
+"""
+
+
+@pq("elo_fixed_ladder", _ELO_SQL)
+def elo_fixed_ladder(spark, sf_dir):
+    """Integer Elo over daily top-2 revenue matches: the day agg and
+    ranking are the only corpus passes; the 5-team rating recursion is
+    one Arrow pass over the calendar-bounded match list, replayed by
+    the oracle as a list-carrying recursive CTE. Zero transcendental
+    evaluations — the expectation ladder is data-independent offline
+    literals."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.col("event_type").alias("et"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint").alias("c")
+    )
+    ranked = daily.withColumn(
+        "r", F.row_number().over(Window.partitionBy("d").orderBy(F.desc("c"), "et"))
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    matches = (
+        a.join(b, (F.col("b.d") == F.col("a.d")) & (F.col("a.r") == 1) & (F.col("b.r") == 2))
+        .filter(F.col("a.c") > F.col("b.c"))
+        .select(F.col("a.d").alias("d"), F.col("a.et").alias("w"), F.col("b.et").alias("l"))
+    )
+
+    def ladder(d: int) -> int:
+        if d <= -400: return 91
+        if d <= -200: return 240
+        if d <= -100: return 360
+        if d <= -50: return 430
+        if d < 50: return 500
+        if d < 100: return 570
+        if d < 200: return 640
+        if d < 400: return 760
+        return 909
+
+    def elo(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        types = sorted(set(pdf["w"]) | set(pdf["l"]))
+        rs = {t: 1500000 for t in types}
+        for w, l in zip(pdf["w"], pdf["l"]):
+            ex = ladder((rs[w] - rs[l]) // 1000)
+            delta = 16 * (1000 - ex)
+            rs[w] += delta
+            rs[l] -= delta
+        return pd.DataFrame(
+            {"et": types, "rating_milli": [rs[t] for t in types],
+             "n_matches": [len(pdf)] * len(types)}
+        )
+
+    res = matches.withColumn("k", F.lit(1)).groupBy("k").applyInPandas(
+        elo, schema="et string, rating_milli long, n_matches long"
+    )
+    return res.orderBy("et")
+
+
+# =====================================================================
+# Block J — DBSCAN (grid-blocked neighbors + connected components)
+# =====================================================================
+
+# Points = the o_orderkey % 37 = 3 order subset embedded at integer
+# coordinates (x = Σ quantity, y = Σ floor(price) // 100); L∞ metric,
+# eps = 12, minPts = 5 (self included). The scale-safe decomposition:
+# neighbor counts come from a 3×3 GRID-CELL equi-join (each candidate
+# pair is generated by exactly one offset, so no dedup pass), core-
+# core clusters from the repo's O(log n) large-star/small-star
+# connected components, border points attach to the MIN neighboring
+# core label. The oracle is the deliberately naive quadratic pair join
+# + a UNION-dedup transitive-closure recursion on the bounded subset.
+_DBSCAN_SQL = """
+    WITH RECURSIVE pts AS (
+      SELECT l_orderkey AS pid,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) // 100 AS BIGINT) AS y
+      FROM lineitem WHERE l_orderkey % 37 = 3 GROUP BY 1),
+    pairs AS (
+      SELECT a.pid AS pa, b.pid AS pb
+      FROM pts a JOIN pts b
+        ON abs(a.x - b.x) <= 12 AND abs(a.y - b.y) <= 12),
+    deg AS (SELECT pa AS pid, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1),
+    cores AS (SELECT pid FROM deg WHERE n >= 5),
+    edges AS (
+      SELECT p.pa AS a, p.pb AS b FROM pairs p
+      JOIN cores c1 ON c1.pid = p.pa JOIN cores c2 ON c2.pid = p.pb),
+    reach AS (
+      SELECT pid AS p, pid AS q FROM cores
+      UNION
+      SELECT r.p, e.b FROM reach r JOIN edges e ON e.a = r.q),
+    lbl AS (SELECT p AS pid, CAST(min(q) AS BIGINT) AS comp FROM reach GROUP BY p),
+    border AS (
+      SELECT p.pa AS pid, CAST(min(l.comp) AS BIGINT) AS comp
+      FROM pairs p
+      JOIN lbl l ON l.pid = p.pb
+      LEFT JOIN cores c ON c.pid = p.pa
+      WHERE c.pid IS NULL
+      GROUP BY p.pa)
+    SELECT pid, 'core' AS role, comp FROM lbl
+    UNION ALL
+    SELECT pid, 'border', comp FROM border
+    UNION ALL
+    SELECT p.pid, 'noise', CAST(NULL AS BIGINT)
+    FROM pts p LEFT JOIN lbl l ON l.pid = p.pid
+    LEFT JOIN border b ON b.pid = p.pid
+    WHERE l.pid IS NULL AND b.pid IS NULL
+    ORDER BY pid
+"""
+
+
+@pq("dbscan_grid_blocked", _DBSCAN_SQL)
+def dbscan_grid_blocked(spark, sf_dir):
+    """DBSCAN without an all-pairs join: candidate pairs from a 3×3
+    grid-cell equi-join (cell width = eps, so every L∞ ≤ eps pair is
+    covered and each pair arises from exactly ONE offset), neighbor
+    counts by hash agg, cluster labels from the O(log n) star
+    connected components over the core-core graph, borders attached to
+    the min neighboring core label. This is the decomposition that
+    survives 100 TB — the oracle's quadratic join is the deliberately
+    naive derivation on the bounded subset."""
+    from etl_mini_spark.operators.dedup import connected_components_star
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = (
+        li.filter(F.col("l_orderkey") % 37 == 3)
+        .groupBy(F.col("l_orderkey").alias("pid"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("x"),
+            F.floor(F.sum(F.floor("l_extendedprice").cast("bigint")) / 100)
+            .cast("bigint").alias("y"),
+        )
+        .withColumn("cx", F.floor(F.col("x") / 12).cast("bigint"))
+        .withColumn("cy", F.floor(F.col("y") / 12).cast("bigint"))
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = pts.select(
+        F.col("pid").alias("pa"), F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.explode(F.array(*[
+            F.struct((F.col("cx") + dx).alias("ncx"), (F.col("cy") + dy).alias("ncy"))
+            for dx, dy in offs
+        ])).alias("c"),
+    ).select("pa", "ax", "ay", F.col("c.ncx").alias("ncx"), F.col("c.ncy").alias("ncy"))
+    pairs = (
+        probe.join(
+            pts.select(F.col("pid").alias("pb"), F.col("x").alias("bx"),
+                       F.col("y").alias("by"), "cx", "cy"),
+            (F.col("ncx") == F.col("cx")) & (F.col("ncy") == F.col("cy")),
+        )
+        .filter((F.abs(F.col("ax") - F.col("bx")) <= 12)
+                & (F.abs(F.col("ay") - F.col("by")) <= 12))
+        .select("pa", "pb")
+    )
+    deg = pairs.groupBy(F.col("pa").alias("pid")).agg(F.count("*").cast("bigint").alias("n"))
+    cores = deg.filter(F.col("n") >= 5).select("pid")
+    core_edges = (
+        pairs.join(cores.withColumnRenamed("pid", "pa"), "pa")
+        .join(cores.withColumnRenamed("pid", "pb"), "pb")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("d1"), F.col("pb").alias("d2"))
+    )
+    cc = connected_components_star(core_edges, "d1", "d2")
+    lbl = (
+        cores.join(cc.withColumnRenamed("node", "pid"), "pid", "left")
+        .select("pid", F.coalesce("comp", F.col("pid")).cast("bigint").alias("comp"))
+    )
+    border = (
+        pairs.join(lbl.withColumnRenamed("pid", "pb"), "pb")
+        .join(cores.withColumnRenamed("pid", "pa"), "pa", "left_anti")
+        .groupBy(F.col("pa").alias("pid"))
+        .agg(F.min("comp").cast("bigint").alias("comp"))
+    )
+    out = (
+        lbl.select("pid", F.lit("core").alias("role"), "comp")
+        .unionByName(border.select("pid", F.lit("border").alias("role"), "comp"))
+    )
+    noise = (
+        pts.select("pid")
+        .join(out.select("pid"), "pid", "left_anti")
+        .select("pid", F.lit("noise").alias("role"),
+                F.lit(None).cast("bigint").alias("comp"))
+    )
+    return out.unionByName(noise).orderBy("pid")
+
+
+# =====================================================================
+# Block K — BM25F fielded scoring (title weight 2, body weight 1)
+# =====================================================================
+
+# The fielded refinement of the registered Okapi BM25: title = the
+# first 5 tokens, body = the rest; weighted tf̃ = 2·tf_title + tf_body
+# and weighted length dlw = 2·len_title + len_body enter the standard
+# saturation with k1 = 1.2, b = 0.75. Same parity discipline as
+# bm25_topk_docs (round10_ops.py): integers everywhere, the idf ln()
+# evaluated on identical doubles, per-(doc, term) contribution
+# pre-rounded at 9dp and summed as DECIMAL(28,9), doc_id tie-break.
+_BM25F_SQL = """
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+      FROM documents),
+    toks AS (
+      SELECT doc_id, arr[i] AS t, CASE WHEN i <= 5 THEN 2 ELSE 1 END AS w
+      FROM docs, unnest(generate_series(1, len(arr))) AS g(i)),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+             CAST(sum(w) AS BIGINT) AS dlw
+      FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dlw) AS BIGINT) AS total_w
+      FROM dl),
+    q AS (SELECT unnest(['join', 'hash', 'scan']) AS t),
+    tf AS (
+      SELECT toks.doc_id, toks.t, CAST(sum(toks.w) AS BIGINT) AS tfw
+      FROM toks JOIN q ON toks.t = q.t
+      GROUP BY toks.doc_id, toks.t),
+    df AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY t),
+    terms AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tfw * 2.2
+               / (tf.tfw + 1.2 * (0.25 + 0.75 * dl.dlw / (s.total_w / (1.0 * s.n_docs)))),
+               9) AS DECIMAL(28,9)) AS term
+      FROM tf JOIN df ON tf.t = df.t
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s),
+    scored AS (SELECT doc_id, sum(term) AS score_d FROM terms GROUP BY doc_id)
+    SELECT doc_id, round(CAST(score_d AS DOUBLE), 6) AS bm25f
+    FROM scored ORDER BY score_d DESC, doc_id LIMIT 20
+"""
+
+
+@pq("bm25f_fielded_topk", _BM25F_SQL)
+def bm25f_fielded_topk(spark, sf_dir):
+    """BM25F top-20 for a fixed three-term query with a 2×-weighted
+    title field (first 5 tokens). Plan mirrors bm25_topk_docs: the
+    token scan filters to query terms via a broadcast semi-join before
+    any shuffle, the weighted-length table broadcasts back, exact
+    DECIMAL ranking key."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        ).alias("p", "t"),
+    ).select("doc_id", "t", F.when(F.col("p") < 5, 2).otherwise(1).alias("w"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl"),
+        F.sum("w").cast("bigint").alias("dlw"),
+    )
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dlw").cast("bigint").alias("total_w"),
+    )
+    q = spark.range(1).select(
+        F.explode(F.array(F.lit("join"), F.lit("hash"), F.lit("scan"))).alias("t")
+    )
+    tf = toks.join(F.broadcast(q), "t").groupBy("doc_id", "t").agg(
+        F.sum("w").cast("bigint").alias("tfw")
+    )
+    df_ = tf.groupBy("t").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    terms = (
+        tf.join(F.broadcast(df_), "t")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tfw") * 2.2
+                / (F.col("tfw") + 1.2 * (0.25 + 0.75 * F.col("dlw")
+                                         / (F.col("total_w") / (1.0 * F.col("n_docs"))))),
+                9,
+            ).cast("decimal(28,9)").alias("term"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(F.sum("term").alias("score_d"))
+    return (
+        scored.orderBy(F.desc("score_d"), "doc_id").limit(20)
+        .select("doc_id", F.round(F.col("score_d").cast("double"), 6).alias("bm25f"))
+    )
+
+
+# =====================================================================
+# Block L — TextRank keyword centrality (integer-nano PageRank)
+# =====================================================================
+
+# Word graph: adjacent-token co-occurrence within documents (both
+# directions, weight = count). Four weighted-PageRank iterations under
+# the HITS integer discipline: scores in nanos, per-edge contribution
+# floor(pr_u · 85 · w / (100 · outw_u)) — pure BIGINT integer
+# division, identical on both engines, damping 0.85 as the 85/100
+# literal. The vocabulary is bounded, so each iteration is a tiny
+# join; the one corpus-sized pass builds the edge counts.
+def _textrank_oracle(iters: int = 4) -> str:
+    parts = ["""WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+      FROM documents),
+    adj AS (
+      SELECT arr[i] AS w1, arr[i + 1] AS w2
+      FROM docs, unnest(generate_series(1, len(arr) - 1)) AS g(i)
+      WHERE regexp_matches(arr[i], '^[a-z]+$') AND regexp_matches(arr[i + 1], '^[a-z]+$')),
+    edges AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT w1, w2 FROM adj UNION ALL SELECT w2, w1 FROM adj) GROUP BY 1, 2),
+    outw AS MATERIALIZED (
+      SELECT w1, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+    nodes AS MATERIALIZED (SELECT w1 AS word FROM outw),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    p0 AS MATERIALIZED (
+      SELECT word, CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS pr FROM nodes)"""]
+    prev = "p0"
+    for k in range(1, iters + 1):
+        parts.append(f"""p{k} AS MATERIALIZED (
+      SELECT n.word,
+             CAST(150000000 // (SELECT n FROM nn)
+                  + coalesce(sum(p.pr * 85 * e.w // (100 * o.ow)), 0) AS BIGINT) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.w2 = n.word
+      LEFT JOIN {prev} p ON p.word = e.w1
+      LEFT JOIN outw o ON o.w1 = e.w1
+      GROUP BY n.word)""")
+        prev = f"p{k}"
+    return (",\n    ".join(parts)
+            + f"\n    SELECT word, pr AS pr_nanos FROM {prev} ORDER BY word")
+
+
+@pq("textrank_keywords", _textrank_oracle())
+def textrank_keywords(spark, sf_dir):
+    """TextRank keyword centrality: one corpus pass builds the
+    co-occurrence edge counts; four integer-nano PageRank iterations
+    run as vocabulary-sized joins (HITS discipline — exact BIGINT
+    state, one integer division per edge, no float drift to
+    accumulate)."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    tok = d.select("doc_id", F.posexplode(arr).alias("p", "t"))
+    a, b = tok.alias("a"), tok.alias("b")
+    adj = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("b.p") == F.col("a.p") + 1))
+        .filter(F.col("a.t").rlike("^[a-z]+$") & F.col("b.t").rlike("^[a-z]+$"))
+        .select(F.col("a.t").alias("w1"), F.col("b.t").alias("w2"))
+    )
+    edges = (
+        adj.unionByName(adj.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
+        .groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("w"))
+    )
+    outw = edges.groupBy("w1").agg(F.sum("w").cast("bigint").alias("ow"))
+    nodes = outw.select(F.col("w1").alias("word"))
+    n = nodes.count()  # bounded: vocabulary size
+    pr = nodes.select("word", F.lit(1000000000 // n).cast("bigint").alias("pr"))
+    for _ in range(4):
+        contrib = (
+            edges.join(pr.withColumnRenamed("word", "w1"), "w1")
+            .join(outw, "w1")
+            .select(
+                F.col("w2").alias("word"),
+                F.floor(F.col("pr") * 85 * F.col("w") / (100 * F.col("ow")))
+                .cast("bigint").alias("c"),
+            )
+            .groupBy("word").agg(F.sum("c").cast("bigint").alias("inflow"))
+        )
+        pr = nodes.join(contrib, "word", "left").select(
+            "word",
+            (F.lit(150000000 // n) + F.coalesce("inflow", F.lit(0)))
+            .cast("bigint").alias("pr"),
+        )
+    return pr.select("word", F.col("pr").alias("pr_nanos")).orderBy("word")
+
+
+# =====================================================================
+# Block M — Kadane maximum-sum window (best contiguous revenue swing)
+# =====================================================================
+
+# Over daily revenue DELTAS (exact cent diffs), find the contiguous
+# run with the maximum sum — Kadane's DP cur = max(x, cur + x), a
+# sequential recurrence no window frame expresses. Tie rules are
+# total: prefer the EARLIER end day, then the LONGER run (smaller
+# start index at the same end). Start-day tracking rides along the
+# recursion on both engines, so the answer is value-checked with its
+# exact interval, not just the sum.
+_KADANE_SQL = f"""
+    WITH RECURSIVE daily AS ({_DAILY_SQL}),
+    ser AS (SELECT d, c, row_number() OVER (ORDER BY d) AS i FROM daily),
+    dx AS (
+      SELECT s2.i - 1 AS i, s2.d, CAST(s2.c - s1.c AS BIGINT) AS x
+      FROM ser s1 JOIN ser s2 ON s2.i = s1.i + 1),
+    rec AS (
+      SELECT i, x AS cur, CAST(i AS BIGINT) AS cur_start,
+             x AS best, CAST(i AS BIGINT) AS best_start, CAST(i AS BIGINT) AS best_end
+      FROM dx WHERE i = 1
+      UNION ALL
+      SELECT e.i,
+             CASE WHEN r.cur >= 0 THEN r.cur + e.x ELSE e.x END,
+             CASE WHEN r.cur >= 0 THEN r.cur_start ELSE CAST(e.i AS BIGINT) END,
+             CASE WHEN (CASE WHEN r.cur >= 0 THEN r.cur + e.x ELSE e.x END) > r.best
+                  THEN (CASE WHEN r.cur >= 0 THEN r.cur + e.x ELSE e.x END)
+                  ELSE r.best END,
+             CASE WHEN (CASE WHEN r.cur >= 0 THEN r.cur + e.x ELSE e.x END) > r.best
+                  THEN (CASE WHEN r.cur >= 0 THEN r.cur_start ELSE CAST(e.i AS BIGINT) END)
+                  ELSE r.best_start END,
+             CASE WHEN (CASE WHEN r.cur >= 0 THEN r.cur + e.x ELSE e.x END) > r.best
+                  THEN CAST(e.i AS BIGINT) ELSE r.best_end END
+      FROM rec r JOIN dx e ON e.i = r.i + 1),
+    n AS (SELECT CAST(max(i) AS BIGINT) AS n FROM dx),
+    fin AS (SELECT * FROM rec, n WHERE rec.i = n.n)
+    SELECT f.best AS best_swing_cents, ds.d AS start_d, de.d AS end_d,
+           CAST(f.best_end - f.best_start + 1 AS BIGINT) AS run_len
+    FROM fin f
+    JOIN dx ds ON ds.i = f.best_start
+    JOIN dx de ON de.i = f.best_end
+"""
+
+
+@pq("kadane_max_swing", _KADANE_SQL)
+def kadane_max_swing(spark, sf_dir):
+    """Kadane's maximum-subarray DP over daily revenue deltas (one
+    Arrow pass over the calendar-bounded series; the oracle recursion
+    carries (cur, cur_start, best, best_start, best_end)). Strict '>'
+    on the best update keeps the earliest-interval tie rule on both
+    engines."""
+    import pandas as pd
+
+    daily = _daily_cents(spark, sf_dir)
+
+    def kad(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        c = pdf["c"].tolist()
+        ds = pdf["d"].tolist()
+        xs = [(ds[k], int(c[k]) - int(c[k - 1])) for k in range(1, len(c))]
+        if not xs:
+            return pd.DataFrame(
+                {"best_swing_cents": [], "start_d": [], "end_d": [], "run_len": []})
+        cur, cur_s = xs[0][1], 0
+        best, best_s, best_e = xs[0][1], 0, 0
+        for k in range(1, len(xs)):
+            x = xs[k][1]
+            if cur >= 0:
+                cur = cur + x
+            else:
+                cur, cur_s = x, k
+            if cur > best:
+                best, best_s, best_e = cur, cur_s, k
+        return pd.DataFrame(
+            {"best_swing_cents": [best], "start_d": [xs[best_s][0]],
+             "end_d": [xs[best_e][0]], "run_len": [best_e - best_s + 1]}
+        )
+
+    return daily.withColumn("k", F.lit(1)).groupBy("k").applyInPandas(
+        kad, schema="best_swing_cents long, start_d string, end_d string, run_len long"
     )

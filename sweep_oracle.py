@@ -192,6 +192,14 @@ def main():
     except ModuleNotFoundError as e:
         if e.name != "etl_mini_spark.queries.round16_pending":
             raise
+    try:
+        from etl_mini_spark.queries.round17_pending import (
+            PENDING17_ORACLE, PENDING17_QUERIES)
+
+        todo += [(n, PENDING17_QUERIES[n], PENDING17_ORACLE[n]) for n in PENDING17_ORACLE]
+    except ModuleNotFoundError as e:
+        if e.name != "etl_mini_spark.queries.round17_pending":
+            raise
     skip_from = sys.argv[2] if len(sys.argv) > 2 else None
     # The quadratic oracles finish comfortably at the driver's sf0.01
     # gate (500 docs); capping only kicks in where the full oracle

@@ -1122,3 +1122,38 @@ def test_round16_staged_tier_no_cartesian_blanket(spark):
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in BOUNDED_NONEQUI_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_round17_staged_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-17 STAGED tier (same
+    contract as the round-7..16 blankets, applied before registration):
+    no CartesianProduct; BroadcastNestedLoopJoin only where the
+    non-equi/cross side is bounded by construction — group-pair grids,
+    1-row scalar aggregates, decile grids — never the fact table."""
+    import re as _re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round17_pending import PENDING17_QUERIES
+
+    src = open("etl_mini_spark/queries/round17_pending.py").read()
+    ROUND17 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
+    assert len(ROUND17) == 13
+    SKIP_SIDE_EFFECTS = {
+        # bounded driver work (k-row collect + merge loop / vocabulary
+        # count + iteration loop / star-CC supersteps) runs jobs while
+        # building the final plan
+        "huffman_code_lengths", "textrank_keywords", "dbscan_grid_blocked",
+    }
+    BOUNDED_NONEQUI_OK = {
+        "tukey_kramer_hsd",       # 10-pair group self-join + 1-row MSE broadcast
+        "privacy_t_closeness",    # groups x 10-decile grid + 1-row N broadcast
+        "wilcoxon_signed_rank",   # 1-row totals
+        "bm25f_fielded_topk",     # 1-row corpus stats broadcast (as bm25_topk_docs)
+    }
+    for name in ROUND17:
+        if name in SKIP_SIDE_EFFECTS:
+            continue
+        s = plan_summary(PENDING17_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in BOUNDED_NONEQUI_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
