@@ -200,6 +200,14 @@ def main():
     except ModuleNotFoundError as e:
         if e.name != "etl_mini_spark.queries.round17_pending":
             raise
+    try:
+        from etl_mini_spark.queries.round18_pending import (
+            PENDING18_ORACLE, PENDING18_QUERIES)
+
+        todo += [(n, PENDING18_QUERIES[n], PENDING18_ORACLE[n]) for n in PENDING18_ORACLE]
+    except ModuleNotFoundError as e:
+        if e.name != "etl_mini_spark.queries.round18_pending":
+            raise
     skip_from = sys.argv[2] if len(sys.argv) > 2 else None
     # The quadratic oracles finish comfortably at the driver's sf0.01
     # gate (500 docs); capping only kicks in where the full oracle

@@ -1157,3 +1157,40 @@ def test_round17_staged_tier_no_cartesian_blanket(spark):
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in BOUNDED_NONEQUI_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_round18_staged_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-18 STAGED tier (same
+    contract as the round-7..17 blankets): no CartesianProduct;
+    BroadcastNestedLoopJoin only where the non-equi/cross side is
+    bounded by construction — 64-register grids, 1-row scalar
+    aggregates, 6-constraint literal grids, 4-snapshot grids."""
+    import re as _re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round18_pending import PENDING18_QUERIES
+
+    src = open("etl_mini_spark/queries/round18_pending.py").read()
+    ROUND18 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
+    assert len(ROUND18) == 10
+    SKIP_SIDE_EFFECTS = {
+        # bounded driver work (entity collect + matching loop) runs
+        # jobs while building the final plan
+        "gale_shapley_stable",
+    }
+    BOUNDED_NONEQUI_OK = {
+        "hyperloglog_md5_replay",   # 1-row n_exact broadcast over 64 registers
+        "pcsa_fm_sketch",           # same shape
+        "shamir_secret_reconstruct",  # scalar share/reconstruction combines
+        "kuiper_two_sample",        # 1-row totals broadcast
+        "lp_vertex_enumeration",    # 6x6 literal constraint grid + scalars
+        "min_variance_two_asset",   # scalar moments
+        "pit_table_build",          # 4-row snapshot grid broadcast
+    }
+    for name in ROUND18:
+        if name in SKIP_SIDE_EFFECTS:
+            continue
+        s = plan_summary(PENDING18_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in BOUNDED_NONEQUI_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)

@@ -1,0 +1,136 @@
+"""Non-vacuity pins for the round-18 STAGED tier (oracle equivalence
+is swept by sweep_oracle.py / verified at sf0.001 + sf0.01 + sf0.1
+before staging): sketch accuracy bands, modular identities, Luhn
+detection completeness, LP feasibility, and a full independent
+STABILITY proof of the Gale-Shapley matching. At registration these
+pins migrate unchanged."""
+
+from __future__ import annotations
+
+import hashlib
+
+from tests.conftest import SF_SMOKE
+
+
+def _pending():
+    from etl_mini_spark.queries.round18_pending import PENDING18_QUERIES
+
+    return PENDING18_QUERIES
+
+
+PENDING = _pending()
+
+
+def test_hll_estimate_band(spark):
+    r = PENDING["hyperloglog_md5_replay"](spark, SF_SMOKE).collect()[0]
+    assert r["n_exact"] > 0 and 0 <= r["zeros"] <= 64
+    assert r["estimate"] > 0 and r["within_band"]
+
+
+def test_pcsa_estimate_band(spark):
+    r = PENDING["pcsa_fm_sketch"](spark, SF_SMOKE).collect()[0]
+    assert r["n_exact"] > 0 and r["rsum"] >= 0
+    assert r["estimate"] > 0
+    # PCSA's validity regime is n >> m: at sf0.001 there are only 15
+    # distinct users against 64 buckets, where FM's known small-n bias
+    # dominates (estimate ~ m/phi even when almost empty) — the band
+    # check only binds once the sketch is in regime
+    if r["n_exact"] >= 5 * 64:
+        assert r["within_band"]
+    else:
+        assert r["estimate"] <= 64 / 0.77351 * 4  # small-n bias plateau
+
+
+def test_knapsack_bounds(spark):
+    r = PENDING["knapsack_01_bounded"](spark, SF_SMOKE).collect()[0]
+    assert r["n_items"] > 0
+    assert 0 < r["best_cents"] <= r["total_cents"]
+    # capacity binds at every SF (items weigh ~1-43 against capacity 100)
+    assert r["best_cents"] < r["total_cents"]
+
+
+def test_shamir_roundtrip_and_lagrange_identity(spark):
+    r = PENDING["shamir_secret_reconstruct"](spark, SF_SMOKE).collect()[0]
+    assert r["match"] and r["n_shares"] == 5
+    assert 0 <= r["secret"] < 2147483647
+    # the offline Lagrange constants partition unity mod p
+    assert (1431655768 + 2147483642 + 715827885) % 2147483647 == 1
+
+
+def test_luhn_detects_exactly_the_corrupted_population(spark):
+    rows = {(r["corrupted"], r["luhn_valid"]): r["n"]
+            for r in PENDING["luhn_checksum_audit"](spark, SF_SMOKE).collect()}
+    # clean ids all validate; corrupted ids (single-digit substitution)
+    # are ALL caught — Luhn detects every single-digit error
+    assert rows.get((False, True), 0) > 0
+    assert rows.get((False, False), 0) == 0
+    assert rows.get((True, False), 0) > 0
+    assert rows.get((True, True), 0) == 0
+
+
+def test_kuiper_dominates_each_direction(spark):
+    r = PENDING["kuiper_two_sample"](spark, SF_SMOKE).collect()[0]
+    assert r["n1"] > 0 and r["n2"] > 0
+    assert r["dplus_num"] >= 0 and r["dminus_num"] >= 0
+    assert 0.0 <= r["kuiper_v"] <= 2.0
+    v = (r["dplus_num"] + r["dminus_num"]) / (r["n1"] * r["n2"])
+    assert abs(v - r["kuiper_v"]) < 1e-6
+
+
+def test_min_variance_weights_sum_to_one(spark):
+    r = PENDING["min_variance_two_asset"](spark, SF_SMOKE).collect()[0]
+    assert r["n"] >= 25  # events span one calendar month
+    assert 0.0 <= r["w_click"] <= 1.0 and 0.0 <= r["w_view"] <= 1.0
+    assert abs(r["w_click"] + r["w_view"] - 1.0) < 2e-6
+
+
+def test_lp_vertex_feasible_and_bounded(spark):
+    r = PENDING["lp_vertex_enumeration"](spark, SF_SMOKE).collect()[0]
+    x, y = r["x"], r["y"]
+    eps = 1e-6
+    assert r["n_feasible_vertices"] >= 3  # the polygon has corners
+    assert x >= -eps and y >= -eps and x <= 70 + eps
+    assert x + y <= 100 + eps and 3 * x + y <= 240 + eps and x + 4 * y <= 320 + eps
+    assert r["objective"] > 0
+
+
+def test_pit_rows_complete_and_versions_monotone(spark):
+    rows = PENDING["pit_table_build"](spark, SF_SMOKE).collect()
+    by_ck: dict[int, list] = {}
+    for r in rows:
+        assert (r["sat_a_version_year"] is None) == (r["n_orders"] is None)
+        assert (r["sat_b_version_year"] is None) == (r["rev_cents"] is None)
+        by_ck.setdefault(r["ck"], []).append(r)
+    # 4 snapshots per hub key, version years never decrease over snapshots
+    for ck, rs in by_ck.items():
+        assert len(rs) == 4
+        ys = [r["sat_a_version_year"] for r in sorted(rs, key=lambda r: r["snap"])]
+        prev = 0
+        for y in ys:
+            if y is not None:
+                assert y >= prev
+                prev = y
+
+
+def test_gale_shapley_matching_is_stable(spark):
+    rows = PENDING["gale_shapley_stable"](spark, SF_SMOKE).collect()
+    assert rows
+    matched_p = [r["proposer_uid"] for r in rows]
+    matched_a = [r["acceptor_uid"] for r in rows]
+    assert len(set(matched_p)) == len(matched_p)  # a proposer matches once
+    assert len(set(matched_a)) == len(matched_a)
+
+    def hx(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # independent stability proof: no (p, a) pair prefers each other
+    # over their assigned partners
+    p_of = {r["proposer_uid"]: r["acceptor_uid"] for r in rows}
+    a_of = {r["acceptor_uid"]: r["proposer_uid"] for r in rows}
+    for p, pa in p_of.items():
+        for a in a_of:
+            if a == pa:
+                continue
+            p_prefers = hx(f"{p}>{a}") > hx(f"{p}>{pa}")
+            a_prefers = hx(f"{a}<{p}") > hx(f"{a}<{a_of[a]}")
+            assert not (p_prefers and a_prefers), (p, a)
