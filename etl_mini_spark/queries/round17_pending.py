@@ -816,7 +816,9 @@ def elo_fixed_ladder(spark, sf_dir):
         types = sorted(set(pdf["w"]) | set(pdf["l"]))
         rs = {t: 1500000 for t in types}
         for w, l in zip(pdf["w"], pdf["l"]):
-            ex = ladder((rs[w] - rs[l]) // 1000)
+            d = rs[w] - rs[l]
+            # DuckDB // truncates toward zero; Python floors — align
+            ex = ladder(abs(d) // 1000 * (1 if d >= 0 else -1))
             delta = 16 * (1000 - ex)
             rs[w] += delta
             rs[l] -= delta

@@ -208,6 +208,14 @@ def main():
     except ModuleNotFoundError as e:
         if e.name != "etl_mini_spark.queries.round18_pending":
             raise
+    try:
+        from etl_mini_spark.queries.round19_pending import (
+            PENDING19_ORACLE, PENDING19_QUERIES)
+
+        todo += [(n, PENDING19_QUERIES[n], PENDING19_ORACLE[n]) for n in PENDING19_ORACLE]
+    except ModuleNotFoundError as e:
+        if e.name != "etl_mini_spark.queries.round19_pending":
+            raise
     skip_from = sys.argv[2] if len(sys.argv) > 2 else None
     # The quadratic oracles finish comfortably at the driver's sf0.01
     # gate (500 docs); capping only kicks in where the full oracle

@@ -1194,3 +1194,32 @@ def test_round18_staged_tier_no_cartesian_blanket(spark):
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in BOUNDED_NONEQUI_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_round19_staged_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-19 STAGED tier (same
+    contract as the round-7..18 blankets)."""
+    import re as _re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round19_pending import PENDING19_QUERIES
+
+    src = open("etl_mini_spark/queries/round19_pending.py").read()
+    ROUND19 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
+    assert len(ROUND19) == 8
+    SKIP_SIDE_EFFECTS = {
+        # bounded driver work (scalar seeds / bounded matrix / ring
+        # wrap lookup) runs jobs while building the final plan
+        "ar1_yule_walker", "median_polish_residuals", "consistent_hash_rebalance",
+    }
+    BOUNDED_NONEQUI_OK = {
+        "group_sequential_obf",  # 4-look grid broadcast range join
+        "storey_pi0_estimate",   # scalar agg only; keep strict
+    } - {"storey_pi0_estimate"}
+    for name in ROUND19:
+        if name in SKIP_SIDE_EFFECTS:
+            continue
+        s = plan_summary(PENDING19_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        if name not in BOUNDED_NONEQUI_OK:
+            assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
