@@ -216,6 +216,14 @@ def main():
     except ModuleNotFoundError as e:
         if e.name != "etl_mini_spark.queries.round19_pending":
             raise
+    try:
+        from etl_mini_spark.queries.round20_pending import (
+            PENDING20_ORACLE, PENDING20_QUERIES)
+
+        todo += [(n, PENDING20_QUERIES[n], PENDING20_ORACLE[n]) for n in PENDING20_ORACLE]
+    except ModuleNotFoundError as e:
+        if e.name != "etl_mini_spark.queries.round20_pending":
+            raise
     skip_from = sys.argv[2] if len(sys.argv) > 2 else None
     # The quadratic oracles finish comfortably at the driver's sf0.01
     # gate (500 docs); capping only kicks in where the full oracle

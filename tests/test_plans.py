@@ -1223,3 +1223,27 @@ def test_round19_staged_tier_no_cartesian_blanket(spark):
         assert "CartesianProduct" not in s.joins, (name, s.joins)
         if name not in BOUNDED_NONEQUI_OK:
             assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
+
+
+def test_round20_staged_tier_no_cartesian_blanket(spark):
+    """Blanket physical-plan audit of the round-20 STAGED tier (same
+    contract as the round-7..19 blankets)."""
+    import re as _re
+
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries.round20_pending import PENDING20_QUERIES
+
+    src = open("etl_mini_spark/queries/round20_pending.py").read()
+    ROUND20 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
+    assert len(ROUND20) == 6
+    SKIP_SIDE_EFFECTS = {
+        # bounded scalar / dimension collects seed driver replays
+        "isqrt_newton_exact", "euclid_continued_fraction",
+        "swrr_scheduler_replay", "josephus_survivor",
+    }
+    for name in ROUND20:
+        if name in SKIP_SIDE_EFFECTS:
+            continue
+        s = plan_summary(PENDING20_QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in s.joins, (name, s.joins)
+        assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
