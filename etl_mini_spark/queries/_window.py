@@ -37,6 +37,28 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #     remaining r05/r06 debt is the round-15 rotation's priority — its
 #     staged tier is deliberately small so ~30 slots re-verify stale
 #     entries (the r13 verdict's named structural debt).
+# ROUND-15 ROTATION PLAN (precomputed mechanically in round 14 from
+# CORRECTNESS_r01..r13 so the next session rotates without rework):
+# register the 16 round15_pending entries (16 slots) and spend the
+# remaining 34 slots on the STALEST r05-cohort entries, lexicographic
+# within equal last-green rounds:
+#   approx_quantile_sketch, cdc_scd2_history, corpus_idf,
+#   decontaminate_13gram, dedup_bloom_prefilter, dedup_clusters,
+#   dedup_incremental, embedding_quantize, event_path_3gram,
+#   first_touch_attribution, higher_order_fns, interval_overlap_agg,
+#   json_table_extract, lateral_tokens_topk, map_fns_suite,
+#   mixture_weighted_sample, orc_roundtrip, outlier_trim,
+#   pipeline_corpus_filter, posexplode_tokens, range_bucket_join,
+#   sessionize_events, skew_diagnostic, sql_q10_returned,
+#   sql_q11_important_stock, sql_q13_custdist, sql_q14_promo,
+#   sql_q16_supplier_cnt, sql_q18_large_orders, sql_q19_disjunctive,
+#   sql_q22_global_sales, sql_q2_min_cost_supplier, sql_q3_shipping,
+#   sql_q6_forecast
+# (cohort sizes after this drain: r05 44→10, then r06 46, r07 45,
+# r08 47 ... — ~6 rounds to empty at 34 re-verifications/round; add a
+# code-change canary slot only if a shared helper changes. NOTE:
+# approx_quantile_sketch is ε-exact only through sf0.01 — the driver
+# gate scale — so it is window-safe.)
 # =========================================================================
 
 _DRIVER_WINDOW = [
