@@ -14,97 +14,118 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #   every round by tests/test_queries_oracle.py at sf0.001 (same
 #   DuckDB-oracle check the driver runs at sf0.01).
 #
-# Round-14 rotation (CORRECTNESS_r13 came back 50/50 green, so every
-# round-13 slot owner rotates to the tail):
-# (a) the 46 oracle-backed round14_ops entries registered this round —
-#     authored and staged in round 13 as round14_pending, every one
+# Round-15 rotation (CORRECTNESS_r14 came back 50/50 green, so every
+# round-14 slot owner rotates to the tail) — this EXECUTES the plan
+# precomputed in round 14 (verbatim: 16 staged entries + the 34 named
+# stale-cohort slots):
+# (a) the 16 oracle-backed round15_ops entries registered this round —
+#     authored and staged in round 14 as round15_pending, every one
 #     swept vs DuckDB at sf0.001 + sf0.01 + sf0.1 (and under a bare
 #     default SparkSession at sf0.01, the driver's exact gate) before
 #     registration, never driver-verified, so each must hold a slot
 #     (tests/test_window_rotation.py);
-# (b) code-change canary: multimodal_decode_real — the round-13 advice
-#     fix changed its green path after its r13 green row (JPEG marker
-#     walk now skips 0xFF fill bytes, the oracle CTE mirrors the skip,
-#     and a padded-JPEG fixture imgreal_i.jpg joined the glob). The
-#     other advice fixes are guard-only (decode_png_pixels ValueError
-#     wrap, bins divisor check) or touch no registered green path
-#     (preflight single-pass: setjoin_prefix_filter does not invoke it);
-# (c) the remaining 3 slots re-verify the STALEST green entries: the
-#     r07 headline dedup pair the r13 verdict flagged as stale
-#     (dedup_simhash, embedding_near_dups_lsh) and the first of the 45
-#     r05-cohort entries in lexical order (agg_corr_regr). Last-green
-#     rounds computed mechanically from CORRECTNESS_r01..r13; the
-#     remaining r05/r06 debt is the round-15 rotation's priority — its
-#     staged tier is deliberately small so ~30 slots re-verify stale
-#     entries (the r13 verdict's named structural debt).
-# ROUND-15 ROTATION PLAN (precomputed mechanically in round 14 from
-# CORRECTNESS_r01..r13 so the next session rotates without rework):
-# register the 16 round15_pending entries (16 slots) and spend the
-# remaining 34 slots on the STALEST r05-cohort entries, lexicographic
-# within equal last-green rounds:
-#   approx_quantile_sketch, cdc_scd2_history, corpus_idf,
-#   decontaminate_13gram, dedup_bloom_prefilter, dedup_clusters,
-#   dedup_incremental, embedding_quantize, event_path_3gram,
-#   first_touch_attribution, higher_order_fns, interval_overlap_agg,
-#   json_table_extract, lateral_tokens_topk, map_fns_suite,
-#   mixture_weighted_sample, orc_roundtrip, outlier_trim,
-#   pipeline_corpus_filter, posexplode_tokens, range_bucket_join,
-#   sessionize_events, skew_diagnostic, sql_q10_returned,
-#   sql_q11_important_stock, sql_q13_custdist, sql_q14_promo,
-#   sql_q16_supplier_cnt, sql_q18_large_orders, sql_q19_disjunctive,
-#   sql_q22_global_sales, sql_q2_min_cost_supplier, sql_q3_shipping,
-#   sql_q6_forecast
-# (cohort sizes after this drain: r05 44→10, then r06 46, r07 45,
-# r08 47 ... — ~6 rounds to empty at 34 re-verifications/round; add a
-# code-change canary slot only if a shared helper changes. NOTE:
-# approx_quantile_sketch is ε-exact only through sf0.01 — the driver
-# gate scale — so it is window-safe.)
+# (b) the remaining 34 slots re-verify the STALEST green entries — the
+#     r05 cohort named in the precomputed plan (last-green rounds
+#     recomputed mechanically from CORRECTNESS_r01..r14 and re-checked
+#     this round; all 34 are last-green r05). This drains the r05
+#     cohort 44 -> 10.
+# No code-change canary slot: round-15 code changes touch only
+# sweep_oracle.py (harness code, not a registered green path), tests,
+# and the setjoin_prefix_filter preflight routing — that entry is
+# r08-cohort (outside this window by the precomputed plan) and its
+# behavior change is pinned by dedicated tests + the three-SF sweep;
+# it becomes the round-16 canary if its green path changed.
+# ROUND-16 ROTATION PLAN (precomputed mechanically in round 15 from
+# CORRECTNESS_r01..r14 so the next session rotates without rework):
+# register the 15 round16_pending entries (15 slots) and spend the
+# remaining 35 slots on the 10 remaining r05-cohort entries plus the
+# 25 STALEST r06-cohort entries, lexicographic within equal last-green
+# rounds:
+#   "sql_q7_volume", "stream_interval_join", "stream_static_enrich",
+#   "table_profile", "text_near_template", "text_repetition",
+#   "time_trunc_suite", "token_stats_bpe", "window_value_suite",
+#   "zorder_locality", "bucketed_join_roundtrip", "churn_gap_flag",
+#   "co_purchase_pairs", "cohort_retention", "collation_distinct",
+#   "corpus_token_entropy", "csv_malformed_tolerant", "dedup_canonical_pick",
+#   "dedup_repeated_spans", "dpp_partitioned_join", "dq_expectations_report",
+#   "geo_radius_pairs", "graph_khop_reach", "graph_pagerank_converged",
+#   "graph_pagerank_parts", "graph_triangle_count", "join_asof_bucketed",
+#   "join_asof_forward", "join_null_safe", "listagg_sorted", "mad_outliers",
+#   "parquet_schema_evolution", "partitioned_roundtrip", "ratio_to_report",
+#   "rfm_segments",
+# (cohort sizes after that drain: r05 10->0, r06 46->21, then r07 45,
+# r08 ~47 ... — on track to empty the pre-r09 debt by round 18-19 at
+# ~35 re-verifications/round; add a code-change canary slot only if a
+# shared helper changes.)
 # =========================================================================
 
 _DRIVER_WINDOW = [
-    "geo_knn_topk_equirect", "geo_bbox_containment_join",
-    "geo_polyline_track_length", "geo_grid_density_hotspots",
-    "window_groups_frame_parity", "qualify_rank_of_rank", "sql_quantified_any_all",
-    "sql_grouping_id_sets", "sql_agg_filter_clause", "sql_order_nulls_mixed",
-    "sql_pivot_statement", "query_likelihood_dirichlet", "text_rake_keywords",
-    "text_porter_stems_lite", "rocchio_relevance_vector", "text_sentence_stats",
-    "vwap_anchored_monthly", "ewma_volatility_riskmetrics",
-    "cash_conversion_cycle", "loan_prepay_cpr_schedule", "break_even_cvp",
-    "benford_second_digit", "dq_column_entropy_profile",
-    "dq_composite_key_candidates", "graph_adamic_adar_linkpred",
-    "graph_local_clustering_coeff", "graph_bipartite_projection",
-    "compaction_nfd_bins", "snapshot_retention_expiry",
-    "partition_spec_evolution_routing", "markov_transition_stationary",
-    "sax_symbolization_paa", "theta_method_forecast", "stream_state_ttl_eviction",
-    "multimodal_wav_header_real", "price_elasticity_loglog",
-    "weibull_median_rank_fit", "sql_named_window_clause", "text_accent_fold_dedup",
-    "inventory_safety_stock", "did_difference_in_differences",
-    "uplift_two_model_deciles", "cuped_variance_reduction", "ab_srm_check",
-    "queueing_little_law_audit", "emd_1d_wasserstein", "multimodal_decode_real",
-    "dedup_simhash", "embedding_near_dups_lsh", "agg_corr_regr",
+    "map_mrr_eval", "kmv_distinct_estimate", "graph_hits_hubs_authorities",
+    "graph_label_propagation", "shapley_attribution_paths",
+    "atkinson_inequality", "nelson_aalen_hazard", "tsb_intermittent_forecast",
+    "forecast_error_suite", "snapshot_data_diff", "privacy_l_diversity",
+    "window_count_distinct_parity", "vintage_default_curves",
+    "sprt_sequential_test", "water_filling_allocation",
+    "benjamini_hochberg_fdr", "approx_quantile_sketch", "cdc_scd2_history",
+    "corpus_idf", "decontaminate_13gram", "dedup_bloom_prefilter",
+    "dedup_clusters", "dedup_incremental", "embedding_quantize",
+    "event_path_3gram", "first_touch_attribution", "higher_order_fns",
+    "interval_overlap_agg", "json_table_extract", "lateral_tokens_topk",
+    "map_fns_suite", "mixture_weighted_sample", "orc_roundtrip",
+    "outlier_trim", "pipeline_corpus_filter", "posexplode_tokens",
+    "range_bucket_join", "sessionize_events", "skew_diagnostic",
+    "sql_q10_returned", "sql_q11_important_stock", "sql_q13_custdist",
+    "sql_q14_promo", "sql_q16_supplier_cnt", "sql_q18_large_orders",
+    "sql_q19_disjunctive", "sql_q22_global_sales", "sql_q2_min_cost_supplier",
+    "sql_q3_shipping", "sql_q6_forecast",
 ]
 
 _TAIL = [
-    # driver-green in earlier rounds (the round-13 window cohort
+    # driver-green in earlier rounds (the round-14 window cohort
     # leads); every entry still locally oracle-verified per round at
     # sf0.001 (rows-only entries verified by dedicated pinned tests).
-    "int8_quant_cosine_topk", "matryoshka_overlap_audit", "rrf_hybrid_fusion",
-    "ndcg_graded_eval", "manifest_pruning_audit", "delta_log_replay",
-    "bitemporal_snapshot_query", "scd2_scd6_composed",
-    "checkpoint_snapshot_isolation", "late_arriving_dimension",
-    "fellegi_sunter_weights", "er_threshold_quality", "kalman_filter_1d",
-    "irr_bisection_npv", "amortization_schedule", "bond_duration_convexity",
-    "ols_two_predictors", "mahalanobis_outliers_2d", "pca_eigen_2d",
-    "gradient_boost_stumps", "isotonic_regression_pav",
-    "window_exclude_frames_parity", "qualify_filter_parity", "sessions_regex_path",
-    "count_min_sketch_audit", "bloom_fpr_audit", "stream_cms_incremental",
+    "geo_knn_topk_equirect", "geo_bbox_containment_join",
+    "geo_polyline_track_length", "geo_grid_density_hotspots",
+    "window_groups_frame_parity", "qualify_rank_of_rank",
+    "sql_quantified_any_all", "sql_grouping_id_sets", "sql_agg_filter_clause",
+    "sql_order_nulls_mixed", "sql_pivot_statement",
+    "query_likelihood_dirichlet", "text_rake_keywords",
+    "text_porter_stems_lite", "rocchio_relevance_vector",
+    "text_sentence_stats", "vwap_anchored_monthly",
+    "ewma_volatility_riskmetrics", "cash_conversion_cycle",
+    "loan_prepay_cpr_schedule", "break_even_cvp", "benford_second_digit",
+    "dq_column_entropy_profile", "dq_composite_key_candidates",
+    "graph_adamic_adar_linkpred", "graph_local_clustering_coeff",
+    "graph_bipartite_projection", "compaction_nfd_bins",
+    "snapshot_retention_expiry", "partition_spec_evolution_routing",
+    "markov_transition_stationary", "sax_symbolization_paa",
+    "theta_method_forecast", "stream_state_ttl_eviction",
+    "multimodal_wav_header_real", "price_elasticity_loglog",
+    "weibull_median_rank_fit", "sql_named_window_clause",
+    "text_accent_fold_dedup", "inventory_safety_stock",
+    "did_difference_in_differences", "uplift_two_model_deciles",
+    "cuped_variance_reduction", "ab_srm_check", "queueing_little_law_audit",
+    "emd_1d_wasserstein", "multimodal_decode_real", "dedup_simhash",
+    "embedding_near_dups_lsh", "agg_corr_regr", "int8_quant_cosine_topk",
+    "matryoshka_overlap_audit", "rrf_hybrid_fusion", "ndcg_graded_eval",
+    "manifest_pruning_audit", "delta_log_replay", "bitemporal_snapshot_query",
+    "scd2_scd6_composed", "checkpoint_snapshot_isolation",
+    "late_arriving_dimension", "fellegi_sunter_weights",
+    "er_threshold_quality", "kalman_filter_1d", "irr_bisection_npv",
+    "amortization_schedule", "bond_duration_convexity", "ols_two_predictors",
+    "mahalanobis_outliers_2d", "pca_eigen_2d", "gradient_boost_stumps",
+    "isotonic_regression_pav", "window_exclude_frames_parity",
+    "qualify_filter_parity", "sessions_regex_path", "count_min_sketch_audit",
+    "bloom_fpr_audit", "stream_cms_incremental",
     "stream_sessionize_differential", "stream_cdc_upsert_latest",
-    "geohash_prefix_radius", "corpus_amplified_jaccard", "url_canonicalize_dedup",
-    "binary_header_metadata", "newsvendor_quantile_policy", "graph_kcore_peel",
-    "graph_jaccard_link_prediction", "erlang_c_staffing", "weighted_sample_ares",
-    "page_hinkley_drift", "walk_forward_validation", "holt_winters_multiplicative",
-    "multimodal_resize_real", "multimodal_features_real", "join_asof_last_order",
-    "sql_q5_local_volume", "stream_dedup_watermark", "stream_foreachbatch_upsert",
+    "geohash_prefix_radius", "corpus_amplified_jaccard",
+    "url_canonicalize_dedup", "binary_header_metadata",
+    "newsvendor_quantile_policy", "graph_kcore_peel",
+    "graph_jaccard_link_prediction", "erlang_c_staffing",
+    "weighted_sample_ares", "page_hinkley_drift", "walk_forward_validation",
+    "holt_winters_multiplicative", "multimodal_resize_real",
+    "multimodal_features_real", "join_asof_last_order", "sql_q5_local_volume",
+    "stream_dedup_watermark", "stream_foreachbatch_upsert",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "friedman_test_blocks",
     "cochran_q_raters", "mcnemar_paired_rules", "fleiss_kappa_multi",
     "cliffs_delta_effect", "jonckheere_terpstra_trend", "pettitt_changepoint",
@@ -120,67 +141,74 @@ _TAIL = [
     "pages_l_trend", "turning_points_test", "bartels_rank_vonneumann",
     "cox_stuart_trend", "stream_rsi_incremental", "mann_whitney_u",
     "roc_auc_exact", "kruskal_wallis_h", "stream_holt_incremental",
-    "timeseries_resample_fill", "udf_registry_iso_parts", "unpivot_part_metrics",
-    "upsert_null_update", "window_rank_suite", "window_sliding_15m",
-    "window_topk_per_group", "kendall_tau_daily", "mann_kendall_trend",
-    "cohens_kappa_rules", "mcc_threshold", "two_proportion_ztest",
-    "holt_winters_weekly", "max_drawdown_daily", "bollinger_bands_7d",
-    "stream_mg_incremental", "relational_division", "largest_remainder_allocation",
-    "golden_record_survivorship", "null_completeness_matrix",
-    "distinct_ratio_profile", "cross_field_consistency", "binary_encoding_suite",
+    "timeseries_resample_fill", "udf_registry_iso_parts",
+    "unpivot_part_metrics", "upsert_null_update", "window_rank_suite",
+    "window_sliding_15m", "window_topk_per_group", "kendall_tau_daily",
+    "mann_kendall_trend", "cohens_kappa_rules", "mcc_threshold",
+    "two_proportion_ztest", "holt_winters_weekly", "max_drawdown_daily",
+    "bollinger_bands_7d", "stream_mg_incremental", "relational_division",
+    "largest_remainder_allocation", "golden_record_survivorship",
+    "null_completeness_matrix", "distinct_ratio_profile",
+    "cross_field_consistency", "binary_encoding_suite",
     "iso_week_thursday_rule", "array_set_ops_suite", "hour_of_week_heatmap",
-    "interorder_gap_percentiles", "fourier_weekly_coeffs", "quantile_cont_parity",
-    "ma_crossover_signals", "customer_lifecycle_yearly", "rapid_repeat_events",
-    "knn_label_accuracy", "holt_winters_forecast", "sql_keyset_pagination",
-    "eoq_inventory_policy", "orders_backlog_aging", "bitmap_presence_rollup",
-    "heavy_hitters_mg", "item_item_cosine_topk", "dedup_levenshtein_blocked",
-    "similarity_topk", "http_pyds_scan", "order_by_hash", "pivot_type_counts",
+    "interorder_gap_percentiles", "fourier_weekly_coeffs",
+    "quantile_cont_parity", "ma_crossover_signals",
+    "customer_lifecycle_yearly", "rapid_repeat_events", "knn_label_accuracy",
+    "holt_winters_forecast", "sql_keyset_pagination", "eoq_inventory_policy",
+    "orders_backlog_aging", "bitmap_presence_rollup", "heavy_hitters_mg",
+    "item_item_cosine_topk", "dedup_levenshtein_blocked", "similarity_topk",
+    "http_pyds_scan", "order_by_hash", "pivot_type_counts",
     "sample_deterministic", "sample_split_counts", "sample_stratified_docs",
-    "set_except", "sql_exists_urgent", "sql_scalar_above_avg", "string_fns_suite",
-    "text_redact_pii", "time_tz_trimode", "spearman_rank_corr", "anova_oneway_f",
-    "durbin_watson_autocorr", "seasonal_strength_eta", "holt_linear_trend",
-    "cohort_ltv_curve", "histogram2d_margins", "confusion_matrix_thresholds",
+    "set_except", "sql_exists_urgent", "sql_scalar_above_avg",
+    "string_fns_suite", "text_redact_pii", "time_tz_trimode",
+    "spearman_rank_corr", "anova_oneway_f", "durbin_watson_autocorr",
+    "seasonal_strength_eta", "holt_linear_trend", "cohort_ltv_curve",
+    "histogram2d_margins", "confusion_matrix_thresholds",
     "feature_hash_collision_audit", "bm25_topk_docs", "char_ngram_profile",
-    "regex_extract_all_suite", "graph_degree_histogram", "price_volume_mix_decomp",
-    "table_row_checksum", "partition_skew_advisor", "privacy_erasure_audit",
-    "shipping_lead_percentiles", "sql_distinct_on", "fixed_width_parse",
-    "json_multiline_array_read", "corpus_heaps_law", "event_interarrival_expfit",
-    "session_bounce_rate", "text_hapax_ratio", "levene_brown_forsythe",
-    "rolling_regression_slope", "wow_movers_topk", "runs_test_wald_wolfowitz",
-    "ljung_box_q", "inventory_abc_classes", "gaps_islands_order_days",
-    "sql_asof_native_parity", "rfm_migration_matrix", "corpus_source_divergence",
-    "growth_mom_yoy", "embedding_angle_histogram", "winsorized_mean_trimmed",
+    "regex_extract_all_suite", "graph_degree_histogram",
+    "price_volume_mix_decomp", "table_row_checksum", "partition_skew_advisor",
+    "privacy_erasure_audit", "shipping_lead_percentiles", "sql_distinct_on",
+    "fixed_width_parse", "json_multiline_array_read", "corpus_heaps_law",
+    "event_interarrival_expfit", "session_bounce_rate", "text_hapax_ratio",
+    "levene_brown_forsythe", "rolling_regression_slope", "wow_movers_topk",
+    "runs_test_wald_wolfowitz", "ljung_box_q", "inventory_abc_classes",
+    "gaps_islands_order_days", "sql_asof_native_parity",
+    "rfm_migration_matrix", "corpus_source_divergence", "growth_mom_yoy",
+    "embedding_angle_histogram", "winsorized_mean_trimmed",
     "funnel_conversion", "groupby_date_type", "groupwise_zscore",
     "http_api_extract", "join_anti_no_orders", "join_full_outer",
     "join_range_followups", "join_semi_active", "multimodal_frames",
     "ndjson_roundtrip", "chi_square_cramers_v", "mutual_information_discrete",
     "gini_lorenz", "herfindahl_concentration", "wilson_ci_rates",
-    "acf_hourly_lags", "pr_auc_exact", "brier_calibration_bins", "woe_iv_binning",
-    "stratified_kfold_assign", "unigram_sampling_table", "token_pmi_bigrams",
-    "url_parse_suite", "ip_subnet_rollup", "calendar_spine_fill",
-    "dq_freshness_sla", "dq_duplicate_key_audit", "csv_multiline_quoted",
-    "sql_groupby_all", "kl_divergence_bins", "seasonal_weekday_index",
-    "events_new_vs_returning", "agg_distinct", "agg_pricing_summary",
-    "dedup_keep_first", "drop_null_required", "filter_term", "filter_time_range",
-    "join_inner_revenue", "join_left_counts", "join_star_dims",
-    "nested_json_extract", "project_select", "scan_checksum", "upsert_keyed",
-    "window_running_total", "agg_cube", "agg_grouping_sets", "agg_histogram",
-    "agg_minmax_by", "agg_percentiles", "agg_rollup", "agg_stats_suite",
-    "array_math_suite", "corpus_top_bigrams", "csv_roundtrip", "doc_chunks",
+    "acf_hourly_lags", "pr_auc_exact", "brier_calibration_bins",
+    "woe_iv_binning", "stratified_kfold_assign", "unigram_sampling_table",
+    "token_pmi_bigrams", "url_parse_suite", "ip_subnet_rollup",
+    "calendar_spine_fill", "dq_freshness_sla", "dq_duplicate_key_audit",
+    "csv_multiline_quoted", "sql_groupby_all", "kl_divergence_bins",
+    "seasonal_weekday_index", "events_new_vs_returning", "agg_distinct",
+    "agg_pricing_summary", "dedup_keep_first", "drop_null_required",
+    "filter_term", "filter_time_range", "join_inner_revenue",
+    "join_left_counts", "join_star_dims", "nested_json_extract",
+    "project_select", "scan_checksum", "upsert_keyed", "window_running_total",
+    "agg_cube", "agg_grouping_sets", "agg_histogram", "agg_minmax_by",
+    "agg_percentiles", "agg_rollup", "agg_stats_suite", "array_math_suite",
+    "corpus_top_bigrams", "csv_roundtrip", "doc_chunks",
     "embedding_near_dups", "timeseries_ema", "agg_weighted_median",
     "cdc_apply_log", "pivot_multi_agg", "interval_union_coverage",
     "quality_threshold_sweep", "sample_weighted_topk", "pareto_front_parts",
     "stream_interval_join_outer", "audience_overlap_jaccard",
-    "dynamic_partition_overwrite", "agg_distinct_salted", "attribution_time_decay",
-    "stream_tumbling_late_drop", "dq_referential_integrity",
-    "psi_population_stability", "embedding_centroid_drift", "inventory_wac_ledger",
-    "text_zipf_fit", "ndjson_corrupt_quarantine", "timeseries_seasonal_decompose",
-    "impute_missing_values", "feature_crosses_hashed", "train_test_temporal_split",
-    "multimodal_binary_ingest", "constant_columns", "dedup_exact_docs",
-    "iso_normalize", "placeholder_extract", "sanitize_values",
-    "set_intersect", "set_union_halves", "text_fingerprint", "text_lang_id",
-    "text_quality", "text_token_counts", "time_derive_parts", "tolerant_select",
-    "topk_limit", "window_lag_lead", "window_session_30m", "window_tumbling_1h",
+    "dynamic_partition_overwrite", "agg_distinct_salted",
+    "attribution_time_decay", "stream_tumbling_late_drop",
+    "dq_referential_integrity", "psi_population_stability",
+    "embedding_centroid_drift", "inventory_wac_ledger", "text_zipf_fit",
+    "ndjson_corrupt_quarantine", "timeseries_seasonal_decompose",
+    "impute_missing_values", "feature_crosses_hashed",
+    "train_test_temporal_split", "multimodal_binary_ingest",
+    "constant_columns", "dedup_exact_docs", "iso_normalize",
+    "placeholder_extract", "sanitize_values", "set_intersect",
+    "set_union_halves", "text_fingerprint", "text_lang_id", "text_quality",
+    "text_token_counts", "time_derive_parts", "tolerant_select", "topk_limit",
+    "window_lag_lead", "window_session_30m", "window_tumbling_1h",
     "ks_statistic_2sample", "lift_gains_deciles", "target_encoding_loo",
     "feature_scaler_leakage_safe", "class_balance_downsample",
     "setjoin_prefix_filter", "timeseries_interpolate_linear",
@@ -189,47 +217,39 @@ _TAIL = [
     "sliding_distinct_users_7d", "event_transition_matrix",
     "timeseries_anomaly_zscore", "corpus_quota_cap", "text_inverted_index",
     "corpus_ngram_novelty", "ab_test_lift", "benford_first_digit",
-    "timeseries_cusum_changepoint", "basket_rules_lift", "user_activity_streaks",
-    "corpus_skipgram_pairs", "dau_mau_stickiness", "incremental_agg_merge",
-    "forecast_seasonal_naive_eval", "doc_keywords_tfidf_topk",
-    "split_leakage_safe", "survival_kaplan_meier", "rolling_corr_click_purchase",
-    "running_distinct_types", "daily_value_bands", "time_since_last_purchase",
-    "funnel_with_timeouts", "pareto_revenue_curve", "business_days_to_ship",
-    "join_asof_tolerance", "join_asof_nearest", "corpus_curation_pipeline",
-    "trend_theil_sen", "fifo_lot_matching", "attribution_linear_multitouch",
+    "timeseries_cusum_changepoint", "basket_rules_lift",
+    "user_activity_streaks", "corpus_skipgram_pairs", "dau_mau_stickiness",
+    "incremental_agg_merge", "forecast_seasonal_naive_eval",
+    "doc_keywords_tfidf_topk", "split_leakage_safe", "survival_kaplan_meier",
+    "rolling_corr_click_purchase", "running_distinct_types",
+    "daily_value_bands", "time_since_last_purchase", "funnel_with_timeouts",
+    "pareto_revenue_curve", "business_days_to_ship", "join_asof_tolerance",
+    "join_asof_nearest", "corpus_curation_pipeline", "trend_theil_sen",
+    "fifo_lot_matching", "attribution_linear_multitouch",
     "minhash_containment", "join_salted_skew", "join_asof_nearest_bucketed",
-    "incremental_welford_merge", "try_arithmetic_suite", "window_time_range_7d",
-    "sql_q4_priority", "sql_q8_mkt_share", "sql_q9_product_profit",
-    "sql_q12_late_lines", "sql_q15_top_supplier", "sql_q17_small_qty",
-    "sql_q20_promo_suppliers", "sql_q21_waiting_supplier", "sql_recursive_series",
-    "sql_lateral_topn", "listagg_sorted", "variant_shred_extract",
-    "collation_distinct", "sessionize_events", "cohort_retention", "rfm_segments",
-    "ratio_to_report", "churn_gap_flag", "corpus_token_entropy", "mad_outliers",
-    "dedup_canonical_pick", "window_tumbling_distinct", "graph_triangle_count",
+    "incremental_welford_merge", "try_arithmetic_suite",
+    "window_time_range_7d", "sql_q4_priority", "sql_q8_mkt_share",
+    "sql_q9_product_profit", "sql_q12_late_lines", "sql_q15_top_supplier",
+    "sql_q17_small_qty", "sql_q20_promo_suppliers",
+    "sql_q21_waiting_supplier", "sql_recursive_series", "sql_lateral_topn",
+    "listagg_sorted", "variant_shred_extract", "collation_distinct",
+    "cohort_retention", "rfm_segments", "ratio_to_report", "churn_gap_flag",
+    "corpus_token_entropy", "mad_outliers", "dedup_canonical_pick",
+    "window_tumbling_distinct", "graph_triangle_count",
     "graph_pagerank_parts", "geo_radius_pairs", "timeseries_ohlc_twap",
     "dq_expectations_report", "co_purchase_pairs", "scd2_point_in_time_join",
     "xml_roundtrip", "join_null_safe", "partitioned_roundtrip",
     "bucketed_join_roundtrip", "csv_malformed_tolerant",
-    "parquet_schema_evolution", "join_asof_bucketed", "graph_pagerank_converged",
-    "scd2_late_correction", "join_asof_forward", "seq_packing_bins",
-    "vocab_oov_coverage", "dpp_partitioned_join", "dedup_repeated_spans",
-    "similarity_tfidf_pairs", "sql_udf_scalar", "graph_khop_reach",
-    "snapshot_table_diff", "mixture_weighted_sample", "stream_interval_join",
-    "corpus_idf", "decontaminate_13gram", "dedup_incremental",
-    "embedding_quantize", "higher_order_fns", "map_fns_suite", "orc_roundtrip",
-    "outlier_trim", "pipeline_corpus_filter", "posexplode_tokens",
-    "skew_diagnostic", "sql_q6_forecast", "sql_q7_volume", "sql_q13_custdist",
-    "sql_q14_promo", "sql_q18_large_orders", "sql_q19_disjunctive",
-    "table_profile", "text_repetition", "time_trunc_suite", "window_value_suite",
-    "zorder_locality", "dedup_clusters", "sql_q3_shipping", "sql_q10_returned",
-    "approx_quantile_sketch", "dedup_bloom_prefilter", "token_stats_bpe",
-    "json_table_extract", "lateral_tokens_topk", "interval_overlap_agg",
-    "sql_q2_min_cost_supplier", "sql_q11_important_stock", "sql_q16_supplier_cnt",
-    "sql_q22_global_sales", "event_path_3gram", "first_touch_attribution",
-    "text_near_template", "cdc_scd2_history", "range_bucket_join",
-    "similarity_ivf", "agg_approx_distinct", "stream_capped_sessions",
-    "stream_capped_sessions_checksum", "embedding_kmeans", "stream_static_enrich",
-    "ann_pq_rerank",
+    "parquet_schema_evolution", "join_asof_bucketed",
+    "graph_pagerank_converged", "scd2_late_correction", "join_asof_forward",
+    "seq_packing_bins", "vocab_oov_coverage", "dpp_partitioned_join",
+    "dedup_repeated_spans", "similarity_tfidf_pairs", "sql_udf_scalar",
+    "graph_khop_reach", "snapshot_table_diff", "stream_interval_join",
+    "sql_q7_volume", "table_profile", "text_repetition", "time_trunc_suite",
+    "window_value_suite", "zorder_locality", "token_stats_bpe",
+    "text_near_template", "similarity_ivf", "agg_approx_distinct",
+    "stream_capped_sessions", "stream_capped_sessions_checksum",
+    "embedding_kmeans", "stream_static_enrich", "ann_pq_rerank",
 ]
 
 

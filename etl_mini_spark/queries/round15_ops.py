@@ -10,14 +10,11 @@ snapshot data-diff, privacy (l-diversity), a COUNT(DISTINCT) OVER
 window parity differential, credit-risk vintage curves, Wald's SPRT
 sequential test on exact-decimal log-likelihood ladders, closed-form
 water-filling allocation, and Benjamini-Hochberg FDR adjustment —
-authored in round 14, to be registered when the round-14 window comes
-back. DELIBERATELY SMALL (16 entries): the round-15 rotation spends
-its remaining ~31 slots re-verifying the stale r05/r06 cohort (the
-r13 verdict's named structural debt).
-
-Module-local PENDING_QUERIES/PENDING_ORACLE (swept by sweep_oracle.py
-alongside the registry) until registration rotates them into the
-driver window — the same two-step every round since 7 has used.
+authored and swept in round 14 as round15_pending, registered
+verbatim in round 15 (names and oracles unchanged; the staging `pq`
+decorator becomes the registry `q`). DELIBERATELY SMALL (16 entries):
+the round-15 rotation spends its remaining 34 slots re-verifying the
+stale r05 cohort (the r13/r14 verdicts' named structural debt).
 
 Parity rules as in round9..14_ops (FIXTURES.md §C): integer/decimal
 arithmetic end-to-end wherever a comparison decides a row (money as
@@ -35,25 +32,11 @@ out in both plans.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mini_spark.queries._base import _t
-
-PENDING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-PENDING_ORACLE: dict[str, str] = {}
-
-
-def pq(name: str, sql: str | None = None):
-    def deco(fn):
-        PENDING_QUERIES[name] = fn
-        if sql is not None:
-            PENDING_ORACLE[name] = sql
-        return fn
-
-    return deco
+from etl_mini_spark.queries._base import q as pq
 
 
 def _pin(col, k: int = 6):

@@ -176,20 +176,13 @@ def main():
     # a staged pending tier, when one exists, sweeps alongside the registry
     todo = [(n, QUERIES[n], ORACLE[n]) for n in ORACLE]
     try:
-        from etl_mini_spark.queries.round15_pending import PENDING_ORACLE, PENDING_QUERIES
-
-        todo += [(n, PENDING_QUERIES[n], PENDING_ORACLE[n]) for n in PENDING_ORACLE]
-    except ModuleNotFoundError as e:
-        # only "no pending tier this round" is skippable; a transitive
-        # import failure inside a real pending module must surface
-        if e.name != "etl_mini_spark.queries.round15_pending":
-            raise
-    try:
         from etl_mini_spark.queries.round16_pending import (
             PENDING16_ORACLE, PENDING16_QUERIES)
 
         todo += [(n, PENDING16_QUERIES[n], PENDING16_ORACLE[n]) for n in PENDING16_ORACLE]
     except ModuleNotFoundError as e:
+        # only "no pending tier this round" is skippable; a transitive
+        # import failure inside a real pending module must surface
         if e.name != "etl_mini_spark.queries.round16_pending":
             raise
     try:

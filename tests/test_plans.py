@@ -1055,16 +1055,17 @@ def test_round14_staged_tier_no_cartesian_blanket(spark):
 
 
 def test_round15_staged_tier_no_cartesian_blanket(spark):
-    """Blanket physical-plan audit of the round-15 STAGED tier (same
-    contract as the round-7..14 blankets, applied before registration):
-    no CartesianProduct; BroadcastNestedLoopJoin only where the
-    non-equi/cross side is bounded by construction."""
+    """Blanket physical-plan audit of the round-15 tier (same contract
+    as the round-7..14 blankets; repointed from the staging module to
+    the registry at registration): no CartesianProduct;
+    BroadcastNestedLoopJoin only where the non-equi/cross side is
+    bounded by construction."""
     import re as _re
 
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round15_pending import PENDING_QUERIES
+    from etl_mini_spark.queries import QUERIES as PENDING_QUERIES
 
-    src = open("etl_mini_spark/queries/round15_pending.py").read()
+    src = open("etl_mini_spark/queries/round15_ops.py").read()
     ROUND15 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
     assert len(ROUND15) == 16
     SKIP_SIDE_EFFECTS = {

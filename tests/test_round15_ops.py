@@ -1,22 +1,21 @@
-"""Non-vacuity pins for the round-15 STAGED tier (oracle equivalence
-is swept by sweep_oracle.py / verified at sf0.001 + sf0.01 + sf0.1
-before staging): bounds, conservation laws, monotonicity, and
-exact-identity checks so no entry can go green as a degenerate
-constant. At registration these pins migrate to the registry harness
-unchanged."""
+"""Non-vacuity pins for the round-15 tier (oracle equivalence is
+verified by tests/test_queries_oracle.py at sf0.001 and the driver at
+sf0.01): bounds, conservation laws, monotonicity, and exact-identity
+checks so no entry can go green as a degenerate constant. Migrated
+unchanged from the staging harness at registration."""
 
 from __future__ import annotations
 
 from tests.conftest import SF_SMOKE
 
 
-def _pending():
-    from etl_mini_spark.queries.round15_pending import PENDING_QUERIES
+def _registry():
+    from etl_mini_spark.queries import QUERIES
 
-    return PENDING_QUERIES
+    return QUERIES
 
 
-PENDING = _pending()
+PENDING = _registry()
 
 
 # --- Block A: MAP@10 / MRR ----------------------------------------------------
