@@ -499,12 +499,30 @@ def damerau_dl_blocked(spark, sf_dir):
         .distinct()
     )
     reach = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("n_docs"))
-    a = reach.select(F.col("w").alias("w1"), F.col("n_docs").alias("docs_w1"))
-    b = reach.select(F.col("w").alias("w2"), F.col("n_docs").alias("docs_w2"))
+    # Equi block key BEFORE the non-equi predicate (r14 advice): every
+    # |len1-len2| <= 1 pair meets at exactly ONE key, bk = len(w1) —
+    # the w2 side emits {l2-1, l2, l2+1} and the join requires
+    # l1 == bk, so the candidate join is a SHUFFLED EQUI join on the
+    # length key, not a BroadcastNestedLoopJoin over the full
+    # vocabulary. Per-pair mass is unchanged (the semantics IS
+    # length-±1 blocking, same as the oracle) but at 100 TB the work
+    # distributes by length bucket instead of scanning |V| per row;
+    # first-char blocking would be cheaper still but is NOT
+    # DL-exact ("ab"/"ba" is a distance-1 transposition), so it is
+    # deliberately not used.
+    a = reach.select(
+        F.col("w").alias("w1"), F.col("n_docs").alias("docs_w1"),
+        F.length("w").alias("l1"),
+    )
+    b = reach.select(
+        F.col("w").alias("w2"), F.col("n_docs").alias("docs_w2"),
+        F.explode(
+            F.array(F.length("w") - 1, F.length("w"), F.length("w") + 1)
+        ).alias("bk"),
+    )
     pairs = a.join(
-        F.broadcast(b),
-        (F.col("w1") < F.col("w2"))
-        & (F.abs(F.length("w1") - F.length("w2")) <= 1),
+        b,
+        (F.col("l1") == F.col("bk")) & (F.col("w1") < F.col("w2")),
     )
     return (
         pairs.withColumn("dl", dl_udf("w1", "w2"))

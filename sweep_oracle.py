@@ -87,9 +87,15 @@ CAPPED_ORACLE = {
 def capped_dir(sf_dir: str, tenths: int) -> str:
     """Materialize (once) the deterministic capped twin of sf_dir:
     documents down-sampled to `tenths`/10 by doc_id residue via DuckDB
-    COPY (schema-preserving), every other table symlinked."""
+    COPY (schema-preserving), every other table symlinked. The cache
+    key includes the source documents.parquet mtime+size, so a
+    regenerated testdata tree (or a different SF root with the same
+    basename) rebuilds instead of silently reusing a stale subset
+    (r14 advice)."""
     src = Path(sf_dir)
-    dst = Path(__file__).resolve().parent / "tmp" / f"cap{tenths}0_{src.name}"
+    st = (src / "documents.parquet").stat()
+    fingerprint = f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    dst = Path(__file__).resolve().parent / "tmp" / f"cap{tenths}0_{src.name}_{fingerprint}"
     marker = dst / ".complete"
     if marker.exists():
         return str(dst)
@@ -127,7 +133,14 @@ def _within_tolerance(a, b, col_tols):
             both_nan = x.isna() & y.isna()
             import numpy as np
 
-            close = np.isclose(x, y, rtol=col_tols[c], equal_nan=False)
+            # pure symmetric RELATIVE tolerance: |x-y| <= rtol*max(|x|,|y|).
+            # np.isclose's default atol=1e-8 would additionally accept
+            # absolute drift near zero, and its rtol test is asymmetric
+            # in |b| (r14 advice) — neither matches the documented
+            # contract.
+            diff = (x - y).abs()
+            bound = col_tols[c] * np.maximum(x.abs(), y.abs())
+            close = diff <= bound
             if not bool((close | both_nan).all()):
                 return False
         else:
@@ -222,10 +235,17 @@ def main():
     # gate (500 docs); capping only kicks in where the full oracle
     # provably cannot run (sf0.1's 5,000 docs) so smaller SFs keep the
     # stronger full-corpus check.
-    n_docs = duckdb.sql(
-        f"SELECT count(*) FROM read_parquet('{Path(SF) / 'documents.parquet'}')"
-    ).fetchone()[0]
-    cap_active = n_docs > 2000
+    # An SF dir without a documents table still sweeps its non-doc
+    # entries (capping simply never activates) — don't crash at
+    # startup (r14 advice).
+    _docs_pq = Path(SF) / "documents.parquet"
+    if _docs_pq.exists():
+        n_docs = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{_docs_pq}')"
+        ).fetchone()[0]
+        cap_active = n_docs > 2000
+    else:
+        cap_active = False
     spark = get_spark("sweep-sf01")
     spark.sparkContext.setLogLevel("ERROR")
     if skip_from:

@@ -1109,7 +1109,8 @@ def test_round16_staged_tier_no_cartesian_blanket(spark):
         "mmr_diverse_topk", "graph_bfs_circulant",
     }
     BOUNDED_NONEQUI_OK = {
-        "damerau_dl_blocked",    # vocabulary-sized w1 < w2 block join
+        # damerau_dl_blocked: equi-joins on the min-length block key
+        # since the r14 advice fix — deliberately NOT allowlisted.
         "ransac_integer_line",   # 10-seed pair grid + 45-candidate broadcast
         "dunns_pairwise_z",      # 5-group pair join + 1-row totals broadcast
         "krippendorff_alpha_nominal",  # 1-row scalar crossJoins
@@ -1215,8 +1216,9 @@ def test_round19_staged_tier_no_cartesian_blanket(spark):
     }
     BOUNDED_NONEQUI_OK = {
         "group_sequential_obf",  # 4-look grid broadcast range join
-        "storey_pi0_estimate",   # scalar agg only; keep strict
-    } - {"storey_pi0_estimate"}
+        # storey_pi0_estimate is scalar-agg only: deliberately NOT
+        # allowlisted so its plan stays BNLJ-free.
+    }
     for name in ROUND19:
         if name in SKIP_SIDE_EFFECTS:
             continue
