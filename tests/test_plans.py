@@ -752,6 +752,10 @@ def test_pending_tier_no_cartesian_blanket(spark):
         "pareto_revenue_curve",     # revenue total
         "split_leakage_safe",       # cross-split audit counter
         "survival_kaplan_meier",    # observation-end scalar
+        # bitmask route's distinct-mask pair join: the broadcast side
+        # is cap-asserted <= 32768 distinct masks (bounded by
+        # construction; raises the MinHash swap rule beyond it)
+        "setjoin_prefix_filter",
     }
     for name in ROUND7:
         s = plan_summary(QUERIES[name](spark, SF_SMOKE))

@@ -67,13 +67,71 @@ def test_prefix_filter_prunes_postings(spark):
     assert 0 < n_prefix < n_full * 0.6, (n_prefix, n_full)
 
 
-def test_setjoin_no_cartesian_and_keyed_joins(spark):
-    """The PPJoin plan must contain no Cartesian/NestedLoop node — every
-    join is keyed (token for candidates, doc ids for verification)."""
+def test_setjoin_routes_to_bitmask_on_df_flat_corpus(spark):
+    """The testdata corpus is df-flat with a 30-token vocabulary, so
+    the auto-router must pick the BITMASK plan: bit_count decides the
+    Jaccard cut, expansion joins are keyed on mask, and the only
+    nested-loop node is the distinct-mask pair join whose broadcast
+    side is cap-asserted (<= 32768). No CartesianProduct ever."""
     from etl_mini_spark.plans.explain import plan_summary
 
-    s = plan_summary(PENDING_QUERIES["setjoin_prefix_filter"](spark, SF_SMOKE))
-    assert not any("NestedLoop" in j or "Cartesian" in j for j in s.joins), s.joins
+    df = PENDING_QUERIES["setjoin_prefix_filter"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bit_count" in plan, "bitmask route not engaged on df-flat corpus"
+    s = plan_summary(df)
+    assert not any("Cartesian" in j for j in s.joins), s.joins
+
+
+def test_setjoin_prefix_path_guarded_and_exact(spark, tmp_path):
+    """The vocab > 63 regimes: (a) a zipf corpus with a rare-df tail
+    passes the preflight, runs the PPJoin prefix plan, and matches the
+    naive DuckDB oracle on the same parquet; (b) a df-FLAT large
+    vocabulary (every doc = the same 70 tokens) must RAISE the
+    MinHash swap rule instead of silently going quadratic."""
+    import duckdb
+    import pytest
+
+    # (a) zipf: pairs (2k, 2k+1) share 9 rare tokens + 1 distinct one
+    # -> J = 9/11 >= 3/5; unrelated docs share only the two stopwords
+    # -> J ~ 2/18 rejected. Rare tokens are unique to each pair, so
+    # the prefix (rarest-first) candidate stream stays tiny.
+    rows = []
+    for k in range(60):
+        shared = [f"pairtok{k:03d}x{j}" for j in range(9)]
+        for m in (0, 1):
+            toks = ["stopword_alpha", "stopword_beta", f"uniq{k:03d}u{m}"] + shared
+            rows.append((2 * k + m, " ".join(toks)))
+    zdir = tmp_path / "zipf"
+    zdir.mkdir()
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(zdir / "documents.parquet"))
+    got = (
+        PENDING_QUERIES["setjoin_prefix_filter"](spark, str(zdir))
+        .orderBy("doc_a", "doc_b")
+        .collect()
+    )
+    from etl_mini_spark.queries import ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{zdir}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(
+        ORACLE["setjoin_prefix_filter"] + " ORDER BY doc_a, doc_b"
+    ).fetchall()
+    assert [(r.doc_a, r.doc_b, r.isect, r.un) for r in got] == [tuple(w) for w in want]
+    assert len(got) == 60  # exactly the planted pairs
+
+    # (b) df-flat LARGE vocab: 100 identical 70-token docs
+    fdir = tmp_path / "flat"
+    fdir.mkdir()
+    flat_text = " ".join(f"flattok{j:03d}" for j in range(70))
+    spark.createDataFrame(
+        [(i, flat_text) for i in range(100)], ["doc_id", "text"]
+    ).coalesce(1).write.mode("overwrite").parquet(str(fdir / "documents.parquet"))
+    with pytest.raises(ValueError, match="near_dup_pairs_minhash_lsh"):
+        PENDING_QUERIES["setjoin_prefix_filter"](spark, str(fdir)).collect()
 
 
 def test_bigram_lm_tails_are_meaningful(spark):
