@@ -29,30 +29,32 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #     recomputed mechanically from CORRECTNESS_r01..r14 and re-checked
 #     this round; all 34 are last-green r05). This drains the r05
 #     cohort 44 -> 10.
-# No code-change canary slot: round-15 code changes touch only
-# sweep_oracle.py (harness code, not a registered green path), tests,
-# and the setjoin_prefix_filter preflight routing — that entry is
-# r08-cohort (outside this window by the precomputed plan) and its
-# behavior change is pinned by dedicated tests + the three-SF sweep;
-# it becomes the round-16 canary if its green path changed.
+# (c) code-change canary: setjoin_prefix_filter — its round-15
+#     auto-routing change (bitmask plan on df-flat corpora, preflight
+#     raise on df-flat large vocabularies) replaced the plan its r07
+#     green row verified, so it takes the 50th slot in place of
+#     sql_q6_forecast (which joins the round-16 fill below; the drain
+#     is 33 r05 entries this round, still >= 30 re-verifications).
+#     The new route is swept at three SFs + the bare-session sf0.01
+#     gate and plan/behavior-pinned in test_round7_ops.py.
 # ROUND-16 ROTATION PLAN (precomputed mechanically in round 15 from
 # CORRECTNESS_r01..r14 so the next session rotates without rework):
 # register the 15 round16_pending entries (15 slots) and spend the
-# remaining 35 slots on the 10 remaining r05-cohort entries plus the
-# 25 STALEST r06-cohort entries, lexicographic within equal last-green
+# remaining 35 slots on the 11 remaining r05-cohort entries plus the
+# 24 STALEST r06-cohort entries, lexicographic within equal last-green
 # rounds:
-#   "sql_q7_volume", "stream_interval_join", "stream_static_enrich",
-#   "table_profile", "text_near_template", "text_repetition",
-#   "time_trunc_suite", "token_stats_bpe", "window_value_suite",
-#   "zorder_locality", "bucketed_join_roundtrip", "churn_gap_flag",
-#   "co_purchase_pairs", "cohort_retention", "collation_distinct",
-#   "corpus_token_entropy", "csv_malformed_tolerant", "dedup_canonical_pick",
-#   "dedup_repeated_spans", "dpp_partitioned_join", "dq_expectations_report",
-#   "geo_radius_pairs", "graph_khop_reach", "graph_pagerank_converged",
-#   "graph_pagerank_parts", "graph_triangle_count", "join_asof_bucketed",
-#   "join_asof_forward", "join_null_safe", "listagg_sorted", "mad_outliers",
+#   "sql_q6_forecast", "sql_q7_volume", "stream_interval_join",
+#   "stream_static_enrich", "table_profile", "text_near_template",
+#   "text_repetition", "time_trunc_suite", "token_stats_bpe",
+#   "window_value_suite", "zorder_locality", "bucketed_join_roundtrip",
+#   "churn_gap_flag", "co_purchase_pairs", "cohort_retention",
+#   "collation_distinct", "corpus_token_entropy", "csv_malformed_tolerant",
+#   "dedup_canonical_pick", "dedup_repeated_spans", "dpp_partitioned_join",
+#   "dq_expectations_report", "geo_radius_pairs", "graph_khop_reach",
+#   "graph_pagerank_converged", "graph_pagerank_parts",
+#   "graph_triangle_count", "join_asof_bucketed", "join_asof_forward",
+#   "join_null_safe", "listagg_sorted", "mad_outliers",
 #   "parquet_schema_evolution", "partitioned_roundtrip", "ratio_to_report",
-#   "rfm_segments",
 # (cohort sizes after that drain: r05 10->0, r06 46->21, then r07 45,
 # r08 ~47 ... — on track to empty the pre-r09 debt by round 18-19 at
 # ~35 re-verifications/round; add a code-change canary slot only if a
@@ -77,7 +79,7 @@ _DRIVER_WINDOW = [
     "sql_q10_returned", "sql_q11_important_stock", "sql_q13_custdist",
     "sql_q14_promo", "sql_q16_supplier_cnt", "sql_q18_large_orders",
     "sql_q19_disjunctive", "sql_q22_global_sales", "sql_q2_min_cost_supplier",
-    "sql_q3_shipping", "sql_q6_forecast",
+    "sql_q3_shipping", "setjoin_prefix_filter",
 ]
 
 _TAIL = [
@@ -211,7 +213,7 @@ _TAIL = [
     "window_lag_lead", "window_session_30m", "window_tumbling_1h",
     "ks_statistic_2sample", "lift_gains_deciles", "target_encoding_loo",
     "feature_scaler_leakage_safe", "class_balance_downsample",
-    "setjoin_prefix_filter", "timeseries_interpolate_linear",
+    "sql_q6_forecast", "timeseries_interpolate_linear",
     "privacy_k_anonymity", "sql_pipe_syntax", "mixture_temperature_weights",
     "set_ops_all", "text_bigram_lm_score", "window_rolling_median",
     "sliding_distinct_users_7d", "event_transition_matrix",
