@@ -1,9 +1,12 @@
 """Relational-sink writers (reference: postgresql_service.py).
 
-The container has no Postgres/JDBC driver, so these are import-gated:
-the Spark-side plumbing (partition fan-out, column mapping, batching,
-NULL normalization) is real and unit-testable; only the socket write
-needs a live database.
+The container has no Postgres/JDBC driver, so the psycopg2 legs are
+import-gated; the SAME partition fan-out / batching / NULL discipline
+/ ON CONFLICT semantics run end-to-end against SQLite (a real external
+SQL engine present on every executor) via ``copy_into_sqlite`` —
+pytest-pinned including a cross-engine upsert differential vs
+``merge_upsert`` (tests/test_sqlite_sink.py). Only the Postgres socket
+write itself still needs a live database.
 
 - ``write_jdbc_append`` ≡ the parameterized-INSERT DataFrame path
   (postgresql_service.py:241-296) via Spark's batched JDBC writer.
@@ -108,3 +111,150 @@ def copy_into_postgres(
             conn.close()
 
     df.foreachPartition(sink)
+
+
+# --- in-container real-SQL-consumer leg (SQLite) ---------------------------
+# The container ships no Postgres server or psycopg2, but Python's
+# sqlite3 IS a real external SQL engine available on every executor —
+# so the foreachPartition fan-out, batching, NULL discipline, and
+# ON CONFLICT upsert semantics of the reference's relational sink
+# (postgresql_service.py:117-179 COPY, :181-239 upsert) run END-TO-END
+# against an actual SQL consumer, not just a file rendering. The
+# connection-per-partition and bounded-concurrency shape is identical
+# to what the Postgres leg would do; only the DSN differs.
+
+_SQLITE_TYPES = {
+    "tinyint": "INTEGER", "smallint": "INTEGER", "int": "INTEGER",
+    "bigint": "INTEGER", "boolean": "INTEGER",
+    "float": "REAL", "double": "REAL",
+    "string": "TEXT", "date": "TEXT", "timestamp": "TEXT",
+    "timestamp_ntz": "TEXT",
+}
+
+
+def _sqlite_ddl(df: DataFrame, table: str, key_cols: list[str] | None) -> str:
+    cols = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t.startswith("decimal"):
+            sql_t = "REAL"
+        else:
+            sql_t = _SQLITE_TYPES.get(t, "TEXT")  # arrays/structs/maps → JSON TEXT
+        cols.append(f'"{f.name}" {sql_t}')
+    pk = f', PRIMARY KEY ({", ".join(f"{c!r}" for c in key_cols)})'.replace("'", '"') if key_cols else ""
+    return f'CREATE TABLE IF NOT EXISTS "{table}" ({", ".join(cols)}{pk})'
+
+
+def _dbapi_value(v):
+    """DBAPI parameter rendering with the same normalization contract
+    as the TSV path: None stays SQL NULL, nested Row/dict/list → JSON
+    text, datetime/date → ISO text, everything else passes through as
+    a native DBAPI type (no string coercion of numbers — parameterized
+    statements, unlike COPY text, keep types)."""
+    import datetime
+    import json
+
+    from pyspark.sql import Row
+
+    if v is None:
+        return None
+    if isinstance(v, Row):
+        v = v.asDict(recursive=True)
+    if isinstance(v, (dict, list)):
+        return json.dumps(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def copy_into_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    key_cols: list[str] | None = None,
+    batch_size: int = 5000,
+    max_partitions: int = 16,
+) -> None:
+    """foreachPartition bulk load into a real SQL engine (SQLite).
+
+    ``key_cols=None`` → plain batched INSERT (the COPY-parity append
+    path). ``key_cols`` set → ``INSERT ... ON CONFLICT (keys) DO
+    UPDATE SET col = excluded.col`` — the reference's keyed-upsert
+    wire semantics (postgresql_service.py:181-239), including
+    EXPLICIT-NULL parity: an incoming NULL overwrites, because the
+    UPDATE reads ``excluded.*`` verbatim rather than COALESCEing.
+
+    Scale story (unchanged from the Postgres leg): one connection per
+    partition, ``max_partitions`` bounds concurrent connections so a
+    1000-executor cluster cannot open 1000 sockets against one
+    database; rows stream through executemany batches — nothing
+    materializes on the driver. SQLite serializes writers with a busy
+    timeout; a server DB takes the same code with a DSN swap."""
+    cols = df.columns
+    ddl = _sqlite_ddl(df, table, key_cols)
+    collist = ", ".join(f'"{c}"' for c in cols)
+    params = ", ".join("?" for _ in cols)
+    if key_cols:
+        keyset = ", ".join(f'"{k}"' for k in key_cols)
+        updates = ", ".join(
+            f'"{c}" = excluded."{c}"' for c in cols if c not in set(key_cols)
+        )
+        stmt = (
+            f'INSERT INTO "{table}" ({collist}) VALUES ({params}) '
+            f"ON CONFLICT ({keyset}) DO UPDATE SET {updates}"
+        )
+    else:
+        stmt = f'INSERT INTO "{table}" ({collist}) VALUES ({params})'
+
+    import sqlite3
+
+    # driver-side DDL once (IF NOT EXISTS keeps executors race-free)
+    con = sqlite3.connect(db_path, timeout=120)
+    try:
+        con.execute(ddl)
+        con.commit()
+    finally:
+        con.close()
+
+    def sink(rows) -> None:
+        import sqlite3 as sq
+
+        conn = sq.connect(db_path, timeout=120)
+        try:
+            conn.execute("PRAGMA busy_timeout = 120000")
+            batch = []
+            for row in rows:
+                batch.append(tuple(_dbapi_value(row[c]) for c in cols))
+                if len(batch) >= batch_size:
+                    conn.executemany(stmt, batch)
+                    conn.commit()
+                    batch.clear()
+            if batch:
+                conn.executemany(stmt, batch)
+                conn.commit()
+        finally:
+            conn.close()
+
+    df.coalesce(min(df.rdd.getNumPartitions() or 1, max_partitions)).foreachPartition(sink)
+
+
+def read_sqlite(spark, db_path: str, table: str) -> DataFrame:
+    """Round-trip read of a sqlite table back into a DataFrame (driver
+    reads, then parallelizes) — the verification leg for tests; a
+    cluster deployment would use spark.read.jdbc against the server
+    DB instead."""
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        cur = con.execute(f'SELECT * FROM "{table}"')
+        names = [d[0] for d in cur.description]
+        data = cur.fetchall()
+    finally:
+        con.close()
+    from pyspark.sql import Row
+
+    R = Row(*names)
+    return spark.createDataFrame([R(*r) for r in data]) if data else spark.createDataFrame([], schema=", ".join(f"{n} string" for n in names))
