@@ -922,6 +922,75 @@ def p_eviction_scale(spark, events):
     }
 
 
+@probe("setjoin_bitmask")
+def p_setjoin_bitmask(spark):
+    """Bitmask route of setjoin_prefix_filter at 200k docs (the
+    round-15 auto-routing): a df-FLAT 60-token vocabulary with 2,000
+    distinct token sets (boilerplate templates, 100 docs each; odd
+    templates are one-token variants of their even neighbor, J=19/21).
+    The EXACT expected doc-pair count comes from an independent numpy
+    bitset reference over the 2,000 templates (4M popcount pairs) —
+    the Spark output must equal it, proving the distinct-mask pair
+    join + equi-key expansion lose and invent nothing at 40x the sf0.1
+    corpus. 100 TB story exercised for real: the pair join touches
+    only the 2,000-row distinct-mask table; the 200k-doc expansion is
+    keyed equi joins sized by the output."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.queries.round7_ops import _setjoin_bitmask
+
+    V, T, N = 60, 2000, 200_000
+    rs = np.random.RandomState(23)
+    masks = []
+    for _t in range(T // 2):
+        sel = rs.choice(V, 20, replace=False)
+        m = 0
+        for b in sel:
+            m |= 1 << int(b)
+        masks.append(m)
+        out_b = int(sel[0])
+        in_b = int(rs.choice(np.setdiff1d(np.arange(V), sel)))
+        masks.append((m & ~(1 << out_b)) | (1 << in_b))
+    # numpy reference: qualifying template pairs by exact popcounts
+    B = np.zeros((T, V), dtype=np.int64)
+    for i, m in enumerate(masks):
+        for b in range(V):
+            if m >> b & 1:
+                B[i, b] = 1
+    isect = B @ B.T
+    sz = B.sum(1)
+    un = sz[:, None] + sz[None, :] - isect
+    qual = 5 * isect >= 3 * un
+    iu = np.triu_indices(T, k=1)
+    per = N // T  # doc_id % T assignment -> exactly 100 docs/template
+    # distinct-template qualifying pairs + all same-template pairs (J=1)
+    expected = int(qual[iu].sum()) * per * per + T * (per * (per - 1) // 2)
+    n_qual_tpl = int(qual[iu].sum())
+
+    vocab = [f"flt{j:03d}" for j in range(V)]
+    tpl_rows = [
+        (t, vocab[b]) for t, m in enumerate(masks) for b in range(V) if m >> b & 1
+    ]
+    tpl = spark.createDataFrame(tpl_rows, ["tid", "tok"])
+    tok = (
+        spark.range(N)
+        .select(F.col("id").alias("doc_id"), (F.col("id") % T).alias("tid"))
+        .join(F.broadcast(tpl), "tid")
+        .select("doc_id", "tok")
+    )
+    got = _setjoin_bitmask(spark, tok, vocab).count()
+    return {
+        "n_docs": N,
+        "n_templates": T,
+        "qual_template_pairs": n_qual_tpl,
+        "pairs_spark": got,
+        "pairs_expected": expected,
+        "ok": bool(got == expected and n_qual_tpl >= T // 2),
+    }
+
+
+
+
 def main() -> None:
     import tempfile
 
@@ -972,6 +1041,8 @@ def main() -> None:
         p_heavy_hitters(spark)
         print("ranking values...", file=sys.stderr)
         p_rank_buckets(spark)
+        print("bitmask setjoin...", file=sys.stderr)
+        p_setjoin_bitmask(spark)
 
     total = round(time.monotonic() - t0, 2)
     payload = json.dumps(
