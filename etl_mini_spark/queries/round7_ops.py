@@ -125,6 +125,10 @@ def _setjoin_bitmask(spark, tok, vocab):
         # SUM is exactly bitwise OR; bitpos <= 62 keeps it in int64
         .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bitpos)")).alias("mask"))
     )
+    # one materialization (doc_id, mask — 16 bytes/doc) feeds the
+    # eager cap count AND all five downstream join legs; without it
+    # the postings scan + hash agg would re-run per leg
+    masks = masks.localCheckpoint(eager=True)
     mm = masks.select("mask").distinct()
     n_masks = mm.count()  # bounded driver scalar (<= 2^|V|, <= n_docs)
     if n_masks > 32768:
@@ -220,6 +224,13 @@ def setjoin_prefix_filter(spark, sf_dir):
         .distinct()
     )
     vocab = [r["tok"] for r in tok.select("tok").distinct().orderBy("tok").limit(64).collect()]
+    if not vocab:
+        # token-less corpus (no tokens >= 3 chars): no pairs, same as
+        # the oracle's empty join — don't feed an empty vocab to the
+        # bitmask builder
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, isect long, un long"
+        )
     if len(vocab) <= 63:
         return _setjoin_bitmask(spark, tok, vocab)
     from etl_mini_spark.operators.dedup import prefix_join_preflight

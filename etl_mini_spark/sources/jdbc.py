@@ -123,6 +123,12 @@ def copy_into_postgres(
 # connection-per-partition and bounded-concurrency shape is identical
 # to what the Postgres leg would do; only the DSN differs.
 
+import datetime as _datetime
+import decimal as _decimal
+import json as _json_mod
+
+from pyspark.sql import Row as _PysparkRow
+
 _SQLITE_TYPES = {
     "tinyint": "INTEGER", "smallint": "INTEGER", "int": "INTEGER",
     "bigint": "INTEGER", "boolean": "INTEGER",
@@ -141,30 +147,31 @@ def _sqlite_ddl(df: DataFrame, table: str, key_cols: list[str] | None) -> str:
         else:
             sql_t = _SQLITE_TYPES.get(t, "TEXT")  # arrays/structs/maps → JSON TEXT
         cols.append(f'"{f.name}" {sql_t}')
-    pk = f', PRIMARY KEY ({", ".join(f"{c!r}" for c in key_cols)})'.replace("'", '"') if key_cols else ""
+    keys = ", ".join(f'"{c}"' for c in (key_cols or []))
+    pk = f", PRIMARY KEY ({keys})" if key_cols else ""
     return f'CREATE TABLE IF NOT EXISTS "{table}" ({", ".join(cols)}{pk})'
 
 
 def _dbapi_value(v):
     """DBAPI parameter rendering with the same normalization contract
     as the TSV path: None stays SQL NULL, nested Row/dict/list → JSON
-    text, datetime/date → ISO text, everything else passes through as
-    a native DBAPI type (no string coercion of numbers — parameterized
-    statements, unlike COPY text, keep types)."""
-    import datetime
-    import json
-
-    from pyspark.sql import Row
-
+    text, datetime/date → ISO text, Decimal → float (matching the
+    DDL's decimal→REAL mapping; sqlite3 cannot bind Decimal),
+    everything else passes through as a native DBAPI type (no string
+    coercion of numbers — parameterized statements, unlike COPY text,
+    keep types). Imports are module-level — this runs
+    rows × cols times per partition."""
     if v is None:
         return None
-    if isinstance(v, Row):
+    if isinstance(v, _PysparkRow):
         v = v.asDict(recursive=True)
     if isinstance(v, (dict, list)):
-        return json.dumps(v)
-    if isinstance(v, datetime.datetime):
+        return _json_mod.dumps(v)
+    if isinstance(v, _decimal.Decimal):
+        return float(v)
+    if isinstance(v, _datetime.datetime):
         return v.isoformat(sep=" ", timespec="microseconds")
-    if isinstance(v, datetime.date):
+    if isinstance(v, _datetime.date):
         return v.isoformat()
     return v
 
@@ -201,9 +208,12 @@ def copy_into_sqlite(
         updates = ", ".join(
             f'"{c}" = excluded."{c}"' for c in cols if c not in set(key_cols)
         )
+        # a pure-key/presence table has no non-key columns to update —
+        # ON CONFLICT DO NOTHING is the well-formed equivalent
+        action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
         stmt = (
             f'INSERT INTO "{table}" ({collist}) VALUES ({params}) '
-            f"ON CONFLICT ({keyset}) DO UPDATE SET {updates}"
+            f"ON CONFLICT ({keyset}) {action}"
         )
     else:
         stmt = f'INSERT INTO "{table}" ({collist}) VALUES ({params})'
@@ -240,11 +250,15 @@ def copy_into_sqlite(
     df.coalesce(min(df.rdd.getNumPartitions() or 1, max_partitions)).foreachPartition(sink)
 
 
-def read_sqlite(spark, db_path: str, table: str) -> DataFrame:
+def read_sqlite(spark, db_path: str, table: str, schema: str | None = None) -> DataFrame:
     """Round-trip read of a sqlite table back into a DataFrame (driver
     reads, then parallelizes) — the verification leg for tests; a
     cluster deployment would use spark.read.jdbc against the server
-    DB instead."""
+    DB instead. Pass ``schema`` (DDL string) for a stable result on
+    empty tables or all-NULL columns; without it the sqlite column
+    affinity declares the types (INTEGER→long, REAL→double,
+    else string), so the schema never depends on which rows happen to
+    be present."""
     import sqlite3
 
     con = sqlite3.connect(db_path)
@@ -252,9 +266,15 @@ def read_sqlite(spark, db_path: str, table: str) -> DataFrame:
         cur = con.execute(f'SELECT * FROM "{table}"')
         names = [d[0] for d in cur.description]
         data = cur.fetchall()
+        decl = {
+            r[1]: (r[2] or "").upper()
+            for r in con.execute(f'PRAGMA table_info("{table}")')
+        }
     finally:
         con.close()
-    from pyspark.sql import Row
-
-    R = Row(*names)
-    return spark.createDataFrame([R(*r) for r in data]) if data else spark.createDataFrame([], schema=", ".join(f"{n} string" for n in names))
+    if schema is None:
+        def _t(n):
+            d = decl.get(n, "")
+            return "long" if "INT" in d else "double" if "REAL" in d else "string"
+        schema = ", ".join(f"`{n}` {_t(n)}" for n in names)
+    return spark.createDataFrame(data, schema=schema)

@@ -99,6 +99,13 @@ def capped_dir(sf_dir: str, tenths: int) -> str:
     marker = dst / ".complete"
     if marker.exists():
         return str(dst)
+    # prune stale fingerprints of the same (tenths, basename) so tmp/
+    # holds at most one capped copy per SF dir
+    import shutil
+
+    for old in dst.parent.glob(f"cap{tenths}0_{src.name}*"):
+        if old != dst and old.is_dir():
+            shutil.rmtree(old, ignore_errors=True)
     dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     try:
@@ -140,7 +147,9 @@ def _within_tolerance(a, b, col_tols):
             # contract.
             diff = (x - y).abs()
             bound = col_tols[c] * np.maximum(x.abs(), y.abs())
-            close = diff <= bound
+            # x == y first: keeps equal infinities close (inf - inf is
+            # NaN and would otherwise flag a false mismatch)
+            close = (x == y) | (diff <= bound)
             if not bool((close | both_nan).all()):
                 return False
         else:

@@ -392,3 +392,17 @@ def test_multitouch_credit_conserves_conversions(spark):
         .collect()[0][0]
     )
     assert abs(total - with_touch) < 0.01, (total, with_touch)
+
+
+def test_setjoin_tokenless_corpus_returns_empty(spark, tmp_path):
+    """A corpus with no tokens >= 3 chars must yield the oracle's
+    empty join, not a crash in the bitmask builder (round-15
+    self-review)."""
+    d = tmp_path / "toklesscorpus"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "a b"), (2, "x y")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = PENDING_QUERIES["setjoin_prefix_filter"](spark, str(d))
+    assert out.count() == 0
+    assert out.columns == ["doc_a", "doc_b", "isect", "un"]

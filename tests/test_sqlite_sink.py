@@ -103,3 +103,36 @@ def test_sqlite_on_conflict_upsert_differential_vs_merge_upsert(spark, tmp_path)
     )
     assert got == want
     assert (2, "B", None) in got and (4, None, 44.0) in got and (5, "e", 50.0) in got
+
+
+def test_sqlite_decimal_presence_and_schema_stability(spark, tmp_path):
+    """Edge cases from the round-15 self-review: DecimalType binds
+    (→ REAL, matching the DDL), an all-key presence table upserts via
+    DO NOTHING instead of malformed SQL, and read_sqlite's schema is
+    affinity-driven — stable for empty tables and all-NULL columns."""
+    import decimal
+
+    from etl_mini_spark.sources.jdbc import copy_into_sqlite, read_sqlite
+
+    db = str(tmp_path / "edge.db")
+    dec = spark.createDataFrame([(1, decimal.Decimal("10.25"))], "k long, amt decimal(10,2)")
+    copy_into_sqlite(dec, db, "d")
+    con = sqlite3.connect(db)
+    try:
+        assert con.execute("SELECT amt, typeof(amt) FROM d").fetchone() == (10.25, "real")
+    finally:
+        con.close()
+
+    pres = spark.createDataFrame([(1,), (2,)], "k long")
+    copy_into_sqlite(pres, db, "p", key_cols=["k"])
+    copy_into_sqlite(pres, db, "p", key_cols=["k"])  # conflict-only batch
+    con = sqlite3.connect(db)
+    try:
+        assert con.execute("SELECT count(*) FROM p").fetchone() == (2,)
+    finally:
+        con.close()
+
+    copy_into_sqlite(spark.createDataFrame([], "a long, b string"), db, "e")
+    assert read_sqlite(spark, db, "e").schema.simpleString() == "struct<a:bigint,b:string>"
+    copy_into_sqlite(spark.createDataFrame([(1, None)], "a long, b string"), db, "n")
+    assert read_sqlite(spark, db, "n").collect()[0]["b"] is None
