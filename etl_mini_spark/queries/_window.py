@@ -39,10 +39,11 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #     gate and plan/behavior-pinned in test_round7_ops.py.
 # ROUND-16 ROTATION PLAN (precomputed mechanically in round 15 from
 # CORRECTNESS_r01..r14 so the next session rotates without rework):
-# register the 15 round16_pending entries (15 slots) and spend the
-# remaining 35 slots on the 11 remaining r05-cohort entries plus the
-# 24 STALEST r06-cohort entries, lexicographic within equal last-green
-# rounds:
+# register the 16 round16_pending entries (16 slots — avro_roundtrip
+# joined the tier in round 15 when the pure-stdlib Avro codec closed
+# the format gap) and spend the remaining 34 slots on the 11 remaining
+# r05-cohort entries plus the 23 STALEST r06-cohort entries,
+# lexicographic within equal last-green rounds:
 #   "sql_q6_forecast", "sql_q7_volume", "stream_interval_join",
 #   "stream_static_enrich", "table_profile", "text_near_template",
 #   "text_repetition", "time_trunc_suite", "token_stats_bpe",
@@ -54,8 +55,8 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #   "graph_pagerank_converged", "graph_pagerank_parts",
 #   "graph_triangle_count", "join_asof_bucketed", "join_asof_forward",
 #   "join_null_safe", "listagg_sorted", "mad_outliers",
-#   "parquet_schema_evolution", "partitioned_roundtrip", "ratio_to_report",
-# (cohort sizes after that drain: r05 10->0, r06 46->21, then r07 45,
+#   "parquet_schema_evolution", "partitioned_roundtrip",
+# (cohort sizes after that drain: r05 11->0, r06 46->23, then r07 45,
 # r08 ~47 ... — on track to empty the pre-r09 debt by round 18-19 at
 # ~35 re-verifications/round; add a code-change canary slot only if a
 # shared helper changes.)

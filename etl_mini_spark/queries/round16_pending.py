@@ -1453,3 +1453,54 @@ def dunns_pairwise_z(spark, sf_dir):
         _pin(mean_diff / denom).alias("z"),
         (F.abs(mean_diff / denom) >= 2.807034).alias("significant"),
     ).orderBy("g1", "g2")
+
+
+# =====================================================================
+# Block N — Avro format round-trip (added round 15: closes the
+# "Avro missing" north-star gap with the pure-stdlib container codec)
+# =====================================================================
+
+# Same aggregate over the parquet source proves the avro leg lossless:
+# every row that goes out through write_avro must come back through
+# read_avro bit-identically or the per-month sums/dates drift. The
+# codec itself is differentially pinned against the Apache Avro JAVA
+# library (tests/test_avro_io.py); this entry pins the DISTRIBUTED
+# plumbing (foreachPartition container writers, binaryFile +
+# mapInPandas scan, timestamp-micros logical type) under the driver's
+# oracle gate.
+_AVRO_RT_SQL = """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(min(strftime(o_orderdate, '%Y-%m-%d')) AS VARCHAR) AS first_day
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY 1
+"""
+
+
+@pq("avro_roundtrip", _AVRO_RT_SQL)
+def avro_roundtrip(spark, sf_dir):
+    """Orders subset → Avro Object Container Files (one per partition,
+    deflate codec, pure-stdlib writer) → distributed re-read → monthly
+    checksum. Scale: the write streams from executors (no driver
+    materialization) and the read is a binaryFile scan decoded in
+    mapInPandas Arrow batches — both sides parallelize by file count,
+    the same contract as the parquet/ORC round-trips."""
+    from pathlib import Path as _P
+
+    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.sources.avro_io import read_avro, write_avro
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    path = str(_TMP / f"avro_roundtrip_{_P(sf_dir).name}")
+    write_avro(
+        o.select("o_orderkey", "o_totalprice", "o_orderdate"), path, codec="deflate"
+    )
+    back = read_avro(spark, path)
+    return back.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"),
+    )

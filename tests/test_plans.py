@@ -1106,13 +1106,15 @@ def test_round16_staged_tier_no_cartesian_blanket(spark):
 
     src = open("etl_mini_spark/queries/round16_pending.py").read()
     ROUND16 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
-    assert len(ROUND16) == 15
+    assert len(ROUND16) == 16
     SKIP_SIDE_EFFECTS = {
         # bounded driver iterations (greedy argmax collects / BFS
         # supersteps) run jobs before the final plan exists
         "mmr_diverse_topk", "graph_bfs_circulant",
     }
     BOUNDED_NONEQUI_OK = {
+        # avro_roundtrip: no joins at all (write action + binaryFile
+        # scan); listed nowhere — stays strict.
         # damerau_dl_blocked: equi-joins on the min-length block key
         # since the r14 advice fix — deliberately NOT allowlisted.
         "ransac_integer_line",   # 10-seed pair grid + 45-candidate broadcast

@@ -241,3 +241,26 @@ def test_dunn_pairs_complete_and_consistent(spark):
     for r in rows:
         assert r["g1"] < r["g2"] and r["n1"] > 0 and r["n2"] > 0
         assert r["significant"] == (abs(r["z"]) >= 2.807034)
+
+
+# --- Block N: Avro round-trip (added round 15) -------------------------------
+
+
+def test_avro_roundtrip_not_vacuous(spark):
+    """The monthly rollup must cover multiple months with nonzero
+    sums, and the container files on disk must be real Avro (magic
+    bytes) — one per write partition."""
+    import glob
+
+    rows = PENDING["avro_roundtrip"](spark, SF_SMOKE).collect()
+    assert len(rows) > 1
+    assert all(r["n"] > 0 and r["sum_price"] > 0 for r in rows)
+    assert len({r["month"] for r in rows}) == len(rows)
+    from pathlib import Path
+
+    from etl_mini_spark.queries._base import _TMP
+
+    files = glob.glob(str(_TMP / f"avro_roundtrip_{Path(SF_SMOKE).name}" / "*.avro"))
+    assert files
+    with open(files[0], "rb") as fh:
+        assert fh.read(4) == b"Obj\x01"
