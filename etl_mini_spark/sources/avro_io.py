@@ -148,19 +148,22 @@ def _field_coders(avro_schema: dict):
         if isinstance(t, dict):
             lt = t.get("logicalType")
             if lt == "timestamp-micros":
+                # INTEGER arithmetic only: float seconds truncate 1 ulp
+                # low for ~1% of microsecond values (e.g.
+                # 1987-04-04T00:00:00.000001 -> ...000000)
+                EPOCH_DT = datetime.datetime(1970, 1, 1)
+                US = datetime.timedelta(microseconds=1)
+
                 def enc(v):
                     if isinstance(v, datetime.datetime):
-                        ts = v if v.tzinfo else v.replace(tzinfo=UTC)
-                        v = int(ts.timestamp() * 1_000_000)
+                        if v.tzinfo is not None:
+                            v = v.astimezone(UTC).replace(tzinfo=None)
+                        v = (v - EPOCH_DT) // US
                     return encode_long(int(v))
 
                 def dec(buf, pos):
                     n, pos = decode_long(buf, pos)
-                    return (
-                        datetime.datetime.fromtimestamp(n / 1_000_000, tz=UTC)
-                        .replace(tzinfo=None),
-                        pos,
-                    )
+                    return EPOCH_DT + n * US, pos
 
                 return enc, dec
             if lt == "date":
@@ -275,10 +278,10 @@ def _write_container(fh, rows, avro_schema: dict, codec: str, sync: bytes,
     return n_total
 
 
-def parse_container(data: bytes):
-    """Decode one container file -> (avro_schema dict, list of row
-    tuples in field order). Verifies magic and every block's sync
-    marker."""
+def _parse_header(data: bytes) -> tuple[dict, int]:
+    """Decode the container header -> (metadata map, position of the
+    16-byte sync marker). Handles the spec's negative map-block counts
+    (count < 0 is followed by a byte-size long, then |count| pairs)."""
     if data[:4] != MAGIC:
         raise ValueError("avro_io: bad magic — not an Avro container file")
     pos = 4
@@ -287,13 +290,24 @@ def parse_container(data: bytes):
         n, pos = decode_long(data, pos)
         if n == 0:
             break
-        for _ in range(abs(n)):  # negative counts (size-prefixed) not produced by us
+        if n < 0:
+            n = -n
+            _size, pos = decode_long(data, pos)  # spec: byte size follows
+        for _ in range(n):
             klen, pos = decode_long(data, pos)
             k = data[pos:pos + klen].decode()
             pos += klen
             vlen, pos = decode_long(data, pos)
             meta[k] = data[pos:pos + vlen]
             pos += vlen
+    return meta, pos
+
+
+def parse_container(data: bytes):
+    """Decode one container file -> (avro_schema dict, list of row
+    tuples in field order). Verifies magic and every block's sync
+    marker."""
+    meta, pos = _parse_header(data)
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     sync = data[pos:pos + 16]
@@ -341,6 +355,10 @@ def write_avro(df, path: str, codec: str = "deflate", block_rows: int = 4096) ->
     schema = avro_schema_for(df.schema)
     cols = df.columns
     Path(path).mkdir(parents=True, exist_ok=True)
+    # overwrite semantics: a prior run with MORE partitions must not
+    # leave stale part files for read_avro's glob to double-count
+    for stale in Path(path).glob("*.avro"):
+        stale.unlink()
 
     def sink(rows):
         from pyspark import TaskContext
@@ -365,24 +383,22 @@ def read_avro(spark, path: str):
     files = sorted(Path(path).glob("*.avro"))
     if not files:
         raise FileNotFoundError(f"avro_io: no .avro files under {path}")
-    with open(files[0], "rb") as fh:
-        head = fh.read(65536)
-    # header metadata ends before the first data block; parse just the
-    # map by reusing parse_container on a truncated copy is unsafe, so
-    # decode the metadata map directly
-    pos = 4
-    meta = {}
+    # the header is almost always < 64 KB; double the prefix until the
+    # metadata map parses (wide third-party schemas) or the file ends
+    size = 65536
+    fsize = files[0].stat().st_size
     while True:
-        n, pos = decode_long(head, pos)
-        if n == 0:
+        with open(files[0], "rb") as fh:
+            head = fh.read(size)
+        try:
+            meta, _pos = _parse_header(head)
             break
-        for _ in range(abs(n)):
-            klen, pos = decode_long(head, pos)
-            k = head[pos:pos + klen].decode()
-            pos += klen
-            vlen, pos = decode_long(head, pos)
-            meta[k] = head[pos:pos + vlen]
-            pos += vlen
+        except IndexError:
+            if size >= fsize:
+                raise ValueError(
+                    f"avro_io: unterminated header metadata in {files[0]}"
+                ) from None
+            size *= 2
     schema = json.loads(meta["avro.schema"])
     ddl = spark_schema_for(schema)
     names = [f["name"] for f in schema["fields"]]

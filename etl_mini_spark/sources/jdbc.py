@@ -134,7 +134,7 @@ _SQLITE_TYPES = {
     "bigint": "INTEGER", "boolean": "INTEGER",
     "float": "REAL", "double": "REAL",
     "string": "TEXT", "date": "TEXT", "timestamp": "TEXT",
-    "timestamp_ntz": "TEXT",
+    "timestamp_ntz": "TEXT", "binary": "BLOB",
 }
 
 
@@ -275,6 +275,12 @@ def read_sqlite(spark, db_path: str, table: str, schema: str | None = None) -> D
     if schema is None:
         def _t(n):
             d = decl.get(n, "")
-            return "long" if "INT" in d else "double" if "REAL" in d else "string"
+            if "INT" in d:
+                return "long"
+            if "REAL" in d:
+                return "double"
+            if "BLOB" in d:
+                return "binary"
+            return "string"
         schema = ", ".join(f"`{n}` {_t(n)}" for n in names)
     return spark.createDataFrame(data, schema=schema)

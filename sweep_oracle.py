@@ -103,7 +103,7 @@ def capped_dir(sf_dir: str, tenths: int) -> str:
     # holds at most one capped copy per SF dir
     import shutil
 
-    for old in dst.parent.glob(f"cap{tenths}0_{src.name}*"):
+    for old in dst.parent.glob(f"cap{tenths}0_{src.name}_*"):
         if old != dst and old.is_dir():
             shutil.rmtree(old, ignore_errors=True)
     dst.mkdir(parents=True, exist_ok=True)
@@ -148,8 +148,10 @@ def _within_tolerance(a, b, col_tols):
             diff = (x - y).abs()
             bound = col_tols[c] * np.maximum(x.abs(), y.abs())
             # x == y first: keeps equal infinities close (inf - inf is
-            # NaN and would otherwise flag a false mismatch)
-            close = (x == y) | (diff <= bound)
+            # NaN and would otherwise flag a false mismatch). The
+            # finite-diff guard rejects finite-vs-inf and +inf-vs--inf,
+            # where bound itself is inf and inf <= inf would pass.
+            close = (x == y) | ((diff <= bound) & np.isfinite(diff))
             if not bool((close | both_nan).all()):
                 return False
         else:

@@ -120,3 +120,33 @@ def test_corrupt_sync_marker_raises(spark, tmp_path):
     data[-1] ^= 0xFF  # flip one byte of the trailing sync marker
     with pytest.raises(ValueError, match="sync marker"):
         parse_container(bytes(data))
+
+
+def test_timestamp_micros_integer_exact(spark, tmp_path):
+    """Float-seconds encoding truncated 1 µs low for ~1% of values
+    (e.g. 1987-04-04T00:00:00.000001); the integer path must
+    round-trip every microsecond exactly."""
+    from etl_mini_spark.sources.avro_io import read_avro, write_avro
+
+    cases = [
+        datetime.datetime(1987, 4, 4, 0, 0, 0, 1),
+        datetime.datetime(2024, 2, 29, 23, 59, 59, 999999),
+        datetime.datetime(1969, 7, 20, 20, 17, 0, 1),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i long, ts timestamp")
+    p = str(tmp_path / "us")
+    write_avro(df, p)
+    got = {r["i"]: r["ts"] for r in read_avro(spark, p).collect()}
+    assert got == {i: t for i, t in enumerate(cases)}
+
+
+def test_write_avro_overwrites_stale_parts(spark, tmp_path):
+    """A re-run with fewer partitions must not leave stale part files
+    for read_avro to double-count."""
+    from etl_mini_spark.sources.avro_io import read_avro, write_avro
+
+    p = str(tmp_path / "ow")
+    write_avro(_df(spark).repartition(4), p)
+    write_avro(_df(spark).coalesce(1), p)
+    assert len(glob.glob(p + "/*.avro")) == 1
+    assert read_avro(spark, p).count() == len(ROWS)
