@@ -752,6 +752,175 @@ def p_jaro_blocked(spark):
     }
 
 
+@probe("damerau_blocked_100k")
+def p_damerau_blocked(spark):
+    """100k-word vocabulary probe for the blocked exact-DL path (r15
+    advice: show WHERE the length-±1 blocked-pair mass stops fitting
+    at |V| ~1e5-1e6). English-like word-length histogram (peak at
+    7-8 chars), so the mass concentrates in the dominant buckets:
+
+    - the EXACT blocked mass is computed analytically from the
+      histogram (what the registered query's preflight does with one
+      ~20-row aggregate) at 100k and extrapolated to 1M words — the
+      probe asserts the 100k mass already exceeds the preflight
+      ceiling _DL_MAX_PAIRS, i.e. the registered raise-with-swap-rule
+      fires exactly where this probe shows exact scoring stops fitting;
+    - the rare-length stratum (3-4 chars, ~2e6 blocked pairs) runs the
+      REAL pipeline end to end — same equi block join on the length
+      key, same full_damerau_levenshtein Arrow kernel — with planted
+      twins covering all edit classes the ±1 blocking must keep
+      (substitution, unrestricted transposition, cross-length insert):
+      recall must be 1.0, and the measured pair throughput extrapolates
+      the full-mass wall-clock the preflight is protecting against."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.text import full_damerau_levenshtein as dl
+    from etl_mini_spark.queries.round16_ops import _DL_MAX_PAIRS
+
+    # English-like length histogram over 100k distinct words
+    HIST = {3: 500, 4: 1_500, 5: 5_000, 6: 12_000, 7: 18_000, 8: 18_000,
+            9: 15_000, 10: 12_000, 11: 8_000, 12: 6_000, 13: 4_000}
+    n_vocab = sum(HIST.values())
+    assert n_vocab == 100_000
+
+    def blocked_mass(hist):
+        return sum(n * (n - 1) // 2 for n in hist.values()) + sum(
+            hist[l] * hist.get(l + 1, 0) for l in hist
+        )
+
+    mass_100k = blocked_mass(HIST)
+    mass_1m = blocked_mass({l: 10 * n for l, n in HIST.items()})
+
+    rs = np.random.RandomState(23)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def words_of(l, n):
+        if 26 ** l < 10_000_000:
+            codes = rs.choice(26 ** l, size=n, replace=False)
+        else:
+            codes = np.unique(rs.randint(0, 26 ** l, size=int(n * 1.05)))[:n]
+            assert len(codes) == n
+        out = []
+        for c in codes:
+            c = int(c)
+            w = ""
+            for _ in range(l):
+                w = alpha[c % 26] + w
+                c //= 26
+            out.append(w)
+        return out
+
+    vocab3, vocab4 = words_of(3, HIST[3]), words_of(4, HIST[4])
+    seen = set(vocab3) | set(vocab4)
+
+    def fresh(base_edit):
+        """Retry an edit closure until the result is a new word."""
+        for _ in range(64):
+            w = base_edit()
+            if w is not None and w not in seen:
+                seen.add(w)
+                return w
+        raise AssertionError("could not plant a collision-free twin")
+
+    planted, twins = set(), []
+    picks = rs.choice(HIST[3], 200, replace=False)
+    for i in picks[:100]:  # substitution (dl=1, same block)
+        w = vocab3[i]
+
+        def sub(w=w):
+            p = rs.randint(0, 3)
+            c = alpha[rs.randint(0, 26)]
+            return None if w[p] == c else w[:p] + c + w[p + 1:]
+
+        t = fresh(sub)
+        twins.append(t)
+        planted.add((min(w, t), max(w, t)))
+    for i in picks[100:150]:  # adjacent transposition (dl=1)
+        w = vocab3[i]
+
+        def swap(w=w):
+            p = rs.randint(0, 2)
+            if w[p] == w[p + 1]:
+                return None
+            return w[:p] + w[p + 1] + w[p] + w[p + 2:]
+
+        t = fresh(swap)
+        twins.append(t)
+        planted.add((min(w, t), max(w, t)))
+    for i in picks[150:]:  # insert 3 -> 4 (dl=1, the ±1 cross block)
+        w = vocab3[i]
+
+        def ins(w=w):
+            p = rs.randint(0, 4)
+            return w[:p] + alpha[rs.randint(0, 26)] + w[p:]
+
+        t = fresh(ins)
+        twins.append(t)
+        planted.add((min(w, t), max(w, t)))
+
+    stratum = vocab3 + vocab4 + twins
+    df = spark.createDataFrame([(w,) for w in stratum], "w string").repartition(32)
+    a = df.select(F.col("w").alias("w1"), F.length("w").alias("l1"))
+    b = df.select(
+        F.col("w").alias("w2"),
+        F.explode(
+            F.array(F.length("w") - 1, F.length("w"), F.length("w") + 1)
+        ).alias("bk"),
+    )
+    pairs = a.join(b, (F.col("l1") == F.col("bk")) & (F.col("w1") < F.col("w2")))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "w1": pdf["w1"],
+                    "w2": pdf["w2"],
+                    "dl": [dl(x, y) for x, y in zip(pdf["w1"], pdf["w2"])],
+                }
+            )
+
+    t0 = time.monotonic()
+    hits = (
+        pairs.select("w1", "w2")
+        .mapInPandas(score, schema="w1 string, w2 string, dl long")
+        .filter(F.col("dl") <= 2)
+        .collect()
+    )
+    score_s = time.monotonic() - t0
+    got = {(r["w1"], r["w2"]) for r in hits}
+    # analytic stratum mass (same formula the preflight runs)
+    strat_hist: dict[int, int] = {}
+    for w in stratum:
+        strat_hist[len(w)] = strat_hist.get(len(w), 0) + 1
+    n_scored = blocked_mass(strat_hist)
+    rate = n_scored / max(score_s, 1e-9)
+    found = planted & got
+    return {
+        "n_vocab": n_vocab,
+        "mass_100k": int(mass_100k),
+        "mass_1m": int(mass_1m),
+        "preflight_ceiling": int(_DL_MAX_PAIRS),
+        "preflight_trips_at_100k": bool(mass_100k > _DL_MAX_PAIRS),
+        "stratum_words": len(stratum),
+        "stratum_pairs": int(n_scored),
+        "pairs_per_sec": int(rate),
+        "est_hours_100k": round(mass_100k / rate / 3600, 2),
+        "est_hours_1m": round(mass_1m / rate / 3600, 2),
+        "n_planted": len(planted),
+        "n_planted_found": len(found),
+        "ok": bool(
+            found == planted
+            and mass_100k > _DL_MAX_PAIRS
+            and mass_1m > 50 * mass_100k
+        ),
+    }
+
+
 @probe("event_incremental_agg")
 def p_incremental(spark, tmpdir):
     """9M-row incremental-maintenance probe: a persisted daily
@@ -1021,6 +1190,8 @@ def main() -> None:
 
         print("generating names...", file=sys.stderr)
         p_jaro_blocked(spark)
+        print("blocked damerau vocabulary...", file=sys.stderr)
+        p_damerau_blocked(spark)
 
         print("generating points...", file=sys.stderr)
         p_geo_grid(spark)

@@ -355,3 +355,42 @@ def jaro(s1: str, s2: str) -> float:
             k += 1
     t //= 2
     return (m / l1 + m / l2 + (m - t) / m) / 3
+
+
+def full_damerau_levenshtein(a: str, b: str) -> int:
+    """Full (unrestricted) Damerau-Levenshtein distance —
+    Lowrance-Wagner DP with the alphabet last-occurrence table, so
+    'CA' -> 'ABC' is 2, not the OSA 3. Pure-integer kernel the
+    blocked edit-distance path scores candidate pairs with (Arrow
+    batch pass, bounded by the BLOCKED candidate count — the
+    damerau_dl_blocked preflight caps that mass). Differentially
+    pinned against DuckDB's independent native damerau_levenshtein by
+    the damerau_dl_blocked query and recall-pinned at a 100k-word
+    vocabulary by bench_scale.py's damerau_blocked_100k probe."""
+    la, lb = len(a), len(b)
+    maxd = la + lb
+    da: dict[str, int] = {}
+    d = [[maxd] * (lb + 2) for _ in range(la + 2)]
+    d[1][1] = 0
+    for i in range(1, la + 1):
+        d[i + 1][1] = i
+    for j in range(1, lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,            # substitute
+                d[i + 1][j] + 1,           # insert
+                d[i][j + 1] + 1,           # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]

@@ -14,55 +14,74 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #   every round by tests/test_queries_oracle.py at sf0.001 (same
 #   DuckDB-oracle check the driver runs at sf0.01).
 #
-# Round-15 rotation (CORRECTNESS_r14 came back 50/50 green, so every
-# round-14 slot owner rotates to the tail) — this EXECUTES the plan
-# precomputed in round 14 (verbatim: 16 staged entries + the 34 named
+# Round-16 rotation (CORRECTNESS_r15 came back 50/50 green, so every
+# round-15 slot owner rotates to the tail) — this EXECUTES the plan
+# precomputed in round 15 (verbatim: 16 staged entries + the 34 named
 # stale-cohort slots):
-# (a) the 16 oracle-backed round15_ops entries registered this round —
-#     authored and staged in round 14 as round15_pending, every one
-#     swept vs DuckDB at sf0.001 + sf0.01 + sf0.1 (and under a bare
-#     default SparkSession at sf0.01, the driver's exact gate) before
-#     registration, never driver-verified, so each must hold a slot
-#     (tests/test_window_rotation.py);
+# (a) the 16 oracle-backed round16_ops entries registered this round —
+#     authored in round 14 as round16_pending (avro_roundtrip joined in
+#     round 15), every one swept vs DuckDB at sf0.001 + sf0.01 + sf0.1
+#     (and under a bare default SparkSession at sf0.01, the driver's
+#     exact gate) before registration, never driver-verified, so each
+#     must hold a slot (tests/test_window_rotation.py);
 # (b) the remaining 34 slots re-verify the STALEST green entries — the
-#     r05 cohort named in the precomputed plan (last-green rounds
-#     recomputed mechanically from CORRECTNESS_r01..r14 and re-checked
-#     this round; all 34 are last-green r05). This drains the r05
-#     cohort 44 -> 10.
-# (c) code-change canary: setjoin_prefix_filter — its round-15
-#     auto-routing change (bitmask plan on df-flat corpora, preflight
-#     raise on df-flat large vocabularies) replaced the plan its r07
-#     green row verified, so it takes the 50th slot in place of
-#     sql_q6_forecast (which joins the round-16 fill below; the drain
-#     is 33 r05 entries this round, still >= 30 re-verifications).
-#     The new route is swept at three SFs + the bare-session sf0.01
-#     gate and plan/behavior-pinned in test_round7_ops.py.
-# ROUND-16 ROTATION PLAN (precomputed mechanically in round 15 from
-# CORRECTNESS_r01..r14 so the next session rotates without rework):
-# register the 16 round16_pending entries (16 slots — avro_roundtrip
-# joined the tier in round 15 when the pure-stdlib Avro codec closed
-# the format gap) and spend the remaining 34 slots on the 11 remaining
-# r05-cohort entries plus the 23 STALEST r06-cohort entries,
+#     11 remaining r05-cohort entries plus the 23 stalest r06-cohort
+#     entries, exactly as named in the precomputed plan (last-green
+#     rounds recomputed mechanically from CORRECTNESS_r01..r15 and
+#     re-checked this round). This drains the r05 cohort 11 -> 0 and
+#     the r06 cohort 46 -> 23.
+# =========================================================================
+# ROUND-17 ROTATION PLAN (precomputed mechanically in round 16 from
+# CORRECTNESS_r01..r15 + the round-16 window, so the next session
+# rotates without rework): register the 13 round17_pending entries
+# (13 slots) and spend the remaining 37 slots on the 23 remaining
+# r06-cohort entries plus the 14 STALEST r07-cohort entries,
 # lexicographic within equal last-green rounds:
-#   "sql_q6_forecast", "sql_q7_volume", "stream_interval_join",
-#   "stream_static_enrich", "table_profile", "text_near_template",
-#   "text_repetition", "time_trunc_suite", "token_stats_bpe",
-#   "window_value_suite", "zorder_locality", "bucketed_join_roundtrip",
-#   "churn_gap_flag", "co_purchase_pairs", "cohort_retention",
-#   "collation_distinct", "corpus_token_entropy", "csv_malformed_tolerant",
-#   "dedup_canonical_pick", "dedup_repeated_spans", "dpp_partitioned_join",
-#   "dq_expectations_report", "geo_radius_pairs", "graph_khop_reach",
-#   "graph_pagerank_converged", "graph_pagerank_parts",
-#   "graph_triangle_count", "join_asof_bucketed", "join_asof_forward",
-#   "join_null_safe", "listagg_sorted", "mad_outliers",
-#   "parquet_schema_evolution", "partitioned_roundtrip",
-# (cohort sizes after that drain: r05 11->0, r06 46->23, then r07 45,
-# r08 ~47 ... — on track to empty the pre-r09 debt by round 18-19 at
-# ~35 re-verifications/round; add a code-change canary slot only if a
+#   "ratio_to_report", "rfm_segments", "scd2_late_correction",
+#   "scd2_point_in_time_join", "seq_packing_bins",
+#   "similarity_tfidf_pairs", "snapshot_table_diff", "sql_lateral_topn",
+#   "sql_q12_late_lines", "sql_q15_top_supplier", "sql_q17_small_qty",
+#   "sql_q20_promo_suppliers", "sql_q21_waiting_supplier",
+#   "sql_q4_priority", "sql_q8_mkt_share", "sql_q9_product_profit",
+#   "sql_recursive_series", "sql_udf_scalar", "timeseries_ohlc_twap",
+#   "variant_shred_extract", "vocab_oov_coverage",
+#   "window_tumbling_distinct", "xml_roundtrip", "ab_test_lift",
+#   "attribution_linear_multitouch", "basket_rules_lift",
+#   "benford_first_digit", "business_days_to_ship",
+#   "corpus_curation_pipeline", "corpus_ngram_novelty",
+#   "corpus_quota_cap", "corpus_skipgram_pairs", "daily_value_bands",
+#   "dau_mau_stickiness", "doc_keywords_tfidf_topk",
+#   "event_transition_matrix", "fifo_lot_matching"
+# (cohort sizes after that drain: r06 23->0, r07 44->30, then r08 47,
+# r09 ... — on track to empty the pre-r09 debt by round 19 at ~37-42
+# re-verifications/round; add a code-change canary slot only if a
 # shared helper changes.)
 # =========================================================================
 
 _DRIVER_WINDOW = [
+    "pattern_vshape_runs", "interval_scheduling_wis", "lis_events_per_user",
+    "soundex_phonetic_groups", "damerau_dl_blocked", "cronbach_alpha_items",
+    "icc_oneway_quantity", "krippendorff_alpha_nominal",
+    "ransac_integer_line", "adstock_geometric_decay", "mmr_diverse_topk",
+    "graph_bfs_circulant", "stream_eviction_twin", "seasonal_mann_kendall",
+    "dunns_pairwise_z", "avro_roundtrip", "sql_q6_forecast", "sql_q7_volume",
+    "stream_interval_join", "stream_static_enrich", "table_profile",
+    "text_near_template", "text_repetition", "time_trunc_suite",
+    "token_stats_bpe", "window_value_suite", "zorder_locality",
+    "bucketed_join_roundtrip", "churn_gap_flag", "co_purchase_pairs",
+    "cohort_retention", "collation_distinct", "corpus_token_entropy",
+    "csv_malformed_tolerant", "dedup_canonical_pick", "dedup_repeated_spans",
+    "dpp_partitioned_join", "dq_expectations_report", "geo_radius_pairs",
+    "graph_khop_reach", "graph_pagerank_converged", "graph_pagerank_parts",
+    "graph_triangle_count", "join_asof_bucketed", "join_asof_forward",
+    "join_null_safe", "listagg_sorted", "mad_outliers",
+    "parquet_schema_evolution", "partitioned_roundtrip",
+]
+
+_TAIL = [
+    # driver-green in earlier rounds (the round-15 window cohort
+    # leads); every entry still locally oracle-verified per round at
+    # sf0.001 (rows-only entries verified by dedicated pinned tests).
     "map_mrr_eval", "kmv_distinct_estimate", "graph_hits_hubs_authorities",
     "graph_label_propagation", "shapley_attribution_paths",
     "atkinson_inequality", "nelson_aalen_hazard", "tsb_intermittent_forecast",
@@ -80,18 +99,11 @@ _DRIVER_WINDOW = [
     "sql_q10_returned", "sql_q11_important_stock", "sql_q13_custdist",
     "sql_q14_promo", "sql_q16_supplier_cnt", "sql_q18_large_orders",
     "sql_q19_disjunctive", "sql_q22_global_sales", "sql_q2_min_cost_supplier",
-    "sql_q3_shipping", "setjoin_prefix_filter",
-]
-
-_TAIL = [
-    # driver-green in earlier rounds (the round-14 window cohort
-    # leads); every entry still locally oracle-verified per round at
-    # sf0.001 (rows-only entries verified by dedicated pinned tests).
-    "geo_knn_topk_equirect", "geo_bbox_containment_join",
-    "geo_polyline_track_length", "geo_grid_density_hotspots",
-    "window_groups_frame_parity", "qualify_rank_of_rank",
-    "sql_quantified_any_all", "sql_grouping_id_sets", "sql_agg_filter_clause",
-    "sql_order_nulls_mixed", "sql_pivot_statement",
+    "sql_q3_shipping", "setjoin_prefix_filter", "geo_knn_topk_equirect",
+    "geo_bbox_containment_join", "geo_polyline_track_length",
+    "geo_grid_density_hotspots", "window_groups_frame_parity",
+    "qualify_rank_of_rank", "sql_quantified_any_all", "sql_grouping_id_sets",
+    "sql_agg_filter_clause", "sql_order_nulls_mixed", "sql_pivot_statement",
     "query_likelihood_dirichlet", "text_rake_keywords",
     "text_porter_stems_lite", "rocchio_relevance_vector",
     "text_sentence_stats", "vwap_anchored_monthly",
@@ -214,16 +226,16 @@ _TAIL = [
     "window_lag_lead", "window_session_30m", "window_tumbling_1h",
     "ks_statistic_2sample", "lift_gains_deciles", "target_encoding_loo",
     "feature_scaler_leakage_safe", "class_balance_downsample",
-    "sql_q6_forecast", "timeseries_interpolate_linear",
-    "privacy_k_anonymity", "sql_pipe_syntax", "mixture_temperature_weights",
-    "set_ops_all", "text_bigram_lm_score", "window_rolling_median",
-    "sliding_distinct_users_7d", "event_transition_matrix",
-    "timeseries_anomaly_zscore", "corpus_quota_cap", "text_inverted_index",
-    "corpus_ngram_novelty", "ab_test_lift", "benford_first_digit",
-    "timeseries_cusum_changepoint", "basket_rules_lift",
-    "user_activity_streaks", "corpus_skipgram_pairs", "dau_mau_stickiness",
-    "incremental_agg_merge", "forecast_seasonal_naive_eval",
-    "doc_keywords_tfidf_topk", "split_leakage_safe", "survival_kaplan_meier",
+    "timeseries_interpolate_linear", "privacy_k_anonymity", "sql_pipe_syntax",
+    "mixture_temperature_weights", "set_ops_all", "text_bigram_lm_score",
+    "window_rolling_median", "sliding_distinct_users_7d",
+    "event_transition_matrix", "timeseries_anomaly_zscore",
+    "corpus_quota_cap", "text_inverted_index", "corpus_ngram_novelty",
+    "ab_test_lift", "benford_first_digit", "timeseries_cusum_changepoint",
+    "basket_rules_lift", "user_activity_streaks", "corpus_skipgram_pairs",
+    "dau_mau_stickiness", "incremental_agg_merge",
+    "forecast_seasonal_naive_eval", "doc_keywords_tfidf_topk",
+    "split_leakage_safe", "survival_kaplan_meier",
     "rolling_corr_click_purchase", "running_distinct_types",
     "daily_value_bands", "time_since_last_purchase", "funnel_with_timeouts",
     "pareto_revenue_curve", "business_days_to_ship", "join_asof_tolerance",
@@ -235,24 +247,13 @@ _TAIL = [
     "sql_q9_product_profit", "sql_q12_late_lines", "sql_q15_top_supplier",
     "sql_q17_small_qty", "sql_q20_promo_suppliers",
     "sql_q21_waiting_supplier", "sql_recursive_series", "sql_lateral_topn",
-    "listagg_sorted", "variant_shred_extract", "collation_distinct",
-    "cohort_retention", "rfm_segments", "ratio_to_report", "churn_gap_flag",
-    "corpus_token_entropy", "mad_outliers", "dedup_canonical_pick",
-    "window_tumbling_distinct", "graph_triangle_count",
-    "graph_pagerank_parts", "geo_radius_pairs", "timeseries_ohlc_twap",
-    "dq_expectations_report", "co_purchase_pairs", "scd2_point_in_time_join",
-    "xml_roundtrip", "join_null_safe", "partitioned_roundtrip",
-    "bucketed_join_roundtrip", "csv_malformed_tolerant",
-    "parquet_schema_evolution", "join_asof_bucketed",
-    "graph_pagerank_converged", "scd2_late_correction", "join_asof_forward",
-    "seq_packing_bins", "vocab_oov_coverage", "dpp_partitioned_join",
-    "dedup_repeated_spans", "similarity_tfidf_pairs", "sql_udf_scalar",
-    "graph_khop_reach", "snapshot_table_diff", "stream_interval_join",
-    "sql_q7_volume", "table_profile", "text_repetition", "time_trunc_suite",
-    "window_value_suite", "zorder_locality", "token_stats_bpe",
-    "text_near_template", "similarity_ivf", "agg_approx_distinct",
-    "stream_capped_sessions", "stream_capped_sessions_checksum",
-    "embedding_kmeans", "stream_static_enrich", "ann_pq_rerank",
+    "variant_shred_extract", "rfm_segments", "ratio_to_report",
+    "window_tumbling_distinct", "timeseries_ohlc_twap",
+    "scd2_point_in_time_join", "xml_roundtrip", "scd2_late_correction",
+    "seq_packing_bins", "vocab_oov_coverage", "similarity_tfidf_pairs",
+    "sql_udf_scalar", "snapshot_table_diff", "similarity_ivf",
+    "agg_approx_distinct", "stream_capped_sessions",
+    "stream_capped_sessions_checksum", "embedding_kmeans", "ann_pq_rerank",
 ]
 
 

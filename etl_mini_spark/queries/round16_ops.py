@@ -11,15 +11,14 @@ integer-halving carryover, MMR diverse top-k retrieval, single-source
 BFS on a formulaic circulant graph, a streaming state-eviction batch
 twin driven by as-of joins on BOTH engines (Spark union-sort vs DuckDB
 native ASOF), seasonal Mann-Kendall, and Dunn's post-hoc pairwise z —
-authored in round 14, to be registered no earlier than round 16.
-DELIBERATELY ~15 entries: per the r13 verdict's backlog plan, tiers
-stay small so ~35 window slots per round re-verify the stale r05-r08
-cohort until that debt clears.
-
-Module-local PENDING16_QUERIES/PENDING16_ORACLE (swept by
-sweep_oracle.py alongside the registry and the round-15 tier) until a
-future round rotates them into the driver window — the same two-step
-every round since 7 has used.
+authored in round 14 as round16_pending (avro_roundtrip joined the
+tier in round 15 when the pure-stdlib Avro codec closed the format
+gap), registered verbatim in round 16 (names and oracles unchanged;
+the staging `pq` decorator becomes the registry `q`). DELIBERATELY
+SMALL (16 entries): per the r13 verdict's backlog plan, tiers stay
+small so ~34 window slots per round re-verify the stale r05-r08
+cohort until that debt clears — this round drains the r05 cohort
+11 -> 0 and the r06 cohort 46 -> 23.
 
 Parity rules as in round9..15 (FIXTURES.md §C): integer/decimal
 arithmetic end-to-end wherever a comparison decides a row (money as
@@ -35,25 +34,11 @@ floor(x*10^k + 0.5)/10^k HALF_UP display rounding.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mini_spark.queries._base import _t
-
-PENDING16_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-PENDING16_ORACLE: dict[str, str] = {}
-
-
-def pq(name: str, sql: str | None = None):
-    def deco(fn):
-        PENDING16_QUERIES[name] = fn
-        if sql is not None:
-            PENDING16_ORACLE[name] = sql
-        return fn
-
-    return deco
+from etl_mini_spark.queries._base import q as pq
 
 
 def _pin(col, k: int = 6):
@@ -419,6 +404,11 @@ def soundex_phonetic_groups(spark, sf_dir):
 # Block E — full Damerau-Levenshtein blocked pairs
 # =====================================================================
 
+# Preflight ceiling for the blocked-DL pair mass: ~2e8 pairs is ~1-2 h
+# of Arrow-batched DP on 32 cores (bench_scale.py measures the per-pair
+# throughput); beyond it the exact scan is the wrong tool.
+_DL_MAX_PAIRS = 200_000_000
+
 # DuckDB ships damerau_levenshtein() (FULL DL — 'CA'->'ABC' is 2, not
 # the OSA 3); Spark has no counterpart, so the Spark side runs the
 # textbook full-DL DP (alphabet last-occurrence table) as an
@@ -453,37 +443,9 @@ def damerau_dl_blocked(spark, sf_dir):
     Arrow-batched. Pure integers; the ≤2 cut is exact."""
     import pandas as pd
 
-    def _dl_batch(w1s, w2s):
-        def dl(a: str, b: str) -> int:
-            # full DL: Lowrance-Wagner with da[] last-occurrence rows
-            la, lb = len(a), len(b)
-            maxd = la + lb
-            da: dict[str, int] = {}
-            d = [[maxd] * (lb + 2) for _ in range(la + 2)]
-            d[1][1] = 0
-            for i in range(1, la + 1):
-                d[i + 1][1] = i
-            for j in range(1, lb + 1):
-                d[1][j + 1] = j
-            for i in range(1, la + 1):
-                db = 0
-                for j in range(1, lb + 1):
-                    k = da.get(b[j - 1], 0)
-                    l = db
-                    if a[i - 1] == b[j - 1]:
-                        cost = 0
-                        db = j
-                    else:
-                        cost = 1
-                    d[i + 1][j + 1] = min(
-                        d[i][j] + cost,            # substitute
-                        d[i + 1][j] + 1,           # insert
-                        d[i][j + 1] + 1,           # delete
-                        d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose
-                    )
-                da[a[i - 1]] = i
-            return d[la + 1][lb + 1]
+    from etl_mini_spark.operators.text import full_damerau_levenshtein as dl
 
+    def _dl_batch(w1s, w2s):
         return pd.Series([dl(x, y) for x, y in zip(w1s, w2s)])
 
     # the module-wide `from __future__ import annotations` stringifies
@@ -499,6 +461,31 @@ def damerau_dl_blocked(spark, sf_dir):
         .distinct()
     )
     reach = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("n_docs"))
+    # Candidate-mass preflight (same contract as the setjoin r15 fix,
+    # sized by bench_scale.py's damerau_blocked_100k probe): length-±1
+    # blocking concentrates mass in the common word lengths, so on a
+    # natural-language vocabulary the blocked pair count grows ~|V|²
+    # within the dominant buckets — ~1.4e9 pairs at |V|=100k, ~1e11 at
+    # 1M, far past what the per-pair DP can score. The exact mass costs
+    # one ~20-row length-histogram aggregate; raise with the swap rule
+    # instead of silently launching a month-long stage.
+    hist = {
+        r["l"]: r["n"]
+        for r in reach.groupBy(F.length("w").alias("l"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+    }
+    mass = sum(n * (n - 1) // 2 for n in hist.values()) + sum(
+        hist[l] * hist.get(l + 1, 0) for l in hist
+    )
+    if mass > _DL_MAX_PAIRS:
+        raise ValueError(
+            f"damerau_dl_blocked: length-blocked candidate mass {mass:,} "
+            f"exceeds {_DL_MAX_PAIRS:,} — exact DL cannot scan this "
+            "vocabulary; generate candidates with dedup_minhash_lsh / "
+            "dedup_ngram_jaccard and score ONLY surviving pairs with the "
+            "DL kernel (see bench_scale.py damerau_blocked_100k)"
+        )
     # Equi block key BEFORE the non-equi predicate (r14 advice): every
     # |len1-len2| <= 1 pair meets at exactly ONE key, bk = len(w1) —
     # the w2 side emits {l2-1, l2, l2+1} and the join requires

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import io
 import json
+import re
 import struct
 import zlib
 from pathlib import Path
@@ -100,10 +101,22 @@ def _encode_bytes(b: bytes) -> bytes:
 # --- schema mapping ---------------------------------------------------------
 
 
+_AVRO_NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
 def avro_schema_for(spark_schema) -> dict:
-    """Spark StructType -> Avro record schema (dict, json.dumps-able)."""
+    """Spark StructType -> Avro record schema (dict, json.dumps-able).
+    Field names are validated against the Avro spec's name rule
+    ([A-Za-z_][A-Za-z0-9_]*): a Spark column like ``sum(price)`` would
+    otherwise produce a file the Apache Java reader rejects — alias
+    such columns before writing."""
     fields = []
     for f in spark_schema.fields:
+        if not _AVRO_NAME.match(f.name):
+            raise ValueError(
+                f"avro_io: column name {f.name!r} is not a valid Avro field "
+                "name ([A-Za-z_][A-Za-z0-9_]*) — alias it before write_avro"
+            )
         t = f.dataType.simpleString()
         if t in _SPARK_TO_AVRO:
             at: object = _SPARK_TO_AVRO[t]
@@ -136,9 +149,46 @@ def spark_schema_for(avro_schema: dict) -> str:
     return ", ".join(cols)
 
 
-def _field_coders(avro_schema: dict):
+def _zone(tz: str):
+    """Resolve a Spark session-timezone string (region id like
+    'America/Los_Angeles' or fixed offset like '+08:00' / 'GMT+08:00')
+    to a tzinfo. Raises ValueError on anything unresolvable — silently
+    falling back would re-introduce the shifted-instant bug."""
+    import datetime
+    import re as _re
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(tz)
+    except KeyError:
+        m = _re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{2}):?(\d{2})", tz)
+        if m:
+            sign = 1 if m.group(1) == "+" else -1
+            return datetime.timezone(
+                sign * datetime.timedelta(
+                    hours=int(m.group(2)), minutes=int(m.group(3))
+                )
+            )
+        raise ValueError(f"avro_io: unresolvable session timezone {tz!r}") from None
+
+
+def _field_coders(avro_schema: dict, session_tz: str | None = None):
     """Per-field (encode, decode) closures resolved ONCE per partition,
-    not per value."""
+    not per value.
+
+    Timestamp semantics: Spark's pickle leg (foreachPartition) hands the
+    encoder NAIVE datetimes in the OS-local timezone
+    (TimestampType.fromInternal uses fromtimestamp), so the encoder
+    localizes naive values via .astimezone() before converting to UTC —
+    the written timestamp-micros is the true instant Spark holds, not a
+    wall-clock reinterpreted as UTC (external Kafka/connect consumers
+    see the right instant on any session timezone). The decoder's
+    inverse: with session_tz given (read_avro passes the Spark session
+    timezone), UTC micros become the naive wall time that Arrow — which
+    interprets naive timestamps in the SESSION zone — maps back to the
+    same instant; with session_tz=None (direct parse_container use) it
+    returns naive UTC wall time."""
     import datetime
 
     EPOCH = datetime.date(1970, 1, 1)
@@ -151,18 +201,24 @@ def _field_coders(avro_schema: dict):
                 # INTEGER arithmetic only: float seconds truncate 1 ulp
                 # low for ~1% of microsecond values (e.g.
                 # 1987-04-04T00:00:00.000001 -> ...000000)
+                EPOCH_AW = datetime.datetime(1970, 1, 1, tzinfo=UTC)
                 EPOCH_DT = datetime.datetime(1970, 1, 1)
                 US = datetime.timedelta(microseconds=1)
+                dec_tz = _zone(session_tz) if session_tz else None
 
                 def enc(v):
                     if isinstance(v, datetime.datetime):
-                        if v.tzinfo is not None:
-                            v = v.astimezone(UTC).replace(tzinfo=None)
-                        v = (v - EPOCH_DT) // US
+                        if v.tzinfo is None:
+                            # inverse of fromInternal's OS-local naive
+                            v = v.astimezone()
+                        v = (v.astimezone(UTC) - EPOCH_AW) // US
                     return encode_long(int(v))
 
                 def dec(buf, pos):
                     n, pos = decode_long(buf, pos)
+                    if dec_tz is not None:
+                        aw = (EPOCH_AW + n * US).astimezone(dec_tz)
+                        return aw.replace(tzinfo=None), pos
                     return EPOCH_DT + n * US, pos
 
                 return enc, dec
@@ -278,10 +334,24 @@ def _write_container(fh, rows, avro_schema: dict, codec: str, sync: bytes,
     return n_total
 
 
+def _take(data: bytes, pos: int, n: int) -> tuple[bytes, int]:
+    """Bounds-checked slice: Python slicing past EOF silently truncates,
+    which would hand read_avro's header-probe a short key/value instead
+    of the IndexError that triggers its prefix-doubling retry."""
+    end = pos + n
+    if end > len(data):
+        raise IndexError(
+            f"avro_io: slice [{pos}:{end}) past end of {len(data)}-byte buffer"
+        )
+    return data[pos:end], end
+
+
 def _parse_header(data: bytes) -> tuple[dict, int]:
     """Decode the container header -> (metadata map, position of the
     16-byte sync marker). Handles the spec's negative map-block counts
-    (count < 0 is followed by a byte-size long, then |count| pairs)."""
+    (count < 0 is followed by a byte-size long, then |count| pairs).
+    Every slice is bounds-checked (_take) so a truncated prefix always
+    raises IndexError rather than misparsing."""
     if data[:4] != MAGIC:
         raise ValueError("avro_io: bad magic — not an Avro container file")
     pos = 4
@@ -295,24 +365,24 @@ def _parse_header(data: bytes) -> tuple[dict, int]:
             _size, pos = decode_long(data, pos)  # spec: byte size follows
         for _ in range(n):
             klen, pos = decode_long(data, pos)
-            k = data[pos:pos + klen].decode()
-            pos += klen
+            kb, pos = _take(data, pos, klen)
+            k = kb.decode()
             vlen, pos = decode_long(data, pos)
-            meta[k] = data[pos:pos + vlen]
-            pos += vlen
+            meta[k], pos = _take(data, pos, vlen)
     return meta, pos
 
 
-def parse_container(data: bytes):
+def parse_container(data: bytes, session_tz: str | None = None):
     """Decode one container file -> (avro_schema dict, list of row
     tuples in field order). Verifies magic and every block's sync
-    marker."""
+    marker. session_tz (see _field_coders) controls which wall clock
+    decoded timestamps are rendered in; None keeps naive-UTC."""
     meta, pos = _parse_header(data)
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     sync = data[pos:pos + 16]
     pos += 16
-    coders = _field_coders(schema)
+    coders = _field_coders(schema, session_tz)
     rows = []
     end = len(data)
     while pos < end:
@@ -402,11 +472,15 @@ def read_avro(spark, path: str):
     schema = json.loads(meta["avro.schema"])
     ddl = spark_schema_for(schema)
     names = [f["name"] for f in schema["fields"]]
+    # Arrow interprets the decoder's naive timestamps in the SESSION
+    # timezone; hand that zone to the decoder so the re-read instant
+    # equals the written instant on any session timezone.
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
 
     def decode(batches):
         for pdf in batches:
             for _p, content in zip(pdf["path"], pdf["content"]):
-                _schema, rows = parse_container(bytes(content))
+                _schema, rows = parse_container(bytes(content), session_tz)
                 yield pd.DataFrame(rows, columns=names)
 
     binf = spark.read.format("binaryFile").load(str(Path(path) / "*.avro"))

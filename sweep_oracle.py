@@ -92,20 +92,35 @@ def capped_dir(sf_dir: str, tenths: int) -> str:
     regenerated testdata tree (or a different SF root with the same
     basename) rebuilds instead of silently reusing a stale subset
     (r14 advice)."""
+    import hashlib
+    import shutil
+    import time
+
     src = Path(sf_dir)
     st = (src / "documents.parquet").stat()
-    fingerprint = f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    # key on the FULL resolved source path (not just the basename): two
+    # SF roots named "sf0.1" must not share — or prune — each other's
+    # cache (r15 advice)
+    pathkey = hashlib.md5(str(src.resolve()).encode()).hexdigest()[:10]
+    fingerprint = f"{pathkey}_{st.st_mtime_ns:x}_{st.st_size:x}"
     dst = Path(__file__).resolve().parent / "tmp" / f"cap{tenths}0_{src.name}_{fingerprint}"
     marker = dst / ".complete"
     if marker.exists():
         return str(dst)
-    # prune stale fingerprints of the same (tenths, basename) so tmp/
-    # holds at most one capped copy per SF dir
-    import shutil
-
-    for old in dst.parent.glob(f"cap{tenths}0_{src.name}_*"):
-        if old != dst and old.is_dir():
-            shutil.rmtree(old, ignore_errors=True)
+    # prune stale fingerprints of the same (tenths, SOURCE PATH) so tmp/
+    # holds at most one capped copy per SF dir; a fresh .complete marker
+    # (touched < 1 h ago) is left alone — a concurrent sweep of a
+    # just-regenerated tree may still be reading it
+    for old in dst.parent.glob(f"cap{tenths}0_{src.name}_{pathkey}_*"):
+        if old == dst or not old.is_dir():
+            continue
+        m = old / ".complete"
+        try:
+            if m.exists() and time.time() - m.stat().st_mtime < 3600:
+                continue
+        except OSError:
+            pass
+        shutil.rmtree(old, ignore_errors=True)
     dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     try:
@@ -200,21 +215,13 @@ def main():
     # a staged pending tier, when one exists, sweeps alongside the registry
     todo = [(n, QUERIES[n], ORACLE[n]) for n in ORACLE]
     try:
-        from etl_mini_spark.queries.round16_pending import (
-            PENDING16_ORACLE, PENDING16_QUERIES)
-
-        todo += [(n, PENDING16_QUERIES[n], PENDING16_ORACLE[n]) for n in PENDING16_ORACLE]
-    except ModuleNotFoundError as e:
-        # only "no pending tier this round" is skippable; a transitive
-        # import failure inside a real pending module must surface
-        if e.name != "etl_mini_spark.queries.round16_pending":
-            raise
-    try:
         from etl_mini_spark.queries.round17_pending import (
             PENDING17_ORACLE, PENDING17_QUERIES)
 
         todo += [(n, PENDING17_QUERIES[n], PENDING17_ORACLE[n]) for n in PENDING17_ORACLE]
     except ModuleNotFoundError as e:
+        # only "no pending tier this round" is skippable; a transitive
+        # import failure inside a real pending module must surface
         if e.name != "etl_mini_spark.queries.round17_pending":
             raise
     try:

@@ -50,9 +50,16 @@ def test_python_write_java_read_differential(spark, tmp_path):
             got.append(json.loads(str(rdr.next())))
         rdr.close()
         def us(ts):
+            # same exact-integer op sequence as the writer (no float
+            # timestamp(): it can round 1µs off for some values): the
+            # naive fixture literal is what Spark's pickle leg hands
+            # the encoder, which localizes via .astimezone() and takes
+            # integer micros from the aware UTC epoch.
             if ts is None:
                 return None
-            return int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            return (ts.astimezone().astimezone(datetime.timezone.utc) - epoch) \
+                // datetime.timedelta(microseconds=1)
         want = [
             {"id": r[0], "name": r[1], "v": r[2], "flag": r[3], "ts": us(r[4])}
             for r in ROWS
@@ -150,3 +157,68 @@ def test_write_avro_overwrites_stale_parts(spark, tmp_path):
     write_avro(_df(spark).coalesce(1), p)
     assert len(glob.glob(p + "/*.avro")) == 1
     assert read_avro(spark, p).count() == len(ROWS)
+
+
+def test_invalid_avro_field_name_raises(spark):
+    """Avro's name rule is [A-Za-z_][A-Za-z0-9_]*: a column like
+    'sum(price)' must fail at schema time, not produce a file the
+    Apache Java reader rejects."""
+    from etl_mini_spark.sources.avro_io import avro_schema_for
+
+    bad = spark.range(1).selectExpr("sum(id)").schema
+    with pytest.raises(ValueError, match="not a valid Avro field name"):
+        avro_schema_for(bad)
+    ok = spark.range(1).selectExpr("sum(id) AS sum_id").schema
+    assert avro_schema_for(ok)["fields"][0]["name"] == "sum_id"
+
+
+def test_truncated_header_prefix_always_raises_indexerror(spark, tmp_path):
+    """Every proper prefix of the header must raise (IndexError ->
+    read_avro's doubling retry) — never silently misparse with a
+    truncated metadata slice (Python slicing past EOF is lenient)."""
+    from etl_mini_spark.sources.avro_io import _parse_header, write_avro
+
+    p = str(tmp_path / "tr")
+    write_avro(_df(spark).coalesce(1), p, codec="deflate")
+    f = max(glob.glob(p + "/*.avro"), key=os.path.getsize)
+    data = open(f, "rb").read()
+    _meta, sync_pos = _parse_header(data)
+    full, _ = _parse_header(data[:sync_pos])
+    assert "avro.schema" in full
+    for cut in range(5, sync_pos):
+        try:
+            meta, _pos = _parse_header(data[:cut])
+        except IndexError:
+            continue  # the retry path — correct for a truncated prefix
+        # a shorter prefix may legitimately parse ONLY if it yields the
+        # complete, untruncated metadata map (terminator reached early
+        # is impossible here, but equality is the invariant that matters)
+        assert meta == full, f"misparse at prefix {cut}"
+
+
+def test_timestamp_instant_preserved_on_non_utc_session(spark, tmp_path):
+    """The written timestamp-micros long is the true instant (epoch
+    micros), and the distributed re-read returns the identical wall
+    time, under a NON-UTC session timezone (the ADVICE interop case:
+    external Kafka/connect consumers read the raw long)."""
+    from etl_mini_spark.sources.avro_io import parse_container, write_avro, read_avro
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # one arrow-built timestamp: 2024-06-01 12:00:00 New York wall
+        df = spark.sql(
+            "SELECT CAST(1 AS LONG) AS i, timestamp'2024-06-01 12:00:00' AS ts"
+        )
+        p = str(tmp_path / "tz")
+        write_avro(df.coalesce(1), p, codec="null")
+        f = max(glob.glob(p + "/*.avro"), key=os.path.getsize)
+        _schema, rows = parse_container(open(f, "rb").read())
+        # EDT is UTC-4: the instant is 16:00 UTC — what the raw long holds
+        assert rows[0][1] == datetime.datetime(2024, 6, 1, 16, 0, 0)
+        # and the distributed re-read preserves the instant: identical
+        # to the original under the same collect path (collect renders
+        # naive wall times in the OS zone regardless of session tz)
+        assert read_avro(spark, p).collect()[0]["ts"] == df.collect()[0]["ts"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)

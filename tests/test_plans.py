@@ -1093,18 +1093,18 @@ def test_round15_staged_tier_no_cartesian_blanket(spark):
 
 
 def test_round16_staged_tier_no_cartesian_blanket(spark):
-    """Blanket physical-plan audit of the round-16 STAGED tier (same
-    contract as the round-7..15 blankets, applied before registration):
-    no CartesianProduct; BroadcastNestedLoopJoin only where the
-    non-equi/cross side is bounded by construction — vocabulary-sized
-    word tables, 10-seed candidate grids, 1-row scalar aggregates —
-    never the fact table."""
+    """Blanket physical-plan audit of the round-16 tier (same contract
+    as the round-7..15 blankets; repointed from the staging module to
+    the registry at registration): no CartesianProduct;
+    BroadcastNestedLoopJoin only where the non-equi/cross side is
+    bounded by construction — vocabulary-sized word tables, 10-seed
+    candidate grids, 1-row scalar aggregates — never the fact table."""
     import re as _re
 
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round16_pending import PENDING16_QUERIES
+    from etl_mini_spark.queries import QUERIES as PENDING16_QUERIES
 
-    src = open("etl_mini_spark/queries/round16_pending.py").read()
+    src = open("etl_mini_spark/queries/round16_ops.py").read()
     ROUND16 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
     assert len(ROUND16) == 16
     SKIP_SIDE_EFFECTS = {
