@@ -461,6 +461,12 @@ def damerau_dl_blocked(spark, sf_dir):
         .distinct()
     )
     reach = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("n_docs"))
+    # One corpus pass total: reach is vocabulary-sized (tiny by the
+    # preflight's own guarantee), so persist it — the preflight
+    # histogram, and BOTH self-join sides below, reuse one
+    # materialization instead of re-running the documents scan +
+    # explode + distinct three times.
+    reach = reach.persist()
     # Candidate-mass preflight (same contract as the setjoin r15 fix,
     # sized by bench_scale.py's damerau_blocked_100k probe): length-±1
     # blocking concentrates mass in the common word lengths, so on a
@@ -479,6 +485,7 @@ def damerau_dl_blocked(spark, sf_dir):
         hist[l] * hist.get(l + 1, 0) for l in hist
     )
     if mass > _DL_MAX_PAIRS:
+        reach.unpersist()
         raise ValueError(
             f"damerau_dl_blocked: length-blocked candidate mass {mass:,} "
             f"exceeds {_DL_MAX_PAIRS:,} — exact DL cannot scan this "

@@ -18,9 +18,10 @@ implement exactly with the stdlib:
   ``["null", T]`` union (varint branch index before the value).
 
 Supported Spark types: long, int, double, float, string, boolean,
-binary, timestamp (logicalType timestamp-micros over long), date
-(logicalType date over int) — flat records, which covers every
-driver-provided table.
+binary, timestamp (logicalType timestamp-micros over long — an
+instant), timestamp_ntz (logicalType local-timestamp-micros — a wall
+clock, no zone math), date (logicalType date over int) — flat
+records, which covers every driver-provided table.
 
 Independence of the implementation is pytest-pinned DIFFERENTIALLY
 against the Apache Avro *Java* library already on Spark's classpath
@@ -120,8 +121,12 @@ def avro_schema_for(spark_schema) -> dict:
         t = f.dataType.simpleString()
         if t in _SPARK_TO_AVRO:
             at: object = _SPARK_TO_AVRO[t]
-        elif t in ("timestamp", "timestamp_ntz"):
+        elif t == "timestamp":
             at = {"type": "long", "logicalType": "timestamp-micros"}
+        elif t == "timestamp_ntz":
+            # NTZ is a wall clock with no instant — Avro's matching
+            # semantic is local-timestamp-micros, NOT timestamp-micros
+            at = {"type": "long", "logicalType": "local-timestamp-micros"}
         elif t == "date":
             at = {"type": "int", "logicalType": "date"}
         else:
@@ -142,6 +147,7 @@ def spark_schema_for(avro_schema: dict) -> str:
         if isinstance(t, dict):
             lt = t.get("logicalType")
             ddl = ("timestamp" if lt == "timestamp-micros"
+                   else "timestamp_ntz" if lt == "local-timestamp-micros"
                    else "date" if lt == "date" else back[t["type"]])
         else:
             ddl = back[t]
@@ -149,46 +155,28 @@ def spark_schema_for(avro_schema: dict) -> str:
     return ", ".join(cols)
 
 
-def _zone(tz: str):
-    """Resolve a Spark session-timezone string (region id like
-    'America/Los_Angeles' or fixed offset like '+08:00' / 'GMT+08:00')
-    to a tzinfo. Raises ValueError on anything unresolvable — silently
-    falling back would re-introduce the shifted-instant bug."""
-    import datetime
-    import re as _re
-
-    try:
-        from zoneinfo import ZoneInfo
-
-        return ZoneInfo(tz)
-    except KeyError:
-        m = _re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{2}):?(\d{2})", tz)
-        if m:
-            sign = 1 if m.group(1) == "+" else -1
-            return datetime.timezone(
-                sign * datetime.timedelta(
-                    hours=int(m.group(2)), minutes=int(m.group(3))
-                )
-            )
-        raise ValueError(f"avro_io: unresolvable session timezone {tz!r}") from None
-
-
-def _field_coders(avro_schema: dict, session_tz: str | None = None):
+def _field_coders(avro_schema: dict):
     """Per-field (encode, decode) closures resolved ONCE per partition,
     not per value.
 
-    Timestamp semantics: Spark's pickle leg (foreachPartition) hands the
-    encoder NAIVE datetimes in the OS-local timezone
-    (TimestampType.fromInternal uses fromtimestamp), so the encoder
-    localizes naive values via .astimezone() before converting to UTC —
-    the written timestamp-micros is the true instant Spark holds, not a
-    wall-clock reinterpreted as UTC (external Kafka/connect consumers
-    see the right instant on any session timezone). The decoder's
-    inverse: with session_tz given (read_avro passes the Spark session
-    timezone), UTC micros become the naive wall time that Arrow — which
-    interprets naive timestamps in the SESSION zone — maps back to the
-    same instant; with session_tz=None (direct parse_container use) it
-    returns naive UTC wall time."""
+    Timestamp semantics (instant-exact on any session timezone):
+
+    - timestamp-micros (Spark TimestampType, an instant): the pickle
+      leg (foreachPartition) hands the encoder NAIVE datetimes in the
+      OS-local zone (TimestampType.fromInternal uses fromtimestamp),
+      so the encoder localizes naive values via .astimezone() before
+      the exact-integer UTC conversion — the written long is the true
+      epoch-micros instant, what external Kafka/connect consumers
+      expect. The decoder returns naive UTC wall time; read_avro
+      re-attaches UTC (pandas tz-aware) before handing batches to
+      Arrow, so the session-zone conversion is an instant-exact
+      tz_convert — never a tz_localize that could resolve a
+      DST-ambiguous wall hour to the wrong instant.
+    - local-timestamp-micros (Spark TimestampNTZType, a wall clock
+      with no instant): encoded/decoded as naive micros verbatim —
+      NTZ values reach the encoder as naive UTC-wall datetimes
+      (TimestampNTZType.fromInternal), and any zone math here would
+      corrupt the wall value."""
     import datetime
 
     EPOCH = datetime.date(1970, 1, 1)
@@ -197,28 +185,31 @@ def _field_coders(avro_schema: dict, session_tz: str | None = None):
     def coders_for(t):
         if isinstance(t, dict):
             lt = t.get("logicalType")
-            if lt == "timestamp-micros":
+            if lt in ("timestamp-micros", "local-timestamp-micros"):
                 # INTEGER arithmetic only: float seconds truncate 1 ulp
                 # low for ~1% of microsecond values (e.g.
                 # 1987-04-04T00:00:00.000001 -> ...000000)
                 EPOCH_AW = datetime.datetime(1970, 1, 1, tzinfo=UTC)
                 EPOCH_DT = datetime.datetime(1970, 1, 1)
                 US = datetime.timedelta(microseconds=1)
-                dec_tz = _zone(session_tz) if session_tz else None
+                is_instant = lt == "timestamp-micros"
 
                 def enc(v):
                     if isinstance(v, datetime.datetime):
-                        if v.tzinfo is None:
-                            # inverse of fromInternal's OS-local naive
-                            v = v.astimezone()
-                        v = (v.astimezone(UTC) - EPOCH_AW) // US
+                        if is_instant:
+                            if v.tzinfo is None:
+                                # inverse of fromInternal's OS-local naive
+                                v = v.astimezone()
+                            v = (v.astimezone(UTC) - EPOCH_AW) // US
+                        else:
+                            # NTZ wall clock: no zone math, ever
+                            if v.tzinfo is not None:
+                                v = v.replace(tzinfo=None)
+                            v = (v - EPOCH_DT) // US
                     return encode_long(int(v))
 
                 def dec(buf, pos):
                     n, pos = decode_long(buf, pos)
-                    if dec_tz is not None:
-                        aw = (EPOCH_AW + n * US).astimezone(dec_tz)
-                        return aw.replace(tzinfo=None), pos
                     return EPOCH_DT + n * US, pos
 
                 return enc, dec
@@ -372,17 +363,17 @@ def _parse_header(data: bytes) -> tuple[dict, int]:
     return meta, pos
 
 
-def parse_container(data: bytes, session_tz: str | None = None):
+def parse_container(data: bytes):
     """Decode one container file -> (avro_schema dict, list of row
     tuples in field order). Verifies magic and every block's sync
-    marker. session_tz (see _field_coders) controls which wall clock
-    decoded timestamps are rendered in; None keeps naive-UTC."""
+    marker. timestamp-micros fields decode to naive UTC wall times;
+    local-timestamp-micros to their naive wall value."""
     meta, pos = _parse_header(data)
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     sync = data[pos:pos + 16]
     pos += 16
-    coders = _field_coders(schema, session_tz)
+    coders = _field_coders(schema)
     rows = []
     end = len(data)
     while pos < end:
@@ -472,16 +463,28 @@ def read_avro(spark, path: str):
     schema = json.loads(meta["avro.schema"])
     ddl = spark_schema_for(schema)
     names = [f["name"] for f in schema["fields"]]
-    # Arrow interprets the decoder's naive timestamps in the SESSION
-    # timezone; hand that zone to the decoder so the re-read instant
-    # equals the written instant on any session timezone.
-    session_tz = spark.conf.get("spark.sql.session.timeZone")
+
+    def _lt(f):
+        t = f["type"]
+        if isinstance(t, list):
+            t = next(x for x in t if x != "null")
+        return t.get("logicalType") if isinstance(t, dict) else None
+
+    # instant fields decode as naive UTC wall; re-attach UTC before
+    # Arrow so the session-zone step is an instant-exact tz_convert,
+    # never a tz_localize (which resolves DST-ambiguous wall hours to
+    # an arbitrary side). NTZ fields stay naive — they ARE wall clocks.
+    instant_cols = [f["name"] for f in schema["fields"]
+                    if _lt(f) == "timestamp-micros"]
 
     def decode(batches):
         for pdf in batches:
             for _p, content in zip(pdf["path"], pdf["content"]):
-                _schema, rows = parse_container(bytes(content), session_tz)
-                yield pd.DataFrame(rows, columns=names)
+                _schema, rows = parse_container(bytes(content))
+                out = pd.DataFrame(rows, columns=names)
+                for c in instant_cols:
+                    out[c] = pd.to_datetime(out[c], utc=True)
+                yield out
 
     binf = spark.read.format("binaryFile").load(str(Path(path) / "*.avro"))
     return binf.select("path", "content").mapInPandas(decode, schema=ddl)

@@ -107,19 +107,33 @@ def capped_dir(sf_dir: str, tenths: int) -> str:
     marker = dst / ".complete"
     if marker.exists():
         return str(dst)
-    # prune stale fingerprints of the same (tenths, SOURCE PATH) so tmp/
-    # holds at most one capped copy per SF dir; a fresh .complete marker
-    # (touched < 1 h ago) is left alone — a concurrent sweep of a
-    # just-regenerated tree may still be reading it
-    for old in dst.parent.glob(f"cap{tenths}0_{src.name}_{pathkey}_*"):
+    # Prune stale siblings so tmp/ holds at most one capped copy per
+    # SF dir: same-pathkey dirs with an older fingerprint, plus
+    # legacy-format dirs (pre-pathkey naming — unreachable by the new
+    # key, so they would otherwise be orphaned forever). A dir that is
+    # FRESH (its own mtime or its .complete marker touched < 1 h ago)
+    # is left alone: a concurrent sweep may still be building or
+    # reading it.
+    def _fresh(d: Path) -> bool:
+        now = time.time()
+        for probe in (d / ".complete", d):
+            try:
+                if now - probe.stat().st_mtime < 3600:
+                    return True
+            except OSError:
+                continue
+        return False
+
+    for old in dst.parent.glob(f"cap{tenths}0_{src.name}_*"):
         if old == dst or not old.is_dir():
             continue
-        m = old / ".complete"
-        try:
-            if m.exists() and time.time() - m.stat().st_mtime < 3600:
-                continue
-        except OSError:
-            pass
+        suffix = old.name.split(f"cap{tenths}0_{src.name}_", 1)[1]
+        legacy = "_" not in suffix or len(suffix.split("_", 1)[0]) != 10
+        same_path = suffix.startswith(f"{pathkey}_")
+        if not (legacy or same_path):
+            continue  # another SF root's live cache — never touch it
+        if _fresh(old):
+            continue
         shutil.rmtree(old, ignore_errors=True)
     dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()

@@ -222,3 +222,65 @@ def test_timestamp_instant_preserved_on_non_utc_session(spark, tmp_path):
         assert read_avro(spark, p).collect()[0]["ts"] == df.collect()[0]["ts"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_ntz_wall_clock_roundtrip_no_zone_math(spark, tmp_path):
+    """timestamp_ntz is a wall clock: it maps to Avro
+    local-timestamp-micros and the raw long must be the naive wall
+    micros VERBATIM — no OS/session zone may leak in (the review
+    regression case: the instant-path localization corrupting NTZ)."""
+    from etl_mini_spark.sources.avro_io import parse_container, read_avro, write_avro
+
+    wall = datetime.datetime(2024, 6, 1, 12, 0, 0, 654321)
+    df = spark.createDataFrame([(1, wall)], "i long, ts timestamp_ntz")
+    p = str(tmp_path / "ntz")
+    write_avro(df.coalesce(1), p, codec="null")
+    f = max(glob.glob(p + "/*.avro"), key=os.path.getsize)
+    schema, rows = parse_container(open(f, "rb").read())
+    fld = next(x for x in schema["fields"][1]["type"] if x != "null")
+    assert fld["logicalType"] == "local-timestamp-micros"
+    assert rows[0][1] == wall  # decoded naive wall, exact
+    back = read_avro(spark, p)
+    assert back.schema.simpleString() == "struct<i:bigint,ts:timestamp_ntz>"
+    assert back.collect()[0]["ts"] == wall
+    # and the same wall value survives under a non-UTC session zone
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        assert read_avro(spark, p).collect()[0]["ts"] == wall
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_timestamp_dst_ambiguous_hour_instant_exact(spark, tmp_path):
+    """Both instants of a DST fall-back wall hour must survive the
+    round-trip distinctly: 2024-11-03 05:30Z and 06:30Z are BOTH
+    01:30 America/New_York wall time, so a decoder that localizes a
+    naive session wall time would collapse or shift one of them (the
+    review finding); the tz-aware UTC read leg must not."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        from etl_mini_spark.sources.avro_io import parse_container, read_avro, write_avro
+
+        from pyspark.sql import functions as F
+
+        df = spark.sql(
+            "SELECT 1 AS i, to_timestamp('2024-11-03 09:30:00 UTC') AS ts "
+            "UNION ALL "
+            "SELECT 2 AS i, to_timestamp('2024-11-03 10:30:00 UTC') AS ts"
+        ).withColumn("us", F.unix_micros("ts"))
+        want_us = {r["i"]: r["us"] for r in df.collect()}
+        assert want_us[2] - want_us[1] == 3_600_000_000  # distinct instants
+        p = str(tmp_path / "dst")
+        write_avro(df.select("i", "ts").coalesce(1), p, codec="null")
+        f = max(glob.glob(p + "/*.avro"), key=os.path.getsize)
+        _schema, rows = parse_container(open(f, "rb").read())
+        epoch = datetime.datetime(1970, 1, 1)
+        raw = {r[0]: (r[1] - epoch) // datetime.timedelta(microseconds=1) for r in rows}
+        assert raw == want_us  # written longs are the true instants
+        got = {r["i"]: r["us"] for r in
+               read_avro(spark, p).withColumn("us", F.unix_micros("ts")).collect()}
+        assert got == want_us  # re-read instants identical, not collapsed
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
