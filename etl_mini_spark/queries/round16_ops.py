@@ -465,7 +465,11 @@ def damerau_dl_blocked(spark, sf_dir):
     # preflight's own guarantee), so persist it — the preflight
     # histogram, and BOTH self-join sides below, reuse one
     # materialization instead of re-running the documents scan +
-    # explode + distinct three times.
+    # explode + distinct three times. No explicit success-path
+    # unpersist is possible (the returned lazy plan references the
+    # cache); once the caller drops the frame, ContextCleaner reclaims
+    # the blocks — bounded by the preflight at ~|V| rows of (word,
+    # count), a few MB.
     reach = reach.persist()
     # Candidate-mass preflight (same contract as the setjoin r15 fix,
     # sized by bench_scale.py's damerau_blocked_100k probe): length-±1

@@ -135,15 +135,22 @@ def avro_schema_for(spark_schema) -> dict:
     return {"type": "record", "name": "row", "fields": fields}
 
 
+def _branch(t):
+    """Unwrap the standard nullable union: ["null", T] -> T (the single
+    shared helper for schema mapping, coders, and read_avro's
+    instant-column detection — keep them from diverging)."""
+    if isinstance(t, list):
+        return next(x for x in t if x != "null")
+    return t
+
+
 def spark_schema_for(avro_schema: dict) -> str:
     """Avro record schema -> Spark DDL string (inverse of the above)."""
     back = {"long": "long", "int": "int", "double": "double", "float": "float",
             "string": "string", "boolean": "boolean", "bytes": "binary"}
     cols = []
     for f in avro_schema["fields"]:
-        t = f["type"]
-        if isinstance(t, list):  # ["null", T]
-            t = next(x for x in t if x != "null")
+        t = _branch(f["type"])
         if isinstance(t, dict):
             lt = t.get("logicalType")
             ddl = ("timestamp" if lt == "timestamp-micros"
@@ -258,11 +265,8 @@ def _field_coders(avro_schema: dict):
 
     out = []
     for f in avro_schema["fields"]:
-        t = f["type"]
-        nullable = isinstance(t, list)
-        if nullable:
-            t = next(x for x in t if x != "null")
-        enc, dec = coders_for(t)
+        nullable = isinstance(f["type"], list)
+        enc, dec = coders_for(_branch(f["type"]))
         out.append((f["name"], nullable, enc, dec))
     return out
 
@@ -465,25 +469,33 @@ def read_avro(spark, path: str):
     names = [f["name"] for f in schema["fields"]]
 
     def _lt(f):
-        t = f["type"]
-        if isinstance(t, list):
-            t = next(x for x in t if x != "null")
+        t = _branch(f["type"])
         return t.get("logicalType") if isinstance(t, dict) else None
 
     # instant fields decode as naive UTC wall; re-attach UTC before
     # Arrow so the session-zone step is an instant-exact tz_convert,
     # never a tz_localize (which resolves DST-ambiguous wall hours to
-    # an arbitrary side). NTZ fields stay naive — they ARE wall clocks.
+    # an arbitrary side). Per-object replace(tzinfo=UTC), NOT
+    # pd.to_datetime(utc=True): the datetime64[ns] path would narrow
+    # the readable range to 1677..2262 and crash on instants (year
+    # 2500, year 1) the µs codec round-trips losslessly. NTZ fields
+    # stay naive — they ARE wall clocks.
     instant_cols = [f["name"] for f in schema["fields"]
                     if _lt(f) == "timestamp-micros"]
 
     def decode(batches):
+        import datetime
+
+        UTC = datetime.timezone.utc
         for pdf in batches:
             for _p, content in zip(pdf["path"], pdf["content"]):
                 _schema, rows = parse_container(bytes(content))
                 out = pd.DataFrame(rows, columns=names)
                 for c in instant_cols:
-                    out[c] = pd.to_datetime(out[c], utc=True)
+                    out[c] = out[c].map(
+                        lambda v: v.replace(tzinfo=UTC)
+                        if isinstance(v, datetime.datetime) else v
+                    )
                 yield out
 
     binf = spark.read.format("binaryFile").load(str(Path(path) / "*.avro"))

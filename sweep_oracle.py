@@ -110,10 +110,16 @@ def capped_dir(sf_dir: str, tenths: int) -> str:
     # Prune stale siblings so tmp/ holds at most one capped copy per
     # SF dir: same-pathkey dirs with an older fingerprint, plus
     # legacy-format dirs (pre-pathkey naming — unreachable by the new
-    # key, so they would otherwise be orphaned forever). A dir that is
+    # key, so they would otherwise be orphaned forever). Structural
+    # classification, not prefix heuristics: a sibling SF root whose
+    # basename extends ours (sf0.1 vs sf0.1_old) produces suffixes
+    # that match NEITHER pattern and is never touched. A dir that is
     # FRESH (its own mtime or its .complete marker touched < 1 h ago)
     # is left alone: a concurrent sweep may still be building or
     # reading it.
+    import glob as _glob
+    import re as _re
+
     def _fresh(d: Path) -> bool:
         now = time.time()
         for probe in (d / ".complete", d):
@@ -124,14 +130,21 @@ def capped_dir(sf_dir: str, tenths: int) -> str:
                 continue
         return False
 
-    for old in dst.parent.glob(f"cap{tenths}0_{src.name}_*"):
+    prefix = f"cap{tenths}0_{src.name}"
+    # glob.escape: an SF basename with glob metachars (e.g. "sf[1]")
+    # must match literally, not as a character class
+    candidates = [Path(p) for p in _glob.glob(str(dst.parent / (_glob.escape(prefix) + "*")))]
+    for old in candidates:
         if old == dst or not old.is_dir():
             continue
-        suffix = old.name.split(f"cap{tenths}0_{src.name}_", 1)[1]
-        legacy = "_" not in suffix or len(suffix.split("_", 1)[0]) != 10
-        same_path = suffix.startswith(f"{pathkey}_")
-        if not (legacy or same_path):
-            continue  # another SF root's live cache — never touch it
+        suffix = old.name[len(prefix):]  # "" or "_<parts>"
+        m_new = _re.fullmatch(r"_([0-9a-f]{10})_[0-9a-f]+_[0-9a-f]+", suffix)
+        legacy = suffix == "" or _re.fullmatch(r"_[0-9a-f]+_[0-9a-f]+", suffix)
+        if m_new:
+            if m_new.group(1) != pathkey:
+                continue  # another SF root's live cache — never touch it
+        elif not legacy:
+            continue  # unrecognized sibling (e.g. extended basename) — skip
         if _fresh(old):
             continue
         shutil.rmtree(old, ignore_errors=True)

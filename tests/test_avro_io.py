@@ -284,3 +284,25 @@ def test_timestamp_dst_ambiguous_hour_instant_exact(spark, tmp_path):
         assert got == want_us  # re-read instants identical, not collapsed
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_timestamp_outside_pandas_ns_range_roundtrips(spark, tmp_path):
+    """Spark timestamps span years 1..9999 at µs precision; the read
+    leg must not funnel them through datetime64[ns] (bounds
+    1677..2262). Year-2500 and year-1600 instants round-trip exactly
+    (the review regression: pd.to_datetime(utc=True) raised
+    OutOfBoundsDatetime in the mapInPandas worker)."""
+    from etl_mini_spark.sources.avro_io import read_avro, write_avro
+
+    cases = [
+        datetime.datetime(2500, 6, 1, 12, 0, 0, 123456),
+        datetime.datetime(1600, 1, 2, 3, 4, 5, 654321),
+        datetime.datetime(2024, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, ts timestamp"
+    )
+    p = str(tmp_path / "far")
+    write_avro(df, p, codec="null")
+    got = {r["i"]: r["ts"] for r in read_avro(spark, p).collect()}
+    assert got == {i: t for i, t in enumerate(cases)}
