@@ -131,10 +131,12 @@ def capped_dir(sf_dir: str, tenths: int) -> str:
         return False
 
     prefix = f"cap{tenths}0_{src.name}"
-    # glob.escape: an SF basename with glob metachars (e.g. "sf[1]")
-    # must match literally, not as a character class
-    candidates = [Path(p) for p in _glob.glob(str(dst.parent / (_glob.escape(prefix) + "*")))]
-    for old in candidates:
+    # glob.escape on the BASENAME only (an SF name with glob metachars
+    # like "sf[1]" must match literally); Path.glob keeps the parent
+    # path itself literal, which glob.glob on the joined string would
+    # not (metachars in the checkout path would empty the candidate
+    # list and silently disable pruning)
+    for old in dst.parent.glob(_glob.escape(prefix) + "*"):
         if old == dst or not old.is_dir():
             continue
         suffix = old.name[len(prefix):]  # "" or "_<parts>"
