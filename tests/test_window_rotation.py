@@ -47,3 +47,46 @@ def test_window_slots_not_wasted_on_rows_only():
 
     rows_only = [n for n in _DRIVER_WINDOW if n not in ORACLE]
     assert not rows_only, f"rows-only entries occupy window slots: {rows_only}"
+
+
+def test_precomputed_next_round_plan_is_executable():
+    """The ROUND-N+1 rotation plan precomputed in _window.py must be
+    mechanically executable next round: every named re-verification
+    slot is a registered, oracle-backed entry currently in the tail
+    (not already holding a slot), the slot arithmetic closes to 50
+    with the staged tier, and no staged name collides with the
+    registry. Catches a plan typo THIS round instead of mid-rotation
+    next round."""
+    import re
+
+    from etl_mini_spark.queries import ORACLE, QUERIES
+    from etl_mini_spark.queries._window import _DRIVER_WINDOW
+
+    src = (REPO / "etl_mini_spark/queries/_window.py").read_text()
+    m = re.search(
+        r"ROUND-\d+ ROTATION PLAN.*?lexicographic within equal last-green rounds:\n"
+        r"(.*?)\n# \(cohort sizes",
+        src,
+        re.S,
+    )
+    assert m, "precomputed next-round plan block not found in _window.py"
+    plan = re.findall(r'"([a-z0-9_]+)"', m.group(1))
+    assert plan and len(plan) == len(set(plan)), "plan empty or has duplicates"
+    for name in plan:
+        assert name in QUERIES, f"plan names unknown query: {name}"
+        assert name in ORACLE, f"plan names rows-only query: {name}"
+        assert name not in _DRIVER_WINDOW, (
+            f"plan re-verifies {name}, which already holds a current slot"
+        )
+    tier = re.search(r"register the (\d+) round(\d+)_pending entries", src)
+    assert tier, "plan does not state the staged-tier size"
+    n_tier, rnd = int(tier.group(1)), int(tier.group(2))
+    pending = (REPO / f"etl_mini_spark/queries/round{rnd}_pending.py").read_text()
+    staged = set(re.findall(r'@pq\("([a-z0-9_]+)"', pending))
+    assert len(staged) == n_tier, (
+        f"plan says {n_tier} staged entries, round{rnd}_pending has {len(staged)}"
+    )
+    assert not staged & set(QUERIES), f"staged names collide: {staged & set(QUERIES)}"
+    assert n_tier + len(plan) == 50, (
+        f"slot arithmetic: {n_tier} staged + {len(plan)} re-verify != 50"
+    )
