@@ -921,6 +921,61 @@ def p_damerau_blocked(spark):
     }
 
 
+@probe("avro_2m_roundtrip")
+def p_avro_scale(spark, tmpdir):
+    """2M-row distributed Avro probe for the pure-stdlib codec: 32
+    foreachPartition container writers (deflate) and the binaryFile +
+    mapInPandas re-read, with an EXACT aggregate checksum equality
+    invariant (count, BIGINT cent-sum, BIGINT micros-sum mod 1e9) —
+    the same parity discipline as the registered avro_roundtrip entry,
+    at ~25x the sf0.1 row count. Reports both directions' throughput
+    so a codec regression shows up as MB/s, not anecdote; at 100 TB
+    both legs parallelize by file count (one container per
+    partition)."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.sources.avro_io import read_avro, write_avro
+
+    n = 2_000_000
+    df = (
+        spark.range(n).repartition(32)
+        .withColumn("price", (F.col("id") % 99_991) / F.lit(100.0))
+        .withColumn("ts", F.timestamp_micros(F.col("id") * 1_000_003))
+        .withColumn("name", F.concat(F.lit("ord_"), F.conv(F.col("id"), 10, 16)))
+    )
+
+    def checksum(frame):
+        r = frame.agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+            F.sum(F.unix_micros("ts") % 1_000_000_007).alias("us_mod"),
+            F.sum(F.length("name")).alias("name_len"),
+        ).collect()[0]
+        return tuple(r)
+
+    want = checksum(df)
+    out = str(Path(tmpdir) / "avro_2m")
+    t0 = time.monotonic()
+    write_avro(df, out, codec="deflate")
+    w_s = time.monotonic() - t0
+    files = list(Path(out).glob("*.avro"))
+    total_mb = sum(f.stat().st_size for f in files) / 1e6
+    t0 = time.monotonic()
+    got = checksum(read_avro(spark, out))
+    r_s = time.monotonic() - t0
+    return {
+        "n_rows": n,
+        "n_files": len(files),
+        "file_mb": round(total_mb, 1),
+        "write_s": round(w_s, 2),
+        "read_s": round(r_s, 2),
+        "write_mb_s": round(total_mb / w_s, 1),
+        "read_mb_s": round(total_mb / r_s, 1),
+        "checksum_equal": bool(got == want),
+        "ok": bool(got == want and len(files) == 32),
+    }
+
+
 @probe("event_incremental_agg")
 def p_incremental(spark, tmpdir):
     """9M-row incremental-maintenance probe: a persisted daily
@@ -1192,6 +1247,8 @@ def main() -> None:
         p_jaro_blocked(spark)
         print("blocked damerau vocabulary...", file=sys.stderr)
         p_damerau_blocked(spark)
+        print("avro 2M roundtrip...", file=sys.stderr)
+        p_avro_scale(spark, tmpdir)
 
         print("generating points...", file=sys.stderr)
         p_geo_grid(spark)
