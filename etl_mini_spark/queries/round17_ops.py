@@ -9,12 +9,13 @@ fixed-point expectation ladder — no logistic ever evaluated), density
 clustering (DBSCAN as grid-blocked neighbor counts + connected
 components, the scale-safe decomposition), and retrieval (BM25F
 fielded scoring, TextRank keyword centrality under the integer-nano
-iteration discipline) — authored in round 14, to be registered when
-the small-tier backlog-drain plan reaches it (r17+). DELIBERATELY
-13 entries, same reason as rounds 15/16.
-
-Module-local PENDING17_QUERIES/PENDING17_ORACLE, swept by
-sweep_oracle.py alongside the registry and the earlier pending tiers.
+iteration discipline) — authored in round 14 as round17_pending,
+registered verbatim in round 17 (names and oracles unchanged; the
+staging `pq` decorator becomes the registry `q`). DELIBERATELY SMALL
+(13 entries): per the r13 verdict's backlog plan, tiers stay small so
+~37 window slots per round re-verify the stale r06-r08 cohort until
+that debt clears — this round drains the r06 cohort 23 -> 0 and the
+r07 cohort 44 -> 30.
 
 Parity rules as in round9..16 (FIXTURES.md §C): integer/decimal
 arithmetic wherever a comparison decides a row; libm-free except
@@ -28,25 +29,11 @@ rounding.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mini_spark.queries._base import _t
-
-PENDING17_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-PENDING17_ORACLE: dict[str, str] = {}
-
-
-def pq(name: str, sql: str | None = None):
-    def deco(fn):
-        PENDING17_QUERIES[name] = fn
-        if sql is not None:
-            PENDING17_ORACLE[name] = sql
-        return fn
-
-    return deco
+from etl_mini_spark.queries._base import q as pq
 
 
 def _pin(col, k: int = 6):

@@ -244,16 +244,6 @@ def main():
     # a staged pending tier, when one exists, sweeps alongside the registry
     todo = [(n, QUERIES[n], ORACLE[n]) for n in ORACLE]
     try:
-        from etl_mini_spark.queries.round17_pending import (
-            PENDING17_ORACLE, PENDING17_QUERIES)
-
-        todo += [(n, PENDING17_QUERIES[n], PENDING17_ORACLE[n]) for n in PENDING17_ORACLE]
-    except ModuleNotFoundError as e:
-        # only "no pending tier this round" is skippable; a transitive
-        # import failure inside a real pending module must surface
-        if e.name != "etl_mini_spark.queries.round17_pending":
-            raise
-    try:
         from etl_mini_spark.queries.round18_pending import (
             PENDING18_ORACLE, PENDING18_QUERIES)
 

@@ -1133,17 +1133,18 @@ def test_round16_staged_tier_no_cartesian_blanket(spark):
 
 
 def test_round17_staged_tier_no_cartesian_blanket(spark):
-    """Blanket physical-plan audit of the round-17 STAGED tier (same
-    contract as the round-7..16 blankets, applied before registration):
-    no CartesianProduct; BroadcastNestedLoopJoin only where the
-    non-equi/cross side is bounded by construction — group-pair grids,
-    1-row scalar aggregates, decile grids — never the fact table."""
+    """Blanket physical-plan audit of the round-17 tier (same contract
+    as the round-7..16 blankets; repointed from the staging module to
+    the registry at registration): no CartesianProduct;
+    BroadcastNestedLoopJoin only where the non-equi/cross side is
+    bounded by construction — group-pair grids, 1-row scalar
+    aggregates, decile grids — never the fact table."""
     import re as _re
 
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round17_pending import PENDING17_QUERIES
+    from etl_mini_spark.queries import QUERIES as PENDING17_QUERIES
 
-    src = open("etl_mini_spark/queries/round17_pending.py").read()
+    src = open("etl_mini_spark/queries/round17_ops.py").read()
     ROUND17 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
     assert len(ROUND17) == 13
     SKIP_SIDE_EFFECTS = {

@@ -1,9 +1,10 @@
-"""Non-vacuity pins for the round-17 STAGED tier (oracle equivalence
-is swept by sweep_oracle.py / verified at sf0.001 + sf0.01 + sf0.1
-before staging): bounds, conservation laws, exact independent replays
+"""Non-vacuity pins for the round-17 tier (oracle equivalence is
+verified by tests/test_queries_oracle.py at sf0.001 and the driver at
+sf0.01): bounds, conservation laws, exact independent replays
 (Huffman optimality via Kraft + entropy bounds, Viterbi path score,
 Elo zero-sum, DBSCAN role consistency) so no entry can go green as a
-degenerate constant. At registration these pins migrate unchanged."""
+degenerate constant. Migrated unchanged from the staging harness at
+registration."""
 
 from __future__ import annotations
 
@@ -11,9 +12,9 @@ from tests.conftest import SF_SMOKE
 
 
 def _pending():
-    from etl_mini_spark.queries.round17_pending import PENDING17_QUERIES
+    from etl_mini_spark.queries import QUERIES
 
-    return PENDING17_QUERIES
+    return QUERIES
 
 
 PENDING = _pending()
