@@ -926,7 +926,8 @@ def p_avro_scale(spark, tmpdir):
     """2M-row distributed Avro probe for the pure-stdlib codec: 32
     foreachPartition container writers (deflate) and the binaryFile +
     mapInPandas re-read, with an EXACT aggregate checksum equality
-    invariant (count, BIGINT cent-sum, BIGINT micros-sum mod 1e9) —
+    invariant (count, BIGINT cent-sum, BIGINT sum of per-row
+    micros mod 1e9+7) —
     the same parity discipline as the registered avro_roundtrip entry,
     at ~25x the sf0.1 row count. Reports both directions' throughput
     so a codec regression shows up as MB/s, not anecdote; at 100 TB

@@ -440,7 +440,13 @@ def damerau_dl_blocked(spark, sf_dir):
     """Full Damerau-Levenshtein (unrestricted transpositions) over
     length-blocked vocabulary pairs, vs DuckDB's builtin — the Spark
     side is the textbook DP with the alphabet last-occurrence table,
-    Arrow-batched. Pure integers; the ≤2 cut is exact."""
+    Arrow-batched. Pure integers; the ≤2 cut is exact.
+
+    NOTE: calling this query function runs the candidate-mass
+    preflight EAGERLY (a persist + ~20-row length-histogram collect)
+    before the lazy plan is returned — plan-audit/explain tooling that
+    only wants the plan still triggers one corpus scan (same contract
+    as setjoin_prefix_filter's preflight)."""
     import pandas as pd
 
     from etl_mini_spark.operators.text import full_damerau_levenshtein as dl

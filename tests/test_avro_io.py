@@ -306,3 +306,51 @@ def test_timestamp_outside_pandas_ns_range_roundtrips(spark, tmp_path):
     write_avro(df, p, codec="null")
     got = {r["i"]: r["ts"] for r in read_avro(spark, p).collect()}
     assert got == {i: t for i, t in enumerate(cases)}
+
+
+def test_duplicate_column_names_raise_at_write_time(spark):
+    """The Avro spec forbids duplicate record fields; Spark allows
+    duplicate column names (e.g. after a join). The schema mapper must
+    fail fast at write time instead of producing a file the Java
+    reader rejects at read time (r16 advice)."""
+    from etl_mini_spark.sources.avro_io import avro_schema_for
+
+    df = _df(spark).select("id", "name").join(
+        _df(spark).select("id", "name"), on="id"
+    )
+    assert df.columns.count("name") == 2  # the hazard is real
+    with pytest.raises(ValueError, match="duplicate column names.*'name'"):
+        avro_schema_for(df.schema)
+
+
+def test_backend_routing_prefers_jvm_when_available(spark, monkeypatch):
+    """backend='auto' must resolve to the JVM spark-avro data source
+    whenever the jar is on the classpath (real clusters) and to the
+    stdlib codec otherwise (this container) — the pure-Python constant
+    factor is a workaround, not the 100 TB path (r16 verdict)."""
+    from etl_mini_spark.sources import avro_io
+
+    # this container has no spark-avro jar: the probe must say so,
+    # and auto must fall back to the stdlib codec
+    assert avro_io.spark_avro_available(spark) is False
+    assert avro_io._resolve_backend(spark, "auto") == "stdlib"
+    # with the jar present (simulated), auto routes to the JVM source
+    monkeypatch.setattr(avro_io, "spark_avro_available", lambda s: True)
+    assert avro_io._resolve_backend(spark, "auto") == "jvm"
+    # explicit backends pass through regardless of availability
+    assert avro_io._resolve_backend(spark, "stdlib") == "stdlib"
+    assert avro_io._resolve_backend(spark, "jvm") == "jvm"
+    with pytest.raises(ValueError, match="unknown backend"):
+        avro_io._resolve_backend(spark, "arrow")
+
+
+def test_forced_jvm_backend_fails_loudly_without_jar(spark, tmp_path):
+    """A forced backend='jvm' in a jar-less environment must raise
+    Spark's missing-data-source error at the action, never silently
+    degrade to the stdlib codec."""
+    from etl_mini_spark.sources.avro_io import read_avro, write_avro
+
+    with pytest.raises(Exception, match="[Aa]vro"):
+        write_avro(_df(spark), str(tmp_path / "j"), backend="jvm")
+    with pytest.raises(Exception, match="[Aa]vro"):
+        read_avro(spark, str(tmp_path / "j"), backend="jvm").collect()
