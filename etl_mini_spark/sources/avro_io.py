@@ -419,8 +419,13 @@ def parse_container(data: bytes):
 
 # --- Spark-facing API -------------------------------------------------------
 
-# session-scoped probe cache: {id(jvm spark session): bool}
-_SPARK_AVRO_PROBE: dict[int, bool] = {}
+# session-scoped probe cache keyed on the live Python session object
+# (a WeakKeyDictionary, NOT an id()-keyed dict: CPython reuses
+# addresses after GC, so an id key could serve one session's probe
+# result to a different session with a different classpath)
+import weakref  # noqa: E402
+
+_SPARK_AVRO_PROBE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def spark_avro_available(spark) -> bool:
@@ -430,23 +435,44 @@ def spark_avro_available(spark) -> bool:
     worse per-core constant (SCALE_r16: ~10.8/17.4 MB/s aggregate
     write/read on 32 cores) — at a 100 TB target the JVM reader/writer
     must take over whenever it exists, so the public entry points
-    probe once per session and branch."""
-    key = id(spark._jsparkSession)
-    if key not in _SPARK_AVRO_PROBE:
-        try:
-            # the EXACT lookup DataFrameReader/Writer perform — a bare
-            # Class.forName is wrong here: pyspark's distribution ships
-            # some org.apache.spark.sql.avro classes (the from_avro/
-            # to_avro function surface) without registering the data
-            # source, so only the ServiceLoader-backed lookup tells the
-            # truth
-            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
-                "avro", spark._jsparkSession.sessionState().conf()
-            )
-            _SPARK_AVRO_PROBE[key] = True
-        except Exception:
-            _SPARK_AVRO_PROBE[key] = False
-    return _SPARK_AVRO_PROBE[key]
+    probe once per session and branch.
+
+    Only a missing data source maps to False; any OTHER probe failure
+    propagates (a broad except would let an internal-API move in a
+    future Spark silently route a jar-equipped cluster onto the slow
+    codec forever). Spark Connect sessions have no py4j gateway to
+    probe — they return False (the stdlib legs are Connect-compatible);
+    force ``backend='jvm'`` there if the cluster ships the jar."""
+    jss = getattr(spark, "_jsparkSession", None)
+    jvm = getattr(spark, "_jvm", None)
+    if jss is None or jvm is None:
+        return False
+    try:
+        return _SPARK_AVRO_PROBE[spark]
+    except (KeyError, TypeError):
+        pass
+    try:
+        # the EXACT lookup DataFrameReader/Writer perform — a bare
+        # Class.forName is wrong here: pyspark's distribution ships
+        # some org.apache.spark.sql.avro classes (the from_avro/
+        # to_avro function surface) without registering the data
+        # source, so only the ServiceLoader-backed lookup tells the
+        # truth
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", jss.sessionState().conf()
+        )
+        avail = True
+    except Exception as e:
+        msg = str(e)
+        if "Failed to find data source" in msg or "DATA_SOURCE_NOT_FOUND" in msg:
+            avail = False
+        else:
+            raise
+    try:
+        _SPARK_AVRO_PROBE[spark] = avail
+    except TypeError:
+        pass  # un-weakref-able session: probe again next call
+    return avail
 
 
 def _resolve_backend(spark, backend: str) -> str:
@@ -471,7 +497,13 @@ def write_avro(df, path: str, codec: str = "deflate", block_rows: int = 4096,
     ``<path>/part-<pid>.avro`` from the executor via the pure-stdlib
     codec (no driver materialization). The stdlib sync marker is
     derived deterministically from (path, partition id) so re-runs are
-    byte-stable."""
+    byte-stable.
+
+    Overwrite semantics differ by backend: the JVM branch is Spark's
+    ``mode('overwrite')`` (replaces the WHOLE directory, sidecar files
+    included); the stdlib branch unlinks only ``*.avro`` part files.
+    Treat the target as an Avro-only directory — don't co-locate other
+    artifacts in it."""
     import hashlib
 
     if _resolve_backend(df.sparkSession, backend) == "jvm":

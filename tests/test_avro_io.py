@@ -354,3 +354,76 @@ def test_forced_jvm_backend_fails_loudly_without_jar(spark, tmp_path):
         write_avro(_df(spark), str(tmp_path / "j"), backend="jvm")
     with pytest.raises(Exception, match="[Aa]vro"):
         read_avro(spark, str(tmp_path / "j"), backend="jvm").collect()
+
+
+class _FakeLookup:
+    """Minimal py4j-shaped stub: fake_spark._jvm.org.apache.spark.sql
+    .execution.datasources.DataSource.lookupDataSource(...) hits
+    `fn`."""
+
+    def __init__(self, fn):
+        self.calls = 0
+        self._fn = fn
+
+    def __getattr__(self, name):
+        if name == "lookupDataSource":
+            def _call(*a):
+                self.calls += 1
+                return self._fn()
+            return _call
+        return self
+
+
+class _FakeSpark:
+    def __init__(self, fn):
+        self._jvm = _FakeLookup(fn)
+        self._jsparkSession = self  # anything non-None with sessionState()
+
+    def sessionState(self):
+        return self
+
+    def conf(self):
+        return None
+
+
+def test_probe_connect_session_returns_false():
+    """A session without a py4j gateway (Spark Connect) cannot be
+    probed — 'auto' must fall back to the Connect-compatible stdlib
+    legs instead of crashing on a missing _jsparkSession attribute."""
+    from etl_mini_spark.sources.avro_io import spark_avro_available
+
+    class _Connect:  # no _jsparkSession / _jvm at all
+        pass
+
+    assert spark_avro_available(_Connect()) is False
+
+
+def test_probe_only_missing_data_source_maps_to_false():
+    """Only the missing-data-source error means 'jar absent'; any
+    other probe failure (internal API moved, gateway glitch) must
+    propagate — a broad except would silently park a jar-equipped
+    cluster on the ~100x-slower stdlib codec."""
+    from etl_mini_spark.sources.avro_io import spark_avro_available
+
+    def _missing():
+        raise RuntimeError(
+            "[DATA_SOURCE_NOT_FOUND] Failed to find data source: avro.")
+
+    def _broken():
+        raise RuntimeError("py4j gateway exploded")
+
+    assert spark_avro_available(_FakeSpark(_missing)) is False
+    with pytest.raises(RuntimeError, match="exploded"):
+        spark_avro_available(_FakeSpark(_broken))
+
+
+def test_probe_caches_per_session_object():
+    """The probe runs once per live session object (WeakKeyDictionary
+    — keyed on the object, not id(), so address reuse after GC cannot
+    leak a stale result across sessions)."""
+    from etl_mini_spark.sources.avro_io import spark_avro_available
+
+    fake = _FakeSpark(lambda: None)  # lookup succeeds -> available
+    assert spark_avro_available(fake) is True
+    assert spark_avro_available(fake) is True
+    assert fake._jvm.calls == 1
