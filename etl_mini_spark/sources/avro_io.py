@@ -40,6 +40,7 @@ import io
 import json
 import re
 import struct
+import weakref
 import zlib
 from pathlib import Path
 
@@ -423,8 +424,6 @@ def parse_container(data: bytes):
 # (a WeakKeyDictionary, NOT an id()-keyed dict: CPython reuses
 # addresses after GC, so an id key could serve one session's probe
 # result to a different session with a different classpath)
-import weakref  # noqa: E402
-
 _SPARK_AVRO_PROBE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
@@ -441,8 +440,11 @@ def spark_avro_available(spark) -> bool:
     propagates (a broad except would let an internal-API move in a
     future Spark silently route a jar-equipped cluster onto the slow
     codec forever). Spark Connect sessions have no py4j gateway to
-    probe — they return False (the stdlib legs are Connect-compatible);
-    force ``backend='jvm'`` there if the cluster ships the jar."""
+    probe — they return False, and the stdlib legs then only work when
+    the client and the executors share a filesystem (write_avro's
+    driver-side mkdir/unlink and read_avro's header glob run on the
+    CLIENT); on a remote Connect cluster force ``backend='jvm'`` and
+    ship the jar."""
     jss = getattr(spark, "_jsparkSession", None)
     jvm = getattr(spark, "_jvm", None)
     if jss is None or jvm is None:
@@ -463,7 +465,14 @@ def spark_avro_available(spark) -> bool:
         )
         avail = True
     except Exception as e:
-        msg = str(e)
+        # Py4JJavaError.__str__ does another gateway round-trip for the
+        # Java stack trace and can itself raise if the connection just
+        # died — fall back to the construction-time errmsg attribute so
+        # the classification never masks the original error
+        try:
+            msg = str(e)
+        except Exception:
+            msg = str(getattr(e, "errmsg", ""))
         if "Failed to find data source" in msg or "DATA_SOURCE_NOT_FOUND" in msg:
             avail = False
         else:
