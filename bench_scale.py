@@ -957,12 +957,14 @@ def p_avro_scale(spark, tmpdir):
     want = checksum(df)
     out = str(Path(tmpdir) / "avro_2m")
     t0 = time.monotonic()
-    write_avro(df, out, codec="deflate")
+    # the probe's signal is STDLIB-codec throughput — pin the backend
+    # so a jar-equipped cluster doesn't silently measure the JVM source
+    write_avro(df, out, codec="deflate", backend="stdlib")
     w_s = time.monotonic() - t0
     files = list(Path(out).glob("*.avro"))
     total_mb = sum(f.stat().st_size for f in files) / 1e6
     t0 = time.monotonic()
-    got = checksum(read_avro(spark, out))
+    got = checksum(read_avro(spark, out, backend="stdlib"))
     r_s = time.monotonic() - t0
     return {
         "n_rows": n,

@@ -553,7 +553,10 @@ def read_avro(spark, path: str, backend: str = "auto"):
     import pandas as pd
 
     if _resolve_backend(spark, backend) == "jvm":
-        return spark.read.format("avro").load(str(Path(path) / "*.avro"))
+        # string join, NOT pathlib: Path('s3a://bucket/dir') collapses
+        # the scheme's '//' and would break the exact remote-cluster
+        # case this branch exists for
+        return spark.read.format("avro").load(path.rstrip("/") + "/*.avro")
     files = sorted(Path(path).glob("*.avro"))
     if not files:
         raise FileNotFoundError(f"avro_io: no .avro files under {path}")
@@ -607,5 +610,5 @@ def read_avro(spark, path: str, backend: str = "auto"):
                     )
                 yield out
 
-    binf = spark.read.format("binaryFile").load(str(Path(path) / "*.avro"))
+    binf = spark.read.format("binaryFile").load(path.rstrip("/") + "/*.avro")
     return binf.select("path", "content").mapInPandas(decode, schema=ddl)

@@ -8,20 +8,12 @@ registration."""
 
 from __future__ import annotations
 
+from etl_mini_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 
 
-def _pending():
-    from etl_mini_spark.queries import QUERIES
-
-    return QUERIES
-
-
-PENDING = _pending()
-
-
 def test_tukey_pairs_complete_and_consistent(spark):
-    rows = PENDING["tukey_kramer_hsd"](spark, SF_SMOKE).collect()
+    rows = QUERIES["tukey_kramer_hsd"](spark, SF_SMOKE).collect()
     types = sorted({r["g1"] for r in rows} | {r["g2"] for r in rows})
     k = len(types)
     assert len(rows) == k * (k - 1) // 2
@@ -31,7 +23,7 @@ def test_tukey_pairs_complete_and_consistent(spark):
 
 
 def test_simpson_bounds(spark):
-    rows = PENDING["simpson_diversity_index"](spark, SF_SMOKE).collect()
+    rows = QUERIES["simpson_diversity_index"](spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r["simpson_d"] <= 1.0
@@ -42,7 +34,7 @@ def test_simpson_bounds(spark):
 
 
 def test_wilcoxon_w_in_range(spark):
-    r = PENDING["wilcoxon_signed_rank"](spark, SF_SMOKE).collect()[0]
+    r = QUERIES["wilcoxon_signed_rank"](spark, SF_SMOKE).collect()[0]
     n = r["n"]
     assert n >= 10
     # W+ in half-units is bounded by the total rank sum n(n+1)/2
@@ -51,7 +43,7 @@ def test_wilcoxon_w_in_range(spark):
 
 
 def test_huffman_kraft_equality_and_ordering(spark):
-    rows = PENDING["huffman_code_lengths"](spark, SF_SMOKE).collect()
+    rows = QUERIES["huffman_code_lengths"](spark, SF_SMOKE).collect()
     assert len(rows) >= 2
     # Kraft equality for a full binary code tree
     assert abs(sum(2.0 ** -r["code_len"] for r in rows) - 1.0) < 1e-12
@@ -62,7 +54,7 @@ def test_huffman_kraft_equality_and_ordering(spark):
 
 
 def test_viterbi_path_shape(spark):
-    rows = sorted(PENDING["viterbi_two_state"](spark, SF_SMOKE).collect(),
+    rows = sorted(QUERIES["viterbi_two_state"](spark, SF_SMOKE).collect(),
                   key=lambda r: r["d"])
     assert rows
     assert {r["state"] for r in rows} <= {"B", "R"}
@@ -72,7 +64,7 @@ def test_viterbi_path_shape(spark):
 
 
 def test_secretary_success_rate_near_37pct(spark):
-    rows = PENDING["secretary_stopping_rule"](spark, SF_SMOKE).collect()
+    rows = QUERIES["secretary_stopping_rule"](spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert 1 <= r["k"] < r["n"] and r["k"] + 1 <= r["chosen_i"] <= r["n"]
@@ -86,7 +78,7 @@ def test_critical_path_dominates_plain_sum(spark):
 
     from etl_mini_spark.queries._base import _t
 
-    r = PENDING["critical_path_lookback"](spark, SF_SMOKE).collect()[0]
+    r = QUERIES["critical_path_lookback"](spark, SF_SMOKE).collect()[0]
     o = _t(spark, SF_SMOKE, "orders")
     total = o.agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias("t")
@@ -98,7 +90,7 @@ def test_critical_path_dominates_plain_sum(spark):
 
 
 def test_t_closeness_bounds(spark):
-    rows = PENDING["privacy_t_closeness"](spark, SF_SMOKE).collect()
+    rows = QUERIES["privacy_t_closeness"](spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r["t"] <= 1.0
@@ -107,7 +99,7 @@ def test_t_closeness_bounds(spark):
 
 
 def test_elo_zero_sum_and_match_count(spark):
-    rows = PENDING["elo_fixed_ladder"](spark, SF_SMOKE).collect()
+    rows = QUERIES["elo_fixed_ladder"](spark, SF_SMOKE).collect()
     assert len(rows) >= 2
     # every update transfers points 1:1, so total rating is conserved
     assert sum(r["rating_milli"] for r in rows) == 1500000 * len(rows)
@@ -116,7 +108,7 @@ def test_elo_zero_sum_and_match_count(spark):
 
 
 def test_dbscan_roles_consistent(spark):
-    rows = PENDING["dbscan_grid_blocked"](spark, SF_SMOKE).collect()
+    rows = QUERIES["dbscan_grid_blocked"](spark, SF_SMOKE).collect()
     assert rows
     by_role: dict[str, list] = {"core": [], "border": [], "noise": []}
     for r in rows:
@@ -132,7 +124,7 @@ def test_dbscan_roles_consistent(spark):
 
 
 def test_bm25f_title_weighting_ranks(spark):
-    rows = PENDING["bm25f_fielded_topk"](spark, SF_SMOKE).collect()
+    rows = QUERIES["bm25f_fielded_topk"](spark, SF_SMOKE).collect()
     assert len(rows) == 20
     scores = [r["bm25f"] for r in rows]
     assert scores == sorted(scores, reverse=True)
@@ -140,7 +132,7 @@ def test_bm25f_title_weighting_ranks(spark):
 
 
 def test_textrank_mass_conservation(spark):
-    rows = PENDING["textrank_keywords"](spark, SF_SMOKE).collect()
+    rows = QUERIES["textrank_keywords"](spark, SF_SMOKE).collect()
     assert len(rows) >= 10
     total = sum(r["pr_nanos"] for r in rows)
     # damped PageRank keeps total mass near 1e9 (floor losses only)
@@ -149,6 +141,6 @@ def test_textrank_mass_conservation(spark):
 
 
 def test_kadane_interval_is_real_and_maximal_locally(spark):
-    r = PENDING["kadane_max_swing"](spark, SF_SMOKE).collect()[0]
+    r = QUERIES["kadane_max_swing"](spark, SF_SMOKE).collect()[0]
     assert r["best_swing_cents"] > 0  # a 700+-day series has an up-swing
     assert r["start_d"] <= r["end_d"] and r["run_len"] >= 1
