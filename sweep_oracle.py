@@ -267,7 +267,7 @@ def main():
     except ModuleNotFoundError as e:
         if e.name != "etl_mini_spark.queries.round20_pending":
             raise
-    skip_from = sys.argv[2] if len(sys.argv) > 2 else None
+    skip_from = next((a for a in sys.argv[2:] if not a.startswith("-")), None)
     # The quadratic oracles finish comfortably at the driver's sf0.01
     # gate (500 docs); capping only kicks in where the full oracle
     # provably cannot run (sf0.1's 5,000 docs) so smaller SFs keep the
@@ -283,7 +283,16 @@ def main():
         cap_active = n_docs > 2000
     else:
         cap_active = False
-    spark = get_spark("sweep-sf01")
+    if "--bare" in sys.argv:
+        # the external driver's exact conditions: a bare DEFAULT
+        # SparkSession (no session-factory confs). get_spark would
+        # yield to it anyway; creating it here replaces the per-round
+        # tmp/gate_bare_rN.py pre-import dance with a flag.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+    else:
+        spark = get_spark("sweep-sf01")
     spark.sparkContext.setLogLevel("ERROR")
     if skip_from:
         names = [n for n, _, _ in todo]
