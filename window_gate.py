@@ -37,26 +37,20 @@ def main() -> int:
         spark = get_spark("window-gate")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from etl_mini_spark.queries import QUERIES
+    from etl_mini_spark.queries import ORACLE, QUERIES
     from etl_mini_spark.queries._window import _DRIVER_WINDOW
     from tests.oracle_harness import compare
 
     t0 = time.monotonic()
     n_ok = 0
     for i, name in enumerate(_DRIVER_WINDOW, 1):
-        ok, msg = compare(QUERIES[name](spark, SF), _oracle()[name], SF)
+        ok, msg = compare(QUERIES[name](spark, SF), ORACLE[name], SF)
         print(f"[{i}/{len(_DRIVER_WINDOW)} {time.monotonic() - t0:.0f}s] "
               f"{name}: {'ok' if ok else 'MISMATCH ' + msg}", flush=True)
         n_ok += bool(ok)
     print(f"WINDOW GATE DONE {n_ok}/{len(_DRIVER_WINDOW)} ok "
           f"in {time.monotonic() - t0:.0f}s")
     return 0 if n_ok == len(_DRIVER_WINDOW) else 1
-
-
-def _oracle():
-    from etl_mini_spark.queries import ORACLE
-
-    return ORACLE
 
 
 if __name__ == "__main__":
