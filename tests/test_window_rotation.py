@@ -90,3 +90,53 @@ def test_precomputed_next_round_plan_is_executable():
     assert n_tier + len(plan) == 50, (
         f"slot arithmetic: {n_tier} staged + {len(plan)} re-verify != 50"
     )
+
+
+def test_precomputed_plan_drains_stalest_first():
+    """The drain discipline is the point of the plan: the named
+    re-verification slots must be exactly the STALEST driver-green
+    entries outside the current window, lexicographic within equal
+    last-green rounds (r16 verdict trajectory). A plan that skips a
+    staler entry for a fresher one — a typo'd cherry-pick the
+    executable-plan lint can't see — fails here. Declared canary
+    slots (lines matching '# canary: <name>' inside the plan block)
+    are exempt from the staleness math, per the code-change-canary
+    exception."""
+    import re
+
+    from etl_mini_spark.queries import ORACLE
+    from etl_mini_spark.queries._window import _DRIVER_WINDOW
+
+    src = (REPO / "etl_mini_spark/queries/_window.py").read_text()
+    m = re.search(
+        r"ROUND-\d+ ROTATION PLAN.*?lexicographic within equal last-green rounds:\n"
+        r"(.*?)\n# \(cohort sizes",
+        src,
+        re.S,
+    )
+    assert m, "precomputed next-round plan block not found"
+    canaries = set(re.findall(r"# canary: ([a-z0-9_]+)", m.group(1)))
+    plan = [n for n in re.findall(r'"([a-z0-9_]+)"', m.group(1))
+            if n not in canaries]
+
+    last = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p.name).group(1))
+        for name, row in json.loads(p.read_text()).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+
+    eligible = sorted(
+        ((r, n) for n, r in last.items()
+         if n in ORACLE and n not in _DRIVER_WINDOW and n not in canaries),
+    )
+    expected = [n for _, n in eligible[: len(plan)]]
+    assert plan == expected, (
+        "plan is not the stalest-first drain: "
+        f"first divergence at {next((i, a, b) for i, (a, b) in enumerate(zip(plan, expected)) if a != b)}"
+    )
