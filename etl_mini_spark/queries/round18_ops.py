@@ -10,12 +10,13 @@ data-vault point-in-time table over two satellite histories), modular
 arithmetic (Shamir secret reconstruction via Lagrange interpolation
 mod a Mersenne prime), data quality (Luhn checksum audit), and
 distribution comparison (the Kuiper two-sample statistic, the
-rotation-invariant refinement of KS) — authored in round 14 so the
-rotation-focused sessions r15-r18 inherit ready tiers. DELIBERATELY
-~12 entries (the small-tier backlog-drain plan).
-
-Module-local PENDING18_QUERIES/PENDING18_ORACLE, swept by
-sweep_oracle.py alongside the registry and the 15/16/17 tiers.
+rotation-invariant refinement of KS) — authored in round 14 as
+round18_pending, registered verbatim in round 18 (names and oracles
+unchanged; the staging `pq` decorator becomes the registry `q`).
+DELIBERATELY SMALL (10 entries): per the r13 verdict's backlog plan,
+tiers stay small so ~40 window slots per round re-verify the stale
+r07-r08 cohort until that debt clears — this round drains the r07
+cohort 30 -> 0 and the r08 cohort 48 -> 38.
 
 Parity rules as in round9..17 (FIXTURES.md §C): exact integers
 wherever a comparison decides a row (registers, DP states, modular
@@ -27,25 +28,11 @@ nanos, deterministic tie-breaks, HALF_UP display rounding.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mini_spark.queries._base import _t
-
-PENDING18_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-PENDING18_ORACLE: dict[str, str] = {}
-
-
-def pq(name: str, sql: str | None = None):
-    def deco(fn):
-        PENDING18_QUERIES[name] = fn
-        if sql is not None:
-            PENDING18_ORACLE[name] = sql
-        return fn
-
-    return deco
+from etl_mini_spark.queries._base import q as pq
 
 
 def _pin(col, k: int = 6):

@@ -244,14 +244,6 @@ def main():
     # a staged pending tier, when one exists, sweeps alongside the registry
     todo = [(n, QUERIES[n], ORACLE[n]) for n in ORACLE]
     try:
-        from etl_mini_spark.queries.round18_pending import (
-            PENDING18_ORACLE, PENDING18_QUERIES)
-
-        todo += [(n, PENDING18_QUERIES[n], PENDING18_ORACLE[n]) for n in PENDING18_ORACLE]
-    except ModuleNotFoundError as e:
-        if e.name != "etl_mini_spark.queries.round18_pending":
-            raise
-    try:
         from etl_mini_spark.queries.round19_pending import (
             PENDING19_ORACLE, PENDING19_QUERIES)
 

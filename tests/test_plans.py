@@ -1169,17 +1169,18 @@ def test_round17_staged_tier_no_cartesian_blanket(spark):
 
 
 def test_round18_staged_tier_no_cartesian_blanket(spark):
-    """Blanket physical-plan audit of the round-18 STAGED tier (same
-    contract as the round-7..17 blankets): no CartesianProduct;
+    """Blanket physical-plan audit of the round-18 tier (same contract
+    as the round-7..17 blankets; repointed from the staging module to
+    the registry at registration): no CartesianProduct;
     BroadcastNestedLoopJoin only where the non-equi/cross side is
     bounded by construction — 64-register grids, 1-row scalar
     aggregates, 6-constraint literal grids, 4-snapshot grids."""
     import re as _re
 
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round18_pending import PENDING18_QUERIES
+    from etl_mini_spark.queries import QUERIES as PENDING18_QUERIES
 
-    src = open("etl_mini_spark/queries/round18_pending.py").read()
+    src = open("etl_mini_spark/queries/round18_ops.py").read()
     ROUND18 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
     assert len(ROUND18) == 10
     SKIP_SIDE_EFFECTS = {

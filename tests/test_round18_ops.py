@@ -1,9 +1,9 @@
-"""Non-vacuity pins for the round-18 STAGED tier (oracle equivalence
-is swept by sweep_oracle.py / verified at sf0.001 + sf0.01 + sf0.1
-before staging): sketch accuracy bands, modular identities, Luhn
-detection completeness, LP feasibility, and a full independent
-STABILITY proof of the Gale-Shapley matching. At registration these
-pins migrate unchanged."""
+"""Non-vacuity pins for the round-18 tier (oracle equivalence is
+verified by tests/test_queries_oracle.py at sf0.001 and the driver at
+sf0.01): sketch accuracy bands, modular identities, Luhn detection
+completeness, LP feasibility, and a full independent STABILITY proof
+of the Gale-Shapley matching. Migrated unchanged from the staging
+harness at registration."""
 
 from __future__ import annotations
 
@@ -12,13 +12,13 @@ import hashlib
 from tests.conftest import SF_SMOKE
 
 
-def _pending():
-    from etl_mini_spark.queries.round18_pending import PENDING18_QUERIES
+def _registry():
+    from etl_mini_spark.queries import QUERIES
 
-    return PENDING18_QUERIES
+    return QUERIES
 
 
-PENDING = _pending()
+PENDING = _registry()
 
 
 def test_hll_estimate_band(spark):
