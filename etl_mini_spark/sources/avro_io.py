@@ -106,6 +106,28 @@ def _encode_bytes(b: bytes) -> bytes:
 _AVRO_NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 
+def _validate_field_names(spark_schema) -> None:
+    """The Avro-spec name checks shared by both write backends:
+    duplicate record fields are forbidden, and names must match
+    [A-Za-z_][A-Za-z0-9_]* — either way the Apache Java reader would
+    reject the file, so fail at write time with one message on BOTH
+    the stdlib and the JVM path (r17 advice: the JVM branch used to
+    skip this and surface an opaque JVM-side error instead)."""
+    names = [f.name for f in spark_schema.fields]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"avro_io: duplicate column names {dupes} — the Avro spec forbids "
+            "duplicate record fields (alias the columns before write_avro)"
+        )
+    for f in spark_schema.fields:
+        if not _AVRO_NAME.match(f.name):
+            raise ValueError(
+                f"avro_io: column name {f.name!r} is not a valid Avro field "
+                "name ([A-Za-z_][A-Za-z0-9_]*) — alias it before write_avro"
+            )
+
+
 def avro_schema_for(spark_schema) -> dict:
     """Spark StructType -> Avro record schema (dict, json.dumps-able).
     Field names are validated against the Avro spec's name rule
@@ -115,20 +137,9 @@ def avro_schema_for(spark_schema) -> dict:
     Spark, e.g. after a join) are rejected too: the Avro spec forbids
     duplicate record fields, so the Java reader would reject the file
     at read time — fail fast at write time instead."""
-    names = [f.name for f in spark_schema.fields]
-    if len(set(names)) != len(names):
-        dupes = sorted({n for n in names if names.count(n) > 1})
-        raise ValueError(
-            f"avro_io: duplicate column names {dupes} — the Avro spec forbids "
-            "duplicate record fields (alias the columns before write_avro)"
-        )
+    _validate_field_names(spark_schema)
     fields = []
     for f in spark_schema.fields:
-        if not _AVRO_NAME.match(f.name):
-            raise ValueError(
-                f"avro_io: column name {f.name!r} is not a valid Avro field "
-                "name ([A-Za-z_][A-Za-z0-9_]*) — alias it before write_avro"
-            )
         t = f.dataType.simpleString()
         if t in _SPARK_TO_AVRO:
             at: object = _SPARK_TO_AVRO[t]
@@ -512,9 +523,16 @@ def write_avro(df, path: str, codec: str = "deflate", block_rows: int = 4096,
     ``mode('overwrite')`` (replaces the WHOLE directory, sidecar files
     included); the stdlib branch unlinks only ``*.avro`` part files.
     Treat the target as an Avro-only directory — don't co-locate other
-    artifacts in it."""
+    artifacts in it. ``block_rows`` applies only to the stdlib backend
+    (the JVM writer manages its own sync-block sizing); both backends
+    run the same field-name/duplicate validation first, so an invalid
+    frame fails with one message either way instead of surfacing a
+    JVM-side error only on clusters with the jar. The full type
+    mapping stays stdlib-only — the JVM writer legitimately supports
+    nested types the stdlib codec does not."""
     import hashlib
 
+    _validate_field_names(df.schema)
     if _resolve_backend(df.sparkSession, backend) == "jvm":
         (df.write.mode("overwrite").format("avro")
            .option("compression", "uncompressed" if codec == "null" else codec)

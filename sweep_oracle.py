@@ -31,7 +31,14 @@ import duckdb  # noqa: E402
 from etl_mini_spark.session import get_spark  # noqa: E402
 from tests.oracle_harness import TABLES, canonicalize  # noqa: E402
 
-SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.1"
+# Positionals may appear on either side of flags like --bare (r17
+# advice: `sweep_oracle.py --bare sf_dir` used to silently sweep the
+# DEFAULT SF and treat the sf path as start_from). First non-dash arg
+# = SF, second = start_from; main() rejects a third loudly (the
+# rejection lives there, not at import, so pytest's own positionals
+# can't kill a test-session import).
+_POSITIONALS = [a for a in sys.argv[1:] if not a.startswith("-")]
+SF = _POSITIONALS[0] if _POSITIONALS else "/root/testdata/sf0.1"
 ORACLE_BUDGET_S = 180
 
 # Per-query tolerance predicates (r13 verdict #5). Exact hash equality
@@ -259,7 +266,12 @@ def main():
     except ModuleNotFoundError as e:
         if e.name != "etl_mini_spark.queries.round20_pending":
             raise
-    skip_from = next((a for a in sys.argv[2:] if not a.startswith("-")), None)
+    if len(_POSITIONALS) > 2:
+        sys.exit(
+            "usage: sweep_oracle.py [--bare] [sf_dir] [start_from_name]; "
+            f"got extra positionals: {_POSITIONALS[2:]}"
+        )
+    skip_from = _POSITIONALS[1] if len(_POSITIONALS) > 1 else None
     # The quadratic oracles finish comfortably at the driver's sf0.01
     # gate (500 docs); capping only kicks in where the full oracle
     # provably cannot run (sf0.1's 5,000 docs) so smaller SFs keep the

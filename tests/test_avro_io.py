@@ -330,10 +330,14 @@ def test_backend_routing_prefers_jvm_when_available(spark, monkeypatch):
     factor is a workaround, not the 100 TB path (r16 verdict)."""
     from etl_mini_spark.sources import avro_io
 
-    # this container has no spark-avro jar: the probe must say so,
-    # and auto must fall back to the stdlib codec
-    assert avro_io.spark_avro_available(spark) is False
-    assert avro_io._resolve_backend(spark, "auto") == "stdlib"
+    # auto must follow whatever the classpath probe actually says —
+    # environments that legitimately ship the spark-avro jar resolve
+    # to 'jvm' (r17 advice: don't hard-assert the jar is ABSENT, that
+    # is a container fact, not a routing contract)
+    jar_present = avro_io.spark_avro_available(spark)
+    assert avro_io._resolve_backend(spark, "auto") == (
+        "jvm" if jar_present else "stdlib"
+    )
     # with the jar present (simulated), auto routes to the JVM source
     monkeypatch.setattr(avro_io, "spark_avro_available", lambda s: True)
     assert avro_io._resolve_backend(spark, "auto") == "jvm"
@@ -347,13 +351,42 @@ def test_backend_routing_prefers_jvm_when_available(spark, monkeypatch):
 def test_forced_jvm_backend_fails_loudly_without_jar(spark, tmp_path):
     """A forced backend='jvm' in a jar-less environment must raise
     Spark's missing-data-source error at the action, never silently
-    degrade to the stdlib codec."""
-    from etl_mini_spark.sources.avro_io import read_avro, write_avro
+    degrade to the stdlib codec. (Skipped where the jar legitimately
+    exists — there the forced path simply works; the routing contract
+    is covered unconditionally above.)"""
+    from etl_mini_spark.sources.avro_io import (read_avro, spark_avro_available,
+                                                write_avro)
 
+    if spark_avro_available(spark):
+        pytest.skip("spark-avro jar on classpath: forced 'jvm' is valid here")
     with pytest.raises(Exception, match="[Aa]vro"):
         write_avro(_df(spark), str(tmp_path / "j"), backend="jvm")
     with pytest.raises(Exception, match="[Aa]vro"):
         read_avro(spark, str(tmp_path / "j"), backend="jvm").collect()
+
+
+def test_write_validation_parity_across_backends(spark, monkeypatch, tmp_path):
+    """Both write backends must reject duplicate / non-Avro field
+    names with the SAME fail-fast message (r17 advice: the JVM branch
+    used to skip validation and surface a JVM-side error instead).
+    The JVM branch is simulated via the backend resolver so the check
+    proves the validation fires BEFORE any JVM write is attempted."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.sources import avro_io
+
+    dup = _df(spark).select("id", "name").join(
+        _df(spark).select("id", "name"), on="id"
+    )
+    bad_name = _df(spark).select(F.sum("id"))  # column named 'sum(id)'
+    for backend_resolved in ("stdlib", "jvm"):
+        monkeypatch.setattr(
+            avro_io, "_resolve_backend", lambda s, b, _r=backend_resolved: _r
+        )
+        with pytest.raises(ValueError, match="duplicate column names.*'name'"):
+            avro_io.write_avro(dup, str(tmp_path / "d"), backend="auto")
+        with pytest.raises(ValueError, match="not a valid Avro field name"):
+            avro_io.write_avro(bad_name, str(tmp_path / "b"), backend="auto")
 
 
 class _FakeLookup:

@@ -1202,3 +1202,32 @@ def test_sweep_tolerance_predicate_bounds():
     d = pd.DataFrame({"p": [0.26, 0.5], "v": [26960.18, 50000.0]})
     assert not so._within_tolerance(a, d, {"v": 1e-3})      # exact col drift → red
     assert "approx_quantile_sketch" in so.TOLERANCE
+
+
+def test_sweep_positional_parse_is_flag_order_independent():
+    """r17 advice: `sweep_oracle.py --bare sf_dir` used to silently
+    sweep the DEFAULT sf0.1 (SF was argv[1] only) and then crash
+    treating the sf path as start_from. The parse now takes the first
+    non-dash arg as SF and the second as start_from, wherever --bare
+    sits."""
+    import importlib
+    import sys as _sys
+
+    import sweep_oracle as so
+
+    orig = _sys.argv
+    try:
+        for argv in (
+            ["sweep_oracle.py", "--bare", "/root/testdata/sf0.01"],
+            ["sweep_oracle.py", "/root/testdata/sf0.01", "--bare"],
+        ):
+            _sys.argv = argv
+            so = importlib.reload(so)
+            assert so.SF == "/root/testdata/sf0.01", argv
+            assert so._POSITIONALS == ["/root/testdata/sf0.01"], argv
+        _sys.argv = ["sweep_oracle.py", "--bare", "sfdir", "name", "extra"]
+        so = importlib.reload(so)
+        assert so._POSITIONALS[2:] == ["extra"]  # main() rejects these
+    finally:
+        _sys.argv = orig
+        importlib.reload(so)
