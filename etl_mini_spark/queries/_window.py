@@ -53,7 +53,12 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #   "tolerant_select", "topk_limit", "train_test_temporal_split",
 #   "window_lag_lead", "window_session_30m", "window_tumbling_1h",
 #   "acf_hourly_lags", "agg_cube", "agg_distinct", "agg_grouping_sets",
-#   "agg_histogram"
+#   "stream_cms_incremental",  # canary: stream_cms_incremental — its
+#   micro-batch fixture builder was rewritten Spark-side in round 18
+#   (r17 verdict #1: no whole-table toPandas), so the code-change
+#   canary rule gives it next round's driver re-verification ahead of
+#   its natural r13-cohort turn (displacing agg_histogram, the least
+#   stale of the natural 42)
 # (cohort sizes after that drain: r08 37->0, r09 48->43, r10 48, ... —
 # the pre-r09 debt is EMPTY after round 19; round 20 then registers
 # the 6 round20_pending entries and spends 44 slots on the stalest

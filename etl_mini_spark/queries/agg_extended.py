@@ -57,7 +57,13 @@ def agg_grouping_sets(spark, sf_dir):
 def agg_approx_distinct(spark, sf_dir):
     """A3 scale path: HyperLogLog++ distinct counts. At 100 TB the exact
     count-distinct shuffle is the bottleneck; HLL sketches aggregate
-    map-side into a few KB per partition. rsd pinned for determinism."""
+    map-side into a few KB per partition. rsd pinned for determinism.
+
+    Rows-only here because Spark's HLL++ register layout is not
+    engine-portable; the VALUE-checkable twin is the registered
+    ``hyperloglog_md5_replay`` entry (round18_ops.py) — an
+    own-implementation 64-register md5 HLL whose estimate hash-matches
+    DuckDB exactly — plus the 5%-of-exact accuracy pin in tests."""
     e = _t(spark, sf_dir, "events")
     return e.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),

@@ -2553,11 +2553,24 @@ def stream_cms_incremental(spark, sf_dir):
     )
     cuts = ["0000-00-00", "2024-01-11", "2024-01-21", "9999-12-31"]
     src.mkdir(parents=True, exist_ok=True)
-    all_pdf = e.withColumn("d", F.date_format("ts", "yyyy-MM-dd")).toPandas()
+    # micro-batch source files are written by Spark FILTER, never a
+    # whole-table driver gather (r17 verdict #1): each date-range chunk
+    # lands as one executor-written part file that is then just RENAMED
+    # into the stream source dir — only file metadata touches the
+    # driver, so the builder holds at any stream size
+    ed = e.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
     for i in range(3):
-        chunk = all_pdf[(all_pdf["d"] >= cuts[i]) & (all_pdf["d"] < cuts[i + 1])]
-        chunk[["token"]].to_parquet(src / f"{i:02d}.parquet", index=False)
-        os.utime(src / f"{i:02d}.parquet", (1_000_000_000 + i, 1_000_000_000 + i))
+        chunk_dir = tmp / f"chunk_{i:02d}"
+        (
+            ed.filter((F.col("d") >= cuts[i]) & (F.col("d") < cuts[i + 1]))
+            .select("token").coalesce(1)
+            .write.mode("overwrite").parquet(str(chunk_dir))
+        )
+        part = next(chunk_dir.glob("part-*.parquet"))
+        dest = src / f"{i:02d}.parquet"
+        os.replace(part, dest)
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
 
     schema = spark.read.parquet(str(src / "00.parquet")).schema
 
