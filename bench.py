@@ -119,7 +119,11 @@ def main() -> None:
     # driver-written BENCH_rN.json instead of a gitignored tmp log.
     idle_ref = Path(__file__).resolve().parent / "BENCH_IDLE.json"
     if idle_ref.exists():
-        out["idle_ref"] = json.loads(idle_ref.read_text())
+        try:
+            out["idle_ref"] = json.loads(idle_ref.read_text())
+        except (OSError, ValueError) as exc:
+            # never lose a completed run to a malformed reference file
+            out["idle_ref"] = {"error": f"unreadable BENCH_IDLE.json: {exc}"}
     print(json.dumps(out))
 
 

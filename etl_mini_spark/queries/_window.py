@@ -37,7 +37,7 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 # (8 slots) and spend the remaining 42 slots on the 37 remaining
 # r08-cohort entries (one more r08 name, multimodal_decode, left the
 # registry when it was superseded by multimodal_decode_real) plus the
-# 5 STALEST r09-cohort entries,
+# 4 STALEST r09-cohort entries and one code-change canary,
 # lexicographic within equal last-green rounds:
 #   "embedding_centroid_drift", "feature_crosses_hashed",
 #   "feature_scaler_leakage_safe", "impute_missing_values",
@@ -59,11 +59,11 @@ from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
 #   canary rule gives it next round's driver re-verification ahead of
 #   its natural r13-cohort turn (displacing agg_histogram, the least
 #   stale of the natural 42)
-# (cohort sizes after that drain: r08 37->0, r09 48->43, r10 48, ... —
+# (cohort sizes after that drain: r08 37->0, r09 48->44, r10 48, ... —
 # the pre-r09 debt is EMPTY after round 19; round 20 then registers
-# the 6 round20_pending entries and spends 44 slots on the stalest
-# r09 cohort; add a code-change canary slot only if a shared helper
-# changes.)
+# the 6 round20_pending entries and spends its 44 slots on the 44
+# remaining r09-cohort entries, emptying r09 exactly; add a further
+# code-change canary slot only if a shared helper changes.)
 # =========================================================================
 
 _DRIVER_WINDOW = [

@@ -532,12 +532,14 @@ def write_avro(df, path: str, codec: str = "deflate", block_rows: int = 4096,
     nested types the stdlib codec does not."""
     import hashlib
 
-    _validate_field_names(df.schema)
     if _resolve_backend(df.sparkSession, backend) == "jvm":
+        _validate_field_names(df.schema)
         (df.write.mode("overwrite").format("avro")
            .option("compression", "uncompressed" if codec == "null" else codec)
            .save(path))
         return
+    # the stdlib branch validates via avro_schema_for (same helper,
+    # same messages) — no need to run the name checks twice
     schema = avro_schema_for(df.schema)
     cols = df.columns
     Path(path).mkdir(parents=True, exist_ok=True)
