@@ -271,6 +271,16 @@ def main():
             "usage: sweep_oracle.py [--bare] [sf_dir] [start_from_name]; "
             f"got extra positionals: {_POSITIONALS[2:]}"
         )
+    # a typo'd flag (--bar, --bare=1) would otherwise be dropped by the
+    # positional filter AND missed by the exact '--bare' match below —
+    # the sweep would silently run under the WRONG session and the
+    # committed gate log would attest conditions that never held
+    unknown_flags = [a for a in sys.argv[1:] if a.startswith("-") and a != "--bare"]
+    if unknown_flags:
+        sys.exit(
+            "usage: sweep_oracle.py [--bare] [sf_dir] [start_from_name]; "
+            f"unknown flags: {unknown_flags}"
+        )
     skip_from = _POSITIONALS[1] if len(_POSITIONALS) > 1 else None
     # The quadratic oracles finish comfortably at the driver's sf0.01
     # gate (500 docs); capping only kicks in where the full oracle

@@ -1231,3 +1231,18 @@ def test_sweep_positional_parse_is_flag_order_independent():
     finally:
         _sys.argv = orig
         importlib.reload(so)
+
+
+def test_sweep_rejects_unknown_flags():
+    """A typo'd flag (`--bar`) must fail loudly, not silently run the
+    sweep under the non-bare session while the gate log claims bare
+    conditions (review follow-up to the r17 argv advice)."""
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "sweep_oracle.py", "--bar", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode != 0
+    assert "unknown flags: ['--bar']" in (r.stderr + r.stdout)
