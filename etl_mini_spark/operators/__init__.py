@@ -1,5 +1,6 @@
 from etl_mini_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
+    exact_dedup_keep,
     minhash_signatures,
     near_dup_pairs_minhash_lsh,
     near_dup_pairs_ngram_jaccard,

@@ -81,6 +81,23 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_keep(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The kept ROWS of exact dedup: each input row whose ``id_col`` is
+    the group minimum for its normalized-text md5 fingerprint — the
+    row-set companion of :func:`exact_dedup` (identical keep rule),
+    computed as ONE fingerprint-partitioned window aggregate instead of
+    the aggregate-then-join-back composition. The join-back shape scans
+    the corpus twice and, once the keep-id set outgrows a broadcast,
+    pays a second full-corpus shuffle on the id; this shape is one scan
+    and one fingerprint shuffle at any scale."""
+    w = Window.partitionBy(F.md5(normalize_text(F.col(text_col))))
+    return (
+        df.withColumn("__keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
+
+
 _MIX = 0x9E3779B97F4A7C15  # splitmix64 / golden-ratio odd constant (public)
 
 
@@ -191,33 +208,42 @@ def near_dup_pairs_ngram_jaccard(
     sh = _doc_shingles(df, id_col, text_col, n)
     inv = sh.select(
         "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    # Bucket-expansion plan (the same shape near_dup_pairs_minhash_lsh
+    # uses for its band buckets): ONE shuffle groups the postings by
+    # shingle, the bucket cap becomes a plain size filter on the
+    # collected list, and the ordered pairs are expanded INSIDE each
+    # bucket. The old inverted-index SELF-JOIN evaluated the shingle
+    # UDF + explode lineage 3-4x (once per join side, once more for the
+    # bucket-count aggregate) and paid 3 extra postings-wide exchanges;
+    # this is a single lineage — the UDF runs once — with one
+    # (shingle) shuffle and one (d1, d2) shuffle, still fully lazy.
+    # Candidate volume is identical (Σ_buckets bn²/2: a dropped posting
+    # can't pair either way), and the expansion streams through
+    # Generate, so peak memory per row is one bucket's doc list
+    # (≤ max_bucket_size structs), never the pair set.
+    buckets = (
+        inv.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
     if max_bucket_size is not None:
-        bucket_n = inv.groupBy("shingle").agg(F.count("*").alias("bn"))
-        inv = (
-            inv.join(bucket_n.filter(F.col("bn") <= max_bucket_size), "shingle")
-            .select("doc_id", "sz", "shingle")
-        )
-    # The self-join MUST shuffle, never broadcast: the postings table is
-    # corpus-sized (|docs| × |shingles/doc| rows), but its lineage runs
-    # through a UDF explode, so Catalyst has no size estimate and will
-    # happily broadcast millions of rows (measured: the same 90k-doc
-    # input ran 8.6 s as a shuffle join and 471 s when a join upstream
-    # left stats that tipped the planner into BroadcastHashJoin). The
-    # hint pins the strategy regardless of what lineage the caller
-    # feeds in.
-    a = inv.hint("shuffle_hash").alias("a")
-    b = inv.hint("shuffle_hash").alias("b")
+        buckets = buckets.filter(F.size("ds") <= max_bucket_size)
+    lhs = buckets.select(F.posexplode("ds").alias("i", "x"), F.col("ds"))
     # sz is functionally dependent on doc_id, so folding it into the
     # grouping key is free (same shuffle width) and avoids any post-agg
     # lookup of the sizes.
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        lhs.select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("x.sz").alias("sz1"),
+            F.explode(F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("y"),
+        )
         .groupBy(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.sz").alias("sz1"),
-            F.col("b.sz").alias("sz2"),
+            "d1",
+            F.col("y.doc_id").alias("d2"),
+            "sz1",
+            F.col("y.sz").alias("sz2"),
         )
         .agg(F.count("*").alias("inter"))
     )
@@ -259,6 +285,13 @@ def near_dup_pairs_containment(
     inv = sh.select(
         "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
     )
+    # postings materialized once: the bucket-count aggregate and both
+    # self-join sides used to re-run the shingle UDF + explode lineage
+    # (3 full corpus passes); a plain localCheckpoint pins it. (No
+    # pre-repartition: localCheckpoint surfaces as an ExistingRDD with
+    # UnknownPartitioning, so a shuffle before it cannot be reused by
+    # the join and would be pure waste — measured, not assumed.)
+    inv = inv.localCheckpoint()
     if max_bucket_size is not None:
         bucket_n = inv.groupBy("shingle").agg(F.count("*").alias("bn"))
         inv = (
@@ -481,10 +514,15 @@ def near_dup_pairs_minhash_lsh(
             out.append(len(sx & sy) / u if u else 0.0)
         return pd.Series(out, dtype="float64")
 
+    # asNondeterministic: the threshold filter otherwise gets pushed
+    # BELOW the projection and Catalyst duplicates the UDF (two
+    # ArrowEvalPython nodes — every candidate pair shingled and scored
+    # twice; guide §4.4). The flag pins a single evaluation; the filter
+    # still applies, just above it.
     return (
         cand.join(t1, "d1")
         .join(t2, "d2")
-        .withColumn("jaccard", jac(F.col("__t1"), F.col("__t2")))
+        .withColumn("jaccard", jac.asNondeterministic()(F.col("__t1"), F.col("__t2")))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -675,7 +713,11 @@ def _require_integral_ids(edges: DataFrame, src: str, dst: str) -> None:
 
 
 def connected_components_star(
-    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 50,
+    small_graph_max: int = 1 << 17,
 ) -> DataFrame:
     """Connected components in O(log n) rounds — the large-star /
     small-star alternation (Kiveris et al. 2014, "Connected Components
@@ -696,6 +738,15 @@ def connected_components_star(
     (templated/boilerplate near-dup corpora), where label propagation
     needs diameter rounds. Convergence is detected by edge-set
     fixpoint, so the result is never silently unconverged.
+
+    ``small_graph_max``: edge-count bound (default 2^17 ≈ 2 MB of
+    longs) under which the components come from a driver-side
+    union-find over the one-time-materialized edge projection instead
+    of the sequential Spark rounds — bit-identical output, bounded
+    driver work (the same class of bounded gather as the quantile-cut
+    / bucket-offset collects), and none of the ~log n × 3-jobs
+    scheduling latency that dominates small graphs. Set 0 to force the
+    distributed path.
     """
     _require_integral_ids(edges, src, dst)
     spark = edges.sparkSession
@@ -704,17 +755,71 @@ def connected_components_star(
     # per-stage replanning off, modest fixed partition count), restored
     # after — same treatment as the PageRank loop; size LOOP_PARTS to
     # the cluster on a real deployment.
+    # Materialize the RAW (a, b) projection once, BEFORE the loop confs
+    # take effect: ``edges`` lineage is often the expensive near-dup
+    # pair join, and it used to be re-executed twice more by the
+    # singleton restore below (the all_nodes union read the
+    # un-checkpointed input) — worse, that upstream materialization ran
+    # under the loop's 8-partition/AQE-off scope. Checkpointing the
+    # two-long projection — O(pairs) rows, tiny vs the corpus — under
+    # the SESSION confs means the upstream pair generation runs exactly
+    # once per call at full parallelism; ``e`` and ``all_nodes`` both
+    # derive from it.
+    raw = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).localCheckpoint()
+    # Loop partition count derived from the materialized edge count —
+    # ~1M edges (≈16 MB) per partition, min 1 — instead of a constant:
+    # near-dup edge sets are usually tiny relative to the corpus, and a
+    # fixed 8 partitions made every one of the ~log n sequential rounds
+    # pay 8 tasks of pure scheduling latency for a few hundred rows; at
+    # real graph sizes the same formula scales the rounds back out
+    # (capped so a pathological edge count cannot explode task counts).
+    n_raw = raw.count()
+    if n_raw <= small_graph_max:
+        # Small-graph fast path: below the bound the edge list is a few
+        # MB at most (16 B/edge) — union-find on the driver is exact,
+        # deterministic, and replaces ~log n sequential Spark rounds
+        # (each 3+ jobs of pure scheduling latency) with one bounded
+        # collect. Same output contract as the distributed path: every
+        # node that appears in the edge list, comp = component minimum.
+        # The threshold is a count check on the already-materialized
+        # projection, so the upstream lineage never runs twice; at real
+        # graph sizes the O(log n) alternation below takes over.
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in raw.collect():
+            a, b = row[0], row[1]
+            if a is None or b is None:
+                continue
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # root at the minimum
+        out = [(int(x), int(find(x))) for x in parent]
+        return spark.createDataFrame(out, "node long, comp long")
+    loop_parts = max(1, min(2048, (n_raw + 999_999) // 1_000_000))
     confs = {
         "spark.sql.adaptive.enabled": "false",
-        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.shuffle.partitions": str(loop_parts),
     }
     saved = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
         spark.conf.set(k, v)
     try:
         e = (
-            edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
-            .filter(F.col("a") != F.col("b"))
+            raw.filter(F.col("a") != F.col("b"))
             .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
             .distinct()
             .localCheckpoint()
@@ -772,8 +877,8 @@ def connected_components_star(
     # output contract matches connected_components exactly (which emits
     # (x, x) for them).
     all_nodes = (
-        edges.select(F.col(src).cast("long").alias("node"))
-        .union(edges.select(F.col(dst).cast("long").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
         .distinct()
     )
     singletons = all_nodes.join(assigned.select("node"), "node", "left_anti").select(

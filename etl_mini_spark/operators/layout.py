@@ -74,8 +74,12 @@ def zorder_write(
 
 
 def exact_global_rank(
-    df: DataFrame, order_cols: list[str], rank_col: str = "rn", n_parts: int = 32
-) -> DataFrame:
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rn",
+    n_parts: int = 32,
+    with_total: bool = False,
+):
     """Exact 1-based global row number over a STRICT total order
     without a single-partition window.
 
@@ -97,7 +101,13 @@ def exact_global_rank(
     the single-partition exchange; used by the equi-depth histogram and
     quantile_disc entries. The leading order column must be numeric.
     NULL leading values occupy bucket -1 and rank FIRST, matching the
-    asc-nulls-first order of the window this replaces."""
+    asc-nulls-first order of the window this replaces.
+
+    ``with_total=True`` returns ``(ranked_df, total_rows)`` instead —
+    the total is the sum of the per-bucket counts already gathered
+    driver-side, so callers that need ``count(*)`` (NTILE fill rules,
+    integer quantile ranks) get it for free instead of re-deriving it
+    with a second scan-and-aggregate subtree in their plan."""
     lead = order_cols[0]
     bucket, _ = quantile_buckets(df, lead, n_parts)
     b = df.withColumn("__b", bucket)
@@ -113,8 +123,9 @@ def exact_global_rank(
     ranked = b.withColumn(
         rank_col, F.row_number().over(Window.partitionBy("__b").orderBy(*order_cols))
     )
-    return (
+    out = (
         ranked.join(F.broadcast(omap), "__b")
         .withColumn(rank_col, (F.col(rank_col) + F.col("__off")).cast("bigint"))
         .drop("__b", "__off")
     )
+    return (out, acc) if with_total else out

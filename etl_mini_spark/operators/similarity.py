@@ -447,10 +447,13 @@ def embedding_near_dup_pairs_lsh(
         nb[nb == 0] = 1.0
         return pd.Series(np.einsum("ij,ij->i", A, B) / (na * nb))
 
+    # asNondeterministic: stops Catalyst pushing the threshold filter
+    # below the projection and duplicating the UDF into two
+    # ArrowEvalPython nodes (every candidate scored twice; guide §4.4)
     return (
         cand.join(v1, "id1")
         .join(v2, "id2")
-        .withColumn("__cos", pair_cosine(F.col("__v1"), F.col("__v2")))
+        .withColumn("__cos", pair_cosine.asNondeterministic()(F.col("__v1"), F.col("__v2")))
         .filter(F.col("__cos") >= threshold)
         .select("id1", "id2", F.round("__cos", 6).alias("cosine"))
     )

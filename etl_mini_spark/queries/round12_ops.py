@@ -1595,20 +1595,19 @@ def equi_depth_histogram(spark, sf_dir):
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
         F.col("o_orderkey").alias("k"),
     )
-    ranked = exact_global_rank(v, ["c", "k"])
-    n = ranked.agg(F.count("*").cast("bigint").alias("n"))
+    ranked, n_total = exact_global_rank(v, ["c", "k"], with_total=True)
     # NTILE(8) fill rule from the exact global rank: the first n%8
     # buckets carry ceil(n/8) rows — pure integer arithmetic, identical
-    # to both engines' NTILE definition
-    q8, r8 = F.col("n") / 8, F.col("n") % 8
-    qf = F.floor(q8).cast("bigint")
+    # to both engines' NTILE definition. n comes free from the bucket
+    # counts exact_global_rank already gathered, embedded as a literal —
+    # the old count(*) subplan re-scanned orders and attached it with a
+    # BroadcastNestedLoopJoin (one extra scan + broadcast per run).
+    qf, r8 = n_total // 8, n_total % 8
     big = F.col("rn") <= (qf + 1) * r8
     bucket = F.when(big, F.floor((F.col("rn") - 1) / (qf + 1)) + 1).otherwise(
-        r8 + F.floor((F.col("rn") - (qf + 1) * r8 - 1) / qf) + 1
+        r8 + F.floor((F.col("rn") - (qf + 1) * r8 - 1) / F.lit(qf)) + 1
     )
-    b = ranked.crossJoin(F.broadcast(n)).select(
-        "c", bucket.cast("int").alias("bucket")
-    )
+    b = ranked.select("c", bucket.cast("int").alias("bucket"))
     return (
         b.groupBy("bucket")
         .agg(
@@ -1664,17 +1663,20 @@ def quantile_disc_parity(spark, sf_dir):
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
         F.col("o_orderkey").alias("k"),
     )
-    n_row = v.agg(F.count("*").cast("bigint").alias("n"))
     qs = v.sparkSession.createDataFrame(
         [("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)],
         "q string, qn long, qd long",
     )
-    ranks = qs.crossJoin(F.broadcast(n_row)).select(
+    ranked, n_total = exact_global_rank(v, ["c", "k"], with_total=True)
+    # n comes free from the bucket counts exact_global_rank already
+    # gathered (same integer count(*) the old agg+crossJoin subtree
+    # re-derived with an extra scan of orders per run).
+    ranks = qs.select(
         "q",
-        F.floor((2 * F.col("qn") * F.col("n") + F.col("qd")) / (2 * F.col("qd")))
+        F.floor((2 * F.col("qn") * F.lit(n_total) + F.col("qd")) / (2 * F.col("qd")))
         .cast("bigint").alias("rk"),
     )
-    rn = exact_global_rank(v, ["c", "k"]).select("c", "rn")
+    rn = ranked.select("c", "rn")
     return (
         rn.join(F.broadcast(ranks), rn.rn == ranks.rk)
         .select("q", (F.col("c").cast("double") / 100.0).alias("value"))

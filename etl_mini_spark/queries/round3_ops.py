@@ -295,11 +295,13 @@ def pipeline_corpus_filter(spark, sf_dir):
     re-implementations, so the differential check covers their
     interaction: dedup's fingerprint shuffle, the narrow filter+sample
     maps, one audit aggregation."""
+    from etl_mini_spark.operators.dedup import exact_dedup_keep
     from etl_mini_spark.operators.sampling import deterministic_sample
 
     d = _t(spark, sf_dir, "documents")
-    keep = exact_dedup(d, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
-    dd = d.join(keep, "doc_id")
+    # row-set form of exact dedup: same keep rule (min doc_id per
+    # fingerprint), one fingerprint window instead of agg + join-back
+    dd = exact_dedup_keep(d, "text", "doc_id")
     f = dd.filter(F.col("n_chars") >= 150)
     s = deterministic_sample(f, "doc_id", 0.5, salt="corpus")
     return s.groupBy("lang").agg(

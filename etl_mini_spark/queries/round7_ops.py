@@ -2215,7 +2215,7 @@ def corpus_curation_pipeline(spark, sf_dir):
     oracle is the uncapped exact join."""
     from etl_mini_spark.operators.dedup import (
         connected_components_star,
-        exact_dedup,
+        exact_dedup_keep,
         near_dup_pairs_ngram_jaccard,
     )
     from etl_mini_spark.operators.sampling import budget_cap, split_assign
@@ -2224,8 +2224,10 @@ def corpus_curation_pipeline(spark, sf_dir):
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
     base = d.select("doc_id", "lang", "text", F.size(toks).alias("n_tokens"))
     q = base.filter(F.col("n_tokens").between(25, 115))
-    keep = exact_dedup(q, "text", "doc_id").select(F.col("keep_id").alias("doc_id"))
-    s1 = q.join(keep, "doc_id")
+    # row-set form of the exact-dedup stage: same keep rule (min doc_id
+    # per normalized-text fingerprint), one fingerprint window instead
+    # of the aggregate + join-back that scanned documents twice per use
+    s1 = exact_dedup_keep(q, "text", "doc_id")
     pairs = near_dup_pairs_ngram_jaccard(s1, "doc_id", "text")
     comp = connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("rep")

@@ -621,6 +621,29 @@ def test_star_components_match_label_propagation(spark):
     assert a == b
 
 
+def test_star_components_small_graph_fast_path_matches_distributed(spark):
+    """The round-18 driver-side union-find fast path (edge count ≤
+    small_graph_max) must be row-identical to the distributed
+    large-star/small-star loop (forced via small_graph_max=0) — mixed
+    cliques, a long chain, self-loops, and reversed duplicate edges."""
+    import random
+
+    from etl_mini_spark.operators.dedup import connected_components_star
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(80), rng.randrange(80)) for _ in range(90)}
+    edges |= {(i, i + 1) for i in range(200, 230)}          # chain
+    edges |= {(300, 300), (301, 301)}                       # self-loop singletons
+    edges |= {(b, a) for a, b in list(edges)[:10]}          # reversed dups
+    df = spark.createDataFrame(sorted(edges), ["d1", "d2"])
+    fast = {(r["node"], r["comp"])
+            for r in connected_components_star(df).collect()}
+    dist = {(r["node"], r["comp"])
+            for r in connected_components_star(df, small_graph_max=0).collect()}
+    assert fast == dist
+    assert (300, 300) in fast and (301, 301) in fast
+
+
 def test_merge_upsert_explicit_null_overwrites(spark):
     """ON CONFLICT DO UPDATE SET col = excluded.col overwrites with an
     explicit NULL (ref postgresql_service.py:213-229) — a coalesce-based

@@ -216,25 +216,20 @@ def test_resample_grid_join_broadcasts(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_ngram_jaccard_no_forced_broadcast(spark):
-    """near_dup_pairs_ngram_jaccard must not force-BROADCAST any
-    O(corpus) table (per-doc sizes ride the inverted index instead) —
-    at billions of docs a broadcast hint on a corpus-sized side is a
-    scale-killer. The opposite pin IS required: the postings self-join
-    carries a shuffle_hash hint precisely so Catalyst can never pick a
-    broadcast for the stats-less UDF lineage (measured 358 s+ when it
-    did), so the assertion forbids broadcast-strategy hints
-    specifically, and separately requires the shuffle pin to be
-    present."""
-    import re
-
+def test_ngram_jaccard_pair_generation_is_join_free(spark):
+    """near_dup_pairs_ngram_jaccard's candidate generation must contain
+    NO join of any strategy: the round-18 bucket-expansion rewrite
+    (collect postings per shingle, expand ordered pairs inside each
+    bucket — the near_dup_pairs_minhash_lsh shape) replaced the postings
+    self-join that re-evaluated the shingle-UDF lineage 3-4x and whose
+    stats-less lineage once tipped Catalyst into a catastrophic
+    broadcast (measured 358 s+ vs 8.6 s). No join in the plan ⇒ neither
+    the recompute nor the broadcast failure mode can come back."""
     from etl_mini_spark.queries import QUERIES
 
     df = QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE)
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    hints = re.findall(r"ResolvedHint \(strategy=(\w+)\)", analyzed)
-    assert all("broadcast" not in h.lower() for h in hints), hints
-    assert any("shuffle_hash" in h.lower() for h in hints), hints
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
 
 
 def test_bucketed_join_no_shuffle(spark):
