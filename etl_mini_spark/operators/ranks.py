@@ -62,12 +62,17 @@ def quantile_buckets(
     cuts = sorted(set(nn.approxQuantile("__v", probs, 0.001))) if probs else []
     v = F.col(value_col).cast("double")
     if cuts:
-        arr = F.array(*[F.lit(float(c)) for c in cuts])
-        nb = F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, c: acc + F.when(v >= c, 1).otherwise(0),
-        )
+        # first cut with v < cut gives the bucket index (cuts are
+        # sorted, so this equals the count of cuts <= v). A chained
+        # CASE WHEN compiles through whole-stage codegen; the previous
+        # F.aggregate over a literal array ran the lambda INTERPRETED
+        # per element — ~n_parts evaluations per row, measured as the
+        # dominant cost of the bucketing passes at sf0.1.
+        nb = None
+        for i, c in enumerate(cuts):
+            cond = v < F.lit(float(c))
+            nb = F.when(cond, i) if nb is None else nb.when(cond, i)
+        nb = nb.otherwise(len(cuts))
     else:
         nb = F.lit(0)
     bucket = (

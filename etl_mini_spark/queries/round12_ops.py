@@ -1913,37 +1913,42 @@ def merge_when_clauses(spark, sf_dir):
     priority) are deleted from the result. Plan: two keyed aggs, one
     key-coalesced full outer join — shuffle on the merge key only."""
     o = _t(spark, sf_dir, "orders")
-
-    def latest(df):
-        return df.groupBy("o_custkey").agg(
-            F.max_by(
-                "o_orderpriority", F.struct("o_orderdate", "o_orderkey")
-            ).alias("pr"),
-            F.count("*").cast("bigint").alias("n"),
-        )
-
-    tgt = latest(
-        o.filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("date"))
-    ).filter(F.col("n") >= 6)
-    src = latest(o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")))
-    t = tgt.select(
-        F.col("o_custkey").alias("tk"), F.col("pr").alias("tpr"), F.col("n").alias("tn")
+    # Both MERGE sides partition the same fact on the same key by a
+    # date predicate, so ONE scan + ONE o_custkey shuffle computes both
+    # via FILTER-ed aggregates; side existence becomes a flag (target:
+    # any pre-2000 row AND n >= 6; source: any 2000+ row) and the full
+    # outer join disappears. Row-identical to the two-aggregate + full
+    # outer join formulation (the oracle still runs that shape), at
+    # half the scans and a third of the exchanges.
+    cut = "DATE '2000-01-01'"
+    both = o.groupBy("o_custkey").agg(
+        F.expr(
+            "max_by(o_orderpriority, struct(o_orderdate, o_orderkey)) "
+            f"FILTER (WHERE o_orderdate < {cut})"
+        ).alias("tpr"),
+        F.expr(f"count(*) FILTER (WHERE o_orderdate < {cut})")
+        .cast("bigint").alias("tn"),
+        F.expr(
+            "max_by(o_orderpriority, struct(o_orderdate, o_orderkey)) "
+            f"FILTER (WHERE o_orderdate >= {cut})"
+        ).alias("spr"),
+        F.expr(f"count(*) FILTER (WHERE o_orderdate >= {cut})")
+        .cast("bigint").alias("sn"),
     )
-    s = src.select(
-        F.col("o_custkey").alias("sk"), F.col("pr").alias("spr"), F.col("n").alias("sn")
-    )
-    merged = t.join(s, t.tk == s.sk, "full_outer").select(
-        F.coalesce("tk", "sk").alias("o_custkey"),
-        F.when(
-            F.col("tk").isNotNull() & F.col("sk").isNotNull() & (F.col("spr") == "5-LOW"),
-            "delete",
-        )
-        .when(F.col("tk").isNotNull() & F.col("sk").isNotNull(), "update")
-        .when(F.col("tk").isNull(), "insert")
+    t_in = F.col("tn") >= 6  # target existence: established pre-2000 dim
+    s_in = F.col("sn") > 0   # source existence: any 2000+ activity
+    merged = both.filter(t_in | s_in).select(
+        "o_custkey",
+        F.when(t_in & s_in & (F.col("spr") == "5-LOW"), "delete")
+        .when(t_in & s_in, "update")
+        .when(~t_in, "insert")
         .otherwise("keep")
         .alias("action"),
-        F.coalesce("spr", "tpr").alias("priority"),
-        (F.coalesce("tn", F.lit(0)) + F.coalesce("sn", F.lit(0)))
+        F.coalesce(
+            F.when(s_in, F.col("spr")), F.when(t_in, F.col("tpr"))
+        ).alias("priority"),
+        (F.when(t_in, F.col("tn")).otherwise(F.lit(0))
+         + F.when(s_in, F.col("sn")).otherwise(F.lit(0)))
         .cast("bigint").alias("order_cnt"),
     )
     return merged.filter(F.col("action") != "delete").orderBy("o_custkey")
