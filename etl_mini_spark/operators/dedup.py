@@ -165,8 +165,14 @@ def _shingle_hashes_udf(n: int):
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     from etl_mini_spark.session import spread
 
+    # asNondeterministic: downstream F.explode(shingles) makes Catalyst
+    # infer a `size(shingles) > 0` predicate and push it BELOW the
+    # spread exchange — duplicating the shingle UDF into two
+    # ArrowEvalPython nodes (every document shingled twice; guide §4.4,
+    # generator-predicate variant). The flag pins one evaluation.
+    udf = _shingle_hashes_udf(n).asNondeterministic()
     return spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("doc_id"), _shingle_hashes_udf(n)(F.col(text_col)).alias("shingles")
+        F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("shingles")
     )
 
 

@@ -412,8 +412,13 @@ def embedding_near_dup_pairs_lsh(
         buckets = (bits * weights[None, None, :]).sum(axis=2)  # [batch, n_tables]
         return pd.Series(list(buckets.astype(np.int64)))
 
+    # asNondeterministic: the posexplode below makes Catalyst infer a
+    # size(sig) > 0 predicate and push it under the projection,
+    # duplicating the signature UDF into two ArrowEvalPython nodes
+    # (every vector hashed twice; guide §4.4, generator variant)
     sig = corpus.select(
-        F.col(id_col).alias("doc_id"), bucket_sig(F.col(vec_col)).alias("sig")
+        F.col(id_col).alias("doc_id"),
+        bucket_sig.asNondeterministic()(F.col(vec_col)).alias("sig"),
     )
     banded = sig.select("doc_id", F.posexplode("sig").alias("table", "bucket"))
     buckets = (

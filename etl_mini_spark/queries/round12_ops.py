@@ -2447,9 +2447,13 @@ def pacf_durbin_levinson(spark, sf_dir):
     st = ser.agg(
         F.count("*").cast("bigint").alias("n"), F.sum("c").cast("bigint").alias("s")
     )
+    # materialized once: den and BOTH lag-join sides reference dev, and
+    # without the checkpoint each reference re-ran the events scan +
+    # hour aggregate + spine join (~6 scans per run). Calendar-bounded:
+    # one row per hour of the dataset.
     dev = ser.crossJoin(F.broadcast(st)).select(
         "i", (F.col("n") * F.col("c") - F.col("s")).cast("decimal(19,0)").alias("d")
-    )
+    ).localCheckpoint()
     den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("d0"))
     ks = ser.sparkSession.createDataFrame([(1,), (2,), (3,)], "k int")
     a = dev.select(F.col("i").alias("ia"), F.col("d").alias("da"))

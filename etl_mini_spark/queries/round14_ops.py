@@ -1779,7 +1779,18 @@ def _edges14(spark, sf_dir):
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-    e = pairs.groupBy("p1", "p2").agg(F.count("*").alias("w")).filter("w >= 2").select("p1", "p2")
+    # materialized once — und references e twice and the wedge/adjacency
+    # joins downstream reference it up to 3x more; without the
+    # checkpoint every reference re-ran the lineitem self-join + agg
+    # (same fix as _copurchase_edges; plans dropped from 27-44
+    # Exchanges to ~10)
+    e = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").alias("w"))
+        .filter("w >= 2")
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
     und = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
         e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
     )

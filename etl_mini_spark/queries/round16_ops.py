@@ -528,8 +528,12 @@ def damerau_dl_blocked(spark, sf_dir):
         b,
         (F.col("l1") == F.col("bk")) & (F.col("w1") < F.col("w2")),
     )
+    # asNondeterministic: the dl <= 2 filter otherwise gets pushed below
+    # the projection and Catalyst duplicates the UDF into two
+    # ArrowEvalPython nodes — every blocked pair paying the O(len²) DP
+    # twice (guide §4.4); the flag pins a single evaluation.
     return (
-        pairs.withColumn("dl", dl_udf("w1", "w2"))
+        pairs.withColumn("dl", dl_udf.asNondeterministic()("w1", "w2"))
         .filter(F.col("dl") <= 2)
         .select("w1", "w2", "dl", "docs_w1", "docs_w2")
         .orderBy("w1", "w2")

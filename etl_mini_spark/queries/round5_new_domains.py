@@ -30,7 +30,18 @@ def _copurchase_edges(spark, sf_dir):
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-    return pairs.groupBy("p1", "p2").agg(F.count("*").alias("w")).filter("w >= 2").select("p1", "p2")
+    # materialized once: every graph query referencing this edge list
+    # uses it 3-6x (degree tables, wedge joins, adjacency anti-joins),
+    # and without the checkpoint each reference re-ran the lineitem
+    # self-join + aggregate — graph_triangle_count's plan held 184
+    # Exchange nodes before, 10 after. O(edges) rows of two longs.
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count("*").alias("w"))
+        .filter("w >= 2")
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
 
 
 _TRIANGLE_SQL = f"""
@@ -71,7 +82,7 @@ def graph_triangle_count(spark, sf_dir):
     o = ed.select(
         F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
-    )
+    ).localCheckpoint()  # referenced 3x by the wedge-close join below
     o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
     tri = (
         o1.join(o2, F.col("o1.dst") == F.col("o2.src"))
