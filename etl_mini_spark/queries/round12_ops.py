@@ -2534,7 +2534,10 @@ def orderkey_gap_audit(spark, sf_dir):
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
-    r = exact_global_rank(k, ["k"])
+    # materialized once: both successor-join sides reference the ranked
+    # table, and without the checkpoint each side re-ran the distinct +
+    # quantile-bucketed rank (two full passes over the key set)
+    r = exact_global_rank(k, ["k"]).localCheckpoint()
     a = r.select(F.col("k").alias("ka"), F.col("rn").alias("rna"))
     b = r.select(F.col("k").alias("kb"), (F.col("rn") - 1).alias("rnb"))
     pairs = a.join(b, F.col("rna") == F.col("rnb"))
