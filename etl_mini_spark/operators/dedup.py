@@ -176,6 +176,54 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
+def _capped_shingle_buckets(inv: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """(shingle → sorted array<struct(doc_id, sz)>) buckets of an
+    inverted-posting DataFrame, with the bucket cap (and the ≥2-docs
+    requirement) applied as a count window BEFORE ``collect_list`` —
+    over-cap stopword-grade buckets are dropped row-by-row (spillable
+    window buffer) and never materialize their posting list inside one
+    aggregation buffer. The window and the groupBy require the same
+    hash(shingle) clustering, so they share one exchange."""
+    bn = F.count("*").over(Window.partitionBy("shingle"))
+    keep = (F.col("__bn") > 1) if max_bucket_size is None else (
+        (F.col("__bn") > 1) & (F.col("__bn") <= max_bucket_size)
+    )
+    return (
+        inv.withColumn("__bn", bn)
+        .filter(keep)
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
+    )
+
+
+def _bucket_pair_counts(buckets: DataFrame) -> DataFrame:
+    """Expand each sorted (doc_id, sz) bucket into its ordered pairs via
+    posexplode + slice (streamed through Generate — peak memory per row
+    is one bucket's doc list, never the pair set) and count shared
+    buckets per pair. Returns (d1, d2, sz1, sz2, inter) with d1 < d2;
+    sz is functionally dependent on doc_id, so folding it into the
+    grouping key is free (same shuffle width)."""
+    lhs = buckets.select(F.posexplode("ds").alias("i", "x"), F.col("ds"))
+    return (
+        lhs.select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("x.sz").alias("sz1"),
+            F.explode(F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("y"),
+        )
+        # the sort orders by (doc_id, sz), so y.doc_id >= d1 always; the
+        # guard only drops degenerate self-pairs when a caller passes
+        # duplicate doc_ids (the documented contract is d1 < d2)
+        .filter(F.col("d1") != F.col("y.doc_id"))
+        .groupBy(
+            "d1",
+            F.col("y.doc_id").alias("d2"),
+            "sz1",
+            F.col("y.sz").alias("sz2"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+
+
 def near_dup_pairs_ngram_jaccard(
     df: DataFrame,
     id_col: str,
@@ -217,42 +265,26 @@ def near_dup_pairs_ngram_jaccard(
     ).filter(F.col("shingle").isNotNull())
     # Bucket-expansion plan (the same shape near_dup_pairs_minhash_lsh
     # uses for its band buckets): ONE shuffle groups the postings by
-    # shingle, the bucket cap becomes a plain size filter on the
-    # collected list, and the ordered pairs are expanded INSIDE each
-    # bucket. The old inverted-index SELF-JOIN evaluated the shingle
-    # UDF + explode lineage 3-4x (once per join side, once more for the
+    # shingle and the ordered pairs are expanded INSIDE each bucket.
+    # The old inverted-index SELF-JOIN evaluated the shingle UDF +
+    # explode lineage 3-4x (once per join side, once more for the
     # bucket-count aggregate) and paid 3 extra postings-wide exchanges;
     # this is a single lineage — the UDF runs once — with one
     # (shingle) shuffle and one (d1, d2) shuffle, still fully lazy.
     # Candidate volume is identical (Σ_buckets bn²/2: a dropped posting
-    # can't pair either way), and the expansion streams through
-    # Generate, so peak memory per row is one bucket's doc list
-    # (≤ max_bucket_size structs), never the pair set.
-    buckets = (
-        inv.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ds") <= max_bucket_size)
-    lhs = buckets.select(F.posexplode("ds").alias("i", "x"), F.col("ds"))
-    # sz is functionally dependent on doc_id, so folding it into the
-    # grouping key is free (same shuffle width) and avoids any post-agg
-    # lookup of the sizes.
-    common = (
-        lhs.select(
-            F.col("x.doc_id").alias("d1"),
-            F.col("x.sz").alias("sz1"),
-            F.explode(F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("y"),
-        )
-        .groupBy(
-            "d1",
-            F.col("y.doc_id").alias("d2"),
-            "sz1",
-            F.col("y.sz").alias("sz2"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
+    # can't pair either way).
+    #
+    # The bucket cap is applied with a count window BEFORE any list is
+    # collected: a degenerate stopword-grade shingle is dropped by a
+    # streaming row filter (WindowExec buffers spill to disk past
+    # spark.sql.windowExec.buffer.spill.threshold), so an over-cap
+    # bucket never materializes its posting list inside one aggregation
+    # buffer (the r18 shape collected first and size-filtered after —
+    # a multi-GB single-array hazard at 100 TB). The window and the
+    # groupBy share one hash(shingle) exchange, and the filter also
+    # subsumes the old `size(ds) > 1` post-filter.
+    buckets = _capped_shingle_buckets(inv, max_bucket_size)
+    common = _bucket_pair_counts(buckets)
     return (
         common.withColumn(
             "jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
@@ -291,34 +323,29 @@ def near_dup_pairs_containment(
     inv = sh.select(
         "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
     )
-    # postings materialized once: the bucket-count aggregate and both
-    # self-join sides used to re-run the shingle UDF + explode lineage
-    # (3 full corpus passes); a plain localCheckpoint pins it. (No
-    # pre-repartition: localCheckpoint surfaces as an ExistingRDD with
-    # UnknownPartitioning, so a shuffle before it cannot be reused by
-    # the join and would be pure waste — measured, not assumed.)
-    inv = inv.localCheckpoint()
+    # Join-free two-pass bucket shape (the ngram-Jaccard twin's plan,
+    # r19): the old postings SELF-JOIN + bucket-count join needed the
+    # postings table three times (a localCheckpoint materialization)
+    # and re-ran the pruned+re-sized subtree once per join side. Here
+    # the prune is a count window over shingle (streaming row filter —
+    # an over-cap bucket never materializes a posting list), the
+    # post-prune per-doc size recompute is a count window over doc_id,
+    # and pairs expand inside each collected bucket. ONE lazy lineage —
+    # the shingle UDF runs once, no checkpoint, no join: three
+    # postings-wide exchanges (shingle → doc_id → shingle) plus the
+    # pair aggregate, vs the old shape's checkpoint + five.
     if max_bucket_size is not None:
-        bucket_n = inv.groupBy("shingle").agg(F.count("*").alias("bn"))
         inv = (
-            inv.join(bucket_n.filter(F.col("bn") <= max_bucket_size), "shingle")
+            inv.withColumn("__bn", F.count("*").over(Window.partitionBy("shingle")))
+            .filter(F.col("__bn") <= max_bucket_size)
             .select("doc_id", "shingle")
             .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
         )
-    # shuffle-pinned for the same reason as near_dup_pairs_ngram_jaccard:
-    # UDF lineage has no size stats and a broadcast of corpus-sized
-    # postings is catastrophic.
-    a, b = inv.hint("shuffle_hash").alias("a"), inv.hint("shuffle_hash").alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.sz").alias("sz1"),
-            F.col("b.sz").alias("sz2"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
+    # Singleton buckets must survive the prune (their postings count
+    # toward the recomputed sz) but produce no pairs — the > 1 filter
+    # lives inside _capped_shingle_buckets' window, which here runs
+    # uncapped because the cap was already applied above.
+    common = _bucket_pair_counts(_capped_shingle_buckets(inv, None))
     return (
         common.withColumn("containment", F.col("inter") / F.least("sz1", "sz2"))
         .filter(F.col("containment") >= threshold)
@@ -597,7 +624,9 @@ def simhash_near_dup_pairs(
         raise ValueError("n_blocks must divide 64")
     bits_per = 64 // n_blocks
     mask = (1 << bits_per) - 1
-    sh = simhash(df, id_col, text_col).localCheckpoint()  # computed once, joined twice
+    from etl_mini_spark.session import pin
+
+    sh = pin(simhash(df, id_col, text_col))  # computed once, joined twice
     blocks = sh.select(
         "doc_id",
         "simhash",
@@ -668,7 +697,9 @@ def connected_components(
             )
     e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint()  # reused every round — pin, don't recompute
+    from etl_mini_spark.session import pin
+
+    sym = pin(sym)  # reused every round — pin, don't recompute
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     changed = 0
     for _ in range(max_iter):
@@ -678,13 +709,12 @@ def connected_components(
             .agg(F.min("nc").alias("nbr_comp"))
             .withColumnRenamed("a", "node")
         )
-        new = (
+        new = pin(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint()
         )
         changed = (
             new.join(labels.withColumnRenamed("comp", "old"), "node")
@@ -771,9 +801,11 @@ def connected_components_star(
     # the SESSION confs means the upstream pair generation runs exactly
     # once per call at full parallelism; ``e`` and ``all_nodes`` both
     # derive from it.
-    raw = edges.select(
+    from etl_mini_spark.session import pin
+
+    raw = pin(edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).localCheckpoint()
+    ))
     # Loop partition count derived from the materialized edge count —
     # ~1M edges (≈16 MB) per partition, min 1 — instead of a constant:
     # near-dup edge sets are usually tiny relative to the corpus, and a
@@ -802,9 +834,18 @@ def connected_components_star(
                 parent[x], x = r, parent[x]
             return r
 
+        saw_null = False
         for row in raw.collect():
             a, b = row[0], row[1]
             if a is None or b is None:
+                # Mirror the distributed path exactly: a half-null edge
+                # contributes its non-null endpoint to all_nodes (it
+                # surfaces as a singleton unless another edge links it)
+                # and the null endpoint surfaces once as (null, null).
+                saw_null = True
+                for x in (a, b):
+                    if x is not None and x not in parent:
+                        parent[x] = x
                 continue
             if a not in parent:
                 parent[a] = a
@@ -814,6 +855,8 @@ def connected_components_star(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)  # root at the minimum
         out = [(int(x), int(find(x))) for x in parent]
+        if saw_null:
+            out.append((None, None))
         return spark.createDataFrame(out, "node long, comp long")
     loop_parts = max(1, min(2048, (n_raw + 999_999) // 1_000_000))
     confs = {
@@ -824,11 +867,10 @@ def connected_components_star(
     for k, v in confs.items():
         spark.conf.set(k, v)
     try:
-        e = (
+        e = pin(
             raw.filter(F.col("a") != F.col("b"))
             .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
             .distinct()
-            .localCheckpoint()
         )
         n_e = e.count()
         converged = False
@@ -851,8 +893,8 @@ def connected_components_star(
                 .union(mins2.select("u", F.col("m").alias("v")))
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
-                .localCheckpoint()
             )
+            small = pin(small)
             # fixpoint probe: both edge sets are distinct and
             # materialized, so equal counts + empty (small − e) ⇔ set
             # equality — one subtract job instead of two

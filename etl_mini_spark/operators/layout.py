@@ -19,9 +19,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_mini_spark.operators.ranks import quantile_buckets
-
-
 def morton_code(x: Column, y: Column, bits: int = 10) -> Column:
     """Interleave the low ``bits`` bits of two non-negative long
     columns into a single Z-value: x occupies even bit positions, y
@@ -104,22 +101,49 @@ def exact_global_rank(
     asc-nulls-first order of the window this replaces.
 
     ``with_total=True`` returns ``(ranked_df, total_rows)`` instead —
-    the total is the sum of the per-bucket counts already gathered
-    driver-side, so callers that need ``count(*)`` (NTILE fill rules,
+    the total comes from the same single aggregate job that derives the
+    cut points, so callers that need ``count(*)`` (NTILE fill rules,
     integer quantile ranks) get it for free instead of re-deriving it
-    with a second scan-and-aggregate subtree in their plan."""
+    with a second scan-and-aggregate subtree in their plan.
+
+    Driver actions: exactly ONE before the caller's own execution —
+    a combined (approx-quantile sketch, count(*)) aggregate. The
+    per-bucket offsets that used to be a second collected job are now a
+    lazy subtree of the final plan: bucket counts → running-sum window
+    over the ≤ n_parts+1 count rows → broadcast join. Same scan count,
+    one less sequential driver round trip per call (guide §5: bounded
+    driver work; the offset table stays #buckets-sized)."""
+    from etl_mini_spark.operators.ranks import bucket_expr_from_cuts
+
     lead = order_cols[0]
-    bucket, _ = quantile_buckets(df, lead, n_parts)
-    b = df.withColumn("__b", bucket)
-    counts = {
-        r["__b"]: r["cnt"]
-        for r in b.groupBy("__b").agg(F.count("*").alias("cnt")).collect()
-    }
-    offs, acc = [], 0
-    for bk in sorted(counts):
-        offs.append((bk, acc))
-        acc += counts[bk]
-    omap = df.sparkSession.createDataFrame(offs or [(0, 0)], "__b int, __off long")
+    dt = df.schema[lead].dataType
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(dt, NumericType):
+        # cast("double") of a date/string/timestamp yields NULL, which
+        # would silently park every row in bucket -1 and collapse the
+        # per-bucket windows into one partition — fail fast instead.
+        raise TypeError(f"exact_global_rank requires a numeric leading column; {lead!r} is {dt}")
+    probs = [i / n_parts for i in range(1, n_parts)]
+    row = df.agg(
+        F.percentile_approx(F.col(lead).cast("double"), probs or [0.5], 10000).alias("q"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    cuts = sorted(set(row["q"])) if (probs and row["q"] is not None) else []
+    acc = int(row["n"])
+    b = df.withColumn("__b", bucket_expr_from_cuts(lead, cuts))
+    # offsets as a lazy #buckets-row subtree: cumulative count of the
+    # buckets strictly before each bucket (NULLs live in bucket -1 and
+    # therefore rank first, matching asc-nulls-first)
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    omap = (
+        b.groupBy("__b")
+        .agg(F.count("*").alias("__cnt"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).cast("long").alias("__off"),
+        )
+    )
     ranked = b.withColumn(
         rank_col, F.row_number().over(Window.partitionBy("__b").orderBy(*order_cols))
     )

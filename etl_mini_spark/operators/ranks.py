@@ -28,6 +28,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
 
+def bucket_expr_from_cuts(value_col: str, cuts: list[float]) -> Column:
+    """Monotone bucket expression over SORTED cut literals: the first
+    cut with v < cut gives the bucket index (= count of cuts <= v). A
+    chained CASE WHEN compiles through whole-stage codegen; an
+    F.aggregate over a literal array runs its lambda INTERPRETED per
+    element — ~n_parts evaluations per row, measured as the dominant
+    cost of the bucketing passes at sf0.1. NULL maps to bucket -1 —
+    strictly before every non-null bucket — so callers that rank
+    bucket-by-bucket reproduce asc-nulls-first order."""
+    v = F.col(value_col).cast("double")
+    if cuts:
+        nb = None
+        for i, c in enumerate(cuts):
+            cond = v < F.lit(float(c))
+            nb = F.when(cond, i) if nb is None else nb.when(cond, i)
+        nb = nb.otherwise(len(cuts))
+    else:
+        nb = F.lit(0)
+    return F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(nb).cast("int")
+
+
 def quantile_buckets(
     df: DataFrame, value_col: str, n_parts: int
 ) -> tuple[Column, list[float]]:
@@ -60,25 +81,7 @@ def quantile_buckets(
     )
     probs = [i / n_parts for i in range(1, n_parts)]
     cuts = sorted(set(nn.approxQuantile("__v", probs, 0.001))) if probs else []
-    v = F.col(value_col).cast("double")
-    if cuts:
-        # first cut with v < cut gives the bucket index (cuts are
-        # sorted, so this equals the count of cuts <= v). A chained
-        # CASE WHEN compiles through whole-stage codegen; the previous
-        # F.aggregate over a literal array ran the lambda INTERPRETED
-        # per element — ~n_parts evaluations per row, measured as the
-        # dominant cost of the bucketing passes at sf0.1.
-        nb = None
-        for i, c in enumerate(cuts):
-            cond = v < F.lit(float(c))
-            nb = F.when(cond, i) if nb is None else nb.when(cond, i)
-        nb = nb.otherwise(len(cuts))
-    else:
-        nb = F.lit(0)
-    bucket = (
-        F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(nb).cast("int")
-    )
-    return bucket, cuts
+    return bucket_expr_from_cuts(value_col, cuts), cuts
 
 
 def value_midranks(df: DataFrame, value_col: str, n_parts: int = 32) -> DataFrame:
@@ -96,7 +99,15 @@ def value_midranks(df: DataFrame, value_col: str, n_parts: int = 32) -> DataFram
     and therefore rank first, exactly as the
     ``2*rank() + count() over (partition by v) - 1`` window idiom
     ranks them (asc nulls first)."""
-    hv = df.groupBy(value_col).agg(F.count("*").cast("bigint").alias("t"))
+    from etl_mini_spark.session import pin
+
+    # The histogram is referenced by THREE actions/subtrees (quantile
+    # cuts, per-bucket totals, the final midrank pass) — without the
+    # pin each one re-ran the full fact aggregation, so the fact table
+    # was scanned three times per call (guide §3.3). Materializing the
+    # value histogram once is bounded by the distinct-value domain —
+    # the same premise the whole midrank shape rests on.
+    hv = pin(df.groupBy(value_col).agg(F.count("*").cast("bigint").alias("t")))
     bucket, _ = quantile_buckets(hv, value_col, n_parts)
     hb = hv.withColumn("__b", bucket)
     btot = {

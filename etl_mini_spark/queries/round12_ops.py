@@ -102,15 +102,23 @@ def friedman_test_blocks(spark, sf_dir):
     the per-type rank sums — and Q itself — derive from BIGINT sums
     with one double finish. Plan: one day x type agg (calendar-bounded
     grid at any fact scale), one in-block rank window, a k-row finish."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
-    cells = e.groupBy(
+    # cells is calendar-bounded (days x types) and referenced -- directly
+    # or via days/types/grid -- by five subtrees of the final plan; each
+    # used to re-run the events scan + aggregate (guide 3.3). One pin =
+    # one events scan per run. types derives from cells: every event row
+    # lands in exactly one (d, et) cell, so DISTINCT et over cells is
+    # the same set as over the raw table.
+    cells = pin(e.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("d"), F.col("event_type").alias("et")
     ).agg(
         F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
         .cast("bigint").alias("c")
-    )
+    ))
     days = cells.select("d").distinct()
-    types = e.select(F.col("event_type").alias("et")).distinct()
+    types = cells.select("et").distinct()
     grid = (
         days.crossJoin(types)
         .join(cells, ["d", "et"], "left")
@@ -121,9 +129,10 @@ def friedman_test_blocks(spark, sf_dir):
         + F.count("*").over(Window.partitionBy("d", "c"))
         - 1
     )
-    rj = grid.select("et", r2.alias("r2")).groupBy("et").agg(
+    # k rows; referenced by both the scalar finish and the output join
+    rj = pin(grid.select("et", r2.alias("r2")).groupBy("et").agg(
         F.sum("r2").cast("bigint").alias("r2j")
-    )
+    ))
     s = rj.agg(
         F.count("*").cast("bigint").alias("k"),
         F.sum(F.col("r2j") * F.col("r2j")).cast("bigint").alias("sr2"),
@@ -2451,9 +2460,11 @@ def pacf_durbin_levinson(spark, sf_dir):
     # without the checkpoint each reference re-ran the events scan +
     # hour aggregate + spine join (~6 scans per run). Calendar-bounded:
     # one row per hour of the dataset.
-    dev = ser.crossJoin(F.broadcast(st)).select(
+    from etl_mini_spark.session import pin
+
+    dev = pin(ser.crossJoin(F.broadcast(st)).select(
         "i", (F.col("n") * F.col("c") - F.col("s")).cast("decimal(19,0)").alias("d")
-    ).localCheckpoint()
+    ))
     den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("d0"))
     ks = ser.sparkSession.createDataFrame([(1,), (2,), (3,)], "k int")
     a = dev.select(F.col("i").alias("ia"), F.col("d").alias("da"))
@@ -2483,13 +2494,19 @@ def pacf_durbin_levinson(spark, sf_dir):
         1.0 - F.col("a21") * r1 - F.col("p2") * r2
     )
     dl3 = dl2.select("r1", "r2", "r3", "p2", p3.alias("p3"))
+    # stack the three lags by exploding an inline struct array instead
+    # of unionAll-ing three selects over the SAME 1-row subtree -- the
+    # union re-ran the whole lag-join + aggregate chain once per branch
+    # (36 exchanges in the captured r19 before-plan; guide 2.4)
     out = dl3.select(
-        F.lit(1).alias("lag"), _pin(r1).alias("acf"), _pin(r1).alias("pacf")
-    ).unionAll(
-        dl3.select(F.lit(2), _pin(r2), _pin(F.col("p2")))
-    ).unionAll(
-        dl3.select(F.lit(3), _pin(r3), _pin(F.col("p3")))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("lag"), _pin(r1).alias("acf"), _pin(r1).alias("pacf")),
+                F.struct(F.lit(2).alias("lag"), _pin(r2).alias("acf"), _pin(F.col("p2")).alias("pacf")),
+                F.struct(F.lit(3).alias("lag"), _pin(r3).alias("acf"), _pin(F.col("p3")).alias("pacf")),
+            )
+        ).alias("s")
+    ).select("s.lag", "s.acf", "s.pacf")
     return out.orderBy("lag")
 
 
@@ -2537,7 +2554,9 @@ def orderkey_gap_audit(spark, sf_dir):
     # materialized once: both successor-join sides reference the ranked
     # table, and without the checkpoint each side re-ran the distinct +
     # quantile-bucketed rank (two full passes over the key set)
-    r = exact_global_rank(k, ["k"]).localCheckpoint()
+    from etl_mini_spark.session import pin
+
+    r = pin(exact_global_rank(k, ["k"]))
     a = r.select(F.col("k").alias("ka"), F.col("rn").alias("rna"))
     b = r.select(F.col("k").alias("kb"), (F.col("rn") - 1).alias("rnb"))
     pairs = a.join(b, F.col("rna") == F.col("rnb"))
@@ -2672,11 +2691,16 @@ def pages_l_trend(spark, sf_dir):
     sibling of the staged Friedman test, sharing its grid machinery.
     Plan: one month x priority agg, one in-block rank window over the
     bounded grid, a k-row finish."""
+    from etl_mini_spark.session import pin
+
     o = _t(spark, sf_dir, "orders")
-    cells = o.groupBy(
+    # same lineage discipline as friedman_test_blocks: the bounded
+    # month x priority cell table feeds five subtrees of the final plan;
+    # pin it so orders is scanned once per run (guide 3.3).
+    cells = pin(o.groupBy(
         F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
-    ).agg(F.count("*").cast("bigint").alias("v"))
+    ).agg(F.count("*").cast("bigint").alias("v")))
     months = cells.select("ym").distinct()
     gs = cells.select("g").distinct()
     grid = (
@@ -2689,9 +2713,9 @@ def pages_l_trend(spark, sf_dir):
         + F.count("*").over(Window.partitionBy("ym", "v"))
         - 1
     )
-    rj = grid.select("g", r2.alias("r2")).groupBy("g").agg(
+    rj = pin(grid.select("g", r2.alias("r2")).groupBy("g").agg(
         F.sum("r2").cast("bigint").alias("r2j")
-    )
+    ))  # k rows; referenced by both the scalar finish and the output join
     s = rj.agg(
         F.sum(F.col("g") * F.col("r2j")).cast("bigint").alias("l2"),
         F.count("*").cast("bigint").alias("k"),

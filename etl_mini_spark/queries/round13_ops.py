@@ -583,12 +583,18 @@ def delta_log_replay(spark, sf_dir):
     compaction must keep total_rows/total_cents identical to v0. Plan:
     one hash agg to month files (bounded), the log and replay are
     joins over that bounded file table."""
+    from etl_mini_spark.session import pin
+
     o = _t(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-    mf = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("file_id")).agg(
+    # the month-file table (~7 years x 12 rows) is referenced by every
+    # branch of the action-log union AND by versions/adds/removes over
+    # that union — unpinned, the orders scan + aggregate re-ran ~12x
+    # per query (guide 3.3); one pin = one orders scan per run.
+    mf = pin(o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("file_id")).agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(cents).cast("bigint").alias("cents"),
-    )
+    ))
     adds0 = mf.select(F.lit(0).alias("version"), F.lit("add").alias("action"),
                       "file_id", "n_rows", "cents")
     m95 = mf.where(F.col("file_id").startswith("1995-"))

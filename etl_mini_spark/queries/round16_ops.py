@@ -773,11 +773,20 @@ def krippendorff_alpha_nominal(spark, sf_dir):
     marginal, and a scalar combine. The per-unit observed-disagreement
     term is the only division before the end and is 9dp-pre-rounded to
     BIGINT nanos on both engines."""
+    from etl_mini_spark.session import pin
+
     li = _t(spark, sf_dir, "lineitem")
     lines = li.select(F.col("l_orderkey").alias("u"), F.col("l_returnflag").alias("c"))
-    mu = lines.groupBy("u").agg(F.count("*").cast("bigint").alias("m")).filter("m >= 2")
-    nuc = (
-        lines.join(mu, "u")
+    # nuc (unit x category counts + the unit size m) is the working set
+    # every downstream aggregate reads (do_u, marg, the unit totals) --
+    # unpinned, the t1/t2/t3 subtrees re-ran the lineitem scan ~6x per
+    # query (guide 3.3). Build it in ONE lineitem scan: the count window
+    # on u replaces the old mu-aggregate join-back (same rows -- m >= 2
+    # filters identically), and hash(u) clustering satisfies the
+    # (u, c) groupBy, so window + aggregate share one exchange.
+    nuc = pin(
+        lines.withColumn("m", F.count("*").over(Window.partitionBy("u")).cast("bigint"))
+        .filter("m >= 2")
         .groupBy("u", "c")
         .agg(F.count("*").cast("bigint").alias("n_uc"), F.any_value("m").alias("m"))
     )
@@ -788,9 +797,14 @@ def krippendorff_alpha_nominal(spark, sf_dir):
         ).cast("bigint").alias("dn")
     )
     marg = nuc.groupBy("c").agg(F.sum("n_uc").cast("bigint").alias("n_c"))
-    t1 = mu.agg(
-        F.count("*").cast("bigint").alias("n_units"),
-        F.sum("m").cast("bigint").alias("n_vals"),
+    # unit totals from pinned nuc (one row per unit via the m carried on
+    # every (u, c) cell): n_units = units, n_vals = sum of unit sizes
+    t1 = (
+        nuc.groupBy("u").agg(F.any_value("m").alias("m"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_units"),
+            F.sum("m").cast("bigint").alias("n_vals"),
+        )
     )
     t2 = do_u.agg(F.sum("dn").cast("bigint").alias("do_nanos"))
     t3 = marg.crossJoin(F.broadcast(t1.select("n_vals").withColumnRenamed("n_vals", "nv"))).agg(

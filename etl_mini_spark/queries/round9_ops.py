@@ -1366,12 +1366,21 @@ def item_item_cosine_topk(spark, sf_dir):
     left to AQE rather than hint-forced: at a 100-TB catalog a forced
     broadcast would OOM the driver, while AQE picks broadcast exactly
     when the measured size allows (same rule as the r6 funnel fix)."""
+    from etl_mini_spark.session import pin
+
     li = _t(spark, sf_dir, "lineitem")
-    d = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    # the distinct basket table feeds FOUR subtrees (both self-join
+    # sides and both norm joins) and the pair table two (the bidir
+    # union) -- unpinned, each reference re-ran the lineitem scan +
+    # distinct (resp. the basket self-join + aggregate) from scratch
+    # (guide 3.3); two pins = one scan, one pair join per run.
+    d = pin(
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    )
     n = d.groupBy("pk").agg(F.count("*").cast("bigint").alias("n_ord"))
     a = d.alias("a")
     b = d.alias("b")
-    pairs = (
+    pairs = pin(
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
         .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
         .agg(F.count("*").cast("bigint").alias("c12"))

@@ -55,6 +55,29 @@ def get_spark(
     return spark
 
 
+def pin(df, eager: bool = True):
+    """Materialize ``df`` once and truncate its lineage — the §3.3
+    "checkpoint a multiply-referenced intermediate" primitive used by
+    the dedup/graph/stats operators.
+
+    Default: ``localCheckpoint`` (executor-local shuffle/storage blocks
+    — no extra I/O round trip). CAVEAT: localCheckpoint is NOT resilient
+    to executor loss; losing an executor after the checkpoint fails the
+    job instead of recomputing, which is fine single-JVM/local and for
+    small projections, but on a preemptible cluster set
+    ``SPARK_GRAFT_RELIABLE_CHECKPOINT=<dir>`` to switch every pin site
+    to reliable ``checkpoint()`` into that (HDFS/object-store) directory
+    — survives executor loss at the cost of a write+read of the pinned
+    data."""
+    ckpt_dir = os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if not sc._jsc.sc().getCheckpointDir().isDefined():
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def spread(df, min_partitions: int | None = None):
     """Repartition a DataFrame whose scan produced fewer partitions than
     cores (single-row-group parquet files are unsplittable) so heavy

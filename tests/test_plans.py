@@ -232,6 +232,42 @@ def test_ngram_jaccard_pair_generation_is_join_free(spark):
     assert "Join" not in plan, plan
 
 
+def test_ngram_bucket_cap_filters_before_collect(spark):
+    """The max_bucket_size cap must be applied BELOW the collect_list
+    aggregate (a count window + row filter), so an over-cap
+    stopword-grade shingle is dropped row-by-row through the window's
+    SPILLABLE buffer and never materializes its full posting list
+    inside one aggregation buffer (r18 ADVICE: the old shape collected
+    first and size-filtered after — a multi-GB single-array hazard at
+    100 TB). Pin: in the executed plan, the window count over shingle
+    and its __bn filter sit strictly below the ObjectHashAggregate
+    that builds `ds`. Semantics pin: an over-cap bucket contributes no
+    pairs, identical to the old post-collect filter."""
+    from pyspark.sql import functions as F
+
+    from etl_mini_spark.operators.dedup import near_dup_pairs_ngram_jaccard
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(5)]
+        + [(10, "zeta eta theta iota"), (11, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    out = near_dup_pairs_ngram_jaccard(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_bucket_size=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    i_filter = plan.find("__bn")
+    i_collect = plan.find("collect_list")
+    assert i_filter != -1 and i_collect != -1, plan
+    # toString prints operators top-down: the filter's column must
+    # appear AFTER (= physically below) the collect aggregate
+    assert i_collect < i_filter, plan
+    # the 5-doc alpha-beta bucket (> cap 4) must yield no pairs; the
+    # 2-doc zeta bucket survives
+    got = {(r["d1"], r["d2"]) for r in out.collect()}
+    assert got == {(10, 11)}, got
+
+
 def test_bucketed_join_no_shuffle(spark):
     """bucketed_join_roundtrip: with both tables bucketed(8) on the
     join key and broadcast disabled (the 100 TB fact⋈fact shape), the
@@ -1202,14 +1238,15 @@ def test_round18_staged_tier_no_cartesian_blanket(spark):
 
 
 def test_round19_staged_tier_no_cartesian_blanket(spark):
-    """Blanket physical-plan audit of the round-19 STAGED tier (same
-    contract as the round-7..18 blankets)."""
+    """Blanket physical-plan audit of the round-19 tier (same contract
+    as the round-7..18 blankets; repointed from the staging module to
+    the registry at registration)."""
     import re as _re
 
     from etl_mini_spark.plans.explain import plan_summary
-    from etl_mini_spark.queries.round19_pending import PENDING19_QUERIES
+    from etl_mini_spark.queries import QUERIES as PENDING19_QUERIES
 
-    src = open("etl_mini_spark/queries/round19_pending.py").read()
+    src = open("etl_mini_spark/queries/round19_ops.py").read()
     ROUND19 = sorted(set(_re.findall(r'@pq\("([a-z0-9_]+)"', src)))
     assert len(ROUND19) == 8
     SKIP_SIDE_EFFECTS = {
