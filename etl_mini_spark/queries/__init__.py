@@ -44,4 +44,5 @@ from etl_mini_spark.queries import round15_ops  # noqa: F401,E402
 from etl_mini_spark.queries import round16_ops  # noqa: F401,E402
 from etl_mini_spark.queries import round17_ops  # noqa: F401,E402
 from etl_mini_spark.queries import round18_ops  # noqa: F401,E402
+from etl_mini_spark.queries import round19_ops  # noqa: F401,E402
 from etl_mini_spark.queries import _window  # noqa: F401,E402

@@ -11,36 +11,23 @@ guarantee as the audited invariant), multiple-testing estimation
 (Storey's π₀ from the p-value tail), and two independent-path
 calendar/checksum differentials (Zeller's congruence vs the engine's
 native day-of-week; IBAN-style mod-97 with streamed modular
-reduction) — authored in round 14. DELIBERATELY 8 entries (the
-small-tier backlog-drain plan; rounds 15-19 are now all pre-staged).
-
-Module-local PENDING19_QUERIES/PENDING19_ORACLE, swept by
-sweep_oracle.py alongside the registry and the 15-18 tiers.
+reduction) — authored in round 14 as round19_pending, registered
+verbatim in round 19 (names and oracles unchanged; the staging `pq`
+decorator becomes the registry `q`). DELIBERATELY 8 entries: per the
+r13 verdict's backlog plan, tiers stay small so ~42 window slots per
+round re-verify the stale cohort — this round drains the r08 cohort
+37 -> 0 and the r09 cohort 48 -> 44.
 
 Parity rules as in round9..18 (FIXTURES.md §C).
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mini_spark.queries._base import _t
-
-PENDING19_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-PENDING19_ORACLE: dict[str, str] = {}
-
-
-def pq(name: str, sql: str | None = None):
-    def deco(fn):
-        PENDING19_QUERIES[name] = fn
-        if sql is not None:
-            PENDING19_ORACLE[name] = sql
-        return fn
-
-    return deco
+from etl_mini_spark.queries._base import q as pq
 
 
 def _pin(col, k: int = 6):

@@ -1,19 +1,20 @@
-"""Non-vacuity pins for the round-19 STAGED tier (oracle equivalence
-is swept by sweep_oracle.py / verified at sf0.001 + sf0.01 + sf0.1
-before staging). At registration these pins migrate unchanged."""
+"""Non-vacuity pins for the round-19 tier (oracle equivalence is
+verified by tests/test_queries_oracle.py at sf0.001 and the driver at
+sf0.01). Migrated unchanged from the staging harness at
+registration."""
 
 from __future__ import annotations
 
 from tests.conftest import SF_SMOKE
 
 
-def _pending():
-    from etl_mini_spark.queries.round19_pending import PENDING19_QUERIES
+def _registry():
+    from etl_mini_spark.queries import QUERIES
 
-    return PENDING19_QUERIES
+    return QUERIES
 
 
-PENDING = _pending()
+PENDING = _registry()
 
 
 def test_dtw_bounds(spark):
