@@ -1,5 +1,5 @@
 from etl_mini_spark.queries._base import *  # noqa: F401,F403
-from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
+from etl_mini_spark.queries._base import _sweep_scratch, _t, _TMP  # noqa: F401
 
 # Round-3 batch 2: corpus-scale training-data ops — benchmark
 # decontamination, mixture sampling, incremental dedup, vocabulary
@@ -189,8 +189,7 @@ def stream_interval_join(spark, sf_dir):
     from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
     from etl_mini_spark.streaming.windows import stream_interval_join as ssj
 
-    for old in _TMP.glob("stream_ij_*"):
-        shutil.rmtree(old, ignore_errors=True)
+    _sweep_scratch("stream_ij")  # age-gated: see _base
     tmp = _TMP / f"stream_ij_{uuid.uuid4().hex[:8]}"
     src, out, ckpt = str(tmp / "src"), str(tmp / "out"), str(tmp / "ckpt")
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
@@ -293,8 +292,7 @@ def stream_static_enrich(spark, sf_dir):
 
     from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
 
-    for old in _TMP.glob("stream_enrich_*"):
-        shutil.rmtree(old, ignore_errors=True)
+    _sweep_scratch("stream_enrich")  # age-gated: see _base
     tmp = _TMP / f"stream_enrich_{uuid.uuid4().hex[:8]}"
     src, out, ckpt = str(tmp / "src"), str(tmp / "out"), str(tmp / "ckpt")
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")

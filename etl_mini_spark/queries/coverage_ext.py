@@ -1,5 +1,5 @@
 from etl_mini_spark.queries._base import *  # noqa: F401,F403
-from etl_mini_spark.queries._base import _t, _TMP  # noqa: F401
+from etl_mini_spark.queries._base import _sweep_scratch, _t, _TMP  # noqa: F401
 
 # Extended SQL surface: multi-way joins + subqueries as ANSI-SQL strings.
 # The engine's SQL entry point is spark.sql over registered views; the
@@ -493,8 +493,7 @@ def stream_capped_sessions(spark, sf_dir):
     from etl_mini_spark.streaming.stateful import capped_sessions
     from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
 
-    for old in _TMP.glob("capped_sessions_*"):  # drop previous runs' scratch
-        shutil.rmtree(old, ignore_errors=True)
+    _sweep_scratch("capped_sessions")  # age-gated: see _base
     tmp = _TMP / f"capped_sessions_{uuid.uuid4().hex[:8]}"
     src, out, ckpt = str(tmp / "src"), str(tmp / "out"), str(tmp / "ckpt")
     batch = _t(spark, sf_dir, "events").select("user_id", "ts")
@@ -549,8 +548,7 @@ def stream_dedup_watermark(spark, sf_dir):
     from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
     from etl_mini_spark.streaming.windows import streaming_dedup
 
-    for old in _TMP.glob("stream_dedup_*"):  # drop previous runs' scratch
-        shutil.rmtree(old, ignore_errors=True)
+    _sweep_scratch("stream_dedup")  # age-gated: see _base
     tmp = _TMP / f"stream_dedup_{uuid.uuid4().hex[:8]}"
     src, out, ckpt = str(tmp / "src"), str(tmp / "out"), str(tmp / "ckpt")
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")

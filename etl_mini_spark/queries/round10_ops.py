@@ -1654,11 +1654,10 @@ def stream_holt_incremental(spark, sf_dir):
 
     import pandas as pd
 
-    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.queries._base import _sweep_scratch, _TMP
     from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
 
-    for old in _TMP.glob("holt_*"):
-        shutil.rmtree(old, ignore_errors=True)
+    _sweep_scratch("holt")  # age-gated: see _base
     tmp = _TMP / f"holt_{uuid.uuid4().hex[:8]}"
     src, out, state, ckpt = tmp / "src", tmp / "out", tmp / "state", tmp / "ckpt"
 

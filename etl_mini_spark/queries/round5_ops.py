@@ -544,7 +544,7 @@ def partitioned_roundtrip(spark, sf_dir):
     (partition pruning; asserted in tests/test_pipeline.py). At 100 TB
     the partition column is the first knife: scans of a filtered type
     touch 1/5th of the files before any row-group pruning."""
-    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.queries._base import _sweep_scratch, _TMP
 
     e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
     path = str(_TMP / f"part_rt_{Path(sf_dir).name}")
@@ -612,15 +612,14 @@ def stream_foreachbatch_upsert(spark, sf_dir):
     import shutil
     import uuid
 
-    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.queries._base import _sweep_scratch, _TMP
     from etl_mini_spark.streaming.stream import (
         foreach_batch_upsert,
         read_stream_parquet,
         run_to_completion,
     )
 
-    for old in _TMP.glob("fbu_*"):
-        shutil.rmtree(old, ignore_errors=True)
+    _sweep_scratch("fbu")  # age-gated: see _base
     tmp = _TMP / f"fbu_{uuid.uuid4().hex[:8]}"
     src, tgt, ckpt = str(tmp / "src"), str(tmp / "tgt"), str(tmp / "ckpt")
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")

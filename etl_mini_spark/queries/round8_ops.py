@@ -515,10 +515,9 @@ def stream_interval_join_outer(spark, sf_dir):
     from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
     from etl_mini_spark.streaming.windows import stream_interval_join as ssj
 
-    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.queries._base import _sweep_scratch, _TMP
 
-    for old in _TMP.glob("stream_oj_*"):
-        shutil.rmtree(old, ignore_errors=True)
+    _sweep_scratch("stream_oj")  # age-gated: see _base
     tmp = _TMP / f"stream_oj_{uuid.uuid4().hex[:8]}"
     src, out, ckpt = str(tmp / "src"), str(tmp / "out"), str(tmp / "ckpt")
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
@@ -637,7 +636,7 @@ def dynamic_partition_overwrite(spark, sf_dir):
     proves partition-level surgery. Conf is scoped and restored."""
     from pathlib import Path as _P
 
-    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.queries._base import _sweep_scratch, _TMP
 
     path = str(_TMP / f"dpo_{_P(sf_dir).name}")
     o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice")
@@ -792,11 +791,10 @@ def stream_tumbling_late_drop(spark, sf_dir):
     import shutil
     import uuid
 
-    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.queries._base import _sweep_scratch, _TMP
     from etl_mini_spark.streaming.stream import read_stream_parquet, run_to_completion
 
-    for old in _TMP.glob("stream_late_*"):
-        shutil.rmtree(old, ignore_errors=True)
+    _sweep_scratch("stream_late")  # age-gated: see _base
     tmp = _TMP / f"stream_late_{uuid.uuid4().hex[:8]}"
     src, out, ckpt = tmp / "src", str(tmp / "out"), str(tmp / "ckpt")
     src.mkdir(parents=True)
@@ -1161,7 +1159,7 @@ def ndjson_corrupt_quarantine(spark, sf_dir):
     the planted constant."""
     from pathlib import Path as _P
 
-    from etl_mini_spark.queries._base import _TMP
+    from etl_mini_spark.queries._base import _sweep_scratch, _TMP
 
     tmp = _TMP / f"json_quarantine_{_P(sf_dir).name}"
     (

@@ -17,5 +17,12 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     from etl_mini_spark.session import get_spark
 
-    s = get_spark("etl-mini-spark-tests")
+    import os
+
+    s = get_spark(
+        "etl-mini-spark-tests",
+        cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8")),
+    )
     yield s
+
