@@ -948,9 +948,17 @@ def graph_degree_histogram(spark, sf_dir):
         .select(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
         .distinct()
     )
-    bidir = edges.select(F.col("p1").alias("node"), F.col("p2").alias("nb")).unionAll(
-        edges.select(F.col("p2").alias("node"), F.col("p1").alias("nb"))
-    )
+    # symmetrize by exploding both orientations inline: the unionAll of
+    # two selects over the SAME edges subtree re-ran the basket
+    # self-join + distinct once per direction (guide 2.4)
+    bidir = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p1").alias("node"), F.col("p2").alias("nb")),
+                F.struct(F.col("p2").alias("node"), F.col("p1").alias("nb")),
+            )
+        ).alias("s")
+    ).select("s.node", "s.nb")
     deg = bidir.groupBy("node").agg(F.count("*").cast("bigint").alias("degree"))
     h = deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_nodes"))
     wc = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, 0)

@@ -1172,27 +1172,40 @@ def distinct_ratio_profile(spark, sf_dir):
     value) so hot columns spread across reducers instead of serializing
     per-column."""
     e = _t(spark, sf_dir, "events")
-    u = (
-        e.select(F.lit("event_type").alias("col"), F.col("event_type").alias("v"))
-        .unionAll(e.select(F.lit("user_id"), F.col("user_id").cast("string")))
-        .unionAll(
-            e.select(F.lit("value"), F.col("value").cast("decimal(18,2)").cast("string"))
-        )
-    )
+    # one unpivoted scan: the 3-way unionAll re-scanned events once per
+    # profiled column (guide 2.4); explode stacks the three (col, v)
+    # projections from a single pass
+    u = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("event_type").alias("col"),
+                         F.col("event_type").alias("v")),
+                F.struct(F.lit("user_id").alias("col"),
+                         F.col("user_id").cast("string").alias("v")),
+                F.struct(F.lit("value").alias("col"),
+                         F.col("value").cast("decimal(18,2)").cast("string").alias("v")),
+            )
+        ).alias("s")
+    ).select("s.col", "s.v")
     c = u.groupBy("col", "v").agg(F.count("*").cast("bigint").alias("freq"))
-    d = c.groupBy("col").agg(
-        F.count("*").cast("bigint").alias("n_distinct"),
-        F.sum("freq").cast("bigint").alias("n"),
-    )
-    top = c.select(
-        "col", F.col("v").alias("top_value"), F.col("freq").alias("top_freq"),
+    # per-column stats and the modal row from ONE evaluation of c: the
+    # old d-aggregate + top-window pair referenced c twice, re-running
+    # the (col, v) aggregate per reference (guide 2.4). Both windows
+    # share the hash(col) partitioning, so this is one extra exchange
+    # over the tiny distinct-value table instead of a second full pass.
+    wp = Window.partitionBy("col")
+    prof = c.select(
+        "col",
+        F.col("v").alias("top_value"),
+        F.col("freq").alias("top_freq"),
+        F.count("*").over(wp).cast("bigint").alias("n_distinct"),
+        F.sum("freq").over(wp).cast("bigint").alias("n"),
         F.row_number()
-        .over(Window.partitionBy("col").orderBy(F.col("freq").desc(), "v"))
+        .over(wp.orderBy(F.col("freq").desc(), "v"))
         .alias("rk"),
     ).filter("rk = 1")
     return (
-        d.join(top, "col")
-        .select(
+        prof.select(
             "col", "n", "n_distinct",
             _pin(F.col("n_distinct") / (1.0 * F.col("n"))).alias("distinct_ratio"),
             "top_value", "top_freq",

@@ -1027,20 +1027,30 @@ def late_arriving_dimension(spark, sf_dir):
             F.max_by("seg", "valid_from").alias("seg_corrected"),
         )
     )
-    labels = (
-        attributed.select(F.col("seg_initial").alias("seg"))
-        .union(attributed.select("seg_corrected")).distinct()
-    )
-    init = attributed.groupBy(F.col("seg_initial").alias("seg")).agg(
-        F.sum("cents").cast("bigint").alias("initial_cents"))
-    corr = attributed.groupBy(F.col("seg_corrected").alias("seg")).agg(
-        F.sum("cents").cast("bigint").alias("corrected_cents"))
+    # one pass over attributed: the labels/init/corr triple used to
+    # reference the fact-join aggregate FOUR times (labels twice, one
+    # per side aggregate), re-running it per reference (guide 2.4).
+    # Exploding each row into its (seg, side, cents) pair and summing
+    # with side filters reproduces the label set (a seg seen on only
+    # one side gets 0 on the other, exactly the old left joins) in a
+    # single evaluation and one shuffle.
+    sides = attributed.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("seg_initial").alias("seg"),
+                         F.lit("i").alias("side"), F.col("cents")),
+                F.struct(F.col("seg_corrected").alias("seg"),
+                         F.lit("c").alias("side"), F.col("cents")),
+            )
+        ).alias("s")
+    ).select("s.seg", "s.side", "s.cents")
     return (
-        labels.join(init, "seg", "left").join(corr, "seg", "left")
-        .select(
-            "seg",
-            F.coalesce("initial_cents", F.lit(0)).cast("bigint").alias("initial_cents"),
-            F.coalesce("corrected_cents", F.lit(0)).cast("bigint").alias("corrected_cents"),
+        sides.groupBy("seg")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("side") == "i", F.col("cents"))), F.lit(0))
+            .cast("bigint").alias("initial_cents"),
+            F.coalesce(F.sum(F.when(F.col("side") == "c", F.col("cents"))), F.lit(0))
+            .cast("bigint").alias("corrected_cents"),
         )
         .orderBy("seg")
     )

@@ -1909,11 +1909,10 @@ def graph_local_clustering_coeff(spark, sf_dir):
             F.col("e2.p2").alias("c"),
         )
     )
-    pertri = (
-        tri.select(F.col("a").alias("v"))
-        .unionAll(tri.select(F.col("b").alias("v")))
-        .unionAll(tri.select(F.col("c").alias("v")))
-    )
+    # explode the three corners inline instead of unionAll-ing three
+    # selects over the SAME wedge-close join (the union re-ran the
+    # two-join subtree once per corner; guide 2.4)
+    pertri = tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
     tcnt = pertri.groupBy("v").agg(F.count("*").cast("bigint").alias("t"))
     return (
         deg.filter(F.col("d") >= 2)

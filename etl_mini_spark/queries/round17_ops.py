@@ -883,9 +883,15 @@ def dbscan_grid_blocked(spark, sf_dir):
     survives 100 TB — the oracle's quadratic join is the deliberately
     naive derivation on the bounded subset."""
     from etl_mini_spark.operators.dedup import connected_components_star
+    from etl_mini_spark.session import pin
 
     li = _t(spark, sf_dir, "lineitem")
-    pts = (
+    # pts feeds the probe side, the build side AND the noise anti-join
+    # (3 references), pairs feeds deg/core_edges/border (3 more) --
+    # unpinned, each reference re-ran the lineitem aggregate resp. the
+    # 3x3 grid join (guide 3.3); two pins = one lineitem scan and one
+    # grid join per run
+    pts = pin(
         li.filter(F.col("l_orderkey") % 37 == 3)
         .groupBy(F.col("l_orderkey").alias("pid"))
         .agg(
@@ -904,7 +910,7 @@ def dbscan_grid_blocked(spark, sf_dir):
             for dx, dy in offs
         ])).alias("c"),
     ).select("pa", "ax", "ay", F.col("c.ncx").alias("ncx"), F.col("c.ncy").alias("ncy"))
-    pairs = (
+    pairs = pin(
         probe.join(
             pts.select(F.col("pid").alias("pb"), F.col("x").alias("bx"),
                        F.col("y").alias("by"), "cx", "cy"),

@@ -92,7 +92,11 @@ def graph_triangle_count(spark, sf_dir):
         )
         .select(F.col("o1.src").alias("a"), F.col("o1.dst").alias("b"), F.col("o2.dst").alias("c"))
     )
-    corners = tri.select(F.col("a").alias("p")).unionAll(tri.select("b")).unionAll(tri.select("c"))
+    # stack the three corners by exploding an inline array instead of
+    # unionAll-ing three selects over the SAME wedge-close join — the
+    # union re-ran the two-join subtree once per corner (3 evaluations,
+    # 13 exchange nodes in the r19 before-plan; guide §2.4)
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("p"))
     return (
         corners.groupBy(F.col("p").alias("p_partkey"))
         .agg(F.count("*").alias("n_triangles"))
