@@ -80,12 +80,17 @@ def kendall_tau_daily(spark, sf_dir):
     Plan: the fact table aggregates to days FIRST, so the pair join is
     calendar-bounded (~2.9M pairs over 7 years) regardless of fact
     scale — the O(n²) stays off the 100-TB table."""
+    from etl_mini_spark.session import pin
+
     o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+    # calendar-bounded daily table referenced FIVE times (both pair-join
+    # sides, n, and the two tie aggregates) -- unpinned, the orders scan
+    # + day aggregate re-ran per reference (guide 3.3)
+    daily = pin(o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
         .cast("bigint").alias("rev_c"),
         F.count("*").cast("bigint").alias("cnt"),
-    )
+    ))
     a, b = daily.alias("a"), daily.alias("b")
     sgn = (F.col("a.rev_c") - F.col("b.rev_c")) * (F.col("a.cnt") - F.col("b.cnt"))
     p = a.join(b, F.col("a.d") < F.col("b.d")).agg(

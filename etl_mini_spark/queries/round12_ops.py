@@ -1427,7 +1427,13 @@ def hurst_rescaled_range(spark, sf_dir):
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hh")
     ).select(F.date_format("hh", "yyyy-MM-dd HH:00:00").alias("h"))
-    ser = (
+    from etl_mini_spark.session import pin
+
+    # calendar-bounded hourly series, referenced through sized by the
+    # full-window filter and the stats pass (and the 3-row finish) --
+    # unpinned, the events scan + hour aggregate + spine join re-ran
+    # per reference (6 scans in the audit; guide 3.3)
+    ser = pin(
         spine.join(hours, "h", "left")
         .select("h", F.coalesce("x", F.lit(0)).alias("x"))
         .withColumn("i", F.row_number().over(Window.orderBy("h")))
@@ -1467,11 +1473,12 @@ def hurst_rescaled_range(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_windows"),
         (F.sum("rs9").cast("double") / F.count("*")).alias("mean_rs"),
     )
-    y = m.select(
+    # 3 rows; referenced by both the slope aggregate and the output join
+    y = pin(m.select(
         "sz", "n_windows", "mean_rs",
         (F.floor(F.log("mean_rs") / F.log(F.lit(2.0)) * 1_000_000_000 + F.lit(0.5))
          / 1_000_000_000).alias("y9"),
-    )
+    ))
     hurst = y.agg(
         (
             (F.max(F.when(F.col("sz") == 256, F.col("y9")))

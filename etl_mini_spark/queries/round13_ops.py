@@ -3350,15 +3350,28 @@ def graph_jaccard_link_prediction(spark, sf_dir):
     the shared neighbor (bounded by the key sample — the inverted-
     index shape), degrees joined back, anti-join removes real edges;
     never an all-pairs scan."""
+    from etl_mini_spark.session import pin
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    # pinned: edges feeds the symmetrization (which deg/s1/s2 read 3x)
+    # AND the non-edge anti-join -- unpinned, the basket self-join +
+    # distinct re-ran SEVEN times through the final plan (guide 3.3);
+    # the symmetrization itself is an inline explode, not a self-union
+    edges = pin(
         a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct("u", "v"),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("s")
+    ).select("s.u", "s.v")
     deg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
     s1, s2 = sym.alias("s1"), sym.alias("s2")
     cand = (

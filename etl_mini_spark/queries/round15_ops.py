@@ -465,8 +465,14 @@ def shapley_attribution_paths(spark, sf_dir):
     coefficients, one display division per channel. The touch-mask
     aggregation is the only data-sized pass; at 100 TB it is one
     groupBy(user) — the game-theory layer stays O(2^channels)."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
-    conv = (
+    # conv feeds both the touch join and the converted-user re-add;
+    # mcnt (<= 16 rows) feeds the three coalition-value references --
+    # unpinned, the events aggregates re-ran per reference (9 scans in
+    # the r19 audit; guide 3.3)
+    conv = pin(
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id").agg(F.min("ts").alias("cts"))
     )
@@ -489,7 +495,7 @@ def shapley_attribution_paths(spark, sf_dir):
     # a second left join from conv.
     touch = conv.select("user_id").join(touch, "user_id", "left").select(
         "user_id", F.coalesce("mask", F.lit(0)).alias("mask"))
-    mcnt = touch.groupBy("mask").agg(F.count("*").cast("bigint").alias("cnt"))
+    mcnt = pin(touch.groupBy("mask").agg(F.count("*").cast("bigint").alias("cnt")))
     grid = spark.range(16).select(F.col("id").cast("long").alias("smask"))
     v = (
         grid.join(F.broadcast(mcnt), F.expr("(mask & smask) = mask"), "left")

@@ -1320,6 +1320,8 @@ def seasonal_mann_kendall(spark, sf_dir):
     season), tie-corrected variance numerators kept as BIGINTs, one
     continuity-corrected z in the season-0 total row. The only corpus
     pass is the month agg."""
+    from etl_mini_spark.session import pin
+
     o = _t(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.month("o_orderdate").alias("season"),
@@ -1328,6 +1330,10 @@ def seasonal_mann_kendall(spark, sf_dir):
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
         .cast("bigint").alias("c")
     )
+    # ~84 rows; referenced by both self-join sides, the season sizes
+    # and the tie counts -- unpinned, the orders scan + month aggregate
+    # re-ran 4x per query (guide 3.3)
+    monthly = pin(monthly)
     a, b = monthly.alias("a"), monthly.alias("b")
     s = (
         a.join(b, (F.col("b.season") == F.col("a.season")) & (F.col("b.yr") > F.col("a.yr")))
@@ -1346,7 +1352,7 @@ def seasonal_mann_kendall(spark, sf_dir):
         .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
              .cast("bigint").alias("tie18"))
     )
-    per = (
+    per = pin(  # 12 rows; referenced by the total row and the output union
         nsz.join(s, "season").join(ties, "season")
         .select(
             "season", "n_years", "s_stat",

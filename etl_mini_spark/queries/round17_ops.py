@@ -1103,21 +1103,37 @@ def textrank_keywords(spark, sf_dir):
     run as vocabulary-sized joins (HITS discipline — exact BIGINT
     state, one integer division per edge, no float drift to
     accumulate)."""
+    from etl_mini_spark.session import pin
+
     d = _t(spark, sf_dir, "documents")
     arr = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
     tok = d.select("doc_id", F.posexplode(arr).alias("p", "t"))
-    a, b = tok.alias("a"), tok.alias("b")
+    # adjacent pairs via lead() over the in-doc position — posexplode
+    # positions are gap-free, so lead(t) IS the p+1 token; the old
+    # token self-join paid two corpus explodes + a join shuffle
+    nxt = F.lead("t").over(Window.partitionBy("doc_id").orderBy("p"))
     adj = (
-        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
-               & (F.col("b.p") == F.col("a.p") + 1))
-        .filter(F.col("a.t").rlike("^[a-z]+$") & F.col("b.t").rlike("^[a-z]+$"))
-        .select(F.col("a.t").alias("w1"), F.col("b.t").alias("w2"))
+        tok.withColumn("t2", nxt)
+        .filter(F.col("t").rlike("^[a-z]+$") & F.col("t2").rlike("^[a-z]+$"))
+        .select(F.col("t").alias("w1"), F.col("t2").alias("w2"))
     )
-    edges = (
-        adj.unionByName(adj.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
-        .groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("w"))
-    )
-    outw = edges.groupBy("w1").agg(F.sum("w").cast("bigint").alias("ow"))
+    # symmetrize inline (a unionByName over the SAME adj subtree would
+    # re-run the corpus pass per direction), and PIN the edge counts:
+    # the four unrolled PageRank iterations below each reference edges
+    # + outw + nodes, so the unpinned corpus lineage appeared 52 times
+    # in the final plan (52 parquet scans — the round-19 audit's worst
+    # offender). One corpus pass at materialization; everything after
+    # is vocabulary-sized.
+    sym = adj.select(
+        F.explode(
+            F.array(
+                F.struct("w1", "w2"),
+                F.struct(F.col("w2").alias("w1"), F.col("w1").alias("w2")),
+            )
+        ).alias("s")
+    ).select("s.w1", "s.w2")
+    edges = pin(sym.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("w")))
+    outw = pin(edges.groupBy("w1").agg(F.sum("w").cast("bigint").alias("ow")))
     nodes = outw.select(F.col("w1").alias("word"))
     n = nodes.count()  # bounded: vocabulary size
     pr = nodes.select("word", F.lit(1000000000 // n).cast("bigint").alias("pr"))

@@ -2494,8 +2494,14 @@ def incremental_welford_merge(spark, sf_dir):
     e = _t(spark, sf_dir, "events").select(
         F.expr("nullif(event_type, 'error')").alias("etype"), "user_id", "value"
     )
+    from etl_mini_spark.session import pin
+
+    # each shard state is |keys| rows and is exactly what a real
+    # incremental pipeline would have PERSISTED per load; pinning the
+    # states keeps the merge chain from re-running the shard scans
+    # through every downstream reference (guide 3.3)
     parts = [
-        agg_state_welford(e.filter(F.col("user_id") % 3 == i), ["etype"], "value")
+        pin(agg_state_welford(e.filter(F.col("user_id") % 3 == i), ["etype"], "value"))
         for i in range(3)
     ]
     state = merge_agg_state_welford(
