@@ -646,9 +646,14 @@ def chow_structural_break(spark, sf_dir):
     integer sums (Syy wide), pooled sums are the ADDITIVE combination
     of the segment sums (no second scan), and F is one fixed double
     expression. Plan: one day agg, one 2-group aggregate over the tiny
-    indexed series, scalar algebra."""
+    indexed series, scalar algebra. The indexed series (one row per
+    calendar day) is pinned: the segment/pooled/count aggregates and
+    the final cross joins referenced it 5x, each re-running the events
+    scan + day aggregate (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     daily = _daily_cents(spark, sf_dir)
-    idx = daily.select("c", F.row_number().over(Window.orderBy("d")).alias("rn"))
+    idx = pin(daily.select("c", F.row_number().over(Window.orderBy("d")).alias("rn")))
     nn = idx.agg(
         F.count("*").cast("bigint").alias("n"),
         (F.count("*") / 2).cast("bigint").alias("nb"),

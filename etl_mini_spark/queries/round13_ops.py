@@ -2454,10 +2454,15 @@ def bloom_fpr_audit(spark, sf_dir):
     is a pure function of the data. Plan: members/nonmembers from one
     scan each, bit table via a x3 bounded explode + distinct, probes
     join the bit table on the hashed position (keyed join, no
-    broadcast of the fact table)."""
+    broadcast of the fact table). The member-key set (what a real
+    Bloom build materializes anyway) and the <= 4096-row bit table are
+    pinned: unpinned, the anti-join, bit build and the two count
+    aggregates re-ran the orders scan 5x (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    members = (
+    members = pin(
         o.where((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01"))
         .select(F.col("o_custkey").alias("k")).distinct()
     )
@@ -2471,7 +2476,7 @@ def bloom_fpr_audit(spark, sf_dir):
         )
 
     igrid = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i")
-    bits = (
+    bits = pin(
         members.select("k", igrid)
         .select(bitpos(F.col("k"), F.col("i")).alias("bit"))
         .distinct()

@@ -378,14 +378,23 @@ def graph_label_propagation(spark, sf_dir):
     Plan: one round = one edge-keyed join + a two-level aggregate;
     labels never leave the cluster, and the synchronous (not async)
     update is what makes the result order-independent and therefore
-    distributable."""
+    distributable. The symmetrized edge list is built by exploding both
+    orientations of ONE distinct pass (a self-union re-ran the lineitem
+    distinct per branch) and pinned: the loop references it once per
+    round, which unpinned re-ran the whole upstream 4x."""
+    from etl_mini_spark.session import pin
+
     li = _t(spark, sf_dir, "lineitem")
-    pairs = (
+    adj = pin(
         li.filter(F.col("l_quantity") > 47)
         .select((2 * F.col("l_suppkey")).alias("u"), (2 * F.col("l_partkey") + 1).alias("v"))
         .distinct()
+        .select(F.explode(F.array(
+            F.struct(F.col("u"), F.col("v")),
+            F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+        )).alias("e"))
+        .select("e.u", "e.v")
     )
-    adj = pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     lab = adj.select(F.col("u").alias("node")).distinct().withColumn("lab", F.col("node"))
     for _ in range(3):
         nl = (

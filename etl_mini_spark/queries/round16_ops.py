@@ -1213,6 +1213,7 @@ def stream_eviction_twin(spark, sf_dir):
     calendar-bounded. Sessions that outlive the data's watermark are
     correctly absent (their state would still be resident)."""
     from etl_mini_spark.operators.joins import asof_join
+    from etl_mini_spark.session import pin
 
     e = _t(spark, sf_dir, "events")
     ev = e.select(
@@ -1226,7 +1227,11 @@ def stream_eviction_twin(spark, sf_dir):
         (F.max("mx").over(Window.orderBy("trig").rowsBetween(Window.unboundedPreceding, 0))
          - 600000000).alias("wm"),
     )
-    strict = (
+    # strict is calendar-bounded (one row per 15-min trigger with a
+    # watermark advance) but feeds BOTH the as-of probe side and the
+    # next-trigger lookup; unpinned, each reference re-ran the events
+    # scan + trigger aggregate + three global windows (guide 3.3).
+    strict = pin(
         wm.withColumn("prev", F.lag("wm").over(Window.orderBy("trig")))
         .filter(F.col("prev").isNull() | (F.col("wm") > F.col("prev")))
         .withColumn("j", F.row_number().over(Window.orderBy("trig")))
@@ -1439,21 +1444,28 @@ def dunns_pairwise_z(spark, sf_dir):
     exact half-units over the DISTINCT-VALUE table (the ordered window
     runs on the value domain, which is bounded by the cent range, not
     the row count), tie-corrected pooled variance, Bonferroni literal.
-    Plan: two hash aggs + a tiny group self-join."""
+    Plan: ONE events scan — the (g,v) aggregate is pinned and the
+    value histogram, rank table, group totals and tie sums all derive
+    from it (unpinned, the a/b pair-join sides plus the rank and total
+    aggregates re-ran the fact scan 5x, guide 3.3). The per-group
+    table is pinned too (<= #event_types rows) so the self-join reads
+    it twice without re-running the rank-window join."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
     x = e.select(
         F.col("event_type").alias("g"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
     )
-    vals = x.groupBy("v").agg(F.count("*").cast("bigint").alias("n_v"))
+    gv = pin(x.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("n_gv")))
+    vals = gv.groupBy("v").agg(F.sum("n_gv").cast("bigint").alias("n_v"))
     rk = vals.select(
         "v", "n_v",
         (2 * F.coalesce(
             F.sum("n_v").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0)) + F.col("n_v") + 1).cast("bigint").alias("r2"),
     )
-    gv = x.groupBy("g", "v").agg(F.count("*").cast("bigint").alias("n_gv"))
-    grp = (
+    grp = pin(
         gv.join(rk, "v")
         .groupBy("g")
         .agg(
