@@ -772,7 +772,12 @@ def bm25_topk_docs(spark, sf_dir):
     accumulated libm noise. Plan: one token scan feeding tf (filtered
     to the query terms by a broadcast semi-join — the corpus never
     shuffles on token), tiny df/dl/stat aggregates broadcast back, one
-    top-k."""
+    top-k. The doc-length and (doc, term) tf tables are pinned: each
+    was referenced twice (stats + broadcast join resp. df + scoring),
+    and every reference re-ran the corpus token explode (guide 3.3) —
+    pinned, the corpus is scanned once per grain."""
+    from etl_mini_spark.session import pin
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -780,7 +785,7 @@ def bm25_topk_docs(spark, sf_dir):
             F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
         ).alias("t"),
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    dl = pin(toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl")))
     stats = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_toks"),
@@ -788,9 +793,9 @@ def bm25_topk_docs(spark, sf_dir):
     q = spark.range(1).select(
         F.explode(F.array(F.lit("spark"), F.lit("join"), F.lit("window"))).alias("t")
     )
-    tf = toks.join(F.broadcast(q), "t").groupBy("doc_id", "t").agg(
+    tf = pin(toks.join(F.broadcast(q), "t").groupBy("doc_id", "t").agg(
         F.count("*").cast("bigint").alias("tf")
-    )
+    ))
     df_ = tf.groupBy("t").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
     terms = (
         tf.join(F.broadcast(df_), "t")
@@ -2243,11 +2248,15 @@ def ljung_box_q(spark, sf_dir):
     co-observed-pair statistics as acf_hourly_lags; each r_k²/(n−k)
     term pre-rounds at 9dp and sums as DECIMAL(28,9). Plan: one hour
     agg, a 7×|hours| lag join on the tiny aggregated series, a scalar
-    finish."""
+    finish. The calendar-bounded hourly series is pinned: both lag-join
+    sides and the two count references re-ran the events scan + hour
+    aggregate 4x unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
-    hourly = e.groupBy(
+    hourly = pin(e.groupBy(
         F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
-    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x")))
     nall = hourly.agg(F.count("*").cast("bigint").alias("n"))
     lags = spark.range(1).select(
         F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag")
@@ -2577,7 +2586,14 @@ def corpus_source_divergence(spark, sf_dir):
     finite; each ln term pre-rounds at 9dp and sums as DECIMAL(28,9)
     per source. Plan: one token agg per grain (global, per-source),
     a source×vocab grid built from the TINY aggregated tables (the
-    corpus itself is scanned once), one keyed sum."""
+    corpus itself is scanned once), one keyed sum. The (source, token)
+    aggregate is pinned and EVERY other table derives from it — global
+    counts roll it up over sources, the vocabulary size is the global
+    table's row count, n_g/n_s are its sums — so the corpus really is
+    scanned once (unpinned, the five aggregates each re-ran the token
+    explode: 5 scans, guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "source",
@@ -2585,10 +2601,10 @@ def corpus_source_divergence(spark, sf_dir):
             F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
         ).alias("t"),
     )
-    vocab = tok.agg(F.countDistinct("t").cast("bigint").alias("v"))
-    g = tok.groupBy("t").agg(F.count("*").cast("bigint").alias("cg"))
+    s = pin(tok.groupBy("source", "t").agg(F.count("*").cast("bigint").alias("cs")))
+    g = pin(s.groupBy("t").agg(F.sum("cs").cast("bigint").alias("cg")))
+    vocab = g.agg(F.count("*").cast("bigint").alias("v"))
     ng = g.agg(F.sum("cg").cast("bigint").alias("n_g"))
-    s = tok.groupBy("source", "t").agg(F.count("*").cast("bigint").alias("cs"))
     ns = s.groupBy("source").agg(F.sum("cs").cast("bigint").alias("n_s"))
     joined = (
         ns.crossJoin(F.broadcast(g))

@@ -157,14 +157,18 @@ def mann_kendall_trend(spark, sf_dir):
     continuity-corrected z — the nonparametric "is this series
     trending" check that pairs with trend_theil_sen's slope estimate.
     Plan: day-aggregate first (one shuffle), 435 pairs per series —
-    invariant to fact scale."""
+    invariant to fact scale. The calendar×type-bounded day series is
+    pinned: both pair-join sides plus the count and tie aggregates
+    re-ran the events scan 4x unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
-    daily = e.groupBy(
+    daily = pin(e.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")
     ).agg(
         F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
         .cast("bigint").alias("x")
-    )
+    ))
     a, b = daily.alias("a"), daily.alias("b")
     s = (
         a.join(b, (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.d") < F.col("b.d")))

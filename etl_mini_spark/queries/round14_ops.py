@@ -1643,7 +1643,11 @@ def dq_column_entropy_profile(spark, sf_dir):
     histograms are keyed aggs (domain-sized), -p*ln(p) terms pre-round
     at 9dp into a DECIMAL fold, normalization divides by ln(k) once.
     The union runs each branch's scan independently — no table waits
-    on another."""
+    on another. The domain-sized histogram union is pinned: the
+    per-column totals and the entropy fold both referenced it, so
+    every branch's table scan ran twice unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     ev = _t(spark, sf_dir, "events").groupBy(F.col("event_type").alias("v")).agg(
         F.count("*").cast("bigint").alias("n")
     ).select(F.lit("event_type").alias("col_"), "v", "n")
@@ -1653,7 +1657,7 @@ def dq_column_entropy_profile(spark, sf_dir):
     op = _t(spark, sf_dir, "orders").groupBy(F.col("o_orderpriority").alias("v")).agg(
         F.count("*").cast("bigint").alias("n")
     ).select(F.lit("o_orderpriority").alias("col_"), "v", "n")
-    h = ev.unionByName(dc).unionByName(op)
+    h = pin(ev.unionByName(dc).unionByName(op))
     t = h.groupBy("col_").agg(
         F.sum("n").cast("bigint").alias("tot"), F.count("*").cast("bigint").alias("k")
     )

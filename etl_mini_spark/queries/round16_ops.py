@@ -111,28 +111,43 @@ def pattern_vshape_runs(spark, sf_dir):
     """MATCH_RECOGNIZE-class V-shape detection (STRT DOWN+ UP+) over
     daily revenue: exact integer cent diffs classify each day U/D/F,
     gaps-islands groups maximal runs, and a DOWN run joined to the UP
-    run starting the next day is a match. Plan: one day agg, two
+    run starting the next day is a match. Plan: one day agg, three
     ordered windows, one tiny self-join of run summaries — the series
     is calendar-bounded (~2.4k rows at any SF), so the single-partition
-    windows are the CORRECT plan, not a scale hazard."""
+    windows are the CORRECT plan, not a scale hazard. The day series
+    and run summaries are pinned (each fed both self-join sides,
+    re-running the events scan + day aggregate 4x unpinned); the
+    consecutive-day pairing is a lag window instead of an i+1
+    self-join — identical rows (row i pairs with row i-1; row 1, which
+    the inner join dropped, is dropped by the i > 1 filter), one
+    operator instead of a join (guide 2.4/3.3)."""
+    from etl_mini_spark.session import pin
+
     daily = _daily_cents(spark, sf_dir)
-    ser = daily.select("d", "c", F.row_number().over(Window.orderBy("d")).alias("i"))
-    s1, s2 = ser.alias("s1"), ser.alias("s2")
-    dirs = s1.join(s2, F.col("s2.i") == F.col("s1.i") + 1).select(
-        F.col("s2.i").alias("i"), F.col("s2.d").alias("d"), F.col("s2.c").alias("c"),
-        F.col("s1.d").alias("prev_d"), F.col("s1.c").alias("prev_c"),
-        F.when(F.col("s2.c") > F.col("s1.c"), "U")
-        .when(F.col("s2.c") < F.col("s1.c"), "D").otherwise("F").alias("dir"),
+    ser = pin(daily.select("d", "c", F.row_number().over(Window.orderBy("d")).alias("i")))
+    wser = Window.orderBy("i")
+    dirs = (
+        ser.select(
+            "i", "d", "c",
+            F.lag("d").over(wser).alias("prev_d"),
+            F.lag("c").over(wser).alias("prev_c"),
+        )
+        .filter(F.col("i") > 1)
+        .withColumn(
+            "dir",
+            F.when(F.col("c") > F.col("prev_c"), "U")
+            .when(F.col("c") < F.col("prev_c"), "D").otherwise("F"),
+        )
     )
     runs = dirs.withColumn(
         "grp", F.col("i") - F.row_number().over(Window.partitionBy("dir").orderBy("i"))
     )
-    seg = runs.groupBy("dir", "grp").agg(
+    seg = pin(runs.groupBy("dir", "grp").agg(
         F.min("i").alias("i0"), F.max("i").alias("i1"),
         F.count("*").cast("bigint").alias("len"),
         F.min("prev_d").alias("strt_d"), F.min_by("prev_c", "i").alias("strt_c"),
         F.max("d").alias("end_d"), F.max_by("c", "i").alias("end_c"),
-    )
+    ))
     dn, up = seg.alias("dn"), seg.alias("up")
     return (
         dn.join(up, (F.col("dn.dir") == "D") & (F.col("up.dir") == "U")

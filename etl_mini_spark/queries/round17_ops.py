@@ -487,17 +487,23 @@ def secretary_stopping_rule(spark, sf_dir):
     """The secretary problem's 37% stopping rule replayed per user:
     prefix max over the skip window, first-crossing argmin, overall
     argmax — three windows and two joins, no sequential kernel
-    needed. Scale: everything partitions by user."""
+    needed. Scale: everything partitions by user. The ranked candidate
+    table is pinned: the k/prefix/pick/best stages and the final
+    chosen-row join referenced it 5x, each re-running the events scan
+    plus the user-partitioned ranking windows (guide 3.3) — pinned,
+    the scan and the window sort happen once."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id")
-    cand = e.select(
+    cand = pin(e.select(
         "user_id",
         F.conv(F.substring(F.md5(F.concat(F.col("event_id").cast("string"),
                                           F.lit(":sec"))), 1, 15), 16, 10)
         .cast("long").alias("score"),
         F.row_number().over(wu.orderBy(F.unix_micros("ts"), "event_id")).alias("i"),
         F.count("*").over(wu).cast("bigint").alias("n"),
-    )
+    ))
     k = (
         cand.filter((F.col("i") == 1) & (F.col("n") >= 3))
         .select("user_id", "n", F.floor(F.col("n") * 368 / 1000).cast("bigint").alias("k"))
@@ -1006,7 +1012,11 @@ def bm25f_fielded_topk(spark, sf_dir):
     title field (first 5 tokens). Plan mirrors bm25_topk_docs: the
     token scan filters to query terms via a broadcast semi-join before
     any shuffle, the weighted-length table broadcasts back, exact
-    DECIMAL ranking key."""
+    DECIMAL ranking key. As in bm25_topk_docs, the doc-length and
+    (doc, term) tf tables are pinned — unpinned, their second
+    references re-ran the corpus token explode (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -1014,10 +1024,10 @@ def bm25f_fielded_topk(spark, sf_dir):
             F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
         ).alias("p", "t"),
     ).select("doc_id", "t", F.when(F.col("p") < 5, 2).otherwise(1).alias("w"))
-    dl = toks.groupBy("doc_id").agg(
+    dl = pin(toks.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("dl"),
         F.sum("w").cast("bigint").alias("dlw"),
-    )
+    ))
     stats = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dlw").cast("bigint").alias("total_w"),
@@ -1025,9 +1035,9 @@ def bm25f_fielded_topk(spark, sf_dir):
     q = spark.range(1).select(
         F.explode(F.array(F.lit("join"), F.lit("hash"), F.lit("scan"))).alias("t")
     )
-    tf = toks.join(F.broadcast(q), "t").groupBy("doc_id", "t").agg(
+    tf = pin(toks.join(F.broadcast(q), "t").groupBy("doc_id", "t").agg(
         F.sum("w").cast("bigint").alias("tfw")
-    )
+    ))
     df_ = tf.groupBy("t").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
     terms = (
         tf.join(F.broadcast(df_), "t")

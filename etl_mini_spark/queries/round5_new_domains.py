@@ -427,16 +427,20 @@ def dq_expectations_report(spark, sf_dir):
     aggregate computes every CASE-sum); the orphan rule is a broadcast
     null-aware anti join on the distinct orderkeys. The report unions
     five one-row frames — constant-sized output however big the
-    inputs."""
+    inputs. The lineitem aggregate row is pinned: three report rows
+    reference it and each union branch re-ran the full lineitem scan
+    unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     l = _t(spark, sf_dir, "lineitem")  # noqa: E741
     o = _t(spark, sf_dir, "orders")
     d = _t(spark, sf_dir, "documents")
     one = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
-    la = l.agg(
+    la = pin(l.agg(
         F.count("*").alias("total"),
         one(F.col("l_quantity") > 45).alias("v_qty"),
         one(F.col("l_discount") > 0.08).alias("v_disc"),
-    )
+    ))
     oa = o.agg(F.count("*").alias("total"), one(F.col("o_totalprice") <= 0).alias("v_tp"))
     da = d.agg(F.count("*").alias("total"), one(F.col("n_chars") < 100).alias("v_short"))
     orph = (

@@ -1195,11 +1195,17 @@ def basket_rules_lift(spark, sf_dir):
     l_orderkey after per-order DISTINCT — O(Σ basket²), not O(n²));
     part frequencies broadcast; the order count is one scalar. At
     100 TB the basket-size bound is the safety: TPC-H baskets are ≤7
-    lines, so the explode factor is ≤42 per order."""
+    lines, so the explode factor is ≤42 per order. The distinct basket
+    table is pinned — the self-join sides, the part-frequency build
+    and the order count referenced it 5x, each re-running the lineitem
+    scan + distinct shuffle (guide 3.3); the |parts|-bounded frequency
+    table is pinned too (broadcast twice)."""
+    from etl_mini_spark.session import pin
+
     li = _t(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    b = pin(li.select("l_orderkey", "l_partkey").distinct())
     n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    f = b.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    f = pin(b.groupBy("l_partkey").agg(F.count("*").alias("n_part")))
     p = (
         b.alias("a")
         .join(b.alias("c"), "l_orderkey")
@@ -1906,10 +1912,15 @@ def funnel_with_timeouts(spark, sf_dir):
     of an events-derived table is a driver-OOM risk at 100x users).
     Timestamp deadlines compare exact µs instants. Scale: three passes
     over events, each pre-filtered by event type and joined on
-    user_id."""
+    user_id. Each step table is pinned (O(|users|) keyed aggregates —
+    what a real funnel materializes): unpinned, the next step's join
+    AND that step's count each re-ran the whole upstream chain, so
+    events was scanned 6x instead of 3x (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
-    a = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("a"))
-    b = (
+    a = pin(e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("a")))
+    b = pin(
         e.filter(F.col("event_type") == "click")
         .join(a, "user_id")
         .filter((F.col("ts") >= F.col("a")) & (F.col("ts") <= F.col("a") + F.expr("INTERVAL 6 HOUR")))

@@ -869,23 +869,44 @@ def dq_referential_integrity(spark, sf_dir):
     (lineitems without an order), childless orders, orders pointing at
     missing customers, and customers with no orders — the
     FOREIGN-KEY-level DQ report that complements
-    dq_expectations_report's column-level checks. Each count is a
-    LEFT ANTI join (never a collected key set); four keyed joins, no
-    driver-side state, counts assembled via a 1-row cross of scalar
-    aggregates. At 100 TB each anti join is one shuffle (or broadcast
-    when the dimension side is small)."""
+    dq_expectations_report's column-level checks. Both directions of
+    each FK edge come from ONE full-outer join of the pre-aggregated
+    fact side against the key side (never a collected key set): a
+    fact row with no match counts toward the orphan sum, a key row
+    with no match counts toward the childless/orderless count —
+    row-identical to the four original anti joins (a NULL fact key
+    matches nothing in either formulation), but each table pair is
+    scanned and shuffled once instead of twice, and the fact side
+    shuffles its per-key COUNT, not its rows (guide 2.3/2.4). Counts
+    assembled via a 1-row cross of scalar aggregates."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey")
 
-    def cnt(df, alias):
-        return df.agg(F.count("*").alias(alias))
-
-    orphans = cnt(li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti"), "n_orphan_lineitems")
-    childless = cnt(o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti"), "n_childless_orders")
-    custless = cnt(o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti"), "n_customerless_orders")
-    orderless = cnt(c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti"), "n_orderless_customers")
-    return orphans.crossJoin(childless).crossJoin(custless).crossJoin(orderless)
+    lg = li.groupBy("l_orderkey").agg(F.count("*").alias("n_li"))
+    li_o = (
+        lg.join(o.select("o_orderkey"), lg["l_orderkey"] == o["o_orderkey"], "full_outer")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderkey").isNull(), F.col("n_li"))), F.lit(0)
+            ).cast("bigint").alias("n_orphan_lineitems"),
+            F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("n_childless_orders"),
+        )
+    )
+    og = o.groupBy("o_custkey").agg(F.count("*").alias("n_o"))
+    o_c = (
+        og.join(c, og["o_custkey"] == c["c_custkey"], "full_outer")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("c_custkey").isNull(), F.col("n_o"))), F.lit(0)
+            ).cast("bigint").alias("n_customerless_orders"),
+            F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_orderless_customers"),
+        )
+    )
+    return li_o.crossJoin(o_c).select(
+        "n_orphan_lineitems", "n_childless_orders",
+        "n_customerless_orders", "n_orderless_customers",
+    )
 
 
 # --- PSI population-stability drift ------------------------------------------

@@ -888,13 +888,18 @@ def token_pmi_bigrams(spark, sf_dir):
     single per-row ln of their ratio — no float accumulates, no top-k
     rank rides on a float: every pair with c12 >= 5 is returned. Plan:
     two token-keyed aggs (the corpus scans) and two broadcast joins of
-    the tiny vocab onto the bigram table."""
+    the tiny vocab onto the bigram table. The unigram and bigram count
+    tables are pinned (vocab-bounded): the unigram table fed three
+    references (total + both broadcast sides) and the bigram table
+    two, each re-running its corpus scan unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ").alias("l"),
     )
-    uni = (
+    uni = pin(
         toks.select(F.explode("l").alias("t"))
         .groupBy("t")
         .agg(F.count("*").cast("bigint").alias("c1"))
@@ -908,7 +913,7 @@ def token_pmi_bigrams(spark, sf_dir):
             )
         ).alias("p")
     ).select(F.col("p.0").alias("t1"), F.col("p.1").alias("t2"))
-    bi = pairs.groupBy("t1", "t2").agg(F.count("*").cast("bigint").alias("c12"))
+    bi = pin(pairs.groupBy("t1", "t2").agg(F.count("*").cast("bigint").alias("c12")))
     nb = bi.agg(F.sum("c12").cast("bigint").alias("n_bi"))
     u1 = uni.select(F.col("t").alias("t1"), F.col("c1").alias("c1_a"))
     u2 = uni.select(F.col("t").alias("t2"), F.col("c1").alias("c1_b"))
