@@ -392,12 +392,23 @@ def embedding_near_dup_pairs_lsh(
     ~100× slower at fan-out — same lesson as cosine_topk_ivf), so
     precision is exact. Shuffles on (table, bucket) and the candidate
     join keys — bounded, never all-pairs. Hyperplanes are seeded →
-    fully deterministic for a fixed (n_tables, n_bits)."""
+    fully deterministic for a fixed (n_tables, n_bits).
+
+    The corpus is pinned up front: the signature pass and BOTH verify
+    sides reference it (3 plan refs), and the bit-sizing/dim probes are
+    driver actions over it — unpinned, the upstream lineage (often a
+    union or a transform over a scan) re-ran five times (guide 3.3).
+    The two probes share ONE action (guide 5: fewer driver round
+    trips)."""
+    from etl_mini_spark.session import pin
+
     spark = corpus.sparkSession
+    corpus = pin(corpus)
+    n_rows, dim = corpus.agg(
+        F.count("*"), F.first(F.size(F.col(vec_col)))
+    ).first()
     if n_bits is None:
-        n_rows = corpus.count()
         n_bits = min(24, max(12, int(np.ceil(np.log2(max(n_rows, 2)))) + 4))
-    dim = corpus.select(F.size(vec_col)).first()[0]
     rs = np.random.RandomState(0)
     planes = rs.randn(n_tables * n_bits, dim)
     bp = spark.sparkContext.broadcast(planes)

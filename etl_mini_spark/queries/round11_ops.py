@@ -1272,7 +1272,10 @@ def cross_field_consistency(spark, sf_dir):
     checked/violations/rate so a rule can never pass vacuously. Plan:
     each rule is one scan-local aggregate; the only join (ship vs
     order date) is an equi join on the order key that AQE can
-    broadcast at dim-like sizes."""
+    broadcast at dim-like sizes. The two events rules share ONE scan:
+    a single aggregate computes both violation counts and the rows
+    explode into the two report rows (the union re-scanned events per
+    rule; guide 2.4)."""
     e = _t(spark, sf_dir, "events")
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -1287,15 +1290,35 @@ def cross_field_consistency(spark, sf_dir):
             ).alias("rate"),
         )
 
-    bounds = rule(e, "events_value_bounds", (F.col("value") < 0) | (F.col("value") > 1000))
-    has_k = rule(e, "events_props_has_k", F.get_json_object("props", "$.k").isNull())
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    e_rules = [
+        ("events_value_bounds", (F.col("value") < 0) | (F.col("value") > 1000)),
+        ("events_props_has_k", F.get_json_object("props", "$.k").isNull()),
+    ]
+    e_agg = e.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[viol(cond).alias(f"v{i}") for i, (_, cond) in enumerate(e_rules)],
+    )
+    e_rows = e_agg.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("n").alias("n_checked"),
+                F.col(f"v{i}").alias("n_violations"),
+                _pin(F.col(f"v{i}") / (1.0 * F.col("n"))).alias("rate"),
+            )
+            for i, (name, _) in enumerate(e_rules)
+        ])).alias("__r")
+    ).select("__r.*")
     ship = rule(
         li.join(o, li.l_orderkey == o.o_orderkey),
         "lineitem_ship_after_order",
         F.to_date("l_shipdate") < F.to_date("o_orderdate"),
     )
     price = rule(o, "orders_price_positive", F.col("o_totalprice") <= 0)
-    return bounds.unionAll(has_k).unionAll(ship).unionAll(price).orderBy("rule")
+    return e_rows.unionAll(ship).unionAll(price).orderBy("rule")
 
 
 # --- binary encoding suite: md5 / sha256 / base64 round-trip ----------------------------------

@@ -1545,10 +1545,15 @@ def xyz_volatility_classes(spark, sf_dir):
     zero-filled month grid, from exact integer sums (sum of squares
     wide), with FIXED class cutpoints 0.21/0.25 — never
     quantile-derived edges. Plan: one month x brand agg, grid fill
-    against tiny dimension tables, per-brand scalar algebra."""
+    against tiny dimension tables, per-brand scalar algebra. The
+    brand×month cell table is pinned: the month-domain pass and the
+    grid fill both referenced it, each re-running the lineitem⋈part
+    join + aggregate (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    cells = (
+    cells = pin(
         l.join(F.broadcast(p.select("p_partkey", "p_brand")), l.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("b"), F.date_format("l_shipdate", "yyyy-MM").alias("ym"))
         .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("v"))

@@ -787,22 +787,39 @@ def scd2_scd6_composed(spark, sf_dir):
     valid_from/valid_to AND the dimension's CURRENT value — the
     Kimball type-6 hybrid that serves point-in-time joins and
     current-attribute filters from one table. Plan: two keyed modal
-    aggs, a three-way union of version sources, one partitioned window
-    for valid_to/version/current — no driver loops, applies at any
-    dimension scale."""
+    aggs, one left-join pass over the dimension that EXPLODES each
+    customer's 1-3 version rows in place (the previous three-way
+    self-union re-scanned the customer table once per branch; the
+    inner joins become null-filtered array entries — identical rows
+    because a modal seg is never NULL), one partitioned window for
+    valid_to/version/current — no driver loops, applies at any
+    dimension scale. The custkey-keyed left joins leave the rows
+    clustered on the window's partition key (guide 2.4)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     b1 = _modal_priority(o, "1996-01-01", "1997-01-01")
     b2 = _modal_priority(o, "1998-01-01", "1999-01-01")
     versions = (
-        c.select("c_custkey", F.lit("1995-01-01").alias("valid_from"),
-                 F.col("c_mktsegment").alias("seg"))
-        .unionByName(
-            c.join(b1, c.c_custkey == b1.o_custkey).select(
-                "c_custkey", F.lit("1997-01-01").alias("valid_from"), "seg"))
-        .unionByName(
-            c.join(b2, c.c_custkey == b2.o_custkey).select(
-                "c_custkey", F.lit("1999-01-01").alias("valid_from"), "seg"))
+        c.join(b1.select(F.col("o_custkey").alias("c_custkey"),
+                         F.col("seg").alias("__seg1")), "c_custkey", "left")
+        .join(b2.select(F.col("o_custkey").alias("c_custkey"),
+                        F.col("seg").alias("__seg2")), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.explode(F.filter(
+                F.array(
+                    F.struct(F.lit("1995-01-01").alias("valid_from"),
+                             F.col("c_mktsegment").alias("seg")),
+                    F.struct(F.lit("1997-01-01").alias("valid_from"),
+                             F.col("__seg1").alias("seg")),
+                    F.struct(F.lit("1999-01-01").alias("valid_from"),
+                             F.col("__seg2").alias("seg")),
+                ),
+                lambda s: s["seg"].isNotNull(),
+            )).alias("__v"),
+        )
+        .select("c_custkey", F.col("__v.valid_from").alias("valid_from"),
+                F.col("__v.seg").alias("seg"))
     )
     wv = Window.partitionBy("c_custkey").orderBy("valid_from")
     wall = wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

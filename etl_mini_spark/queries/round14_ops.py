@@ -762,17 +762,23 @@ def query_likelihood_dirichlet(spark, sf_dir):
     ln term pre-rounds at 9dp before the DECIMAL(28,9) fold. Smoothing
     means unmatched terms still contribute ln(MU*p(w|C)/(|d|+MU)), so
     the scoring join is dl x qt with tf LEFT-joined, exactly the
-    streaming-scorer shape a 100 TB corpus wants."""
+    streaming-scorer shape a 100 TB corpus wants. The (doc, tok) tf
+    table is pinned and every other statistic DERIVES from it — df is
+    its per-token row count, dlen/cf/ct are its partial sums — so the
+    corpus token explode runs once instead of five times (guide 3.3;
+    same counts by construction: tf rows are unique per (doc, tok))."""
+    from etl_mini_spark.session import pin
+
     tok = _tok14(spark, sf_dir)
+    tf = pin(tok.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf")))
     qt = (
-        tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+        tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
         .orderBy(F.desc("df"), "tok").limit(3)
         .select(F.col("tok").alias("q_tok"))
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dlen"))
-    cf = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("cf"))
-    ct = tok.agg(F.count("*").cast("bigint").alias("ct"))
-    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dlen"))
+    cf = tf.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("cf"))
+    ct = tf.agg(F.sum("tf").cast("bigint").alias("ct"))
     terms = (
         dl.crossJoin(F.broadcast(qt))
         .join(F.broadcast(cf), F.col("tok") == F.col("q_tok"))
@@ -1076,11 +1082,16 @@ def rocchio_relevance_vector(spark, sf_dir):
     conditional aggregates, and the 64-row result joins the broadcast
     q0 components. Dim-partitioned all the way — no vector ever
     gathers to one task."""
+    # The 1-row query-vector tables are pinned: q0id fed three
+    # references and q0 two, each re-running the embeddings scan
+    # (6 scans unpinned -> 3, guide 3.3).
+    from etl_mini_spark.session import pin
+
     emb = _t(spark, sf_dir, "embeddings")
-    q0id = emb.agg(F.min("vec_id").alias("m"))
-    q0 = emb.join(F.broadcast(q0id), emb.vec_id == F.col("m")).select(
+    q0id = pin(emb.agg(F.min("vec_id").alias("m")))
+    q0 = pin(emb.join(F.broadcast(q0id), emb.vec_id == F.col("m")).select(
         F.col("embedding").alias("q_emb"), F.col("label").alias("q_label")
-    )
+    ))
     comp = (
         emb.join(F.broadcast(q0id), emb.vec_id != F.col("m"))
         .crossJoin(F.broadcast(q0))

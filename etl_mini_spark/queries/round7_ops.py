@@ -498,14 +498,18 @@ def mixture_temperature_weights(spark, sf_dir):
     sample itself is a narrow map+filter, so at 100 TB the whole thing
     costs one source-keyed partial agg and one scan. Integer thresholds
     keep the boundary engine-exact. Output: per-source totals, rate,
-    kept counts."""
+    kept counts. The |sources|-row totals and threshold tables are
+    pinned: totals fed both the weight normalization sides and thr fed
+    both the sampling join and the final report, each reference
+    re-running the corpus count unpinned (guide 3.3)."""
     from etl_mini_spark.operators.sampling import mixture_sample
+    from etl_mini_spark.session import pin
 
     d = _t(spark, sf_dir, "documents")
-    totals = d.groupBy("source").agg(F.count("*").alias("n"))
+    totals = pin(d.groupBy("source").agg(F.count("*").alias("n")))
     wts = totals.withColumn("w", F.pow("n", F.lit(0.7)))
     tot = wts.agg(F.sum("w").alias("sw"), F.sum("n").alias("sn"))
-    thr = (
+    thr = pin(
         wts.crossJoin(F.broadcast(tot))
         .withColumn("rate", F.least(F.lit(1.0), (0.4 * F.col("sn") * F.col("w") / F.col("sw")) / F.col("n")))
         .withColumn("t", F.floor(F.col("rate") * 100000).cast("long"))

@@ -1341,10 +1341,15 @@ def impute_missing_values(spark, sf_dir):
     mean_v = F.floor(
         F.round(F.sum("v"), 2) / F.count("v") * 1_000_000 + F.lit(0.5)
     ) / 1_000_000
-    stats = holes.groupBy("event_type").agg(
+    # pinned (|types| rows): the median's count join and the final
+    # strategy join both referenced it, each re-running the full
+    # events scan + aggregate (guide 3.3)
+    from etl_mini_spark.session import pin
+
+    stats = pin(holes.groupBy("event_type").agg(
         mean_v.alias("mean_v"),
         F.count("v").alias("n_nonnull"),
-    )
+    ))
     # exact lower median (= DuckDB quantile_disc): Spark's percentile()
     # interpolates, so take the cumulative-count definition directly
     nonnull = holes.filter(F.col("v").isNotNull())
