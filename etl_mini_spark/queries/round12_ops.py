@@ -376,11 +376,15 @@ def cliffs_delta_effect(spark, sf_dir):
     day x day pair grid divided by n1*n2 — all BIGINTs, one division.
     Plan: two day aggs, a calendar^2 cross of TINY aggregated tables
     (the fact table is scanned twice and never self-joined), 1-row
-    finish."""
+    finish. Both calendar-bounded day series are pinned: each fed the
+    dominance cross AND its own count, re-running the events scan per
+    reference unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
 
     def daily(et):
-        return (
+        return pin(
             e.filter(F.col("event_type") == et)
             .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
             .agg(

@@ -3076,26 +3076,29 @@ def url_canonicalize_dedup(spark, sf_dir):
     preserved), drop utm_* tracking params but KEEP real query params,
     strip trailing slashes — variants 1-3 must collapse to one
     canonical form while the rev= variant survives. The crawl-pipeline
-    URL gate, pure string expressions on both engines."""
+    URL gate, pure string expressions on both engines. The four
+    variants explode from ONE scan (the previous four-way self-union
+    re-scanned the documents table per branch; guide 2.4)."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     did = F.col("doc_id").cast("string")
-    urls = (
-        d.select("doc_id", F.lit(1).alias("variant"),
-                 F.concat(F.lit("https://Example.COM/docs/"), did).alias("url"))
-        .unionByName(d.select(
-            "doc_id", F.lit(2).alias("variant"),
-            F.concat(F.lit("https://example.com/docs/"), did,
-                     F.lit("?utm_source=feed&utm_campaign=x")).alias("url")))
-        .unionByName(d.select(
-            "doc_id", F.lit(3).alias("variant"),
-            F.concat(F.lit("https://EXAMPLE.com/docs/"), did,
-                     F.lit("/#section-2")).alias("url")))
-        .unionByName(d.select(
-            "doc_id", F.lit(4).alias("variant"),
-            F.concat(F.lit("https://example.com/docs/"), did,
-                     F.lit("?utm_medium=a&rev="),
-                     (F.col("doc_id") % 3).cast("string")).alias("url")))
-    )
+    variants = [
+        F.concat(F.lit("https://Example.COM/docs/"), did),
+        F.concat(F.lit("https://example.com/docs/"), did,
+                 F.lit("?utm_source=feed&utm_campaign=x")),
+        F.concat(F.lit("https://EXAMPLE.com/docs/"), did,
+                 F.lit("/#section-2")),
+        F.concat(F.lit("https://example.com/docs/"), did,
+                 F.lit("?utm_medium=a&rev="),
+                 (F.col("doc_id") % 3).cast("string")),
+    ]
+    urls = d.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i + 1).alias("variant"), u.alias("url"))
+            for i, u in enumerate(variants)
+        ])).alias("__v"),
+    ).select("doc_id", F.col("__v.variant").alias("variant"),
+             F.col("__v.url").alias("url"))
     c0 = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(

@@ -553,20 +553,35 @@ _SETALL_SQL = """
 def set_ops_all(spark, sf_dir):
     """U1 completion: INTERSECT ALL / EXCEPT ALL — bag semantics with
     true multiplicities (min(m_a, m_b) and m_a − m_b), which the
-    DISTINCT set-op entries cannot exercise. Spark plans both as a
-    single aggregate computing per-row counts on each side then
-    replicating — one shuffle each, no join. Output rolls the surviving
-    multiset up to (row, multiplicity) so the hash compare is
-    order-free."""
+    DISTINCT set-op entries cannot exercise. Both ops compute from ONE
+    scan and ONE shuffle: a (user, type) aggregate counts each side's
+    multiplicity with conditional counts, and the surviving rows
+    explode as (op, multiplicity) pairs — INTERSECT ALL keeps
+    min(m_a, m_b) > 0, EXCEPT ALL keeps m_a − m_b > 0, exactly the
+    multiplicities the engine set-ops produce (they replicate rows
+    this same way internally; the previous shape scanned events 4x
+    and shuffled twice, guide 2.4). Output is (row, multiplicity) so
+    the hash compare is order-free."""
     ev = _t(spark, sf_dir, "events")
-    a = ev.filter("event_id % 3 <> 0").select("user_id", "event_type")
-    b = ev.filter("event_id % 2 <> 0").select("user_id", "event_type")
-    i = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
-    e = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.when(F.expr("event_id % 3 <> 0"), 1)).alias("ma"),
+        F.count(F.when(F.expr("event_id % 2 <> 0"), 1)).alias("mb"),
+    )
     return (
-        i.unionByName(e)
-        .groupBy("op", "user_id", "event_type")
-        .agg(F.count("*").alias("n"))
+        cnt.select(
+            "user_id", "event_type",
+            F.explode(F.filter(
+                F.array(
+                    F.struct(F.lit("intersect_all").alias("op"),
+                             F.least("ma", "mb").alias("n")),
+                    F.struct(F.lit("except_all").alias("op"),
+                             (F.col("ma") - F.col("mb")).alias("n")),
+                ),
+                lambda s: s["n"] > 0,
+            )).alias("__s"),
+        )
+        .select(F.col("__s.op").alias("op"), "user_id", "event_type",
+                F.col("__s.n").alias("n"))
     )
 
 

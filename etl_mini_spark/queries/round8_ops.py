@@ -581,10 +581,15 @@ def audience_overlap_jaccard(spark, sf_dir):
     intersection-join + inclusion-exclusion shape as the document
     set-similarity tier, but over membership sets. One distinct pass,
     one keyed self-join on user_id (|types|² pairs via co-membership,
-    never a cross join), sizes joined back by type."""
+    never a cross join), sizes joined back by type. The membership set
+    and the |types|-row size table are pinned: both self-join sides
+    plus the two size broadcasts re-ran the events scan + distinct 4x
+    unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
-    m = e.select("event_type", "user_id").distinct()
-    sz = m.groupBy("event_type").agg(F.count("*").alias("n"))
+    m = pin(e.select("event_type", "user_id").distinct())
+    sz = pin(m.groupBy("event_type").agg(F.count("*").alias("n")))
     a = m.select(F.col("event_type").alias("t1"), "user_id")
     b = m.select(F.col("event_type").alias("t2"), F.col("user_id").alias("uid2"))
     inter = (
