@@ -1184,7 +1184,14 @@ def _fs_frames(spark, sf_dir):
         (F.col("a.phone") == F.col("v.phone")).cast("int").alias("a_ph"),
         (F.col("a.k") == F.col("v.k")).cast("int").alias("is_match"),
     )
-    return cand
+    # pinned: both consumers (the m/u rate aggregate + pattern rollup,
+    # and the threshold sweep + its truth count) reference the
+    # candidate table twice, each re-running the blocked join and its
+    # two customer scans (guide 3.3) — this is the candidate table an
+    # ER pipeline materializes anyway
+    from etl_mini_spark.session import pin
+
+    return pin(cand)
 
 
 @pq("fellegi_sunter_weights", _FS_SQL)

@@ -2843,7 +2843,12 @@ def weibull_median_rank_fit(spark, sf_dir):
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .select(F.datediff("l_shipdate", "o_orderdate").alias("t"))
     )
-    hv = d.groupBy("t").agg(F.count("*").cast("bigint").alias("c"))
+    # pinned (delay-domain histogram, bounded by integer days): the
+    # total count and the cumulative-rank pass both referenced it,
+    # each re-running the lineitem⋈orders join (guide 3.3)
+    from etl_mini_spark.session import pin
+
+    hv = pin(d.groupBy("t").agg(F.count("*").cast("bigint").alias("c")))
     n = hv.agg(F.sum("c").cast("bigint").alias("n"))
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     r = hv.select(

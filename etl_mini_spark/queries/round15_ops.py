@@ -107,9 +107,16 @@ def map_mrr_eval(spark, sf_dir):
     BIGINT nanos and summed exactly; the only float ops are the two
     final display divisions. At corpus scale the probe side stays a
     broadcast and the per-query top-10 is a WindowGroupLimit — one
-    corpus scan, no quadratic materialization past the rank cut."""
+    corpus scan, no quadratic materialization past the rank cut. The
+    probe table is pinned, and n_rel derives from a per-source corpus
+    count (a probe's relevant set is every OTHER doc with its source,
+    so n_rel = count(source) - 1 — identical integers) instead of a
+    second evaluation of the probe×corpus candidate join, which is
+    the quadratic stage (guide 2.4/3.3)."""
+    from etl_mini_spark.session import pin
+
     d = _t(spark, sf_dir, "documents")
-    probes = (
+    probes = pin(
         d.filter(F.col("doc_id") % 11 == 3)
         .select(F.col("doc_id").alias("query_id"), F.col("source").alias("qsrc"))
     )
@@ -123,7 +130,10 @@ def map_mrr_eval(spark, sf_dir):
                                F.col("doc_id").cast("string"))), 1, 8).alias("sk"),
         )
     )
-    nrel = cand.groupBy("query_id").agg(F.sum("rel").cast("bigint").alias("n_rel"))
+    src_cnt = d.groupBy("source").agg(F.count("*").cast("bigint").alias("__nsrc"))
+    nrel = probes.join(src_cnt, probes.qsrc == src_cnt.source).select(
+        "query_id", (F.col("__nsrc") - 1).cast("bigint").alias("n_rel")
+    )
     w = Window.partitionBy("query_id").orderBy("sk", "doc_id")
     top10 = (
         cand.withColumn("rnk", F.row_number().over(w))
@@ -1120,8 +1130,16 @@ def vintage_default_curves(spark, sf_dir):
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
         )
     )
-    tot = base.groupBy("cohort").agg(F.count("*").cast("bigint").alias("n_lines"))
-    byage = base.groupBy("cohort", "age").agg(F.sum("ret").cast("bigint").alias("r"))
+    # byage carries the per-cell line count so the cohort totals roll
+    # up from the pinned cohort×age table (≤12 ages) instead of a
+    # second evaluation of the orders⋈lineitem join (guide 2.4/3.3)
+    from etl_mini_spark.session import pin
+
+    byage = pin(base.groupBy("cohort", "age").agg(
+        F.sum("ret").cast("bigint").alias("r"),
+        F.count("*").cast("bigint").alias("__c"),
+    ))
+    tot = byage.groupBy("cohort").agg(F.sum("__c").cast("bigint").alias("n_lines"))
     cum = byage.withColumn(
         "cum_r", F.sum("r").over(Window.partitionBy("cohort").orderBy("age")).cast("bigint"))
     return (
