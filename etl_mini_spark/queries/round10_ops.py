@@ -515,10 +515,14 @@ def cohort_ltv_curve(spark, sf_dir):
     revenue accumulates as DECIMAL, and the per-member normalization is
     the single double op. Plan: one custkey agg for cohorts (broadcast
     back over orders), one (cohort, age) agg, a prefix sum over the
-    tiny curve table."""
+    tiny curve table. The per-customer first-order table is pinned:
+    the cohort sizing and the fact join both referenced it, each
+    re-running the orders scan + custkey aggregate (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     o = _t(spark, sf_dir, "orders")
     ym = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
-    fo = o.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    fo = pin(o.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym")))
     sized = fo.groupBy("cohort_ym").agg(F.count("*").cast("bigint").alias("n_cust"))
     facts = o.join(F.broadcast(fo), "o_custkey").select(
         "cohort_ym",
@@ -2398,17 +2402,22 @@ def gaps_islands_order_days(spark, sf_dir):
     ties) — the classic SQL-interview shape that powers uptime and
     activity-streak reports. Pure date/integer arithmetic. Plan: one
     distinct over days, one rank window, one island agg — all bounded
-    by the calendar, not the fact table."""
+    by the calendar, not the fact table. The day domain and island
+    table are pinned: each fed two references (rank pass + day count,
+    top pick + island count), and every reference re-ran the orders
+    scan + distinct unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     o = _t(spark, sf_dir, "orders")
-    days = o.select(F.to_date("o_orderdate").alias("d")).distinct()
+    days = pin(o.select(F.to_date("o_orderdate").alias("d")).distinct())
     keyed = days.select(
         "d",
         F.date_sub(F.col("d"), F.row_number().over(Window.orderBy("d"))).alias("island"),
     )
-    isl = keyed.groupBy("island").agg(
+    isl = pin(keyed.groupBy("island").agg(
         F.count("*").cast("bigint").alias("len"),
         F.date_format(F.min("d"), "yyyy-MM-dd").alias("start_d"),
-    )
+    ))
     top = isl.select(
         "len", "start_d",
         F.row_number().over(Window.orderBy(F.col("len").desc(), "start_d")).alias("rn"),

@@ -450,12 +450,16 @@ def jonckheere_terpstra_trend(spark, sf_dir):
     (a bounded grid — months x priorities, never the fact table), and
     z = (J2 - 2E[J]) / (2 sqrt(Var)) is one fixed expression over
     integer sums. Plan: one month x priority agg, a tiny grid
-    self-join, 1-row finish."""
+    self-join, 1-row finish. The month×priority grid is pinned: both
+    self-join sides and the size aggregate referenced it, each
+    re-running the orders scan 3x unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     o = _t(spark, sf_dir, "orders")
-    m = o.groupBy(
+    m = pin(o.groupBy(
         F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
-    ).agg(F.count("*").cast("bigint").alias("v"))
+    ).agg(F.count("*").cast("bigint").alias("v")))
     a = m.alias("a")
     b = m.select(F.col("g").alias("g2"), F.col("v").alias("v2")).alias("b")
     j = (
@@ -513,9 +517,14 @@ def pettitt_changepoint(spark, sf_dir):
     halves. Computed over the bounded day-pair grid (the fact table
     aggregates to days first), so every value is a BIGINT and the
     argmax is integer with an earliest-day tie-break. Plan: one day
-    agg, a calendar^2 pair join on TINY tables, one rank pick."""
+    agg, a calendar^2 pair join on TINY tables, one rank pick. The
+    indexed day series is pinned: both pair-join sides and the window
+    probe referenced it, each re-running the events scan + day
+    aggregate 3x unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     daily = _daily_cents(spark, sf_dir)
-    idx = daily.select("d", "c", F.row_number().over(Window.orderBy("d")).alias("rn"))
+    idx = pin(daily.select("d", "c", F.row_number().over(Window.orderBy("d")).alias("rn")))
     a = idx.select(F.col("rn").alias("i"), F.col("c").alias("ci"))
     b = idx.select(F.col("rn").alias("j"), F.col("c").alias("cj"))
     pairs = a.join(b, F.col("i") < F.col("j")).select(
@@ -2896,9 +2905,13 @@ def cox_stuart_trend(spark, sf_dir):
     upward-sign count is binomial under no-trend, ties drop by the
     same rule on both engines, z is the normal approximation — all
     integer until the final two divisions. Plan: one day agg, one
-    bounded self-join on the indexed series."""
+    bounded self-join on the indexed series. The indexed series is
+    pinned: the half count and both pair sides referenced it, each
+    re-running the events scan 3x unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     daily = _daily_cents(spark, sf_dir)
-    idx = daily.select("c", F.row_number().over(Window.orderBy("d")).alias("i"))
+    idx = pin(daily.select("c", F.row_number().over(Window.orderBy("d")).alias("i")))
     nn = idx.agg((F.count("*") / 2).cast("bigint").alias("h"))
     a = idx.select(F.col("c").alias("x"), F.col("i").alias("ia"))
     bdf = idx.select(F.col("c").alias("y"), F.col("i").alias("ib"))

@@ -108,13 +108,17 @@ def tukey_kramer_hsd(spark, sf_dir):
     """Tukey-Kramer honestly-significant-difference over event-type
     mean cents: one hash agg to per-group integer sums, one scalar
     combine for MSE, a 10-pair group self-join. Scale: the only
-    corpus-sized pass is the first agg."""
+    corpus-sized pass is the first agg — pinned, because the MSE
+    combine and both self-join sides referenced it and each re-ran
+    the events scan unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
     x = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    g = e.groupBy(F.col("event_type").alias("g")).agg(
+    g = pin(e.groupBy(F.col("event_type").alias("g")).agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(x).alias("s"), F.sum(x * x).alias("q"),
-    )
+    ))
     tot = g.agg(
         F.count("*").cast("bigint").alias("k"),
         F.sum("n").cast("bigint").alias("nn"),
@@ -644,7 +648,12 @@ def privacy_t_closeness(spark, sf_dir):
     assignment is one global NTILE (value-domain work), then group ×
     decile counts, cumulative distributions, and the nano-prerounded
     EMD. Plan: two hash aggs + a (groups × 10)-row grid — the corpus
-    never joins itself."""
+    never joins itself. The ≤(groups×10)-row cell grid is pinned: the
+    group totals, decile marginals and the EMD grid all referenced it,
+    and each reference re-ran the customer scan + the single-partition
+    NTILE sort 3x unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     c = _t(spark, sf_dir, "customer")
     cust = c.select(
         F.col("c_mktsegment").alias("seg"),
@@ -654,7 +663,7 @@ def privacy_t_closeness(spark, sf_dir):
                            "c_custkey")
         ).alias("dec"),
     )
-    gd = cust.groupBy("seg", "natb", "dec").agg(F.count("*").cast("bigint").alias("n"))
+    gd = pin(cust.groupBy("seg", "natb", "dec").agg(F.count("*").cast("bigint").alias("n")))
     g = gd.groupBy("seg", "natb").agg(F.sum("n").cast("bigint").alias("n_g"))
     glob = gd.groupBy("dec").agg(F.sum("n").cast("bigint").alias("n_d"))
     nn = glob.agg(F.sum("n_d").cast("bigint").alias("n"))

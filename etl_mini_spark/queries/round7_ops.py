@@ -1363,15 +1363,21 @@ def dau_mau_stickiness(spark, sf_dir):
     bounded-explode sliding-distinct rewrite (each (day, user) pair
     covers ≤28 window-end days; no range join, no 28× rescan); DAU is
     a plain count over the same deduped pairs, so both legs share one
-    (day, user) shuffle. The oracle runs the naive range join."""
+    (day, user) shuffle. The oracle runs the naive range join. The
+    (day, user) pair set is pinned — the DAU leg, the MAU cover
+    explode AND the observed-day domain (distinct days of pairs ==
+    distinct event days) all derive from it, so events is scanned once
+    instead of 3x (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
-    pairs = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    pairs = pin(e.select(F.to_date("ts").alias("d"), "user_id").distinct())
     dau = pairs.groupBy("d").agg(F.count("*").alias("dau"))
     cover = pairs.select(
         F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 27))).alias("day"),
         "user_id",
     )
-    obs = e.select(F.to_date("ts").alias("day")).distinct()
+    obs = pairs.select(F.col("d").alias("day")).distinct()
     mau = (
         cover.join(obs, "day")
         .groupBy("day")

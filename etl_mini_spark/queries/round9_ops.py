@@ -176,7 +176,12 @@ def mutual_information_discrete(spark, sf_dir):
     sees nonlinear association). Identical contingency plan to
     chi_square_cramers_v: one hash-agg to the cell grid, margin
     windows over ≤40 rows, per-cell ln terms pre-rounded at 9dp and
-    summed as DECIMAL(28,9). 100-TB cost = the one scan."""
+    summed as DECIMAL(28,9). 100-TB cost = the one scan — the ≤40-row
+    margin table is pinned because the MI fold and both entropy
+    aggregates referenced it, each re-running the scan + windows 3x
+    unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
     c = e.groupBy(
         F.col("event_type").alias("x"),
@@ -190,6 +195,7 @@ def mutual_information_discrete(spark, sf_dir):
             Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ).alias("n"),
     )
+    t = pin(t)
     mi = t.agg(
         F.max("n").cast("bigint").alias("n"),
         F.sum(

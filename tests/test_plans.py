@@ -104,6 +104,20 @@ def test_near_dup_plans_never_cross_join(spark):
         assert "BroadcastNestedLoopJoin" not in s.joins, (name, s.joins)
 
 
+def test_hyperplane_lsh_pins_corpus_once(spark):
+    """embedding_near_dup_pairs_lsh references its corpus three times
+    (signature pass + both verify sides) and probes it twice for
+    sizing — the operator pins it up front, so the final plan must
+    read the pinned blocks, never re-run the upstream lineage (here:
+    re-scan the parquet). A scan in the plan means the pin regressed
+    and the corpus would be read 5x per call (r19 optimization)."""
+    from etl_mini_spark.plans.explain import plan_summary
+    from etl_mini_spark.queries import QUERIES
+
+    s = plan_summary(QUERIES["embedding_near_dups_lsh"](spark, SF_SMOKE))
+    assert not s.scans, s.text[:2000]
+
+
 def test_percentile_scan_prunes_to_two_columns(spark):
     from etl_mini_spark.plans.explain import plan_summary
     from etl_mini_spark.queries import QUERIES
