@@ -2000,16 +2000,21 @@ def gradient_boost_stumps(spark, sf_dir):
     round-2 residual sums derive from one bounded (f1, f2) base agg
     with no per-row residual pass; variance-reduction gains on
     once-converted doubles, threshold tie-breaks. One fact-table agg
-    total — boosting as aggregation, the 100-TB shape."""
+    total — boosting as aggregation, the 100-TB shape. The ≤48-cell
+    (f1, f2) base aggregate is pinned: round 1, the residual fold and
+    round 2 all referenced it, each re-running the orders scan 3x
+    unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     o = _t(spark, sf_dir, "orders")
-    base = o.groupBy(
+    base = pin(o.groupBy(
         F.substring("o_orderpriority", 1, 1).cast("int").alias("f1"),
         F.month("o_orderdate").cast("int").alias("f2"),
     ).agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
         .cast("bigint").alias("sy"),
-    )
+    ))
 
     def best_stump(cells, feat_col, n_col, s_col, t_lo, t_hi):
         tgrid = spark.range(t_lo, t_hi + 1).select(F.col("id").cast("int").alias("t"))
@@ -2107,14 +2112,19 @@ def isotonic_regression_pav(spark, sf_dir):
     — exact on the calendar-bounded grid, with segment averages one
     division of exact integer prefix sums. The fact-table pass is the
     day aggregation alone; the O(days^3) grid is bounded by the
-    calendar, not the data."""
+    calendar, not the data. The prefix-summed series is pinned: both
+    segment-join sides, the j-grid and the final label join referenced
+    it, each re-running the events scan + day aggregate 4x unpinned
+    (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     daily = _daily_cents(spark, sf_dir)
     w = Window.orderBy("d")
-    ser = daily.select(
+    ser = pin(daily.select(
         "d", "c",
         F.row_number().over(w).alias("i"),
         F.sum("c").over(w).alias("pre"),
-    )
+    ))
     a, b = ser.alias("a"), ser.alias("b")
     seg = a.join(b, F.col("a.i") <= F.col("b.i")).select(
         F.col("a.i").alias("i"), F.col("b.i").alias("k"),

@@ -1206,7 +1206,12 @@ def sprt_sequential_test(spark, sf_dir):
     """Wald SPRT per user stream: the log-likelihood ladder is a
     cumulative sum of two fixed DECIMAL(18,9) literals (ln computed
     offline), so the walk, both boundary crossings, and the stopping
-    time are exact on both engines. One partitioned window pass."""
+    time are exact on both engines. One partitioned window pass —
+    pinned, because the boundary-crossing, observation-count and
+    final-state aggregates all referenced the ladder, each re-running
+    the events scan + both user windows 3x unpinned (guide 3.3)."""
+    from etl_mini_spark.session import pin
+
     e = _t(spark, sf_dir, "events")
     wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = e.select(
@@ -1217,11 +1222,11 @@ def sprt_sequential_test(spark, sf_dir):
         .otherwise(F.lit("-0.133531393").cast("decimal(18,9)"))
         .alias("inc"),
     )
-    c = s.withColumn(
+    c = pin(s.withColumn(
         "llr",
         F.sum("inc").over(Window.partitionBy("user_id").orderBy("i"))
         .cast("decimal(18,9)"),
-    )
+    ))
     up = F.lit("2.772588722").cast("decimal(18,9)")
     lo = F.lit("-1.558144618").cast("decimal(18,9)")
     hit = (
